@@ -1,0 +1,67 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels for fuzzy string similarity, shared by interpreted eval and
+  * generated code (called statically from whole-stage codegen).
+  *
+  * Semantics follow rapidfuzz's `ratio` / `token_sort_ratio` as used by the
+  * reference (`/root/reference/executive_review_tool.py:189-242`): the
+  * similarity is the normalized *indel* distance (insert/delete only — a
+  * substitution costs 2), `100 * (1 - dist / (|a| + |b|))`, which equals
+  * `100 * 2*LCS / (|a| + |b|)`. Both-empty → 100.
+  */
+object SimKernel {
+
+  /** Indel distance = |a| + |b| - 2 * LCS(a, b). O(|a|*|b|) time, O(|b|) space. */
+  def indelDistance(a: String, b: String): Int = {
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ca = a.charAt(i - 1)
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (ca == b.charAt(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      Arrays.fill(cur, 0)
+      i += 1
+    }
+    n + m - 2 * prev(m)
+  }
+
+  /** rapidfuzz-style `ratio` in [0, 100]. */
+  def indelRatio100(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.toString
+    val sb = b.toString
+    val total = sa.length + sb.length
+    if (total == 0) 100.0
+    else 100.0 * (1.0 - indelDistance(sa, sb).toDouble / total)
+  }
+
+  /** Whitespace-tokenize, sort tokens, rejoin with single spaces. */
+  def tokenSortKey(s: String): String = {
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    toks.mkString(" ")
+  }
+
+  /** rapidfuzz-style `token_sort_ratio` in [0, 100]. */
+  def tokenSortRatio100(a: UTF8String, b: UTF8String): Double = {
+    val ka = tokenSortKey(a.toString)
+    val kb = tokenSortKey(b.toString)
+    val total = ka.length + kb.length
+    if (total == 0) 100.0
+    else 100.0 * (1.0 - indelDistance(ka, kb).toDouble / total)
+  }
+}

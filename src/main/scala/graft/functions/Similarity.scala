@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fuzzy similarity surface (reference F4–F6,
+  * `/root/reference/executive_review_tool.py:189-242`).
+  *
+  * Two tiers:
+  *  - rapidfuzz-faithful indel ratios as native Catalyst expressions with
+  *    whole-stage-codegen support (`indelRatio` / `tokenSortRatio`) — the
+  *    engine's canonical semantics;
+  *  - Levenshtein-based variants composed from built-ins (`levRatio` /
+  *    `tokenSortLevRatio`) — ANSI-SQL-expressible, used where an external
+  *    oracle must reproduce the score exactly.
+  *
+  * All are scalar, null-intolerant, and stay inside codegen → no UDF/ser-de
+  * cost in the 100 TB hot path.
+  */
+object Similarity {
+
+  /** rapidfuzz `ratio` ∈ [0,100] as a codegen'd Catalyst expression. */
+  def indelRatio(a: Column, b: Column): Column =
+    ExpressionUtils.column(IndelRatio(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** rapidfuzz `token_sort_ratio` ∈ [0,100] as a codegen'd Catalyst expression. */
+  def tokenSortRatio(a: Column, b: Column): Column =
+    ExpressionUtils.column(TokenSortRatio(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Canonical whitespace-token-sort key as a composable Column. */
+  def tokenSortKey(c: Column): Column =
+    array_join(array_sort(filter(split(trim(c), "\\s+"), t => length(t) > 0)), " ")
+
+  /** Levenshtein ratio ∈ [0,100]: 100 * (1 - lev / max(|a|,|b|)); both empty → 100. */
+  def levRatio(a: Column, b: Column): Column = {
+    val denom = greatest(length(a), length(b))
+    when(denom === 0, 100.0)
+      .otherwise(lit(100.0) * (lit(1.0) - levenshtein(a, b).cast(DoubleType) / denom.cast(DoubleType)))
+  }
+
+  /** Token-sorted Levenshtein ratio (oracle-expressible token_sort analog). */
+  def tokenSortLevRatio(a: Column, b: Column): Column =
+    levRatio(tokenSortKey(a), tokenSortKey(b))
+
+  /** One weighted field of a multi-field record similarity. */
+  final case class WeightedField(a: Column, b: Column, weight: Double, score: (Column, Column) => Column)
+
+  /** Weighted multi-field similarity with weight renormalization: fields
+    * blank/null on either side drop out and the remaining weights rescale;
+    * all fields absent → 0.0 (reference
+    * `/root/reference/executive_review_tool.py:233-242`).
+    */
+  def weightedSimilarity(fields: Seq[WeightedField]): Column = {
+    val present = fields.map { f =>
+      (f.a.isNotNull && trim(f.a) =!= "" && f.b.isNotNull && trim(f.b) =!= "").cast(DoubleType)
+    }
+    val num = fields.zip(present).map { case (f, p) =>
+      when(p === 1.0, f.score(f.a, f.b) * f.weight).otherwise(0.0)
+    }.reduce(_ + _)
+    val den = fields.zip(present).map { case (f, p) => p * f.weight }.reduce(_ + _)
+    when(den === 0.0, 0.0).otherwise(num / den)
+  }
+}
+
+/** `indel_ratio(a, b)` — normalized indel similarity ∈ [0,100]. */
+case class IndelRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "indel_ratio"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimKernel.indelRatio100(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimKernel.indelRatio100($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `token_sort_ratio(a, b)` — indel similarity of the token-sorted strings. */
+case class TokenSortRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_sort_ratio"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimKernel.tokenSortRatio100(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimKernel.tokenSortRatio100($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

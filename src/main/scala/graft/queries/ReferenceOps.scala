@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.{Coercions, Num, RoleResolver, Tables}
+import graft.functions.Similarity
+import graft.operators.{ConnectedComponents, EntityOps, SimilarityJoin}
+
+/** The reference's operator inventory (SURVEY §2) re-expressed over the
+  * fixture tables: role resolution, coercion, lookup join with warned anti
+  * side, position derivation, group-and-nest, fuzzy similarity join,
+  * clustering, consolidation, banding, key sanitization, link fan-out.
+  */
+object ReferenceOps {
+  import Num._
+
+  /** Shared: within-brand fuzzy part-name pairs (J2's blocked self-join). */
+  private def partPairs(spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double) = {
+    val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_brand", "p_type")
+    SimilarityJoin.selfJoin(
+      p, "p_partkey",
+      blockKey = col("p_brand"),
+      score = (l, r) => Similarity.levRatio(l("p_name"), r("p_name")),
+      threshold = threshold)
+      .pairs
+  }
+
+  private val pairsSql = (threshold: Double) => s"""
+    SELECT a.p_partkey AS src, b.p_partkey AS dst,
+           100.0 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                    / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)) AS sim
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE 100.0 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                   / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)) >= $threshold"""
+
+  /** DuckDB recursive-CTE connected components over the same edges. */
+  private def componentsSql(threshold: Double) = s"""
+    WITH RECURSIVE pairs AS (${pairsSql(threshold)}),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS root FROM nodes
+      UNION
+      SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id, MIN(root) AS component FROM reach GROUP BY id"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q20: role-based column resolution (P1) — logical roles bound to
+    // physical columns by synonym/substring match, then projected.
+    GraftQuery(
+      "q20_role_projection",
+      Some("""
+        SELECT c_custkey AS cust_id, c_name AS cust_name,
+               c_acctbal AS balance, c_mktsegment AS segment
+        FROM customer
+      """.trim),
+      (spark, dir) => {
+        import RoleResolver.Role
+        RoleResolver.project(
+          Tables(spark, dir).customer,
+          Seq(
+            Role("cust_id", Seq("custkey", "c_custkey", "customer_id", "id")),
+            Role("cust_name", Seq("name", "c_name", "customer_name", "full_name")),
+            Role("balance", Seq("balance", "c_acctbal", "acct_balance")),
+            Role("segment", Seq.empty, substrings = Seq("segment"))))
+      }),
+
+    // ------------------------------------------------------------------
+    // q21: numeric coercion with default (P2) — junk/missing → 0.0, never
+    // fails; extraction from a semi-structured string column.
+    GraftQuery(
+      "q21_coerce_props",
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS DOUBLE), 0.0) AS DECIMAL(38,4))) AS DOUBLE) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).events
+          .withColumn("k", Coercions.numCoerce(
+            regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)))
+          .groupBy("event_type")
+          .agg(dsum(col("k"), 4).as("sum_k"), count(lit(1)).as("n"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q22: position derivation (F7) — argmax of three measures with the
+    // reference's exact tie order (AGAINST ≥ PRO ≥ NEUTRAL), Total<=0 →
+    // NEUTRAL. Orders per customer: F=against, P=neutral, O=pro.
+    GraftQuery(
+      "q22_position_by_customer",
+      Some(s"""
+        SELECT o_custkey, against, neutral, pro,
+               ${EntityOps.positionSql("against", "neutral", "pro")} AS position
+        FROM (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS against,
+                 CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS neutral,
+                 CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS pro
+          FROM orders GROUP BY o_custkey)
+      """.trim),
+      (spark, dir) => {
+        def part(status: String) =
+          sum(when(col("o_orderstatus") === status, col("o_totalprice")).otherwise(0.0)
+            .cast(DecimalType(38, 4))).cast(DoubleType)
+        Tables(spark, dir).orders
+          .groupBy("o_custkey")
+          .agg(part("F").as("against"), part("P").as("neutral"), part("O").as("pro"))
+          .withColumn("position",
+            EntityOps.position(col("against"), col("neutral"), col("pro")))
+      }),
+
+    // ------------------------------------------------------------------
+    // q23: lookup (dimension) join, matched side (J1) — broadcast hash join
+    // against a restricted dimension, aggregated per dimension value.
+    GraftQuery(
+      "q23_lookup_enrich",
+      Some("""
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_regionkey <= 2
+        GROUP BY n.n_name
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val dim = t.nation.filter(col("n_regionkey") <= 2)
+        EntityOps.lookupJoin(t.customer, dim, col("c_nationkey"), dim("n_nationkey"))
+          .matched
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal"), 4).as("sum_bal"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q24: lookup join, warned anti side (P6) — unmatched fact keys as
+    // data, deduplicated (the reference's warn-once-per-ticker set).
+    GraftQuery(
+      "q24_unmapped_keys",
+      Some("""
+        SELECT DISTINCT c_nationkey AS unmapped_key
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val dim = t.nation.filter(col("n_regionkey") <= 2)
+        EntityOps.lookupJoin(t.customer, dim, col("c_nationkey"), dim("n_nationkey"))
+          .unmapped
+      }),
+
+    // ------------------------------------------------------------------
+    // q25: blocked fuzzy self-join (J2) — within-brand part-name pairs at
+    // ratio >= 85, never a global cross product.
+    GraftQuery(
+      "q25_fuzzy_pairs",
+      Some(s"SELECT src, dst, sim FROM (${pairsSql(85.0)})"),
+      (spark, dir) =>
+        partPairs(spark, dir, 85.0)
+          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim"))),
+
+    // ------------------------------------------------------------------
+    // q26: token-sort matching (F4's key trick) — pairs whose token-sorted
+    // names are identical, counted per brand.
+    GraftQuery(
+      "q26_token_sort_match",
+      Some("""
+        WITH keyed AS (
+          SELECT p_partkey, p_brand,
+                 array_to_string(list_sort(string_split_regex(trim(p_name), '\s+')), ' ') AS tsk
+          FROM part)
+        SELECT a.p_brand, COUNT(*) AS n_pairs
+        FROM keyed a JOIN keyed b
+          ON a.p_brand = b.p_brand AND a.tsk = b.tsk AND a.p_partkey < b.p_partkey
+        GROUP BY a.p_brand
+      """.trim),
+      (spark, dir) => {
+        val keyed = Tables(spark, dir).part
+          .select(col("p_partkey"), col("p_brand"),
+            Similarity.tokenSortKey(col("p_name")).as("tsk"))
+        val a = keyed.select(col("p_partkey").as("id_a"), col("p_brand"), col("tsk"))
+        val b = keyed.select(col("p_partkey").as("id_b"), col("p_brand").as("brand_b"), col("tsk").as("tsk_b"))
+        a.join(b, col("p_brand") === col("brand_b") && col("tsk") === col("tsk_b") &&
+            col("id_a") < col("id_b"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q27: weighted multi-field similarity (F6) — weighted average of
+    // per-field scores (weights renormalize over present fields; all fields
+    // present here, so denominator = 1).
+    GraftQuery(
+      "q27_weighted_similarity",
+      Some("""
+        WITH p AS (SELECT p_partkey, p_name, p_type, p_brand, p_size FROM part)
+        SELECT a.p_partkey AS src, b.p_partkey AS dst,
+               0.5 * (100.0 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)))
+             + 0.3 * (100.0 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE) / CAST(greatest(length(a.p_type), length(b.p_type)) AS DOUBLE)))
+             + 0.2 * (CASE WHEN a.p_brand = b.p_brand THEN 100.0 ELSE 0.0 END) AS score
+        FROM p a JOIN p b ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        WHERE 0.5 * (100.0 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)))
+            + 0.3 * (100.0 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE) / CAST(greatest(length(a.p_type), length(b.p_type)) AS DOUBLE)))
+            + 0.2 * (CASE WHEN a.p_brand = b.p_brand THEN 100.0 ELSE 0.0 END) >= 80.0
+      """.trim),
+      (spark, dir) => {
+        val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_type", "p_brand", "p_size")
+        SimilarityJoin.selfJoin(
+          p, "p_partkey",
+          blockKey = col("p_size"),
+          score = (l, r) => Similarity.weightedSimilarity(Seq(
+            Similarity.WeightedField(l("p_name"), r("p_name"), 0.5, Similarity.levRatio),
+            Similarity.WeightedField(l("p_type"), r("p_type"), 0.3, Similarity.levRatio),
+            Similarity.WeightedField(l("p_brand"), r("p_brand"), 0.2,
+              (a, b) => when(a === b, 100.0).otherwise(0.0)))),
+          threshold = 80.0)
+          .pairs
+          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim").as("score"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q28: clustering (A4) — connected components over the similarity
+    // graph; deterministic min-reachable-id labels (SURVEY §7.4 divergence
+    // from the reference's order-dependent greedy).
+    GraftQuery(
+      "q28_dup_clusters",
+      Some(componentsSql(85.0)),
+      (spark, dir) => {
+        val edges = partPairs(spark, dir, 85.0)
+          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"))
+        ConnectedComponents.run(spark, edges)
+      }),
+
+    // ------------------------------------------------------------------
+    // q29: consolidation (A8) — per cluster: best record by completeness
+    // (deterministic tie-break on lowest id), distinct sorted brand set,
+    // member count, all name variations.
+    GraftQuery(
+      "q29_consolidate",
+      Some(s"""
+        WITH comp AS (${componentsSql(85.0)}),
+        members AS (
+          SELECT c.component, p.p_partkey, p.p_name, p.p_brand, p.p_type
+          FROM comp c JOIN part p ON p.p_partkey = c.id)
+        SELECT component,
+               arg_max(p_name, 3 * CAST(1000000000 AS BIGINT) - p_partkey) AS best_name,
+               list_sort(list(DISTINCT p_brand)) AS brands,
+               list_sort(list(p_name)) AS all_variations,
+               COUNT(*) AS n_members
+        FROM members GROUP BY component
+      """.trim),
+      (spark, dir) => {
+        val edges = partPairs(spark, dir, 85.0)
+          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"))
+        val comp = ConnectedComponents.run(spark, edges)
+        val p = Tables(spark, dir).part
+        comp.join(p, p("p_partkey") === comp("id"))
+          .groupBy("component")
+          .agg(
+            max_by(col("p_name"),
+              EntityOps.bestRecordScore(
+                Seq(col("p_name"), col("p_brand"), col("p_type")), col("p_partkey")))
+              .as("best_name"),
+            sort_array(collect_set(col("p_brand"))).as("brands"),
+            sort_array(collect_list(col("p_name"))).as("all_variations"),
+            count(lit(1)).as("n_members"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q30: confidence banding (A6) — per-cluster average pair similarity
+    // banded into high / uncertain / low at the reference thresholds
+    // (>=85 high, >=75 uncertain), over a 75-threshold similarity graph.
+    GraftQuery(
+      "q30_confidence_bands",
+      Some(s"""
+        WITH comp AS (${componentsSql(75.0)}),
+        pairs AS (${pairsSql(75.0)})
+        SELECT comp.component,
+               CAST(SUM(CAST(pairs.sim AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_sim,
+               CASE WHEN CAST(SUM(CAST(pairs.sim AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 85.0 THEN 'high'
+                    WHEN CAST(SUM(CAST(pairs.sim AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 75.0 THEN 'uncertain'
+                    ELSE 'low' END AS band,
+               COUNT(*) AS n_edges
+        FROM pairs JOIN comp ON pairs.src = comp.id
+        GROUP BY comp.component
+      """.trim),
+      (spark, dir) => {
+        val pairs = partPairs(spark, dir, 75.0)
+          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim"))
+          .cache()
+        val comp = ConnectedComponents.run(spark, pairs.select("src", "dst"))
+        val avg = pairs.join(comp, pairs("src") === comp("id"))
+          .groupBy("component")
+          .agg(
+            (sum(col("sim").cast(DecimalType(38, 8))).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("avg_sim"),
+            count(lit(1)).as("n_edges"))
+        avg.withColumn("band", EntityOps.band(col("avg_sim")))
+          .select("component", "avg_sim", "band", "n_edges")
+      }),
+
+    // ------------------------------------------------------------------
+    // q31: key sanitization (F8) + link fan-out (J4) — explode each
+    // cluster's brand set into link rows keyed by sanitized best name.
+    GraftQuery(
+      "q31_link_fanout",
+      Some(s"""
+        WITH comp AS (${componentsSql(85.0)}),
+        members AS (
+          SELECT c.component, p.p_partkey, p.p_name, p.p_brand
+          FROM comp c JOIN part p ON p.p_partkey = c.id),
+        consolidated AS (
+          SELECT component,
+                 arg_max(p_name, 2 * CAST(1000000000 AS BIGINT) - p_partkey) AS best_name,
+                 list_sort(list(DISTINCT p_brand)) AS brands
+          FROM members GROUP BY component)
+        SELECT component,
+               regexp_replace(regexp_replace(best_name, ' ', '_', 'g'), '[,.]', '', 'g') AS name_key,
+               unnest(brands) AS brand
+        FROM consolidated
+      """.trim),
+      (spark, dir) => {
+        val edges = partPairs(spark, dir, 85.0)
+          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"))
+        val comp = ConnectedComponents.run(spark, edges)
+        val p = Tables(spark, dir).part
+        comp.join(p, p("p_partkey") === comp("id"))
+          .groupBy("component")
+          .agg(
+            max_by(col("p_name"),
+              EntityOps.bestRecordScore(Seq(col("p_name"), col("p_brand")), col("p_partkey")))
+              .as("best_name"),
+            sort_array(collect_set(col("p_brand"))).as("brands"))
+          .select(
+            col("component"),
+            Coercions.sanitizeKey(col("best_name")).as("name_key"),
+            explode(col("brands")).as("brand"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q32: group-and-nest with last-wins dedup (A1) — latest order price
+    // per (customer, status), nested as a sorted entries array per
+    // customer. "Last" = max (orderdate, orderkey).
+    GraftQuery(
+      "q32_nest_orders",
+      Some("""
+        WITH latest AS (
+          SELECT o_custkey, o_orderstatus, o_totalprice FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1)
+        SELECT o_custkey,
+               list(struct_pack(o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)
+                    ORDER BY o_orderstatus) AS entries
+        FROM latest GROUP BY o_custkey
+      """.trim),
+      (spark, dir) => {
+        val latest = EntityOps.lastWins(
+          Tables(spark, dir).orders.select("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderkey"),
+          Seq("o_custkey", "o_orderstatus"),
+          struct(col("o_orderdate"), col("o_orderkey")))
+        EntityOps.groupAndNest(latest, "o_custkey", "o_orderstatus", Seq("o_totalprice"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q33: native indel-ratio expression (rapidfuzz parity) — no ANSI-SQL
+    // oracle (indel ≠ Levenshtein); driver records a rows-only check, exact
+    // semantics are golden-tested in SimilaritySpec.
+    GraftQuery(
+      "q33_indel_pairs",
+      None,
+      (spark, dir) => {
+        val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_brand")
+        SimilarityJoin.selfJoin(
+          p, "p_partkey",
+          blockKey = col("p_brand"),
+          score = (l, r) => Similarity.tokenSortRatio(l("p_name"), r("p_name")),
+          threshold = 85.0)
+          .pairs
+          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim"))
+      })
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.core.{Coercions, RoleResolver}
+import graft.operators.{ConnectedComponents, EntityOps}
+
+class OperatorSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- P1
+  test("role resolver: exact synonym beats substring; case-insensitive") {
+    import RoleResolver.Role
+    val schema = StructType(Seq(
+      StructField("COMPANY_TICKER", StringType),
+      StructField("issue", StringType),
+      StructField("some_name_col", StringType)))
+    val bound = RoleResolver.resolve(schema, Seq(
+      Role("ticker", Seq("ticker", "company_ticker", "symbol")),
+      Role("issue_name", Seq("issue_name", "issue", "name")),
+      Role("label", Seq.empty, substrings = Seq("name"), required = false)))
+    assert(bound("ticker") == "COMPANY_TICKER")
+    assert(bound("issue_name") == "issue")
+    assert(bound("label") == "some_name_col")
+  }
+
+  test("role resolver: missing required role errors with available columns") {
+    import RoleResolver.Role
+    val schema = StructType(Seq(StructField("a", StringType), StructField("b", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      RoleResolver.resolve(schema, Seq(Role("ticker", Seq("ticker"))))
+    }
+    assert(e.getMessage.contains("a, b"))
+  }
+
+  test("role resolver: optional role falls back to named column") {
+    import RoleResolver.Role
+    val schema = StructType(Seq(StructField("full_name", StringType)))
+    val bound = RoleResolver.resolve(schema, Seq(
+      Role("name", Seq("full_name")),
+      Role("title", Seq("title"), required = false, fallback = Some("full_name"))))
+    assert(bound("title") == "full_name")
+  }
+
+  // ---------------------------------------------------------------- P2/F1/F8
+  test("coercions: junk numerics → 0.0; normalize; sanitize keys") {
+    import spark.implicits._
+    val df = Seq(("12.5", "  John   SMITH ", "smith, john jr."),
+      ("junk", null, "a.b c")).toDF("num", "name", "key")
+    val out = df.select(
+      Coercions.numCoerce(col("num")).as("n"),
+      Coercions.normalizeString(col("name")).as("nm"),
+      Coercions.sanitizeKey(col("key")).as("k")).collect()
+    assert(out(0).getDouble(0) == 12.5)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(0).getString(1) == "john smith")
+    assert(out(1).getString(1) == "")
+    assert(out(0).getString(2) == "smith_john_jr")
+    assert(out(1).getString(2) == "ab_c")
+  }
+
+  // ---------------------------------------------------------------- F7
+  test("position derivation covers all tie cases") {
+    import spark.implicits._
+    val cases = Seq(
+      (0.0, 0.0, 0.0, "NEUTRAL"),   // total 0
+      (5.0, 3.0, 2.0, "AGAINST"),
+      (2.0, 3.0, 5.0, "PRO"),
+      (1.0, 5.0, 1.0, "NEUTRAL"),   // neutral strictly max
+      (3.0, 1.0, 3.0, "AGAINST"),   // against/pro tie → AGAINST
+      (2.0, 2.0, 2.0, "AGAINST"),   // all equal → AGAINST
+      (-1.0, 0.0, 0.0, "NEUTRAL"))  // negative total
+    val df = cases.map(c => (c._1, c._2, c._3)).toDF("a", "n", "p")
+    val got = df.select(EntityOps.position(col("a"), col("n"), col("p"))).collect()
+    for ((c, row) <- cases.zip(got)) assert(row.getString(0) == c._4, s"case $c")
+  }
+
+  // ---------------------------------------------------------------- A4
+  test("connected components: chain + clique + isolated-pair invariants") {
+    import spark.implicits._
+    // chain 1-2-3-4, clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+  }
+
+  // ---------------------------------------------------------------- A1
+  test("last-wins dedup keeps the row with max order key") {
+    import spark.implicits._
+    val df = Seq(("c1", "i1", 1.0, 1), ("c1", "i1", 2.0, 2), ("c1", "i2", 3.0, 1))
+      .toDF("company", "issue", "v", "seq")
+    val out = EntityOps.lastWins(df, Seq("company", "issue"), col("seq"))
+      .orderBy("issue").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(2) == 2.0) // i1 keeps seq=2
+  }
+
+  // ---------------------------------------------------------------- A6
+  test("banding thresholds are [85, 100] high / [75, 85) uncertain / rest low") {
+    import spark.implicits._
+    val df = Seq(90.0, 85.0, 84.999, 75.0, 74.999, 0.0).toDF("s")
+    val got = df.select(EntityOps.band(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("high", "high", "uncertain", "uncertain", "low", "low"))
+  }
+}
