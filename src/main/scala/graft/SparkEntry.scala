@@ -12,7 +12,8 @@ import graft.queries.GraftQuery
 object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
-    graft.queries.Relational.all ++ graft.queries.ReferenceOps.all
+    graft.queries.Relational.all ++ graft.queries.ReferenceOps.all ++
+      graft.queries.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * shingling, token counting, quality scoring, language-ID heuristics,
+  * deterministic document fingerprints.
+  *
+  * Everything is built from codegen'd Spark SQL functions (`transform`,
+  * `aggregate`, `regexp_*`) — no UDFs — so the hot path stays inside
+  * whole-stage codegen and the same semantics are expressible in ANSI SQL
+  * for the oracle.
+  */
+object TextFunctions {
+
+  /** Distinct character k-shingles of a string (order-free set). */
+  def shingles(text: Column, k: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(0))),
+      i => substring(text, i, lit(k))))
+
+  /** SQL twin of [[shingles]] (DuckDB list comprehension). */
+  def shinglesSql(text: String, k: Int = 5): String =
+    s"list_distinct([substring($text, i, $k) for i in generate_series(1, length($text) - ${k - 1})])"
+
+  /** Exact Jaccard similarity of two string-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword token count: word pieces + standalone punctuation
+    * (`\w+` runs and single non-space symbols), the usual pre-tokenizer
+    * approximation when no vocab is available.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Punctuation character ratio ∈ [0,1]. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  /** Ratio of tokens that are stopwords, given a lexicon. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    hits.cast(DoubleType) / greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  /** Occurrences of a marker word, whole-token, in lowered text. */
+  def markerCount(text: Column, marker: String): Column =
+    size(regexp_extract_all(lower(text), lit(s"\\b$marker\\b"), lit(0)))
+
+  /** Language-ID by stopword-marker voting: the language whose marker
+    * lexicon hits most tokens wins; deterministic tie order = argument
+    * order. A classic cheap n-gram/stopword heuristic — not a model.
+    */
+  def languageId(text: Column, lexicons: Seq[(String, Seq[String])]): Column = {
+    val scores = lexicons.map { case (lang, markers) =>
+      (lang, markers.map(m => markerCount(text, m)).reduce(_ + _))
+    }
+    // argmax with first-wins tie order
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Deterministic polynomial rolling hash over characters, mod 1e9+7 —
+    * a cross-engine-stable document fingerprint (unlike xxhash64, the
+    * arithmetic is plain SQL on both sides; values stay < 2^35, no
+    * overflow).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
+  /** SQL twin of [[fingerprint]] for DuckDB. */
+  def fingerprintSql(text: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ord(ch) AS BIGINT) for ch in string_split($text, '')]), " +
+      s"(acc, c) -> (acc * 31 + c) % 1000000007)"
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for document corpora, from exact to
+  * approximate-similarity:
+  *
+  *  - exact: hash-groupBy on a canonical key (one shuffle, map-side combine)
+  *  - n-gram Jaccard: shingle-set overlap with length-band pre-filter
+  *  - MinHash + LSH: signature → band buckets → candidate pairs →
+  *    exact-Jaccard verification (the 100 TB path: candidates come from a
+  *    band-key equi-join, never an all-pairs product)
+  *  - SimHash: 64-bit sign-aggregated token hashes, banded hamming join
+  *
+  * LSH parameters: 32 permutations in 8 bands × 4 rows gives P(candidate) =
+  * 1-(1-s⁴)⁸ ≈ 0.99998 at s=0.9 and ≈0.07 at s=0.3 — effectively perfect
+  * recall above 0.8 with tiny candidate lists, which the exact-Jaccard
+  * verify then makes precise.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical key: representative = min id. */
+  def exactGroups(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(id).as("representative"), count(lit(1)).as("n_dups"))
+
+  /** Jaccard-similar pairs over character shingles, brute within length
+    * bands (|len_a/len_b| >= lengthRatio is implied by jaccard >= threshold,
+    * so the band filter is lossless).
+    */
+  def jaccardPairs(
+      docs: DataFrame, // columns: id (long), text (string), len (int)
+      threshold: Double,
+      k: Int = 5,
+      lengthRatio: Double = 0.75): DataFrame = {
+    val sh = docs.select(col("id"), col("len"),
+      TextFunctions.shingles(col("text"), k).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b") &&
+        least(col("len_a"), col("len_b")).cast(DoubleType) /
+          greatest(col("len_a"), col("len_b")).cast(DoubleType) >= lengthRatio)
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  private val P = 1000000007L
+
+  /** Deterministic MinHash permutation coefficients. */
+  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((1L + rnd.nextInt(1000000000), rnd.nextInt(1000000000).toLong))
+  }
+
+  /** MinHash signature columns over a shingle-array column. */
+  def minhashSignature(sh: Column, numHashes: Int = 32, seed: Long = 42L): Seq[Column] =
+    perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(sh,
+        s => (lit(a) * pmod(xxhash64(s), lit(P)) + lit(b)) % lit(P)))
+        .as(s"mh_$i")
+    }
+
+  /** LSH candidate pairs + exact-Jaccard verification.
+    *
+    * @return (id_a, id_b, jaccard) for verified pairs >= threshold.
+    */
+  def minhashLsh(
+      docs: DataFrame, // columns: id, text, len
+      threshold: Double,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sh = docs.select(col("id"),
+      TextFunctions.shingles(col("text"), k).as("sh"))
+    val sig = sh.select(col("id") +: col("sh") +:
+      minhashSignature(col("sh"), numHashes): _*)
+
+    // band key: one row per (doc, band) — candidates share any full band
+    val banded = sig.select(col("id"), col("sh"),
+      explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("_", (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*).as("key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
+
+    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (sign-aggregated xxhash64 bits). */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("id"),
+      explode(filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b_$i")
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { i =>
+          when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+        }.reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxDist, banded: 4
+    * 16-bit bands — any pair within distance 3 must agree on >= 1 band
+    * (pigeonhole), so candidates come from an equi-join on band value.
+    */
+  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole only guarantees recall for distance <= 3")
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { bnd =>
+        struct(lit(bnd).as("band"),
+          shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

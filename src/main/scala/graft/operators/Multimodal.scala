@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark side is real — schema, partition-batched execution boundary,
+  * typed output — while the codec itself is a STUB (this container ships no
+  * image/audio libraries): `decodeStub` derives deterministic fake
+  * width/height/frame-count from the payload bytes. Swapping in a real
+  * decoder changes only the function body; the `mapPartitions` boundary is
+  * exactly where a JNI/codec batch call belongs (per-partition init, batch
+  * amortization — the Scala analog of a pandas-batched UDF).
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      fake_width: Int,
+      fake_height: Int,
+      fake_frames: Int,
+      digest: String)
+
+  /** STUB decoder — deterministic fake metadata from payload bytes.
+    * Kept arithmetic-only so an external SQL oracle can replicate it.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length.toLong
+    val md = MessageDigest.getInstance("MD5").digest(r.payload)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      fake_width = (n % 640).toInt,
+      fake_height = ((n * 31) % 480).toInt,
+      fake_frames = (1 + n % 10).toInt,
+      digest = md.map("%02x".format(_)).mkString)
+  }
+
+  /** Partition-batched feature extraction over a binary media column. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (codec contexts, buffers)
+      it.map(decodeStub)
+    }
+  }
+
+  /** Wrap a text corpus as fake media records (fixture adapter). */
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+      lit("image/fake").as("media_type")).as[MediaRecord]
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: exact baseline — a broadcast join of the
+  *    query set against the corpus, codegen'd `zip_with`/`aggregate`
+  *    arithmetic, per-query top-k via window. Linear scan of the corpus:
+  *    right answer at any scale when the query set is small (it ships with
+  *    the broadcast), since the corpus is never shuffled.
+  *  - LSH-bucketed (random hyperplane signs): the approximate scale path —
+  *    corpus hashed once to `2^bits` buckets, probing only matching
+  *    buckets; recall/speed traded via `bits`.
+  */
+object VectorOps {
+
+  /** Elementwise dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    *
+    * @param corpus  (id: long, vec: array<float>)
+    * @param queries (qid: long, qvec: array<float>) — small, broadcast
+    * @param k       neighbors per query
+    * @param scale   round cosine to this many decimals for deterministic,
+    *                engine-portable ranking (ties broken by neighbor id)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, scale: Int = 4): DataFrame = {
+    val joined = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .crossJoin(broadcast(
+        queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec"))))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("vec"), col("qvec")), scale))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `bits` × `dim` coefficients. */
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id of a vector column (array<double>, fixed dim). */
+  def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(bits, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = (0 until dim).map(j => element_at(vec, j + 1) * lit(p(j))).reduce(_ + _)
+      when(proj >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Approximate top-k with multi-table sign LSH: `tables` independent
+    * hash tables of `bits` bits; a corpus vector is a candidate if it
+    * shares a bucket with the query in ANY table (union, dedup). Per-
+    * neighbor recall ≈ 1-(1-p^bits)^tables with p = 1-θ/π — tune
+    * (bits, tables) to the corpus geometry. Same output shape as
+    * [[bruteForceTopK]]; recall measured in VectorSpec.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
+      tables: Int = 8, scale: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]) =
+      df.select(idCols.map(col) :+ col(vecCol) :+
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"),
+            lshBucket(col(vecCol), bits, dim, seed = 7L + t).as("bucket"))
+        }: _*)).as("tb"): _*)
+        .select(idCols.map(col) :+ col(vecCol) :+
+          col("tb.table").as("table") :+ col("tb.bucket").as("bucket"): _*)
+
+    val c = bucketed(
+      corpus.select(col("id"), col("vec").cast("array<double>").as("vec")), "vec", Seq("id"))
+    val q = bucketed(
+      queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec")), "qvec", Seq("qid"))
+    val joined = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .dropDuplicates("qid", "id")
+      .withColumn("cos", round(cosine(col("vec"), col("qvec")), scale))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
+  }
+}

