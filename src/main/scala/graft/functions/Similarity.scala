@@ -47,6 +47,26 @@ object Similarity {
   def tokenSortLevRatio(a: Column, b: Column): Column =
     levRatio(tokenSortKey(a), tokenSortKey(b))
 
+  /** [[levRatio]] with a length lower-bound guard: lev(a,b) >= ||a|-|b||,
+    * so any pair whose length gap alone caps the ratio below `minKeep`
+    * scores 0.0 without running the O(nm) DP. Exact for thresholded joins
+    * (guarded-out pairs could never reach `minKeep`).
+    */
+  def levRatioFast(a: Column, b: Column, minKeep: Double): Column = {
+    val la = length(a).cast(DoubleType)
+    val lb = length(b).cast(DoubleType)
+    val cap = lit(100.0) * (lit(1.0) - abs(la - lb) / greatest(la, lb, lit(1.0)))
+    when(cap < minKeep, 0.0).otherwise(levRatio(a, b))
+  }
+
+  /** [[indelRatio]] with the analogous guard: indel dist >= ||a|-|b||. */
+  def indelRatioFast(a: Column, b: Column, minKeep: Double): Column = {
+    val la = length(a).cast(DoubleType)
+    val lb = length(b).cast(DoubleType)
+    val cap = lit(100.0) * (lit(1.0) - abs(la - lb) / greatest(la + lb, lit(1.0)))
+    when(cap < minKeep, 0.0).otherwise(indelRatio(a, b))
+  }
+
   /** One weighted field of a multi-field record similarity. */
   final case class WeightedField(a: Column, b: Column, weight: Double, score: (Column, Column) => Column)
 

@@ -42,18 +42,21 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own label, min neighbor label)
+      // each node adopts min(own label, min neighbor label); the own label
+      // rides along (flagged) so convergence falls out of the same
+      // aggregation — no extra join per iteration
       val viaNeighbors = sym
         .join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(sym("src").as("id"), col("component"), lit(0).as("own"))
+      val next = labels.select(col("id"), col("component"), lit(1).as("own"))
         .union(viaNeighbors)
         .groupBy("id")
-        .agg(min("component").as("component"))
+        .agg(
+          min("component").as("component"),
+          min(when(col("own") === 1, col("component"))).as("old"))
         .localCheckpoint(true) // truncate lineage; also materializes
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
+      labels = next.select("id", "component")
       converged = changed == 0
       iter += 1
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -28,22 +29,50 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("representative"), count(lit(1)).as("n_dups"))
 
-  /** Jaccard-similar pairs over character shingles, brute within length
-    * bands (|len_a/len_b| >= lengthRatio is implied by jaccard >= threshold,
-    * so the band filter is lossless).
+  /** Jaccard-similar pairs over character shingles, within length bands
+    * (len ratio >= lengthRatio is implied by jaccard >= threshold, so the
+    * band filter is lossless).
+    *
+    * Plan shape: candidates come from an EQUI-join on a logarithmic length
+    * bucket — a doc in bucket b can only pair with buckets {b, b+1} when
+    * the ratio bound holds, so each doc is exploded to both and joined on
+    * the bucket key. That turns an all-pairs theta join (nested loop, n²
+    * rows examined) into a shuffle hash join whose cost is Σ bucket²; the
+    * exact ratio + Jaccard filters then run only inside buckets.
     */
   def jaccardPairs(
       docs: DataFrame, // columns: id (long), text (string), len (int)
       threshold: Double,
       k: Int = 5,
       lengthRatio: Double = 0.75): DataFrame = {
+    // AllPairs/PPJoin prefix filtering: under any consistent global shingle
+    // order, two sets with J >= t must share an element within each other's
+    // first |X| - ceil(t*|X|) + 1 shingles. Ordering by ascending document
+    // frequency makes those prefixes the RAREST shingles, so the candidate
+    // equi-join on prefix shingle touches tiny groups — this is what keeps
+    // exact near-dup detection from going quadratic at corpus scale.
     val sh = docs.select(col("id"), col("len"),
       TextFunctions.shingles(col("text"), k).as("sh"))
-    val a = sh.select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b") &&
-        least(col("len_a"), col("len_b")).cast(DoubleType) /
-          greatest(col("len_a"), col("len_b")).cast(DoubleType) >= lengthRatio)
+
+    val tokens = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = tokens.join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .join(sh.select(col("id"), size(col("sh")).as("setsize")), "id")
+      .filter(col("rn") <= col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
+      .select(col("shingle"), col("id"))
+
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b")), "id_b")
+      .filter(least(col("len_a"), col("len_b")).cast(DoubleType) /
+        greatest(col("len_a"), col("len_b")).cast(DoubleType) >= lengthRatio)
       .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -57,13 +86,20 @@ object Dedup {
     Seq.fill(n)((1L + rnd.nextInt(1000000000), rnd.nextInt(1000000000).toLong))
   }
 
-  /** MinHash signature columns over a shingle-array column. */
-  def minhashSignature(sh: Column, numHashes: Int = 32, seed: Long = 42L): Seq[Column] =
+  /** MinHash signature columns over a PRE-HASHED shingle column
+    * (array<long>, values in [0, P)): each permutation is one pass of
+    * linear arithmetic over longs — the string hashing happens once per
+    * shingle, not once per (shingle × permutation).
+    */
+  def minhashSignature(hashed: Column, numHashes: Int = 32, seed: Long = 42L): Seq[Column] =
     perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(sh,
-        s => (lit(a) * pmod(xxhash64(s), lit(P)) + lit(b)) % lit(P)))
+      array_min(transform(hashed, h => (lit(a) * h + lit(b)) % lit(P)))
         .as(s"mh_$i")
     }
+
+  /** Hash a string-array column into [0, P) longs (input to signatures). */
+  def hashShingles(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(P)))
 
   /** LSH candidate pairs + exact-Jaccard verification.
     *
@@ -79,24 +115,28 @@ object Dedup {
     val sh = docs.select(col("id"),
       TextFunctions.shingles(col("text"), k).as("sh"))
     val sig = sh.select(col("id") +: col("sh") +:
-      minhashSignature(col("sh"), numHashes): _*)
+      minhashSignature(hashShingles(col("sh")), numHashes): _*)
 
-    // band key: one row per (doc, band) — candidates share any full band
-    val banded = sig.select(col("id"), col("sh"),
+    // band key: one row per (doc, band) — candidates share any full band.
+    // Only (id, band, key) travels through the shuffle; shingle arrays are
+    // joined back for the few verified candidates.
+    val banded = sig.select(col("id"),
       explode(array((0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
           concat_ws("_", (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*).as("key"))
       }: _*)).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
 
-    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val l = banded.select(col("band"), col("key"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
     candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -57,11 +57,18 @@ object VectorOps {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit LSH bucket id of a vector column (array<double>, fixed dim). */
+  /** Sign-bit LSH bucket id of a vector column (array<double>, fixed dim).
+    *
+    * Each projection is `aggregate(zip_with(vec, <plane literal>, *), +)` —
+    * a generated LOOP over the array rather than `dim` inlined adds, which
+    * keeps the emitted Java small enough that janino compilation stays
+    * negligible even at bits × tables hash functions.
+    */
   def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 7L): Column = {
     val planes = hyperplanes(bits, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
-      val proj = (0 until dim).map(j => element_at(vec, j + 1) * lit(p(j))).reduce(_ + _)
+      val plane = array(p.map(lit): _*)
+      val proj = aggregate(zip_with(vec, plane, (x, w) => x * w), lit(0.0), (acc, v) => acc + v)
       when(proj >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
   }

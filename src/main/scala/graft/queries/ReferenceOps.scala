@@ -21,7 +21,7 @@ object ReferenceOps {
     SimilarityJoin.selfJoin(
       p, "p_partkey",
       blockKey = col("p_brand"),
-      score = (l, r) => Similarity.levRatio(l("p_name"), r("p_name")),
+      score = (l, r) => Similarity.levRatioFast(l("p_name"), r("p_name"), threshold),
       threshold = threshold)
       .pairs
   }
@@ -214,9 +214,15 @@ object ReferenceOps {
         SimilarityJoin.selfJoin(
           p, "p_partkey",
           blockKey = col("p_size"),
+          // guards are exact: if even the length-gap cap on a field keeps
+          // the best possible total below the 80 threshold, the pair can't
+          // qualify, so scoring it 0 changes nothing (name: 0.5*cap+50 >=
+          // 80 needs cap >= 60; type: 70+0.3*cap >= 80 needs cap >= 33)
           score = (l, r) => Similarity.weightedSimilarity(Seq(
-            Similarity.WeightedField(l("p_name"), r("p_name"), 0.5, Similarity.levRatio),
-            Similarity.WeightedField(l("p_type"), r("p_type"), 0.3, Similarity.levRatio),
+            Similarity.WeightedField(l("p_name"), r("p_name"), 0.5,
+              Similarity.levRatioFast(_, _, 60.0)),
+            Similarity.WeightedField(l("p_type"), r("p_type"), 0.3,
+              Similarity.levRatioFast(_, _, 33.0)),
             Similarity.WeightedField(l("p_brand"), r("p_brand"), 0.2,
               (a, b) => when(a === b, 100.0).otherwise(0.0)))),
           threshold = 80.0)
@@ -376,11 +382,15 @@ object ReferenceOps {
       "q33_indel_pairs",
       None,
       (spark, dir) => {
-        val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_brand")
+        // token-sort keys are computed ONCE per row before the pair join —
+        // the per-pair work is only the (length-guarded) indel DP
+        val p = Tables(spark, dir).part
+          .select(col("p_partkey"), col("p_brand"),
+            Similarity.tokenSortKey(col("p_name")).as("tsk"))
         SimilarityJoin.selfJoin(
           p, "p_partkey",
           blockKey = col("p_brand"),
-          score = (l, r) => Similarity.tokenSortRatio(l("p_name"), r("p_name")),
+          score = (l, r) => Similarity.indelRatioFast(l("tsk"), r("tsk"), 85.0),
           threshold = 85.0)
           .pairs
           .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim"))

@@ -1,0 +1,61 @@
+package graft
+
+/** Plan-shape assertions: the optimizations we rely on at scale must be
+  * visible in the physical plan, not assumed — filter/projection pushdown
+  * into the parquet scan, broadcast joins on dimensions, no cartesian
+  * products in blocked similarity joins.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_shipdate"), "shipdate filter should be pushed")
+    // pruned read schema: only the 5 needed columns, not all 11
+    assert(!p.contains("l_returnflag"), "unused column must not be read")
+  }
+
+  test("q03 broadcasts the nation dimension") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q23 lookup join is a broadcast hash join, not a shuffle join") {
+    val p = plan("q23_lookup_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q25 blocked similarity join contains no cartesian product") {
+    val p = plan("q25_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q42 jaccard candidates come from an equi join (no nested loop)") {
+    val p = plan("q42_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize the AQE plan — codegen spans only exist post-execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen") {
+    val p = executedPlan("q01_pricing_summary")
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(1500))
+  }
+
+  test("custom indel expression does not break codegen in q33's plan") {
+    val p = executedPlan("q33_indel_pairs")
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(1500))
+  }
+}
