@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline._
+import graft.sources._
+/** Example entry point: both reference pipelines end-to-end on inline
+  * fixture data — role resolution, coercion, lookup join, position, nest,
+  * KV sink, entity dedup, consolidation, link fan-out, SQL functions.
+  * Run: `sbt "runMain graft.Demo"`.
+  */
+object Demo extends App {
+  val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  import spark.implicits._
+  val issues = Seq(
+    ("AAPL","Climate","10","5","3"),("AAPL","Board","1","2","9"),
+    ("MSFT","Climate","4","4","4"),("ZZZZ","Gone","1","1","1"))
+    .toDF("TICKER","ISSUE_NAME","against","neutral","pro")
+  val tickers = Seq(("AAPL","c_apple"),("MSFT","c_msft")).toDF("ticker","company_id")
+  val res = IssuesPipeline.run(issues, tickers)
+  println("== derived =="); res.derived.show(false)
+  println("== nested =="); res.nested.show(false)
+  println("== unmapped =="); res.unmappedTickers.show(false)
+  val dir = "/tmp/demo_sink"
+  val report = KeyValueSink.write(
+    res.nested.selectExpr("company_id","to_json(entries) AS doc"), "company_id",
+    () => new FsKeyValueSink(dir))
+  println(s"sink report: $report")
+  val execs = Seq(
+    ("John Smith","CEO","1 Main St","Acme"),("Smith, John","CEO","1 Main St","Acme Corp"),
+    ("Jane Doe","CTO","2 Oak Av","Globex")).toDF("name","title","address","company")
+  val er = ExecutiveDedupPipeline.run(spark, execs)
+  println("== persons =="); er.persons.show(false)
+  println("== links =="); er.links.show(false)
+  GraftExtensions.register(spark)
+  spark.sql("SELECT token_sort_ratio('musk, elon','elon musk') AS sim").show()
+}

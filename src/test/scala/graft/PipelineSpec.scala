@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{ExecutiveDedupPipeline, IssuesPipeline}
+import graft.sources.{FsKeyValueSink, KeyValueSink, ReviewExport}
+
+/** End-to-end reference-parity tests over FIXTURES.md-shaped synthetic
+  * inputs (the fixture corpus has no issues/executives tables).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- issues fixture: synonym columns, junk numerics, dup (ticker,issue),
+  // company with != 8 issues, unmapped + invalid tickers
+  lazy val issues = Seq(
+    // AAPL: 2 issues, one with a duplicate row (last wins)
+    ("AAPL", "Climate", "10", "5", "3"),
+    ("AAPL", "Climate", "20", "5", "3"),   // dup — this one must win
+    ("aapl ", "Board", "1", "junk", "2"),  // junk numeric -> 0.0; ticker trims+uppers
+    // MSFT: 1 issue, all-zero (position NEUTRAL)
+    ("MSFT", "Climate", "0", "0", "0"),
+    // unmapped ticker
+    ("ZZZZ", "Climate", "1", "2", "3"),
+    // invalid tickers / issue names dropped
+    ("NAN", "Climate", "1", "1", "1"),
+    ("", "Climate", "1", "1", "1"),
+    ("AAPL", "  ", "1", "1", "1"))
+    .toDF("COMPANY_TICKER", "issue", "against_amount", "neutral_value", "for_amount")
+
+  lazy val tickers = Seq(("AAPL", "c_apple"), ("MSFT", "c_msft")).toDF("ticker", "company_id")
+
+  lazy val issuesResult = IssuesPipeline.run(issues, tickers, expectedIssues = 8)
+
+  test("issues pipeline: role resolution + coercion + filters + lookup join") {
+    val derived = issuesResult.derived.collect()
+    // AAPL Climate (last wins: against=20), AAPL Board, MSFT Climate
+    assert(derived.length == 3)
+    val climate = derived.find(r =>
+      r.getString(0) == "c_apple" && r.getString(2) == "Climate").get
+    assert(climate.getDouble(3) == 20.0, "last duplicate row must win")
+    val board = derived.find(r => r.getString(2) == "Board").get
+    assert(board.getDouble(4) == 0.0, "junk numeric must coerce to 0.0")
+  }
+
+  test("issues pipeline: position derivation and zero-total case") {
+    val pos = issuesResult.derived.select("company_id", "issue_name", "position")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(pos(("c_apple", "Climate")) == "AGAINST")
+    assert(pos(("c_msft", "Climate")) == "NEUTRAL") // total == 0
+  }
+
+  test("issues pipeline: unmapped tickers + cardinality validation + summary") {
+    assert(issuesResult.unmappedTickers.as[String].collect().toSet == Set("ZZZZ"))
+    // both companies have != 8 issues
+    assert(issuesResult.invalidCardinality.count() == 2)
+    val s = issuesResult.summary.head
+    assert(s.getLong(0) == 2 && s.getLong(1) == 3)
+  }
+
+  test("issues pipeline: nested output groups issues per company, sorted") {
+    val nested = issuesResult.nested.collect()
+    assert(nested.length == 2)
+    val apple = nested.find(_.getString(0) == "c_apple").get
+    val entries = apple.getSeq[org.apache.spark.sql.Row](1)
+    assert(entries.map(_.getString(0)) == Seq("Board", "Climate"), "sorted by issue")
+  }
+
+  // ---- executives fixture: name variations + distinct people
+  lazy val executives = Seq(
+    ("John Smith", "CEO", "1 Main St", "Acme"),
+    ("Smith, John", "Chief Executive Officer", "1 Main St", "Acme Corp"),
+    ("John  Smith", "CEO", "1 Main Street", "Acme"),
+    ("Jane Doe", "CTO", "2 Oak Ave", "Globex"),
+    ("Doe, Jane", "CTO", "2 Oak Ave", "Globex"),
+    ("Peter Lonely", "CFO", "9 Solo Rd", "Initech"))
+    .toDF("executive_name", "job_title", "address_line", "company_name")
+
+  lazy val execResult = ExecutiveDedupPipeline.run(spark, executives)
+
+  test("executive pipeline: variations cluster together, distinct people apart") {
+    val comp = execResult.clustered.collect()
+      .map(r => r.getString(1) -> r.getLong(5)).toMap
+    assert(comp("john smith") == comp("smith, john"))
+    assert(comp("jane doe") == comp("doe, jane"))
+    assert(comp("john smith") != comp("jane doe"))
+    assert(comp("peter lonely") != comp("john smith"))
+  }
+
+  test("executive pipeline: high-band clusters auto-approve and consolidate") {
+    val persons = execResult.persons.collect()
+    assert(persons.nonEmpty, "at least one cluster should auto-approve as high")
+    val smith = persons.find(_.getString(2).contains("smith"))
+    assert(smith.isDefined, s"smith cluster should consolidate")
+    val smithRow = smith.get
+    assert(smithRow.getLong(smithRow.fieldIndex("grouped_from")) == 3)
+    assert(smithRow.getSeq[String](smithRow.fieldIndex("all_variations")).length == 3)
+  }
+
+  test("executive pipeline: links fan out one row per (person, company)") {
+    val links = execResult.links.collect()
+    val smithLinks = links.filter(_.getString(1).contains("smith"))
+    assert(smithLinks.map(_.getString(0)).toSet.size == smithLinks.length,
+      "no duplicate company links per person")
+  }
+
+  test("singletons are never groups (P8)") {
+    assert(execResult.bands.filter(col("n_members") <= 1).count() == 0)
+  }
+
+  // ---- sinks + review export
+  test("kv sink writes one doc per key, skips null keys, verifies count") {
+    val dir = java.nio.file.Files.createTempDirectory("kvsink").toString
+    val df = Seq(("k1", 1.0), ("k2", 2.0), (null, 3.0)).toDF("company_id", "v")
+    val report = KeyValueSink.write(df, "company_id", () => new FsKeyValueSink(dir))
+    assert(report.written == 2 && report.skipped == 1 && report.verifiedCount == 2)
+    // idempotent re-run (task-retry semantics)
+    val again = KeyValueSink.write(df, "company_id", () => new FsKeyValueSink(dir))
+    assert(again.verifiedCount == 2)
+  }
+
+  test("dry-run sink writes nothing (S9)") {
+    val dir = java.nio.file.Files.createTempDirectory("kvdry").toString
+    val df = Seq(("k1", 1.0)).toDF("company_id", "v")
+    val report = KeyValueSink.write(df, "company_id", () => new FsKeyValueSink(dir), dryRun = true)
+    assert(report.written == 0 && report.verifiedCount == 0)
+  }
+
+  test("review export writes sorted json-lines + metadata envelope") {
+    val dir = java.nio.file.Files.createTempDirectory("review").toString + "/out"
+    val n = ReviewExport.write(
+      issuesResult.derived, dir, Seq("company_id", "issue_name"),
+      Map("pipeline" -> "issues"))
+    assert(n == 3)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty)
+    val meta = spark.read.json(s"$dir/_metadata").head
+    assert(meta.getAs[Long]("total_records") == 3)
+  }
+
+  test("sql functions registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT indel_ratio('kitten', 'sitting') AS a, token_sort_ratio('smith, john', 'john smith') AS b")
+      .head
+    assert(math.abs(r.getDouble(0) - 61.53846153846154) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 95.23809523809523) < 1e-9)
+  }
+}
