@@ -311,6 +311,61 @@ object Relational {
           .withColumn("decile", ntile(10).over(w))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 4).as("sum_bal"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q13: as-of join — each purchase matched to the user's most recent
+    // signup at-or-before it (second granularity; right side deduped per
+    // (user, ts) so the match is unique). DuckDB's native ASOF JOIN is the
+    // oracle for graft's union+carry-forward implementation.
+    GraftQuery(
+      "q13_asof_signup",
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, date_trunc('second', ts) AS tss, event_type, value
+          FROM events),
+        signups AS (
+          SELECT user_id, tss, MAX(event_id) AS signup_event
+          FROM e WHERE event_type = 'signup' GROUP BY user_id, tss),
+        purchases AS (
+          SELECT event_id, user_id, tss, value FROM e WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.value, s.signup_event
+        FROM purchases p ASOF JOIN signups s
+          ON p.user_id = s.user_id AND p.tss >= s.tss
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).events
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("tss"), col("event_type"), col("value"))
+        val signups = e.filter(col("event_type") === "signup")
+          .groupBy("user_id", "tss")
+          .agg(max("event_id").as("signup_event"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "tss", "value")
+        graft.operators.AsOfJoin
+          .asof(purchases, signups, keys = Seq("user_id"), leftTime = "tss", rightTime = "tss")
+          .select("event_id", "user_id", "value", "signup_event")
+      }),
+
+    // ------------------------------------------------------------------
+    // q14: exact linear-interpolated percentiles per segment (same
+    // definition as SQL quantile_cont, so results are bit-identical).
+    GraftQuery(
+      "q14_percentiles",
+      Some("""
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.5) AS median_bal,
+               quantile_cont(c_acctbal, 0.95) AS p95_bal,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).customer
+          .groupBy("c_mktsegment")
+          .agg(
+            expr("percentile(c_acctbal, 0.5)").as("median_bal"),
+            expr("percentile(c_acctbal, 0.95)").as("p95_bal"),
+            count(lit(1)).as("n"))
       })
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Coercions
+import graft.functions.SimKernel
+import graft.operators.{ConnectedComponents, EntityOps}
+
+/** Property-based invariants (SURVEY §5.3) over seeded random samples —
+  * deterministic across runs (no scalatest-scalacheck bridge in the
+  * offline dependency cache, so sampling is hand-rolled).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+  private def randStr(max: Int): String =
+    Iterator.fill(rnd.nextInt(max + 1))(('a' + rnd.nextInt(4)).toChar).mkString
+
+  // ---------------------------------------------------------------- F4/F5
+  test("indel ratio: symmetric, bounded, 100 iff equal strings (500 samples)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    for (_ <- 1 to 500) {
+      val a = randStr(25); val b = randStr(25)
+      val r = SimKernel.indelRatio100(u(a), u(b))
+      assert(r >= 0.0 && r <= 100.0, s"bounds: $a/$b")
+      assert(r == SimKernel.indelRatio100(u(b), u(a)), s"symmetry: $a/$b")
+      assert((r == 100.0) == (a == b), s"identity: '$a'/'$b' -> $r")
+    }
+  }
+
+  test("indel distance within [len diff, len sum] (500 samples)") {
+    for (_ <- 1 to 500) {
+      val a = randStr(20); val b = randStr(20)
+      val d = SimKernel.indelDistance(a, b)
+      assert(d >= math.abs(a.length - b.length) && d <= a.length + b.length, s"$a/$b -> $d")
+    }
+  }
+
+  // ---------------------------------------------------------------- F7
+  test("position is total and matches the reference argmax tie order (grid + random)") {
+    import spark.implicits._
+    val vals = Seq(-3.0, 0.0, 1.0, 2.0) // full 4^3 grid incl. ties/negatives
+    val grid = for (a <- vals; n <- vals; p <- vals) yield (a, n, p)
+    val random = Seq.fill(100)((rnd.nextDouble * 110 - 10, rnd.nextDouble * 110 - 10,
+      rnd.nextDouble * 110 - 10))
+    val cases = grid ++ random
+    val got = cases.toDF("a", "n", "p")
+      .select(col("a"), col("n"), col("p"),
+        EntityOps.position(col("a"), col("n"), col("p")).as("pos")).collect()
+    got.foreach { r =>
+      val (a, n, p) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      val expect =
+        if (a + n + p <= 0) "NEUTRAL"
+        else if (a >= n && a >= p) "AGAINST"
+        else if (p >= n && p >= a) "PRO"
+        else "NEUTRAL"
+      assert(r.getString(3) == expect, s"($a,$n,$p)")
+    }
+  }
+
+  // ---------------------------------------------------------------- P2
+  test("numeric coercion never throws; junk maps to default (one pass)") {
+    import spark.implicits._
+    val inputs = Seq("", "junk", "1.5", "1.5e3", "-2", "NaN", "  7 ", "1,000", "1.2.3", null)
+    val out = inputs.toDF("x").select(Coercions.numCoerce(col("x")).as("v")).collect()
+    assert(out.forall(r => !r.isNullAt(0)))
+    val byIn = inputs.zip(out.map(_.getDouble(0))).toMap
+    assert(byIn("junk") == 0.0 && byIn("1,000") == 0.0 && byIn("1.2.3") == 0.0)
+    assert(byIn("1.5") == 1.5 && byIn("1.5e3") == 1500.0 && byIn("  7 ") == 7.0)
+  }
+
+  // ---------------------------------------------------------------- A4
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val es = Seq.fill(25)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+        .filter(e => e._1 != e._2)
+      val got = ConnectedComponents.run(spark, es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (s, d) =>
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
+      assert(got == expect, s"trial $trial: $es")
+    }
+  }
+}
