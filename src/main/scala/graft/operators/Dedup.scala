@@ -51,32 +51,50 @@ object Dedup {
     // frequency makes those prefixes the RAREST shingles, so the candidate
     // equi-join on prefix shingle touches tiny groups — this is what keeps
     // exact near-dup detection from going quadratic at corpus scale.
+    // materialize the shingle table once — tokens, frequency counts, the
+    // window rank, and both candidate join-backs all reuse it (each self-
+    // join branch would otherwise recompute the full lineage)
     val sh = docs.select(col("id"), col("len"),
       TextFunctions.shingles(col("text"), k).as("sh"))
+      .localCheckpoint()
 
     val tokens = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
     val prefix = tokens.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .join(sh.select(col("id"), size(col("sh")).as("setsize")), "id")
+      .join(sh.select(col("id"), col("len"), size(col("sh")).as("setsize")), "id")
       .filter(col("rn") <= col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
-      .select(col("shingle"), col("id"))
+      .select(col("shingle"), col("id"), col("len"))
+      .localCheckpoint() // the a/b self-join sides share this
 
+    // length-ratio filter INSIDE the candidate join: prunes before the
+    // dedup shuffle and the shingle-array join-backs
     val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        least(col("a.len"), col("b.len")).cast(DoubleType) /
+          greatest(col("a.len"), col("b.len")).cast(DoubleType) >= lengthRatio)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    * shingle table (id, sh). Jaccard is derived from the intersection size
+    * alone — |A∪B| = |A| + |B| − |A∩B| — so each pair costs one array
+    * intersection, not an intersection plus a union build.
+    */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sh.select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b")), "id_b")
-      .filter(least(col("len_a"), col("len_b")).cast(DoubleType) /
-        greatest(col("len_a"), col("len_b")).cast(DoubleType) >= lengthRatio)
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        size(col("sh")).cast(DoubleType).as("sz_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        size(col("sh")).cast(DoubleType).as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   private val P = 1000000007L
 
@@ -114,6 +132,7 @@ object Dedup {
     val rows = numHashes / bands
     val sh = docs.select(col("id"),
       TextFunctions.shingles(col("text"), k).as("sh"))
+      .localCheckpoint() // reused by signature + both verify join-backs
     val sig = sh.select(col("id") +: col("sh") +:
       minhashSignature(hashShingles(col("sh")), numHashes): _*)
 
@@ -126,6 +145,7 @@ object Dedup {
           concat_ws("_", (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*).as("key"))
       }: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+      .localCheckpoint() // 32 minhash aggregates run once, not per join side
 
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("id_b"))
@@ -134,12 +154,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens (sign-aggregated xxhash64 bits). */
