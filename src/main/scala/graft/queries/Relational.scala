@@ -366,6 +366,59 @@ object Relational {
             expr("percentile(c_acctbal, 0.5)").as("median_bal"),
             expr("percentile(c_acctbal, 0.95)").as("p95_bal"),
             count(lit(1)).as("n"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q15: pivot — order counts by status × priority (explicit pivot
+    // values keep the output schema static; oracle is the equivalent
+    // conditional aggregation).
+    GraftQuery(
+      "q15_pivot_status",
+      Some("""
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p
+        FROM orders GROUP BY o_orderpriority
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).orders
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(coalesce(count(lit(1)), lit(0L)))
+          .select(col("o_orderpriority"), col("F").as("f"), col("O").as("o"), col("P").as("p"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q16: SQL front door — the same engine through `spark.sql` over temp
+    // views (CTE + IN-subquery + HAVING), proving the registered-view
+    // surface works end to end.
+    GraftQuery(
+      "q16_sql_cte",
+      Some("""
+        WITH big_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_big
+          FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey)
+        SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(b.n_big AS DECIMAL(38,0))) AS DOUBLE) AS total_big_orders
+        FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+        WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+        GROUP BY c.c_mktsegment HAVING COUNT(*) > 1
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders.createOrReplaceTempView("orders")
+        t.customer.createOrReplaceTempView("customer")
+        t.nation.createOrReplaceTempView("nation")
+        spark.sql("""
+          WITH big_orders AS (
+            SELECT o_custkey, COUNT(*) AS n_big
+            FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey)
+          SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(b.n_big AS DECIMAL(38,0))) AS DOUBLE) AS total_big_orders
+          FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+          WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+          GROUP BY c.c_mktsegment HAVING COUNT(*) > 1""")
       })
   )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Salt
+import graft.sources.TableWriter
+
+class LayoutSpec extends SparkSpec {
+
+  test("partitioned write prunes partitions at read time") {
+    val dir = java.nio.file.Files.createTempDirectory("tw").toString + "/events"
+    val e = graft.core.Tables(spark, sfDir).events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    TableWriter.writePartitioned(e, dir, Seq("day"), sortCols = Seq("user_id"))
+
+    val days = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+    assert(days.length > 1, "multiple day partitions expected")
+
+    val read = spark.read.parquet(dir).filter(col("day") === days.head.getName.stripPrefix("day="))
+    val plan = read.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    assert(read.count() > 0)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val o = graft.core.Tables(spark, sfDir).orders
+    val plain = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedAgg(
+      o, col("o_custkey"), salts = 8,
+      Seq(("n", count(lit(1)), (p: String) => sum(col(p)))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val t = graft.core.Tables(spark, sfDir)
+    val plain = t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedJoin(t.customer, t.nation, "c_nationkey", "n_nationkey", salts = 4)
+      .groupBy("n_name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
