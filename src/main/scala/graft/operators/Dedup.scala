@@ -65,15 +65,24 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .join(sh.select(col("id"), col("len"), size(col("sh")).as("setsize")), "id")
       .filter(col("rn") <= col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
-      .select(col("shingle"), col("id"), col("len"))
+      .select(col("shingle"), col("id"), col("len"), col("rn"), col("setsize"))
       .localCheckpoint() // the a/b self-join sides share this
 
-    // length-ratio filter INSIDE the candidate join: prunes before the
-    // dedup shuffle and the shingle-array join-backs
+    // Candidate join with two extra EXACT pruning predicates evaluated as
+    // plain arithmetic inside the join, before the dedup shuffle:
+    //  - length-ratio (implied by J >= t);
+    //  - PPJoin positional upper bound: if the matched shingle is the
+    //    first common element at ranks (i, j), the overlap can't exceed
+    //    1 + min(|A|-i, |B|-j), and J >= t needs overlap >=
+    //    ceil(t/(1+t) * (|A|+|B|)). A qualifying pair always survives via
+    //    its first-common-shingle row, so dropping late-rank rows is safe.
+    val needOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.setsize") + col("b.setsize")))
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
         least(col("a.len"), col("b.len")).cast(DoubleType) /
-          greatest(col("a.len"), col("b.len")).cast(DoubleType) >= lengthRatio)
+          greatest(col("a.len"), col("b.len")).cast(DoubleType) >= lengthRatio &&
+        lit(1) + least(col("a.setsize") - col("a.rn"), col("b.setsize") - col("b.rn")) >= needOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
