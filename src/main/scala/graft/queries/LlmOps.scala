@@ -308,6 +308,31 @@ object LlmOps {
             date_format(max(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
             count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(38, 4))).cast(DoubleType).as("sum_value"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q52: heavy hitters — Space-Saving top-k sketch as a custom
+    // TypedImperativeAggregate (mergeable, O(capacity) state per
+    // partition). Capacity here exceeds the corpus vocabulary, so the
+    // sketch degenerates to exact counts and the plain GROUP BY oracle
+    // applies; the approximate regime is covered in SketchSpec.
+    GraftQuery(
+      "q52_frequent_tokens",
+      Some("""
+        SELECT token, cnt AS est_count FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    t -> length(t) > 0)) AS token
+          FROM documents)
+        GROUP BY token ORDER BY COUNT(*) DESC, token ASC LIMIT 20
+      """.trim.replace("cnt AS est_count", "COUNT(*) AS est_count")),
+      (spark, dir) => {
+        import graft.functions.SpaceSavingTopK.spaceSavingTopK
+        val toks = Tables(spark, dir).documents
+          .select(explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("token"))
+        toks.agg(spaceSavingTopK(col("token"), 20, capacity = 4096).as("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e.item").as("token"), col("e.est_count"))
       })
   )
 }

@@ -37,6 +37,37 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream a result into a [[graft.sources.KeyValueSink]] — the streaming
+    * twin of the batch sink: one idempotent put per key per micro-batch,
+    * opened per partition (`ForeachWriter`), safe under task retries.
+    */
+  def kvSinkWriter(mkSink: () => graft.sources.KeyValueSink, keyCol: String)
+      : org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
+    new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      @transient private var sink: graft.sources.KeyValueSink = _
+      @transient private var json: org.apache.spark.sql.Row => String = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        sink = mkSink()
+        true
+      }
+      override def process(row: org.apache.spark.sql.Row): Unit = {
+        val k = Option(row.getAs[Any](keyCol)).map(_.toString).orNull
+        if (k != null && k.nonEmpty) {
+          val fields = row.schema.fieldNames.filterNot(_ == keyCol)
+          val doc = fields.map { f =>
+            val v = row.getAs[Any](f)
+            "\"" + f + "\":" + (v match {
+              case null => "null"
+              case n: java.lang.Number => n.toString
+              case other => "\"" + other.toString.replace("\"", "\\\"") + "\""
+            })
+          }.mkString("{", ",", "}")
+          sink.put(k, doc)
+        }
+      }
+      override def close(errorOrNull: Throwable): Unit = ()
+    }
+
   /** Inactivity-gap sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives within `gapSeconds` (event time). State
     * per user is one open session — O(users) state, watermark-evicted.
