@@ -42,6 +42,20 @@ class OperatorSpec extends SparkSpec {
     assert(bound("title") == "full_name")
   }
 
+  // ---------------------------------------------------------------- S2
+  test("table discovery probes candidates in order (fs + catalog)") {
+    val hit = graft.sources.Discovery.probeTable(
+      spark, sfDir, Seq("docs", "document", "documents"))
+    assert(hit.map(_._1).contains("documents"))
+    assert(hit.get._2.count() > 0)
+    assert(graft.sources.Discovery.probeTable(spark, sfDir, Seq("nope")).isEmpty)
+
+    spark.range(1).createOrReplaceTempView("execs_probe")
+    val cat = graft.sources.Discovery.probeCatalogTable(
+      spark, Seq("executives_probe", "execs_probe"))
+    assert(cat.map(_._1).contains("execs_probe"))
+  }
+
   // ---------------------------------------------------------------- P2/F1/F8
   test("coercions: junk numerics → 0.0; normalize; sanitize keys") {
     import spark.implicits._
