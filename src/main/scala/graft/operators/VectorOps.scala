@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorOps {
 
-  /** Elementwise dot product of two array<double> columns. */
+  /** Elementwise dot product of two array<double> columns (codegen'd
+    * loop — see [[graft.functions.DoubleDot]]; identical summation order
+    * to the `aggregate(zip_with(...))` formulation).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.doubleDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

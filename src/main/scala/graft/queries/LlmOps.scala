@@ -333,6 +333,35 @@ object LlmOps {
         toks.agg(spaceSavingTopK(col("token"), 20, capacity = 4096).as("top"))
           .select(explode(col("top")).as("e"))
           .select(col("e.item").as("token"), col("e.est_count"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q53: embedding-cosine near-dup pairs — all pairs above a cosine
+    // threshold (the vector analog of q42; brute pair join here, the LSH
+    // bucketing of q46 is the scale path for tighter thresholds).
+    GraftQuery(
+      "q53_embedding_neardup",
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
+      """.trim),
+      (spark, dir) => {
+        // norms precomputed per vector (identical value to cosine()'s
+        // inline norms, one array traversal per pair instead of three)
+        val e = Tables(spark, dir).embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos", round(
+            when(col("n_a") * col("n_b") === 0.0, 0.0)
+              .otherwise(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
+          .filter(col("cos") >= 0.40)
+          .select("id_a", "id_b", "cos")
       })
   )
 }

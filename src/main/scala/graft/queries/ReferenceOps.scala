@@ -409,18 +409,31 @@ object ReferenceOps {
       "q33_indel_pairs",
       None,
       (spark, dir) => {
-        // token-sort keys are computed ONCE per row before the pair join —
-        // the per-pair work is only the (length-guarded) indel DP
+        // token-sort keys computed once per row, then identical (brand,
+        // key) rows collapse to a representative before the indel-DP pair
+        // join (same exact expansion scheme as partPairs)
         val p = Tables(spark, dir).part
           .select(col("p_partkey"), col("p_brand"),
             Similarity.tokenSortKey(col("p_name")).as("tsk"))
-        SimilarityJoin.selfJoin(
-          p, "p_partkey",
-          blockKey = col("p_brand"),
-          score = (l, r) => Similarity.indelRatioFast(l("tsk"), r("tsk"), 85.0),
-          threshold = 85.0)
-          .pairs
-          .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim"))
+        val groups = p.groupBy("p_brand", "tsk")
+          .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
+          .localCheckpoint()
+        val l = groups.select(col("p_brand"), col("tsk").as("tsk_l"), col("ids").as("ids_l"))
+        val r = groups.select(col("p_brand").as("brand_r"), col("tsk").as("tsk_r"), col("ids").as("ids_r"))
+        val crossKey = l.join(r,
+            col("p_brand") === col("brand_r") && col("tsk_l") < col("tsk_r"))
+          .withColumn("sim", Similarity.indelRatioFast(col("tsk_l"), col("tsk_r"), 85.0))
+          .filter(col("sim") >= 85.0)
+          .select(explode(col("ids_l")).as("id_l"), col("ids_r"), col("sim"))
+          .select(col("id_l"), explode(col("ids_r")).as("id_r"), col("sim"))
+          .select(least(col("id_l"), col("id_r")).as("src"),
+            greatest(col("id_l"), col("id_r")).as("dst"), col("sim"))
+        val intra = groups.filter(col("n") > 1)
+          .select(explode(col("ids")).as("id_l"), col("ids"))
+          .select(col("id_l"), explode(col("ids")).as("id_r"))
+          .filter(col("id_l") < col("id_r"))
+          .select(col("id_l").as("src"), col("id_r").as("dst"), lit(100.0).as("sim"))
+        crossKey.unionByName(intra)
       })
   )
 }
