@@ -17,6 +17,7 @@ object Bench {
       // drop cached/checkpointed state between queries so one query's
       // memory footprint doesn't tax the next one's GC
       spark.catalog.clearCache()
+      System.gc() // level the GC field between queries
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

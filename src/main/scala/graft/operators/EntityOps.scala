@@ -48,6 +48,19 @@ object EntityOps {
     df.groupBy(col(groupKey))
       .agg(sort_array(collect_list(struct((subKey +: values).map(col): _*))).as("entries"))
 
+  /** Map-shaped variant of [[groupAndNest]] — the reference's literal
+    * output model (`company_id → {issue → values}`,
+    * `/root/reference/index_align_to_firebase.py:271-280`). Requires the
+    * input already deduped on (groupKey, subKey) (see [[lastWins]]);
+    * `map_from_entries` fails on duplicate keys rather than silently
+    * keeping one.
+    */
+  def groupAndNestMap(df: DataFrame, groupKey: String, subKey: String, values: Seq[String]): DataFrame =
+    df.groupBy(col(groupKey))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col(subKey), struct(values.map(col): _*)))))
+        .as("entries"))
+
   /** Lookup (dimension) join with warned anti side (J1/P6):
     * matched rows continue enriched; unmatched fact keys surface as data
     * (`unmapped`), deduplicated — the reference's warn-once-per-ticker set

@@ -90,7 +90,7 @@ object ExecutiveDedupPipeline {
       threshold = threshold)
     val edges = joined.pairs
       .select(col("id_l").as("src"), col("id_r").as("dst"), col("sim"))
-      .cache()
+      .localCheckpoint() // reused by clustering + banding; no unpersist bookkeeping
 
     // ---- clustering + cluster metrics
     val comp = ConnectedComponents.run(spark, edges.select("src", "dst"))

@@ -102,6 +102,34 @@ class OperatorSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(comp(_) == 20L))
   }
 
+  // ---------------------------------------------------------------- J2
+  test("similarity join drops and reports oversized blocks (skew guard)") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"name_$i", if (i <= 40) "hot" else s"b$i"))
+      .toDF("id", "name", "blk")
+    val res = graft.operators.SimilarityJoin.selfJoin(
+      df, "id", blockKey = col("blk"),
+      score = (l, r) => lit(100.0), threshold = 50.0, maxBlockSize = 10)
+    assert(res.oversizedBlocks.collect().map(_.getString(0)).toSet == Set("hot"))
+    // no pair may involve a record from the dropped hot block
+    val ids = res.pairs.select("id_l").as[Long].collect() ++
+      res.pairs.select("id_r").as[Long].collect()
+    assert(ids.forall(_ > 40), s"hot-block ids leaked: ${ids.toSeq}")
+  }
+
+  // ---------------------------------------------------------------- A1 (map shape)
+  test("map-shaped nest builds company -> issue -> values maps") {
+    import spark.implicits._
+    val df = Seq(("c1", "i1", 1.0), ("c1", "i2", 2.0), ("c2", "i1", 3.0))
+      .toDF("company", "issue", "v")
+    val out = graft.operators.EntityOps
+      .groupAndNestMap(df, "company", "issue", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getMap[String, org.apache.spark.sql.Row](1)).toMap
+    assert(out("c1").keys.toSet == Set("i1", "i2"))
+    assert(out("c1")("i2").getDouble(0) == 2.0)
+    assert(out("c2")("i1").getDouble(0) == 3.0)
+  }
+
   // ---------------------------------------------------------------- A1
   test("last-wins dedup keeps the row with max order key") {
     import spark.implicits._
