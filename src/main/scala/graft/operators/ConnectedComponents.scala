@@ -54,9 +54,20 @@ object ConnectedComponents {
         .agg(
           min("component").as("component"),
           min(when(col("own") === 1, col("component"))).as("old"))
+
+      // pointer doubling (path compression): follow the label's label once
+      // per round — label chains halve every iteration, so convergence is
+      // O(log diameter) instead of O(diameter). Without this, any graph
+      // deeper than maxIter would silently return unconverged labels.
+      val byId = next.select(col("id").as("p_id"), col("component").as("p_comp"))
+      val doubled = next
+        .join(byId, next("component") === byId("p_id"), "left")
+        .select(next("id"),
+          least(next("component"), coalesce(col("p_comp"), next("component"))).as("component"),
+          col("old"))
         .localCheckpoint(true) // truncate lineage; also materializes
-      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
-      labels = next.select("id", "component")
+      val changed = doubled.filter(col("component") =!= col("old")).limit(1).count()
+      labels = doubled.select("id", "component")
       converged = changed == 0
       iter += 1
     }

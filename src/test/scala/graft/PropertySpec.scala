@@ -72,6 +72,15 @@ class PropertySpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- A4
+  test("connected components converge on a 200-node chain (deeper than maxIter)") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(spark, chain.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L), s"all labels must reach 0: ${got.toSeq.sortBy(_._1).takeRight(5)}")
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     import spark.implicits._
     for (trial <- 1 to 3) {
