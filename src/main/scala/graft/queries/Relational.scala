@@ -419,6 +419,92 @@ object Relational {
           FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
           WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
           GROUP BY c.c_mktsegment HAVING COUNT(*) > 1""")
+      }),
+
+    // ------------------------------------------------------------------
+    // q17: correlated scalar subquery (TPC-H Q17 shape) — small-quantity
+    // outliers vs the per-part average; Catalyst decorrelates to an
+    // aggregate + join, which is the plan a hand-written rewrite produces.
+    GraftQuery(
+      "q17_small_quantity_revenue",
+      Some("""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem.createOrReplaceTempView("lineitem")
+        t.part.createOrReplaceTempView("part")
+        spark.sql("""
+          SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+                 COUNT(*) AS n_lines
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#3'
+            AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)""")
+      }),
+
+    // ------------------------------------------------------------------
+    // q18: large-volume orders (TPC-H Q18 shape) — IN over a grouped
+    // HAVING subquery, then a 3-way join + re-aggregation.
+    GraftQuery(
+      "q18_large_orders",
+      Some("""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 150)
+        GROUP BY c.c_custkey, o.o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val big = t.lineitem.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(38, 4))).as("q"))
+          .filter(col("q") > 150)
+          .select(col("l_orderkey").as("big_orderkey"))
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"))
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+          .groupBy("c_custkey", "o_orderkey")
+          .agg(dsum(col("l_quantity"), 4).as("total_qty"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q19: correlated EXISTS with an inequality (TPC-H Q20/Q21 family) —
+    // suppliers whose stockable parts shipped above their own average
+    // price at least once.
+    GraftQuery(
+      "q19_exists_above_avg",
+      Some("""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey
+            AND l.l_extendedprice > (SELECT AVG(l2.l_extendedprice) * 1.8
+                                     FROM lineitem l2 WHERE l2.l_suppkey = l.l_suppkey))
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.supplier.createOrReplaceTempView("supplier")
+        t.lineitem.createOrReplaceTempView("lineitem")
+        spark.sql("""
+          SELECT s.s_suppkey, s.s_name
+          FROM supplier s
+          WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_extendedprice > (SELECT AVG(l2.l_extendedprice) * 1.8
+                                       FROM lineitem l2 WHERE l2.l_suppkey = l.l_suppkey))""")
       })
   )
 }
