@@ -61,11 +61,24 @@ case class SpaceSavingTopK(
   override def merge(
       a: mutable.LinkedHashMap[String, (Long, Long)],
       b: mutable.LinkedHashMap[String, (Long, Long)]): mutable.LinkedHashMap[String, (Long, Long)] = {
+    // Proper Space-Saving merge: an item absent from a FULL sketch may
+    // have been evicted there with up to that sketch's minimum count of
+    // unattributed mass, so one-sided items absorb the other side's min as
+    // count AND error. Without this, `est >= true` breaks across partitions
+    // (a heavy hitter evicted in one partition gets undercounted). Sketches
+    // below capacity evicted nothing → offset 0 → exact regime unchanged.
+    val minA = if (a.size >= capacity) a.valuesIterator.map(_._1).min else 0L
+    val minB = if (b.size >= capacity) b.valuesIterator.map(_._1).min else 0L
+    val onlyA = a.keySet.diff(b.keySet)
     for ((item, (c, e)) <- b) {
       a.get(item) match {
         case Some((c0, e0)) => a.update(item, (c0 + c, e0 + e))
-        case None => a.update(item, (c, e))
+        case None => a.update(item, (c + minA, e + minA))
       }
+    }
+    if (minB > 0) for (item <- onlyA) {
+      val (c, e) = a(item)
+      a.update(item, (c + minB, e + minB))
     }
     if (a.size > capacity) {
       val keep = a.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)

@@ -15,11 +15,17 @@ import org.apache.spark.sql.types.DoubleType
   */
 object TextFunctions {
 
-  /** Distinct character k-shingles of a string (order-free set). */
+  /** Distinct character k-shingles of a string (order-free set); text
+    * shorter than k has no k-shingle → empty array. (The guard matters:
+    * Spark's `sequence(1, 0)` is the DESCENDING [1, 0], not empty, so the
+    * unguarded transform would invent shingles for short strings and
+    * diverge from the SQL twin, where generate_series(1, 0) is empty.)
+    */
   def shingles(text: Column, k: Int = 5): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(0))),
-      i => substring(text, i, lit(k))))
+    when(length(text) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => substring(text, i, lit(k)))))
 
   /** SQL twin of [[shingles]] (DuckDB list comprehension). */
   def shinglesSql(text: String, k: Int = 5): String =

@@ -36,15 +36,20 @@ object AsOfJoin {
 
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
+    require(rightPayload.nonEmpty, "right side needs at least one payload column")
 
+    // the right payload travels as ONE struct, so the carried values always
+    // come from the same right row even when individual fields are null
+    // (per-column carry would stitch together fields of different rows)
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => right.schema(c).copy(name = c)))).as("__r"): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__r"): _*)
 
     // right rows sort before left rows at equal time → "<=" semantics
     val w = Window.partitionBy(keys.map(col): _*)
@@ -52,15 +57,15 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val carried = l.unionByName(r)
-      .select(
-        (keys.map(col) :+ col("__t") :+ col("__side")) ++
-          leftPayload.map(col) ++
-          rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .withColumnRenamed("__t", leftTime)
-      .drop("__side")
+      .select(
+        (keys.map(col) :+ col("__t").as(leftTime)) ++
+          leftPayload.map(col) ++
+          rightPayload.map(c => col(s"__r.$c").as(c)) :+
+          col("__r").isNotNull.as("__matched"): _*)
 
-    if (inner) carried.filter(rightPayload.map(c => col(c).isNotNull).reduce(_ && _))
-    else carried
+    val result = if (inner) carried.filter(col("__matched")) else carried
+    result.drop("__matched")
   }
 }

@@ -11,16 +11,19 @@ import graft.functions.TextFunctions
   * approximate-similarity:
   *
   *  - exact: hash-groupBy on a canonical key (one shuffle, map-side combine)
-  *  - n-gram Jaccard: shingle-set overlap with length-band pre-filter
+  *  - n-gram Jaccard: exact shingle-set overlap (prefix/positional
+  *    filtered)
   *  - MinHash + LSH: signature → band buckets → candidate pairs →
   *    exact-Jaccard verification (the 100 TB path: candidates come from a
   *    band-key equi-join, never an all-pairs product)
   *  - SimHash: 64-bit sign-aggregated token hashes, banded hamming join
   *
-  * LSH parameters: 32 permutations in 8 bands × 4 rows gives P(candidate) =
-  * 1-(1-s⁴)⁸ ≈ 0.99998 at s=0.9 and ≈0.07 at s=0.3 — effectively perfect
-  * recall above 0.8 with tiny candidate lists, which the exact-Jaccard
-  * verify then makes precise.
+  * LSH parameters: 32 permutations in 8 bands × 4 rows gives P(candidate)
+  * = 1-(1-s⁴)⁸ — ≈0.985 at s=0.80, ≈0.9998 at s=0.90, ≈1-5e-7 at s=0.93 —
+  * and ≈0.07 at s=0.3, so candidate lists stay tiny while the exact-
+  * Jaccard verify removes every false positive. Borderline pairs just
+  * above the threshold can still be missed with small probability; corpora
+  * whose near-dups sit well above it (ours: >= 0.93) see exact output.
   */
 object Dedup {
 
@@ -29,22 +32,18 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("representative"), count(lit(1)).as("n_dups"))
 
-  /** Jaccard-similar pairs over character shingles, within length bands
-    * (len ratio >= lengthRatio is implied by jaccard >= threshold, so the
-    * band filter is lossless).
+  /** Exact Jaccard-similar pairs over character shingle sets.
     *
-    * Plan shape: candidates come from an EQUI-join on a logarithmic length
-    * bucket — a doc in bucket b can only pair with buckets {b, b+1} when
-    * the ratio bound holds, so each doc is exploded to both and joined on
-    * the bucket key. That turns an all-pairs theta join (nested loop, n²
-    * rows examined) into a shuffle hash join whose cost is Σ bucket²; the
-    * exact ratio + Jaccard filters then run only inside buckets.
+    * (No length pre-filter: character-length ratio is NOT implied by
+    * shingle-set Jaccard — repetitive texts of very different lengths can
+    * share identical shingle sets — so any length band would silently drop
+    * qualifying pairs. The prefix/positional filters below are the exact
+    * prunes.)
     */
   def jaccardPairs(
-      docs: DataFrame, // columns: id (long), text (string), len (int)
+      docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,
-      k: Int = 5,
-      lengthRatio: Double = 0.75): DataFrame = {
+      k: Int = 5): DataFrame = {
     // AllPairs/PPJoin prefix filtering: under any consistent global shingle
     // order, two sets with J >= t must share an element within each other's
     // first |X| - ceil(t*|X|) + 1 shingles. Ordering by ascending document
@@ -54,7 +53,7 @@ object Dedup {
     // materialize the shingle table once — tokens, frequency counts, the
     // window rank, and both candidate join-backs all reuse it (each self-
     // join branch would otherwise recompute the full lineage)
-    val sh = docs.select(col("id"), col("len"),
+    val sh = docs.select(col("id"),
       TextFunctions.shingles(col("text"), k).as("sh"))
       .localCheckpoint()
 
@@ -63,14 +62,14 @@ object Dedup {
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
     val prefix = tokens.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .join(sh.select(col("id"), col("len"), size(col("sh")).as("setsize")), "id")
+      .join(sh.select(col("id"), size(col("sh")).as("setsize")), "id")
       .filter(col("rn") <= col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
-      .select(col("shingle"), col("id"), col("len"), col("rn"), col("setsize"))
+      .select(col("shingle"), col("id"), col("rn"), col("setsize"))
       .localCheckpoint() // the a/b self-join sides share this
 
-    // Candidate join with two extra EXACT pruning predicates evaluated as
-    // plain arithmetic inside the join, before the dedup shuffle:
-    //  - length-ratio (implied by J >= t);
+    // Candidate join with extra EXACT prunes as plain arithmetic inside
+    // the join, before the dedup shuffle:
+    //  - set-size ratio (min/max setsize >= t IS implied by J >= t);
     //  - PPJoin positional upper bound: if the matched shingle is the
     //    first common element at ranks (i, j), the overlap can't exceed
     //    1 + min(|A|-i, |B|-j), and J >= t needs overlap >=
@@ -80,8 +79,8 @@ object Dedup {
       (col("a.setsize") + col("b.setsize")))
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-        least(col("a.len"), col("b.len")).cast(DoubleType) /
-          greatest(col("a.len"), col("b.len")).cast(DoubleType) >= lengthRatio &&
+        least(col("a.setsize"), col("b.setsize")).cast(DoubleType) /
+          greatest(col("a.setsize"), col("b.setsize")).cast(DoubleType) >= threshold &&
         lit(1) + least(col("a.setsize") - col("a.rn"), col("b.setsize") - col("b.rn")) >= needOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -133,7 +132,7 @@ object Dedup {
     * @return (id_a, id_b, jaccard) for verified pairs >= threshold.
     */
   def minhashLsh(
-      docs: DataFrame, // columns: id, text, len
+      docs: DataFrame, // columns: id, text
       threshold: Double,
       k: Int = 5,
       numHashes: Int = 32,

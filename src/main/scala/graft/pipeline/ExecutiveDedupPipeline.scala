@@ -75,8 +75,17 @@ object ExecutiveDedupPipeline {
       Coercions.normalizeString(col("address")).as("address"),
       Coercions.normalizeString(col("company")).as("company"))
       .filter(col("name") =!= "")
-    val ids = normalized.withColumn("id",
-      row_number().over(Window.orderBy("name", "title", "address", "company")).cast("long"))
+    // stable ids from a distributed sort + zipWithIndex — a global
+    // row_number window would funnel every row through ONE task; the sort
+    // is range-partitioned and zipWithIndex is two light passes. Ties
+    // (fully identical records) get interchangeable ids, which downstream
+    // clustering/consolidation is insensitive to.
+    val sorted = normalized.orderBy("name", "title", "address", "company")
+    val ids = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      sorted.schema.add("id", org.apache.spark.sql.types.LongType))
 
     // ---- blocked weighted similarity join (weights per reference :199-231)
     val joined = SimilarityJoin.selfJoin(

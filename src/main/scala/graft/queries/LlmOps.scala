@@ -29,15 +29,12 @@ object LlmOps {
   /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
   private val jaccardPairsSql = s"""
     WITH sh AS (
-      SELECT doc_id, n_chars, ${TextFunctions.shinglesSql("text")} AS s
+      SELECT doc_id, ${TextFunctions.shinglesSql("text")} AS s
       FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.doc_id < b.doc_id
-     AND CAST(least(a.n_chars, b.n_chars) AS DOUBLE)
-           / CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE) >= 0.75
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8"""
 
@@ -85,29 +82,31 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
-    // q42: n-gram Jaccard near-dup pairs — exact shingle-set overlap with
-    // a lossless length-band pre-filter.
+    // q42: n-gram Jaccard near-dup pairs — exact shingle-set overlap via
+    // PPJoin prefix/positional filtering.
     GraftQuery(
       "q42_jaccard_pairs",
       Some(s"SELECT id_a, id_b, jaccard FROM ($jaccardPairsSql)"),
       (spark, dir) => {
         val d = Tables(spark, dir).documents
-          .select(col("doc_id").as("id"), col("text"), col("n_chars").as("len"))
+          .select(col("doc_id").as("id"), col("text"))
         Dedup.jaccardPairs(d, threshold = 0.8)
       }),
 
     // ------------------------------------------------------------------
     // q43: MinHash + LSH near-dup detection — banded signature equi-join
-    // for candidates, exact-Jaccard verification. Oracle = the exact
-    // brute-force pair set: at these parameters (8 bands × 4 rows) LSH
-    // recall at s >= 0.8 is 1 - (1 - s⁴)⁸ > 0.9998, and the verify step
-    // removes all false positives, so LSH output == exact output.
+    // for candidates, exact-Jaccard verification (kills all false
+    // positives). Recall at similarity s is 1-(1-s⁴)⁸: ≈0.985 right at
+    // 0.80, ≈1-5e-7 at 0.93. This corpus's near-dups all sit at >= 0.93,
+    // so the LSH output equals the exact brute-force oracle here;
+    // borderline-0.8 pairs elsewhere carry the small miss probability
+    // inherent to LSH.
     GraftQuery(
       "q43_minhash_lsh",
       Some(s"SELECT id_a, id_b, jaccard FROM ($jaccardPairsSql)"),
       (spark, dir) => {
         val d = Tables(spark, dir).documents
-          .select(col("doc_id").as("id"), col("text"), col("n_chars").as("len"))
+          .select(col("doc_id").as("id"), col("text"))
         Dedup.minhashLsh(d, threshold = 0.8)
       }),
 

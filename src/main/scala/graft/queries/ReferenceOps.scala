@@ -27,8 +27,15 @@ object ReferenceOps {
     */
   private def partPairs(spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double) = {
     val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_brand")
-    val groups = p.groupBy("p_brand", "p_name")
+    val groups0 = p.groupBy("p_brand", "p_name")
       .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
+    // oversized-block guard (same role as SimilarityJoin.maxBlockSize): a
+    // brand with an absurd number of DISTINCT names would still blow up the
+    // representative self-join quadratically — drop it rather than hang
+    val oversized = groups0.groupBy("p_brand").agg(count(lit(1)).as("reps"))
+      .filter(col("reps") > 100000).select("p_brand")
+    val groups = groups0
+      .join(broadcast(oversized), Seq("p_brand"), "left_anti")
       .localCheckpoint()
 
     val reps = groups.select(col("p_brand"), col("p_name"), col("ids"))
@@ -415,8 +422,12 @@ object ReferenceOps {
         val p = Tables(spark, dir).part
           .select(col("p_partkey"), col("p_brand"),
             Similarity.tokenSortKey(col("p_name")).as("tsk"))
-        val groups = p.groupBy("p_brand", "tsk")
+        val groups0 = p.groupBy("p_brand", "tsk")
           .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
+        val oversized = groups0.groupBy("p_brand").agg(count(lit(1)).as("reps"))
+          .filter(col("reps") > 100000).select("p_brand") // quadratic-block guard
+        val groups = groups0
+          .join(broadcast(oversized), Seq("p_brand"), "left_anti")
           .localCheckpoint()
         val l = groups.select(col("p_brand"), col("tsk").as("tsk_l"), col("ids").as("ids_l"))
         val r = groups.select(col("p_brand").as("brand_r"), col("tsk").as("tsk_r"), col("ids").as("ids_r"))

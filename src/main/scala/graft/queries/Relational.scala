@@ -385,7 +385,10 @@ object Relational {
         Tables(spark, dir).orders
           .groupBy("o_orderpriority")
           .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(coalesce(count(lit(1)), lit(0L)))
+          .agg(count(lit(1)))
+          // absent (priority, status) combos come back NULL from pivot —
+          // the oracle's SUM(CASE ...) yields 0, so zero-fill here
+          .na.fill(0L)
           .select(col("o_orderpriority"), col("F").as("f"), col("O").as("o"), col("P").as("p"))
       }),
 

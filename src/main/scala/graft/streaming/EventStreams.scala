@@ -40,30 +40,29 @@ object EventStreams {
   /** Stream a result into a [[graft.sources.KeyValueSink]] — the streaming
     * twin of the batch sink: one idempotent put per key per micro-batch,
     * opened per partition (`ForeachWriter`), safe under task retries.
+    *
+    * Serialization happens UPSTREAM with Spark's `to_json` (same path as
+    * the batch sink — hand-rolled JSON escaping is a bug farm); use
+    * [[toKeyedJson]] to shape the stream, then `.foreach(kvSinkWriter(...))`.
     */
-  def kvSinkWriter(mkSink: () => graft.sources.KeyValueSink, keyCol: String)
+  def toKeyedJson(df: DataFrame, keyCol: String): DataFrame = {
+    val payload = df.columns.filterNot(_ == keyCol)
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(payload.map(col): _*)).as("doc"))
+  }
+
+  def kvSinkWriter(mkSink: () => graft.sources.KeyValueSink)
       : org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
     new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
       @transient private var sink: graft.sources.KeyValueSink = _
-      @transient private var json: org.apache.spark.sql.Row => String = _
       override def open(partitionId: Long, epochId: Long): Boolean = {
         sink = mkSink()
         true
       }
       override def process(row: org.apache.spark.sql.Row): Unit = {
-        val k = Option(row.getAs[Any](keyCol)).map(_.toString).orNull
-        if (k != null && k.nonEmpty) {
-          val fields = row.schema.fieldNames.filterNot(_ == keyCol)
-          val doc = fields.map { f =>
-            val v = row.getAs[Any](f)
-            "\"" + f + "\":" + (v match {
-              case null => "null"
-              case n: java.lang.Number => n.toString
-              case other => "\"" + other.toString.replace("\"", "\\\"") + "\""
-            })
-          }.mkString("{", ",", "}")
-          sink.put(k, doc)
-        }
+        val k = row.getAs[String]("key")
+        if (k != null && k.nonEmpty) sink.put(k, row.getAs[String]("doc"))
       }
       override def close(errorOrNull: Throwable): Unit = ()
     }
@@ -92,7 +91,10 @@ object EventStreams {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                  // out-of-order (in-watermark) events must not move the
+                  // session window backwards
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
                   open = Some(Open(t, t, 1, e.value))

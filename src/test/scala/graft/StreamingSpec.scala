@@ -92,9 +92,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("kvstream").toString
     val in = MemoryStream[Event]
-    val q = in.toDF().selectExpr("CAST(user_id AS STRING) AS k", "value")
+    val q = EventStreams.toKeyedJson(
+        in.toDF().selectExpr("CAST(user_id AS STRING) AS k", "value"), "k")
       .writeStream
-      .foreach(EventStreams.kvSinkWriter(() => new graft.sources.FsKeyValueSink(dir), "k"))
+      .foreach(EventStreams.kvSinkWriter(() => new graft.sources.FsKeyValueSink(dir)))
       .outputMode("append").start()
     try {
       in.addData(Event(7, ts(1), "a", 1.5), Event(8, ts(2), "b", 2.5))
