@@ -18,6 +18,24 @@ class DedupSpec extends SparkSpec {
       .withColumn("len", length(col("text")))
   }
 
+  test("shingles of text shorter than k are empty, not fabricated") {
+    import spark.implicits._
+    val out = Seq("abc", "abcde", "").toDF("t")
+      .select(graft.functions.TextFunctions.shingles(col("t"), 5)).collect()
+    assert(out(0).getSeq[String](0).isEmpty, "3 chars < k=5")
+    assert(out(1).getSeq[String](0) == Seq("abcde"))
+    assert(out(2).getSeq[String](0).isEmpty)
+  }
+
+  test("repetitive texts of different lengths with identical shingle sets pair up") {
+    import spark.implicits._
+    // shingle sets identical despite a 10:7 length ratio — the old length
+    // prefilter silently dropped this pair
+    val docs = Seq((0L, "ababababab"), (1L, "abababa")).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.8).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+  }
+
   test("exact groups find byte-identical duplicates with min-id representative") {
     val g = Dedup.exactGroups(docs, col("id"), col("text"))
       .filter(col("n_dups") > 1).collect()
