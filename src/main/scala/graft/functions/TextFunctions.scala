@@ -22,10 +22,11 @@ object TextFunctions {
     * diverge from the SQL twin, where generate_series(1, 0) is empty.)
     */
   def shingles(text: Column, k: Int = 5): Column =
-    when(length(text) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => substring(text, i, lit(k)))))
+    array_distinct(filter(
+      transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => substring(text, i, lit(k))),
+      s => length(s) === k))
 
   /** SQL twin of [[shingles]] (DuckDB list comprehension). */
   def shinglesSql(text: String, k: Int = 5): String =

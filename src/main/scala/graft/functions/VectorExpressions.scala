@@ -55,4 +55,50 @@ case class DoubleDot(left: Expression, right: Expression) extends BinaryExpressi
 object VectorExpressions {
   def doubleDot(a: Column, b: Column): Column =
     ColumnBridge.column(DoubleDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Intersection size of two PRE-SORTED string arrays (merge scan). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `sorted_intersect_count(a, b)` — |A ∩ B| for two sorted string arrays
+  * via a single merge scan: O(n+m) comparisons, no per-row hash set
+  * allocation (Spark's `array_intersect` builds one per call — at millions
+  * of candidate pairs that allocation dominates exact-dedup verification).
+  * Inputs MUST be sorted ascending and duplicate-free (array_sort ∘
+  * array_distinct); both interpreted eval and generated code share the
+  * kernel below.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  /** Merge-scan intersection count over sorted UTF8String arrays. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
 }

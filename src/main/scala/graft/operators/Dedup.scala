@@ -90,19 +90,24 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
     * shingle table (id, sh). Jaccard is derived from the intersection size
-    * alone — |A∪B| = |A| + |B| − |A∩B| — so each pair costs one array
-    * intersection, not an intersection plus a union build.
+    * alone (|A∪B| = |A| + |B| − |A∩B|), and the intersection is a merge
+    * scan over once-sorted arrays ([[graft.functions.SortedIntersectCount]])
+    * — no per-pair hash-set allocation, which dominates at millions of
+    * candidates.
     */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sorted = sh.select(col("id"), array_sort(col("sh")).as("sh"),
+      size(col("sh")).cast(DoubleType).as("sz"))
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
-        size(col("sh")).cast(DoubleType).as("sz_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
-        size(col("sh")).cast(DoubleType).as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast(DoubleType))
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   private val P = 1000000007L
 
