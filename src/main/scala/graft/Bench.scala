@@ -16,8 +16,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // drop cached/checkpointed state between queries so one query's
       // memory footprint doesn't tax the next one's GC
+      // drop cached tables AND checkpointed/persisted RDDs left by the
+      // finished query (clearCache alone doesn't release RDD-level
+      // persists, so earlier queries' state would tax later ones)
       spark.catalog.clearCache()
-      System.gc() // level the GC field between queries
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
