@@ -76,6 +76,71 @@ object VectorOps {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** IVF (inverted-file) approximate ANN: a k-means coarse quantizer
+    * assigns every corpus vector to one of `nCells` cells; each query
+    * probes only its `nProbe` nearest cells. Lloyd iterations are plain
+    * DataFrame aggregations (assignment = argmin of per-centroid distance
+    * expressions; update = per-dimension mean via posexplode); only the
+    * nCells×dim centroid matrix ever reaches the driver, so training and
+    * probing both scale with the corpus partitioning. Centroid means sum
+    * floats in shuffle order → cell boundaries are approximate-stable,
+    * which is inherent to IVF (results are approximate by design).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3, scale: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+
+    // deterministic init: first nCells vectors by id
+    var centroids: Array[Array[Double]] = c.orderBy("id").limit(nCells)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+
+    def centroidLit(p: Array[Double]): Column = array(p.map(lit): _*)
+    // argmin_c ||v-c||^2 = argmin_c (||c||^2 - 2<v,c>)
+    def cellOf(vec: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (p, i) =>
+        val d2 = lit(p.map(x => x * x).sum) - lit(2.0) * doubleDot(vec, centroidLit(p))
+        struct(d2.as("d"), lit(i).as("cell"))
+      }
+      least(scored: _*).getField("cell")
+    }
+
+    var it = 0
+    while (it < iters) {
+      val means = c.withColumn("cell", cellOf(col("vec")))
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+      it += 1
+    }
+
+    val assigned = c.withColumn("cell", cellOf(col("vec")))
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
+    // query probes its nProbe nearest cells: rank cells per query via a
+    // small broadcast centroid table
+    val centroidDf = q.sparkSession.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (p, i) => (i, p.toSeq) })
+      .toDF("cell", "cvec")
+    val probed = q.crossJoin(broadcast(centroidDf))
+      .withColumn("d2", doubleDot(col("cvec").cast("array<double>"), col("cvec").cast("array<double>"))
+        - lit(2.0) * doubleDot(col("qvec"), col("cvec").cast("array<double>")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+
+    val joined = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("vec"), col("qvec")), scale))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
+  }
+
   /** Approximate top-k with multi-table sign LSH: `tables` independent
     * hash tables of `bits` bits; a corpus vector is a candidate if it
     * shares a bucket with the query in ANY table (union, dedup). Per-

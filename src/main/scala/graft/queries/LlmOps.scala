@@ -165,6 +165,21 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q46b: IVF approximate ANN — k-means coarse quantizer, nProbe-cell
+    // probing (the inverted-file scale path alongside q46's LSH).
+    // Approximate by design → rows-only check; recall in VectorSpec.
+    GraftQuery(
+      "q46b_ann_ivf",
+      None,
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        VectorOps.ivfTopK(corpus, queries, k = 5, dim = 64, nCells = 16, nProbe = 8)
+      }),
+
+    // ------------------------------------------------------------------
     // q47: language ID — stopword-marker voting with deterministic
     // first-wins tie order.
     GraftQuery(

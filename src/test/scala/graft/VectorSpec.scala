@@ -33,6 +33,22 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: k rows per query; recall tracks probe fraction") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = VectorOps.bruteForceTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(corpus, queries, k = 5, dim = 64, nCells = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF recall at 8/16 cells probed: $recall")
+    // random-noise corpus: probing half the cells should recover roughly
+    // half the true neighbors — assert a loose floor
+    assert(recall > 0.3)
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("LSH top-k recall vs brute force is useful (4 bits x 8 tables)") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.filter(col("vec_id") < 20)
