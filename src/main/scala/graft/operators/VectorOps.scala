@@ -86,7 +86,7 @@ object VectorOps {
     * floats in shuffle order → cell boundaries are approximate-stable,
     * which is inherent to IVF (results are approximate by design).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3, scale: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.doubleDot
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
@@ -94,6 +94,10 @@ object VectorOps {
     // deterministic init: first nCells vectors by id
     var centroids: Array[Array[Double]] = c.orderBy("id").limit(nCells)
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    // degenerate corpus (fewer than 2 cells' worth of vectors): the
+    // quantizer is meaningless and `least` needs >= 2 branches — the exact
+    // scan IS the cheap path here
+    if (centroids.length < 2) return bruteForceTopK(corpus, queries, k, scale)
 
     def centroidLit(p: Array[Double]): Column = array(p.map(lit): _*)
     // argmin_c ||v-c||^2 = argmin_c (||c||^2 - 2<v,c>)

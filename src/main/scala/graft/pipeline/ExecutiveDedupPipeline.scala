@@ -86,6 +86,9 @@ object ExecutiveDedupPipeline {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
       },
       sorted.schema.add("id", org.apache.spark.sql.types.LongType))
+      // pin ONE id assignment: downstream consumes ids in five places and
+      // replays would re-run the sort (ties could land different ids)
+      .localCheckpoint()
 
     // ---- blocked weighted similarity join (weights per reference :199-231)
     val joined = SimilarityJoin.selfJoin(

@@ -176,7 +176,7 @@ object LlmOps {
         val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        VectorOps.ivfTopK(corpus, queries, k = 5, dim = 64, nCells = 16, nProbe = 8)
+        VectorOps.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 8)
       }),
 
     // ------------------------------------------------------------------

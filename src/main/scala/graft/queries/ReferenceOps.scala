@@ -15,6 +15,19 @@ import graft.operators.{ConnectedComponents, EntityOps, SimilarityJoin}
 object ReferenceOps {
   import Num._
 
+  /** Drop brands whose DISTINCT-representative count would make the
+    * representative self-join quadratic (same role as
+    * SimilarityJoin.maxBlockSize). NOTE: drops are silent here — the
+    * threshold is far above any fixture brand, and the DuckDB oracle has
+    * no guard, so a firing guard would surface as an oracle mismatch.
+    */
+  private def dropOversizedBrands(groups: org.apache.spark.sql.DataFrame,
+      maxReps: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val oversized = groups.groupBy("p_brand").agg(count(lit(1)).as("reps"))
+      .filter(col("reps") > maxReps).select("p_brand")
+    groups.join(broadcast(oversized), Seq("p_brand"), "left_anti")
+  }
+
   /** Shared: within-brand fuzzy part-name pairs (J2's blocked self-join).
     *
     * Identical (brand, name) rows are collapsed to one representative
@@ -29,14 +42,7 @@ object ReferenceOps {
     val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_brand")
     val groups0 = p.groupBy("p_brand", "p_name")
       .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
-    // oversized-block guard (same role as SimilarityJoin.maxBlockSize): a
-    // brand with an absurd number of DISTINCT names would still blow up the
-    // representative self-join quadratically — drop it rather than hang
-    val oversized = groups0.groupBy("p_brand").agg(count(lit(1)).as("reps"))
-      .filter(col("reps") > 100000).select("p_brand")
-    val groups = groups0
-      .join(broadcast(oversized), Seq("p_brand"), "left_anti")
-      .localCheckpoint()
+    val groups = dropOversizedBrands(groups0).localCheckpoint()
 
     val reps = groups.select(col("p_brand"), col("p_name"), col("ids"))
     val l = reps.select(col("p_brand"), col("p_name").as("name_l"), col("ids").as("ids_l"))
@@ -424,11 +430,7 @@ object ReferenceOps {
             Similarity.tokenSortKey(col("p_name")).as("tsk"))
         val groups0 = p.groupBy("p_brand", "tsk")
           .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
-        val oversized = groups0.groupBy("p_brand").agg(count(lit(1)).as("reps"))
-          .filter(col("reps") > 100000).select("p_brand") // quadratic-block guard
-        val groups = groups0
-          .join(broadcast(oversized), Seq("p_brand"), "left_anti")
-          .localCheckpoint()
+        val groups = dropOversizedBrands(groups0).localCheckpoint()
         val l = groups.select(col("p_brand"), col("tsk").as("tsk_l"), col("ids").as("ids_l"))
         val r = groups.select(col("p_brand").as("brand_r"), col("tsk").as("tsk_r"), col("ids").as("ids_r"))
         val crossKey = l.join(r,

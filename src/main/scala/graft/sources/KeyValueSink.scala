@@ -63,7 +63,10 @@ object KeyValueSink {
     val payloadCols = df.columns.filterNot(_ == keyCol)
     val prepared = df.select(
       col(keyCol).cast("string").as("__key"),
-      to_json(struct(payloadCols.map(col): _*)).as("__doc"))
+      // explicit nulls — document stores treat null as "clear", absent as
+      // "leave unchanged"
+      to_json(struct(payloadCols.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("__doc"))
 
     if (dryRun) {
       prepared.show(3, truncate = false)

@@ -49,7 +49,10 @@ object EventStreams {
     val payload = df.columns.filterNot(_ == keyCol)
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(payload.map(col): _*)).as("doc"))
+      // explicit nulls: a document store distinguishes "clear this field"
+      // (null) from "leave unchanged" (absent)
+      to_json(struct(payload.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("doc"))
   }
 
   def kvSinkWriter(mkSink: () => graft.sources.KeyValueSink)
@@ -90,9 +93,17 @@ object EventStreams {
             for (e <- sorted) {
               val t = e.ts.getTime
               open match {
+                case Some(s) if t < s.start - gapSeconds * 1000 =>
+                  // stray far-in-the-past (but in-watermark) event: it can
+                  // never belong to the open session — without it the
+                  // naive `t - s.last <= gap` guard is vacuously true for
+                  // any past t and would swallow it. Emit it as its own
+                  // closed session (documented divergence from the batch
+                  // twin, which sees a globally sorted stream).
+                  closed += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
                 case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  // out-of-order (in-watermark) events must not move the
-                  // session window backwards
+                  // in-window out-of-order events must not move the
+                  // session backwards
                   open = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>

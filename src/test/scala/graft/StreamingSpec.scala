@@ -108,6 +108,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stray far-past event becomes its own session, not a backwards merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("stray_sessions").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(180), "a", 1.0)) // open session at 03:00
+      q.processAllAvailable()
+      in.addData(Event(1, ts(90), "a", 9.0))  // stray: in-watermark, 90 min before open session start (> 30 min gap)
+      q.processAllAvailable()
+      in.addData(Event(9, ts(900), "z", 0.0)) // advance watermark, close all
+      q.processAllAvailable()
+      in.addData(Event(9, ts(1600), "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("stray_sessions").filter(col("user_id") === 1)
+        .select("n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // two separate single-event sessions — NOT one [00:10, 03:00] session
+      assert(rows == Set((1L, 1.0), (1L, 9.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("batch sessionization twin agrees with streaming on closed sessions") {
     import spark.implicits._
     val batch = queries.LlmOps.all.find(_.name == "q51_sessionize").get

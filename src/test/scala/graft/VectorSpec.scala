@@ -39,7 +39,7 @@ class VectorSpec extends SparkSpec {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val brute = VectorOps.bruteForceTopK(corpus, queries, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = VectorOps.ivfTopK(corpus, queries, k = 5, dim = 64, nCells = 16, nProbe = 8)
+    val ivf = VectorOps.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     info(s"IVF recall at 8/16 cells probed: $recall")
