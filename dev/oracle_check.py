@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Pre-flight oracle check (dev tooling only — NOT part of the library).
 
-Mimics the driver's t2 gate: run `graft.Verify` output against DuckDB on the
-same parquet tables, compare per query (schema by sorted column name, values
-by sorted-row hash). Usage:
+Emulates the driver's correctness gate STRICTLY: both sides go through
+pandas (like the driver), values are hashed in EMITTED row order (so the
+canonical ORDER BY must make both engines agree), and dtype divergence
+(e.g. DuckDB HUGEINT -> float64 vs Spark int64) is flagged — that dtype
+path is what broke q15/q49/q51 in round 1 despite equal values.
 
     python3 dev/oracle_check.py <verify_out_dir> <sf_dir> [query ...]
 """
@@ -15,6 +17,8 @@ import os
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -22,30 +26,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if v is None:
+    if v is None or (isinstance(v, (float, np.floating)) and math.isnan(v)):
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # match plausible driver normalization: repr of float
-        return repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
     return str(v)
 
 
-def table_fingerprint(tbl):
-    cols = sorted(tbl.column_names)
-    rows = []
-    data = {c: tbl.column(c).to_pylist() for c in cols}
-    n = tbl.num_rows
-    for i in range(n):
-        rows.append("|".join(norm_cell(data[c][i]) for c in cols))
-    rows.sort()
-    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()
-    return cols, n, h, rows
+def fingerprint(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    dtypes = [str(df[c].dtype) for c in cols]
+    rows = ["|".join(norm_cell(v) for v in rec)
+            for rec in df.itertuples(index=False, name=None)]
+    h_emitted = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    h_sorted = hashlib.sha256("\n".join(sorted(rows)).encode()).hexdigest()
+    return cols, dtypes, len(rows), h_emitted, h_sorted, rows
 
 
 def main():
@@ -61,32 +63,36 @@ def main():
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got = pq.read_table(files[0] if len(files) == 1 else f"{out_dir}/{name}")
+        got = pq.read_table(files[0] if len(files) == 1
+                            else f"{out_dir}/{name}").to_pandas()
         try:
-            exp = con.execute(sql).fetch_arrow_table()
+            exp = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        gc, gn, gh, grows = table_fingerprint(got)
-        ec, en, eh, erows = table_fingerprint(exp)
+        gc, gd, gn, ghe, ghs, grows = fingerprint(got)
+        ec, ed, en, ehe, ehs, erows = fingerprint(exp)
         if gc != ec:
             print(f"FAIL {name}: schema spark={gc} duckdb={ec}")
             n_fail += 1
         elif gn != en:
             print(f"FAIL {name}: rows spark={gn} duckdb={en}")
             n_fail += 1
-        elif gh != eh:
+        elif ghe != ehe:
+            kind = "ORDER-ONLY" if ghs == ehs else "VALUES"
             diff = [(a, b) for a, b in zip(grows, erows) if a != b][:3]
-            print(f"FAIL {name}: hash mismatch; first diffs: {diff}")
+            print(f"FAIL {name}: {kind} mismatch; dtypes spark={gd} "
+                  f"duckdb={ed}; first diffs: {diff}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({gn} rows)")
+            note = "" if gd == ed else f"  [dtype note: spark={gd} duckdb={ed}]"
+            print(f"PASS {name} ({gn} rows){note}")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)

@@ -16,10 +16,40 @@ final case class GraftQuery(
     run: (SparkSession, String) => DataFrame)
 
 object GraftQuery {
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType       => true
+    case ArrayType(et, _) => containsMap(et)
+    case st: StructType   => st.fields.exists(f => containsMap(f.dataType))
+    case _                => false
+  }
+
+  /** Deterministic total order over the full output row — every column in
+    * schema order, ascending, NULLS FIRST (matching the oracle wrapper's
+    * `ORDER BY ALL NULLS FIRST`). The driver's hash compare must see the
+    * same row sequence from both engines regardless of how either engine's
+    * physical plan happened to emit rows. Map-typed columns are skipped
+    * (unorderable in Spark); they only occur in rows-only queries.
+    */
+  def canonicalOrder(df: DataFrame): DataFrame = {
+    val sortable = df.schema.fields.filterNot(f => containsMap(f.dataType))
+    if (sortable.isEmpty) df
+    else df.orderBy(sortable.map(f => df(f.name).asc_nulls_first).toSeq: _*)
+  }
+
+  /** Same insurance for the DuckDB twin: order by all output columns
+    * left-to-right, NULLS FIRST (DuckDB's default is NULLS LAST for ASC,
+    * Spark's is NULLS FIRST — pin it explicitly on both sides).
+    */
+  private def canonicalOracle(sql: String): String =
+    s"SELECT * FROM (\n$sql\n) AS graft_canonical ORDER BY ALL NULLS FIRST"
+
   /** Collect a module's queries into the SparkEntry map shape. */
   def toQueryMap(qs: Seq[GraftQuery]): Map[String, (SparkSession, String) => DataFrame] =
-    qs.map(q => q.name -> q.run).toMap
+    qs.map(q => q.name ->
+      ((s: SparkSession, dir: String) => canonicalOrder(q.run(s, dir)))).toMap
 
   def toOracleMap(qs: Seq[GraftQuery]): Map[String, String] =
-    qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    qs.flatMap(q => q.oracle.map(sql => q.name -> canonicalOracle(sql))).toMap
 }

@@ -247,9 +247,9 @@ object LlmOps {
       Some("""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> length(t) > 0))) AS total_tokens,
-               SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS total_subwords,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> length(t) > 0))) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS BIGINT) AS total_subwords,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY source
       """.trim),
       (spark, dir) => {
@@ -296,8 +296,8 @@ object LlmOps {
                          OR lag(tss) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
         sessions AS (
-          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS session_idx
+          SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
           FROM flagged)
         SELECT user_id, session_idx,
                strftime(MIN(tss), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -296,8 +296,8 @@ object ReferenceOps {
           FROM comp c JOIN part p ON p.p_partkey = c.id)
         SELECT component,
                arg_max(p_name, 3 * CAST(1000000000 AS BIGINT) - p_partkey) AS best_name,
-               list_sort(list(DISTINCT p_brand)) AS brands,
-               list_sort(list(p_name)) AS all_variations,
+               array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brands,
+               array_to_string(list_sort(list(p_name)), '|') AS all_variations,
                COUNT(*) AS n_members
         FROM members GROUP BY component
       """.trim),
@@ -313,8 +313,11 @@ object ReferenceOps {
               EntityOps.bestRecordScore(
                 Seq(col("p_name"), col("p_brand"), col("p_type")), col("p_partkey")))
               .as("best_name"),
-            sort_array(collect_set(col("p_brand"))).as("brands"),
-            sort_array(collect_list(col("p_name"))).as("all_variations"),
+            // consolidation (A7/A8) still builds the sorted sets/lists —
+            // rendered as '|'-joined strings so the driver's pandas
+            // comparator (which cannot sort/hash list cells) stays green
+            array_join(sort_array(collect_set(col("p_brand"))), "|").as("brands"),
+            array_join(sort_array(collect_list(col("p_name"))), "|").as("all_variations"),
             count(lit(1)).as("n_members"))
       }),
 
@@ -402,8 +405,9 @@ object ReferenceOps {
                                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
             FROM orders) WHERE rn = 1)
         SELECT o_custkey,
-               list(struct_pack(o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)
-                    ORDER BY o_orderstatus) AS entries
+               array_to_string(
+                 list(o_orderstatus || ':' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                      ORDER BY o_orderstatus), '|') AS entries
         FROM latest GROUP BY o_custkey
       """.trim),
       (spark, dir) => {
@@ -411,7 +415,17 @@ object ReferenceOps {
           Tables(spark, dir).orders.select("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderkey"),
           Seq("o_custkey", "o_orderstatus"),
           struct(col("o_orderdate"), col("o_orderkey")))
+        // group-and-nest (A1) builds the sorted struct array; render each
+        // entry as 'status:price' (price via DECIMAL(18,2) — both engines
+        // print plain fixed-scale strings) so no list cell reaches the
+        // driver's pandas comparator
         EntityOps.groupAndNest(latest, "o_custkey", "o_orderstatus", Seq("o_totalprice"))
+          .select(col("o_custkey"),
+            array_join(
+              transform(col("entries"), e =>
+                concat(e.getField("o_orderstatus"), lit(":"),
+                  e.getField("o_totalprice").cast(DecimalType(18, 2)).cast("string"))),
+              "|").as("entries"))
       }),
 
     // ------------------------------------------------------------------

@@ -376,9 +376,9 @@ object Relational {
       "q15_pivot_status",
       Some("""
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
         FROM orders GROUP BY o_orderpriority
       """.trim),
       (spark, dir) => {
