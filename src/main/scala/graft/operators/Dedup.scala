@@ -39,11 +39,58 @@ object Dedup {
     * share identical shingle sets — so any length band would silently drop
     * qualifying pairs. The prefix/positional filters below are the exact
     * prunes.)
+    *
+    * Documents with IDENTICAL shingle sets are collapsed to one
+    * representative before the quadratic candidate work and expanded back
+    * afterwards: group members are mutually J=1 and interchangeable with
+    * respect to every other document, so the pair set is exactly
+    * reconstructible. Heavily-duplicated corpora (the common case for
+    * web-scale training data) shrink the PPJoin input — and its fat prefix
+    * groups — by the duplication factor, at the cost of one extra
+    * hash-aggregate shuffle.
     */
   def jaccardPairs(
       docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,
       k: Int = 5): DataFrame = {
+    val sh = docs.select(col("id"),
+      TextFunctions.shingles(col("text"), k).as("sh"))
+
+    // one row per distinct shingle SET (key = sorted array; order-free)
+    val groups = sh.groupBy(array_sort(col("sh")).as("sh"))
+      .agg(min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint() // reused by rep pairing + both expansions
+
+    val repPairs = distinctSetPairs(
+      groups.select(col("rep").as("id"), col("sh")), threshold)
+
+    // expand representative pairs to member pairs; groups are disjoint, so
+    // least/greatest re-ordering cannot produce duplicates
+    val m = groups.select(col("rep"), col("members"))
+    val inter = repPairs
+      .join(m.select(col("rep").as("id_a"), col("members").as("ms_a")), "id_a")
+      .join(m.select(col("rep").as("id_b"), col("members").as("ms_b")), "id_b")
+      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("jaccard"))
+      .select(col("x"), explode(col("ms_b")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
+    // intra-group: identical non-empty sets are J = 1.0; empty shingle
+    // sets (text shorter than k) have undefined Jaccard and never pair
+    val intra = groups
+      .filter(size(col("members")) > 1 && size(col("sh")) > 0)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"), lit(1.0).as("jaccard"))
+
+    inter.unionByName(intra)
+  }
+
+  /** PPJoin candidate generation + exact verification over documents with
+    * pairwise-DISTINCT shingle sets (callers collapse duplicates first).
+    */
+  private def distinctSetPairs(sh0: DataFrame, threshold: Double): DataFrame = {
     // AllPairs/PPJoin prefix filtering: under any consistent global shingle
     // order, two sets with J >= t must share an element within each other's
     // first |X| - ceil(t*|X|) + 1 shingles. Ordering by ascending document
@@ -53,17 +100,22 @@ object Dedup {
     // materialize the shingle table once — tokens, frequency counts, the
     // window rank, and both candidate join-backs all reuse it (each self-
     // join branch would otherwise recompute the full lineage)
-    val sh = docs.select(col("id"),
-      TextFunctions.shingles(col("text"), k).as("sh"))
-      .localCheckpoint()
+    val sh = sh0.localCheckpoint()
 
     val tokens = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    // ceil() guards: the double products can sit one ulp ABOVE the exact
+    // integer they mathematically equal (e.g. t*|X| = 12 computed as
+    // 12.000000000000002), and ceil would then overshoot by one — a
+    // shorter prefix / stricter overlap bound that silently drops
+    // exact-threshold pairs. Subtracting 1e-9 before ceil restores the
+    // exact bound (legitimate fractional parts are never that small for
+    // rational thresholds at realistic set sizes).
     val prefix = tokens.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
       .join(sh.select(col("id"), size(col("sh")).as("setsize")), "id")
-      .filter(col("rn") <= col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
+      .filter(col("rn") <= col("setsize") - ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1)
       .select(col("shingle"), col("id"), col("rn"), col("setsize"))
       .localCheckpoint() // the a/b self-join sides share this
 
@@ -76,7 +128,7 @@ object Dedup {
     //    ceil(t/(1+t) * (|A|+|B|)). A qualifying pair always survives via
     //    its first-common-shingle row, so dropping late-rank rows is safe.
     val needOverlap = ceil(lit(threshold / (1 + threshold)) *
-      (col("a.setsize") + col("b.setsize")))
+      (col("a.setsize") + col("b.setsize")) - lit(1e-9))
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
         least(col("a.setsize"), col("b.setsize")).cast(DoubleType) /
@@ -170,11 +222,24 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens (sign-aggregated xxhash64 bits). */
+  /** Cross-engine 64-bit token hash: four 16-bit chunks of the md5 hex
+    * digest packed little-endian (chunk j = hex chars [4j, 4j+4) at bits
+    * [16j, 16j+16)). Unlike xxhash64's internal bit mixing, md5-hex +
+    * base-16 parse is plain SQL on any engine, so SimHash built on it is
+    * oracle-checkable; same trick as [[TextFunctions.fingerprint]].
+    */
+  private def md5Hash64(tok: Column): Column =
+    (0 until 4).map { j =>
+      shiftleft(conv(substring(md5(tok), 1 + 4 * j, 4), 16, 10).cast(LongType), 16 * j)
+    }.reduce(_ bitwiseOR _)
+
+  /** 64-bit SimHash over whitespace tokens (sign-aggregated md5-derived
+    * bits; duplicate tokens vote with multiplicity).
+    */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("id"),
       explode(filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", md5Hash64(col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b_$i")
     }

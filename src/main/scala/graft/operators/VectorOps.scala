@@ -54,10 +54,17 @@ object VectorOps {
       .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: `bits` × `dim` coefficients. */
-  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes: `bits` × `dim` Gaussian
+    * coefficients, rounded to 6 decimals. The rounding makes every
+    * coefficient exactly re-emittable as a plain SQL literal (≤ 7
+    * significant digits parse to the identical IEEE double on any
+    * engine), so an oracle can rebuild the same buckets from the same
+    * numbers; hyperplane quality is unaffected. Public so oracle SQL
+    * generators can read the coefficients.
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(bits, dim)(rnd.nextGaussian())
+    Array.fill(bits, dim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)
   }
 
   /** Sign-bit LSH bucket id of a vector column (array<double>, fixed dim).

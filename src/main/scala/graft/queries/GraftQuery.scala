@@ -31,6 +31,17 @@ object GraftQuery {
     * same row sequence from both engines regardless of how either engine's
     * physical plan happened to emit rows. Map-typed columns are skipped
     * (unorderable in Spark); they only occur in rows-only queries.
+    *
+    * INVARIANT (column order): Spark sorts by SCHEMA field order while the
+    * oracle's `ORDER BY ALL` uses SELECT-LIST order, so every oracle query's
+    * select list MUST name its columns in the same left-to-right order as
+    * the Spark query's output schema. All current pairs hold this; a
+    * reordered column would surface as an order-only hash mismatch that
+    * the name-sorted schema check can't flag.
+    *
+    * (Collation caveat: Spark compares strings by UTF-16 code unit, DuckDB
+    * by UTF-8 byte — identical for ASCII and all BMP text, divergent only
+    * for supplementary-plane characters. Current fixtures are ASCII.)
     */
   def canonicalOrder(df: DataFrame): DataFrame = {
     val sortable = df.schema.fields.filterNot(f => containsMap(f.dataType))
@@ -45,10 +56,13 @@ object GraftQuery {
   private def canonicalOracle(sql: String): String =
     s"SELECT * FROM (\n$sql\n) AS graft_canonical ORDER BY ALL NULLS FIRST"
 
-  /** Collect a module's queries into the SparkEntry map shape. */
+  /** Collect a module's queries into the SparkEntry map shape. Queries
+    * without an oracle get no canonical sort — their row order is never
+    * hash-checked, so the global sort would be a pure benchmark tax.
+    */
   def toQueryMap(qs: Seq[GraftQuery]): Map[String, (SparkSession, String) => DataFrame] =
-    qs.map(q => q.name ->
-      ((s: SparkSession, dir: String) => canonicalOrder(q.run(s, dir)))).toMap
+    qs.map(q => q.name -> ((s: SparkSession, dir: String) =>
+      if (q.oracle.isDefined) canonicalOrder(q.run(s, dir)) else q.run(s, dir))).toMap
 
   def toOracleMap(qs: Seq[GraftQuery]): Map[String, String] =
     qs.flatMap(q => q.oracle.map(sql => q.name -> canonicalOracle(sql))).toMap

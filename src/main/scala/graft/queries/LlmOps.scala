@@ -26,6 +26,85 @@ object LlmOps {
     "de" -> Seq("der", "die", "und"),
     "zh" -> Seq("de_zh_marker"))
 
+  /** DuckDB twin of the SimHash pipeline (oracle for q44). Rebuilds the
+    * 64-bit signature from the same md5-hex 16-bit chunks as
+    * [[graft.operators.Dedup.simhash]] — tokenize, per-bit ±1 sign sums,
+    * band values — then takes the BRUTE-FORCE hamming ≤ 3 pairs. The
+    * Spark side answers via the 4-band pigeonhole equi-join, so a hash
+    * match here also certifies the banding loses no pairs.
+    */
+  private val simhashPairsSql: String = {
+    val chunks = (0 until 4).map(j =>
+      s"CAST(('0x' || substring(md5(tok), ${1 + 4 * j}, 4)) AS BIGINT) AS h$j")
+      .mkString(",\n             ")
+    val sums = (for (j <- 0 until 4; i <- 0 until 16) yield
+      s"SUM(CASE WHEN (h$j >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s${j}_$i")
+      .mkString(",\n             ")
+    val bands = (0 until 4).map { j =>
+      (0 until 16).map(i => s"(CASE WHEN s${j}_$i > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ") + s" AS b$j"
+    }.mkString(",\n             ")
+    val ham = (0 until 4).map(j => s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> length(t) > 0)) AS tok
+      FROM documents),
+    h AS (
+      SELECT id,
+             $chunks
+      FROM toks),
+    sums AS (
+      SELECT id,
+             $sums
+      FROM h GROUP BY id),
+    sig AS (
+      SELECT id,
+             $bands
+      FROM sums)
+    SELECT a.id AS id_a, b.id AS id_b, CAST($ham AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE $ham <= 3""".trim
+  }
+
+  /** DuckDB twin of the multi-table sign-LSH ANN (oracle for q46). The
+    * hyperplanes are deterministic 6-decimal literals
+    * ([[graft.operators.VectorOps.hyperplanes]]), re-emitted here verbatim;
+    * the bucket arithmetic (left-fold dot product, sign bits) matches the
+    * Spark expressions operation-for-operation, so candidate sets — and
+    * therefore the cosine top-k — are identical.
+    */
+  private def annLshOracleSql(bits: Int, dim: Int, tables: Int, k: Int): String = {
+    def bucket(t: Int): String =
+      graft.operators.VectorOps.hyperplanes(bits, dim, seed = 7L + t)
+        .zipWithIndex.map { case (p, i) =>
+          val arr = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_reduce([ v[i] * (CAST($arr AS DOUBLE[]))[i] " +
+            s"for i in generate_series(1, $dim) ], (a, b) -> a + b) >= 0 " +
+            s"THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+    val bks = (0 until tables).map(t => s"${bucket(t)} AS bk$t").mkString(",\n             ")
+    val anyBand = (0 until tables).map(t => s"c.bk$t = q.bk$t").mkString(" OR ")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT vec_id,
+             $bks
+      FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+      FROM b c JOIN b q ON q.vec_id < 10 AND c.vec_id != q.vec_id AND ($anyBand)),
+    ranked AS (
+      SELECT cand.qid, cand.id AS neighbor,
+             round(list_cosine_similarity(c.v, q.v), 4) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.qid
+               ORDER BY round(list_cosine_similarity(c.v, q.v), 4) DESC, cand.id ASC) AS rank
+      FROM cand JOIN e c ON c.vec_id = cand.id JOIN e q ON q.vec_id = cand.qid)
+    SELECT qid, neighbor, cos, rank FROM ranked WHERE rank <= $k""".trim
+  }
+
   /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
   private val jaccardPairsSql = s"""
     WITH sh AS (
@@ -111,15 +190,18 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
-    // q44: SimHash near-dup pairs — banded hamming join (no ANSI-SQL
-    // oracle: xxhash64 bit mixing isn't portable; invariants in DedupSpec).
+    // q44: SimHash near-dup pairs — banded hamming join. Token hashes are
+    // md5-derived 16-bit chunks (plain SQL on both engines), so the oracle
+    // re-derives the signatures and checks against the brute-force
+    // hamming <= 3 pair set — also certifying the pigeonhole banding.
     GraftQuery(
       "q44_simhash_pairs",
-      None,
+      Some(simhashPairsSql),
       (spark, dir) => {
         val d = Tables(spark, dir).documents
         val sig = Dedup.simhash(d, col("doc_id"), col("text"))
         Dedup.simhashPairs(sig, maxDist = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
       }),
 
     // ------------------------------------------------------------------
@@ -151,11 +233,13 @@ object LlmOps {
 
     // ------------------------------------------------------------------
     // q46: LSH-bucketed approximate ANN — the scale path (bucketed probe
-    // instead of full scan). Approximate by design → rows-only check;
-    // recall vs q45 measured in VectorSpec.
+    // instead of full scan). Approximate w.r.t. exact top-k, but fully
+    // deterministic given the literal hyperplanes, so the oracle rebuilds
+    // the same buckets from the same coefficients and must agree exactly.
+    // Recall vs exact q45 measured in VectorSpec.
     GraftQuery(
       "q46_ann_lsh",
-      None,
+      Some(annLshOracleSql(bits = 4, dim = 64, tables = 8, k = 5)),
       (spark, dir) => {
         val e = Tables(spark, dir).embeddings
         val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
