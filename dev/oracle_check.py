@@ -39,6 +39,22 @@ def norm_cell(v):
     return str(v)
 
 
+def nan_null_profile(tbl):
+    """Per-float-column (null_count, nan_count) from the ARROW table, where
+    NULL and NaN are still distinct (pandas float64 conflates them, so the
+    hash compare can't see a real NaN-vs-NULL divergence — this note can).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    prof = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if pa.types.is_floating(col.type):
+            nans = pc.sum(pc.is_nan(pc.drop_null(col.combine_chunks()))).as_py() or 0
+            prof[name] = (col.null_count, int(nans))
+    return prof
+
+
 def fingerprint(df):
     cols = sorted(df.columns)
     df = df[cols]
@@ -68,10 +84,12 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got = pq.read_table(files[0] if len(files) == 1
-                            else f"{out_dir}/{name}").to_pandas()
+        got_tbl = pq.read_table(files[0] if len(files) == 1
+                                else f"{out_dir}/{name}")
+        got = got_tbl.to_pandas()
         try:
-            exp = con.execute(sql).df()
+            exp_tbl = con.execute(sql).arrow()
+            exp = exp_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -92,6 +110,10 @@ def main():
             n_fail += 1
         else:
             note = "" if gd == ed else f"  [dtype note: spark={gd} duckdb={ed}]"
+            gp, ep = nan_null_profile(got_tbl), nan_null_profile(exp_tbl)
+            if gp != ep:
+                note += (f"  [NaN/NULL note: spark={gp} duckdb={ep} "
+                         f"(null_count, nan_count) diverge — hash treats them alike]")
             print(f"PASS {name} ({gn} rows){note}")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")

@@ -10,24 +10,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query best-of-N (default 2): the first run pays janino codegen +
+    // JIT warmup + GC luck — single-shot timings swung ±30-68% between
+    // otherwise-identical rounds, masking real regressions. min-of-reps
+    // measures the steady-state plan cost and is reproducible within ~10%.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop cached/checkpointed state between queries so one query's
-      // memory footprint doesn't tax the next one's GC
-      // drop cached tables AND checkpointed/persisted RDDs left by the
-      // finished query (clearCache alone doesn't release RDD-level
-      // persists, so earlier queries' state would tax later ones)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
-      name -> dt
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop cached tables AND checkpointed/persisted RDDs left by the
+        // finished run (clearCache alone doesn't release RDD-level
+        // persists) so one run's memory footprint doesn't tax the next
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+        if (ok) dt else Double.NaN
+      }
+      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query min of $reps runs (steady-state; run 1 pays codegen+JIT warmup)","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,13 +22,27 @@ final class Tables(val spark: SparkSession, val dir: String) {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw long behind the legacy flag; normalize it back to TimestampType
     * (microsecond precision) so downstream code sees a regular timestamp.
+    *
+    * The flag is only consulted during schema resolution, which
+    * `spark.read.parquet` performs eagerly, so it is set just for this
+    * call and the prior session value restored — reading `events` no
+    * longer changes how OTHER reads in the session treat nanos columns.
+    * ns→µs uses floor division ((ts - pmod) div 1000), not `div` alone:
+    * plain `div` truncates toward zero, which would round pre-epoch
+    * (negative) nanos the wrong way.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try t("events").withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -37,6 +37,13 @@ object AsOfJoin {
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
     require(rightPayload.nonEmpty, "right side needs at least one payload column")
+    val clash = leftPayload.intersect(rightPayload)
+    require(clash.isEmpty,
+      s"payload columns on both sides would collide in the output: " +
+        s"${clash.mkString(", ")} — rename or drop one side's")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__")).distinct
+    require(reserved.isEmpty,
+      s"column names starting with __ are reserved by asof: ${reserved.mkString(", ")}")
 
     // the right payload travels as ONE struct, so the carried values always
     // come from the same right row even when individual fields are null

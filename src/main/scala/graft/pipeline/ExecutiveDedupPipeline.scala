@@ -90,7 +90,10 @@ object ExecutiveDedupPipeline {
       // replays would re-run the sort (ties could land different ids)
       .localCheckpoint()
 
-    // ---- blocked weighted similarity join (weights per reference :199-231)
+    // ---- blocked weighted similarity join (weights per reference :199-231;
+    // company is scored with plain indel ratio — the reference uses
+    // fuzz.ratio for that one field (`executive_review_tool.py:229`) while
+    // the other three use fuzz.token_sort_ratio)
     val joined = SimilarityJoin.selfJoin(
       ids, "id",
       blockKey = blockKey,
@@ -98,7 +101,7 @@ object ExecutiveDedupPipeline {
         Similarity.WeightedField(l("name"), r("name"), 0.5, Similarity.tokenSortRatio),
         Similarity.WeightedField(l("address"), r("address"), 0.25, Similarity.tokenSortRatio),
         Similarity.WeightedField(l("title"), r("title"), 0.15, Similarity.tokenSortRatio),
-        Similarity.WeightedField(l("company"), r("company"), 0.1, Similarity.tokenSortRatio))),
+        Similarity.WeightedField(l("company"), r("company"), 0.1, Similarity.indelRatio))),
       threshold = threshold)
     val edges = joined.pairs
       .select(col("id_l").as("src"), col("id_r").as("dst"), col("sim"))

@@ -296,8 +296,8 @@ object ReferenceOps {
           FROM comp c JOIN part p ON p.p_partkey = c.id)
         SELECT component,
                arg_max(p_name, 3 * CAST(1000000000 AS BIGINT) - p_partkey) AS best_name,
-               array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brands,
-               array_to_string(list_sort(list(p_name)), '|') AS all_variations,
+               array_to_string(list_sort(list(DISTINCT p_brand)), chr(31)) AS brands,
+               array_to_string(list_sort(list(p_name)), chr(31)) AS all_variations,
                COUNT(*) AS n_members
         FROM members GROUP BY component
       """.trim),
@@ -314,10 +314,13 @@ object ReferenceOps {
                 Seq(col("p_name"), col("p_brand"), col("p_type")), col("p_partkey")))
               .as("best_name"),
             // consolidation (A7/A8) still builds the sorted sets/lists —
-            // rendered as '|'-joined strings so the driver's pandas
-            // comparator (which cannot sort/hash list cells) stays green
-            array_join(sort_array(collect_set(col("p_brand"))), "|").as("brands"),
-            array_join(sort_array(collect_list(col("p_name"))), "|").as("all_variations"),
+            // rendered as strings (the driver's pandas comparator cannot
+            // sort/hash list cells) joined on the unit separator (U+001F),
+            // which cannot occur in the data, so distinct lists can never
+            // collapse to equal strings the way a '|' delimiter could;
+            // typed nested output stays available via EntityOps directly
+            array_join(sort_array(collect_set(col("p_brand"))), "\u001f").as("brands"),
+            array_join(sort_array(collect_list(col("p_name"))), "\u001f").as("all_variations"),
             count(lit(1)).as("n_members"))
       }),
 
@@ -407,7 +410,7 @@ object ReferenceOps {
         SELECT o_custkey,
                array_to_string(
                  list(o_orderstatus || ':' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-                      ORDER BY o_orderstatus), '|') AS entries
+                      ORDER BY o_orderstatus), chr(31)) AS entries
         FROM latest GROUP BY o_custkey
       """.trim),
       (spark, dir) => {
@@ -418,14 +421,16 @@ object ReferenceOps {
         // group-and-nest (A1) builds the sorted struct array; render each
         // entry as 'status:price' (price via DECIMAL(18,2) — both engines
         // print plain fixed-scale strings) so no list cell reaches the
-        // driver's pandas comparator
+        // driver's pandas comparator; joined on the unit separator (U+001F)
+        // so a data value containing the delimiter can't make distinct
+        // entry lists render identically
         EntityOps.groupAndNest(latest, "o_custkey", "o_orderstatus", Seq("o_totalprice"))
           .select(col("o_custkey"),
             array_join(
               transform(col("entries"), e =>
                 concat(e.getField("o_orderstatus"), lit(":"),
                   e.getField("o_totalprice").cast(DecimalType(18, 2)).cast("string"))),
-              "|").as("entries"))
+              "\u001f").as("entries"))
       }),
 
     // ------------------------------------------------------------------

@@ -34,12 +34,25 @@ final class FsKeyValueSink(root: String) extends KeyValueSink {
   Files.createDirectories(Paths.get(root))
 
   override def put(key: String, json: String): Unit = {
-    val safe = key.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val cleaned = key.replaceAll("[^A-Za-z0-9_.-]", "_")
+    // sanitization is lossy ("a/b" and "a_b" both clean to "a_b"), so any
+    // key it altered gets a digest suffix of the ORIGINAL key — distinct
+    // keys keep distinct files, and the name stays deterministic (retries
+    // overwrite the same file)
+    val safe =
+      if (cleaned == key) key
+      else {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes(StandardCharsets.UTF_8))
+        cleaned + "-" + d.take(4).map("%02x".format(_)).mkString
+      }
     Files.write(Paths.get(root, s"$safe.json"), json.getBytes(StandardCharsets.UTF_8))
   }
 
-  override def count(): Long =
-    Files.list(Paths.get(root)).count()
+  override def count(): Long = {
+    val s = Files.list(Paths.get(root)) // close: each open stream holds an fd
+    try s.count() finally s.close()
+  }
 }
 
 object KeyValueSink {
