@@ -141,4 +141,64 @@ class StreamingSpec extends SparkSpec {
     val events = graft.core.Tables(spark, sfDir).events.count()
     assert(total == events)
   }
+
+  test("streaming sessionize output EQUALS batch q51 on the same fixture slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same slice both ways: a subset of users, second-truncated timestamps
+    // (the batch twin's granularity), fed to the stream in event-time order
+    // (a sorted stream is the only regime where the documented stray-event
+    // divergence can't occur, so outputs must be IDENTICAL)
+    val slice = graft.core.Tables(spark, sfDir).events
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+        col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.user_id))
+    assert(slice.nonEmpty, "fixture slice must not be empty")
+    val maxT = slice.map(_.ts.getTime).max
+
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_eq").outputMode("append").start()
+    val streamed = try {
+      in.addData(slice.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // two sentinel nudges: the first advances the watermark past every
+      // session timeout (watermark updates at end-of-batch), the second
+      // lets the timed-out state actually fire and emit
+      in.addData(Event(999999L, new Timestamp(maxT + 8L * 3600 * 1000), "z", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(999999L, new Timestamp(maxT + 16L * 3600 * 1000), "z", 0.0))
+      q.processAllAvailable()
+      spark.table("sess_eq").filter(col("user_id") < 20)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+          col("n_events"),
+          // double sums accumulate in different orders on the two paths;
+          // compare at a tolerance far above ulp noise, far below data
+          round(col("sum_value"), 3).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .sorted
+    } finally q.stop()
+
+    val expected = batchQ51Slice()
+    assert(streamed.length == expected.length,
+      s"session count: streaming=${streamed.length} batch=${expected.length}")
+    assert(streamed.sameElements(expected),
+      s"first divergence: ${streamed.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  private def batchQ51Slice(): Array[(Long, String, String, Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    queries.LlmOps.all.find(_.name == "q51_sessionize").get
+      .run(spark, sfDir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 3).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sorted
+  }
 }
