@@ -53,17 +53,37 @@ object Dedup {
       docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,
       k: Int = 5): DataFrame = {
-    val sh = docs.select(col("id"),
-      TextFunctions.shingles(col("text"), k).as("sh"))
+    val tokens = docs
+      .select(col("id"), explode(TextFunctions.shingles(col("text"), k)).as("shingle"))
 
-    // one row per distinct shingle SET (key = sorted array; order-free)
-    val groups = sh.groupBy(array_sort(col("sh")).as("sh"))
+    // Dictionary-encode the shingle VOCABULARY to dense ints ordered by
+    // ascending (document frequency, shingle) — exactly the PPJoin global
+    // order, so "sorted int array" and "frequency-ranked shingle list"
+    // become the same thing and ranks are just array positions. Everything
+    // downstream (collapse keys, prefix join, merge-scan verify) then
+    // moves 4-byte ints instead of shingle strings. The window runs over
+    // the vocabulary (distinct shingles), not the corpus; the dictionary
+    // is broadcast back onto the token stream. (Character-shingle vocabs
+    // are bounded in practice; if one ever outgrows a single window task,
+    // swap row_number for the sort + zipWithIndex pattern used for id
+    // assignment in ExecutiveDedupPipeline — same order, range-partitioned.)
+    val dict = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("tok", row_number().over(
+        Window.orderBy(col("df").asc, col("shingle").asc)))
+      .select("shingle", "tok")
+    val enc = tokens.join(broadcast(dict), "shingle")
+      .groupBy("id").agg(array_sort(collect_list(col("tok"))).as("toks"))
+
+    // one row per distinct shingle SET (empty sets — text shorter than k —
+    // have no tokens and drop out here; their Jaccard is undefined and
+    // they never pair)
+    val groups = enc.groupBy(col("toks"))
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
 
     val repPairs = distinctSetPairs(
-      groups.select(col("rep").as("id"), col("sh")), threshold)
+      groups.select(col("rep").as("id"), col("toks")), threshold)
 
     // expand representative pairs to member pairs; groups are disjoint, so
     // least/greatest re-ordering cannot produce duplicates
@@ -75,10 +95,9 @@ object Dedup {
       .select(col("x"), explode(col("ms_b")).as("y"), col("jaccard"))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
-    // intra-group: identical non-empty sets are J = 1.0; empty shingle
-    // sets (text shorter than k) have undefined Jaccard and never pair
+    // intra-group: identical non-empty sets are J = 1.0
     val intra = groups
-      .filter(size(col("members")) > 1 && size(col("sh")) > 0)
+      .filter(size(col("members")) > 1)
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x") < col("y"))
@@ -88,23 +107,19 @@ object Dedup {
   }
 
   /** PPJoin candidate generation + exact verification over documents with
-    * pairwise-DISTINCT shingle sets (callers collapse duplicates first).
+    * pairwise-DISTINCT dictionary-encoded shingle sets (`id`,
+    * `toks: sorted array<int>` in global frequency order; callers collapse
+    * duplicates first).
     */
-  private def distinctSetPairs(sh0: DataFrame, threshold: Double): DataFrame = {
+  private def distinctSetPairs(enc0: DataFrame, threshold: Double): DataFrame = {
     // AllPairs/PPJoin prefix filtering: under any consistent global shingle
     // order, two sets with J >= t must share an element within each other's
-    // first |X| - ceil(t*|X|) + 1 shingles. Ordering by ascending document
-    // frequency makes those prefixes the RAREST shingles, so the candidate
-    // equi-join on prefix shingle touches tiny groups — this is what keeps
-    // exact near-dup detection from going quadratic at corpus scale.
-    // materialize the shingle table once — tokens, frequency counts, the
-    // window rank, and both candidate join-backs all reuse it (each self-
-    // join branch would otherwise recompute the full lineage)
-    val sh = sh0.localCheckpoint()
-
-    val tokens = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    // first |X| - ceil(t*|X|) + 1 shingles. The dictionary order ranks by
+    // ascending document frequency, so those prefixes are the RAREST
+    // shingles and the candidate equi-join on prefix token touches tiny
+    // groups — this is what keeps exact near-dup detection from going
+    // quadratic at corpus scale.
+    //
     // ceil() guards: the double products can sit one ulp ABOVE the exact
     // integer they mathematically equal (e.g. t*|X| = 12 computed as
     // 12.000000000000002), and ceil would then overshoot by one — a
@@ -112,12 +127,16 @@ object Dedup {
     // exact-threshold pairs. Subtracting 1e-9 before ceil restores the
     // exact bound (legitimate fractional parts are never that small for
     // rational thresholds at realistic set sizes).
-    val prefix = tokens.join(freq, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .join(sh.select(col("id"), size(col("sh")).as("setsize")), "id")
-      .filter(col("rn") <= col("setsize") - ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1)
-      .select(col("shingle"), col("id"), col("rn"), col("setsize"))
-      .localCheckpoint() // the a/b self-join sides share this
+    val enc = enc0
+      .withColumn("setsize", size(col("toks")))
+      .localCheckpoint() // shared by the prefix explode + both verify join-backs
+
+    val prefixLen = (col("setsize") -
+      ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1).cast("int")
+    val prefix = enc
+      .select(col("id"), col("setsize"),
+        posexplode(slice(col("toks"), lit(1), prefixLen)).as(Seq("pos", "tok")))
+      .select(col("tok"), col("id"), (col("pos") + 1).as("rn"), col("setsize"))
 
     // Candidate join with extra EXACT prunes as plain arithmetic inside
     // the join, before the dedup shuffle:
@@ -130,14 +149,26 @@ object Dedup {
     val needOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.setsize") + col("b.setsize")) - lit(1e-9))
     val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+      .join(prefix.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         least(col("a.setsize"), col("b.setsize")).cast(DoubleType) /
           greatest(col("a.setsize"), col("b.setsize")).cast(DoubleType) >= threshold &&
         lit(1) + least(col("a.setsize") - col("a.rn"), col("b.setsize") - col("b.rn")) >= needOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccard(candidates, sh, threshold)
+    // exact verification: merge-scan intersection over the sorted int
+    // arrays; |A∪B| = |A| + |B| − |A∩B|
+    val sides = enc.select(col("id"), col("toks"),
+      col("setsize").cast(DoubleType).as("sz"))
+    candidates
+      .join(sides.select(col("id").as("id_a"), col("toks").as("t_a"), col("sz").as("sz_a")), "id_a")
+      .join(sides.select(col("id").as("id_b"), col("toks").as("t_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCountInt(col("t_a"), col("t_b"))
+          .cast(DoubleType))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
