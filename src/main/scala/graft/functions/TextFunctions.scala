@@ -16,17 +16,15 @@ import org.apache.spark.sql.types.DoubleType
 object TextFunctions {
 
   /** Distinct character k-shingles of a string (order-free set); text
-    * shorter than k has no k-shingle → empty array. (The guard matters:
-    * Spark's `sequence(1, 0)` is the DESCENDING [1, 0], not empty, so the
-    * unguarded transform would invent shingles for short strings and
-    * diverge from the SQL twin, where generate_series(1, 0) is empty.)
+    * shorter than k has no k-shingle → empty array. Computed by the
+    * one-pass codegen'd [[CharShingles]] kernel — the
+    * `transform(sequence, substring)` formulation is O(n²) per document
+    * because SQL `substring` re-scans for the UTF-8 char offset on every
+    * call. Output set and order are identical to the HOF form (and to the
+    * SQL twin's `list_distinct` comprehension).
     */
   def shingles(text: Column, k: Int = 5): Column =
-    array_distinct(filter(
-      transform(
-        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => substring(text, i, lit(k))),
-      s => length(s) === k))
+    CharShingles(text, k)
 
   /** SQL twin of [[shingles]] (DuckDB list comprehension). */
   def shinglesSql(text: String, k: Int = 5): String =

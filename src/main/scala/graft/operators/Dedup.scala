@@ -49,35 +49,41 @@ object Dedup {
     * groups — by the duplication factor, at the cost of one extra
     * hash-aggregate shuffle.
     */
-  def jaccardPairs(
-      docs: DataFrame, // columns: id (long), text (string)
-      threshold: Double,
-      k: Int = 5): DataFrame = {
+  /** Dictionary-encode each document's shingle SET to a sorted dense-int
+    * array: vocabulary ints are assigned in ascending (document frequency,
+    * shingle) order — exactly the PPJoin global order — so "sorted int
+    * array" and "frequency-ranked shingle list" become the same thing and
+    * prefix ranks are just array positions. Everything downstream
+    * (collapse keys, prefix join, signatures, merge-scan verify) then
+    * moves 4-byte ints instead of shingle strings. The window runs over
+    * the vocabulary (distinct shingles), not the corpus; the dictionary
+    * is broadcast back onto the token stream. (Character-shingle vocabs
+    * are bounded in practice; if one ever outgrows a single window task,
+    * swap row_number for the sort + zipWithIndex pattern used for id
+    * assignment in ExecutiveDedupPipeline — same order, range-partitioned.)
+    *
+    * Documents whose text is shorter than k have no shingles and drop out
+    * (their Jaccard is undefined; they can never pair).
+    *
+    * @return (id, toks: sorted array<int>)
+    */
+  private def encodedSets(docs: DataFrame, k: Int): DataFrame = {
     val tokens = docs
       .select(col("id"), explode(TextFunctions.shingles(col("text"), k)).as("shingle"))
-
-    // Dictionary-encode the shingle VOCABULARY to dense ints ordered by
-    // ascending (document frequency, shingle) — exactly the PPJoin global
-    // order, so "sorted int array" and "frequency-ranked shingle list"
-    // become the same thing and ranks are just array positions. Everything
-    // downstream (collapse keys, prefix join, merge-scan verify) then
-    // moves 4-byte ints instead of shingle strings. The window runs over
-    // the vocabulary (distinct shingles), not the corpus; the dictionary
-    // is broadcast back onto the token stream. (Character-shingle vocabs
-    // are bounded in practice; if one ever outgrows a single window task,
-    // swap row_number for the sort + zipWithIndex pattern used for id
-    // assignment in ExecutiveDedupPipeline — same order, range-partitioned.)
     val dict = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
       .withColumn("tok", row_number().over(
         Window.orderBy(col("df").asc, col("shingle").asc)))
       .select("shingle", "tok")
-    val enc = tokens.join(broadcast(dict), "shingle")
+    tokens.join(broadcast(dict), "shingle")
       .groupBy("id").agg(array_sort(collect_list(col("tok"))).as("toks"))
+  }
 
-    // one row per distinct shingle SET (empty sets — text shorter than k —
-    // have no tokens and drop out here; their Jaccard is undefined and
-    // they never pair)
-    val groups = enc.groupBy(col("toks"))
+  def jaccardPairs(
+      docs: DataFrame, // columns: id (long), text (string)
+      threshold: Double,
+      k: Int = 5): DataFrame = {
+    // one row per distinct shingle SET
+    val groups = encodedSets(docs, k).groupBy(col("toks"))
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
@@ -156,36 +162,25 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // exact verification: merge-scan intersection over the sorted int
-    // arrays; |A∪B| = |A| + |B| − |A∩B|
+    verifyJaccardInt(candidates, enc.select(col("id"), col("toks")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    * dictionary-encoded set table (id, toks: sorted array<int>). Jaccard
+    * is derived from the intersection size alone (|A∪B| = |A| + |B| −
+    * |A∩B|), and the intersection is a merge scan over the sorted int
+    * arrays ([[graft.functions.SortedIntersectCountInt]]) — no per-pair
+    * hash-set allocation, which dominates at millions of candidates.
+    */
+  private def verifyJaccardInt(candidates: DataFrame, enc: DataFrame,
+      threshold: Double): DataFrame = {
     val sides = enc.select(col("id"), col("toks"),
-      col("setsize").cast(DoubleType).as("sz"))
+      size(col("toks")).cast(DoubleType).as("sz"))
     candidates
       .join(sides.select(col("id").as("id_a"), col("toks").as("t_a"), col("sz").as("sz_a")), "id_a")
       .join(sides.select(col("id").as("id_b"), col("toks").as("t_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("inter",
         graft.functions.VectorExpressions.sortedIntersectCountInt(col("t_a"), col("t_b"))
-          .cast(DoubleType))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
-    * shingle table (id, sh). Jaccard is derived from the intersection size
-    * alone (|A∪B| = |A| + |B| − |A∩B|), and the intersection is a merge
-    * scan over once-sorted arrays ([[graft.functions.SortedIntersectCount]])
-    * — no per-pair hash-set allocation, which dominates at millions of
-    * candidates.
-    */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sorted = sh.select(col("id"), array_sort(col("sh")).as("sh"),
-      size(col("sh")).cast(DoubleType).as("sz"))
-    candidates
-      .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter",
-        graft.functions.VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b"))
           .cast(DoubleType))
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -200,20 +195,17 @@ object Dedup {
     Seq.fill(n)((1L + rnd.nextInt(1000000000), rnd.nextInt(1000000000).toLong))
   }
 
-  /** MinHash signature columns over a PRE-HASHED shingle column
-    * (array<long>, values in [0, P)): each permutation is one pass of
-    * linear arithmetic over longs — the string hashing happens once per
-    * shingle, not once per (shingle × permutation).
+  /** MinHash signature columns over an element-id column (array<long>,
+    * values in [0, P)): each permutation is one pass of linear arithmetic.
+    * Dictionary-encoded shingle ids feed this directly — a universal-hash
+    * permutation `(a*x + b) mod P` scatters dense ids as well as string
+    * hashes, with zero per-(element × permutation) string work.
     */
-  def minhashSignature(hashed: Column, numHashes: Int = 32, seed: Long = 42L): Seq[Column] =
+  def minhashSignature(elems: Column, numHashes: Int = 32, seed: Long = 42L): Seq[Column] =
     perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hashed, h => (lit(a) * h + lit(b)) % lit(P)))
+      array_min(transform(elems, h => (lit(a) * h + lit(b)) % lit(P)))
         .as(s"mh_$i")
     }
-
-  /** Hash a string-array column into [0, P) longs (input to signatures). */
-  def hashShingles(sh: Column): Column =
-    transform(sh, s => pmod(xxhash64(s), lit(P)))
 
   /** LSH candidate pairs + exact-Jaccard verification.
     *
@@ -226,15 +218,19 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sh = docs.select(col("id"),
-      TextFunctions.shingles(col("text"), k).as("sh"))
-      .localCheckpoint() // reused by signature + both verify join-backs
-    val sig = sh.select(col("id") +: col("sh") +:
-      minhashSignature(hashShingles(col("sh")), numHashes): _*)
+    val enc = encodedSets(docs, k)
+      .localCheckpoint() // reused by signatures + both verify join-backs
+
+    // materialize the long-cast element ids in their own projection so the
+    // 32 signature aggregates share ONE pass-ready attribute (inlining the
+    // cast into each would recompute it 32×)
+    val sig = enc
+      .select(col("id"), transform(col("toks"), t => t.cast(LongType)).as("hs"))
+      .select(col("id") +: minhashSignature(col("hs"), numHashes): _*)
 
     // band key: one row per (doc, band) — candidates share any full band.
-    // Only (id, band, key) travels through the shuffle; shingle arrays are
-    // joined back for the few verified candidates.
+    // Only (id, band, key) travels through the shuffle; the encoded sets
+    // are joined back for the few verified candidates.
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
@@ -250,7 +246,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccardInt(candidates, enc, threshold)
   }
 
   /** Cross-engine 64-bit token hash: four 16-bit chunks of the md5 hex
