@@ -257,14 +257,22 @@ object ReferenceOps {
           // guards are exact: if even the length-gap cap on a field keeps
           // the best possible total below the 80 threshold, the pair can't
           // qualify, so scoring it 0 changes nothing (name: 0.5*cap+50 >=
-          // 80 needs cap >= 60; type: 70+0.3*cap >= 80 needs cap >= 33)
-          score = (l, r) => Similarity.weightedSimilarity(Seq(
-            Similarity.WeightedField(l("p_name"), r("p_name"), 0.5,
-              Similarity.levRatioFast(_, _, 60.0)),
-            Similarity.WeightedField(l("p_type"), r("p_type"), 0.3,
-              Similarity.levRatioFast(_, _, 33.0)),
-            Similarity.WeightedField(l("p_brand"), r("p_brand"), 0.2,
-              (a, b) => when(a === b, 100.0).otherwise(0.0)))),
+          // 80 needs cap >= 60; type: 70+0.3*cap >= 80 needs cap >= 33).
+          // The name DP runs first and gates the rest: nameSim < 60 caps
+          // the total at 0.5*60 + 30 + 20 = 80^- even with perfect type
+          // and brand, so the (lazy) CASE branch skips the type DP for the
+          // overwhelming majority of candidate pairs.
+          score = (l, r) => {
+            val nameSim = Similarity.levRatioFast(l("p_name"), r("p_name"), 60.0)
+            when(nameSim < 60.0, 0.0).otherwise(
+              Similarity.weightedSimilarity(Seq(
+                Similarity.WeightedField(l("p_name"), r("p_name"), 0.5,
+                  (_, _) => nameSim), // already computed; reuse, don't re-run the DP
+                Similarity.WeightedField(l("p_type"), r("p_type"), 0.3,
+                  Similarity.levRatioFast(_, _, 33.0)),
+                Similarity.WeightedField(l("p_brand"), r("p_brand"), 0.2,
+                  (a, b) => when(a === b, 100.0).otherwise(0.0)))))
+          },
           threshold = 80.0)
           .pairs
           .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim").as("score"))
