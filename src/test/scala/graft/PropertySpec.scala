@@ -102,4 +102,46 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"trial $trial: $es")
     }
   }
+
+  // ---------------------------------------------------------------- shingles / intersect kernels
+  test("CharShingles equals the HOF substring formulation incl. multibyte UTF-8 (300 samples)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // mixed-width alphabet: 1-byte ASCII, 2-byte accents, 3-byte CJK, 4-byte emoji
+    val alphabet = "abc\u00e9\u00fc\u4e16\u754c\ud83d\ude00xyz "
+    def randText(max: Int): String = {
+      val cps = alphabet.codePointAt _
+      val starts = (0 until alphabet.length).filter(i => !Character.isLowSurrogate(alphabet.charAt(i)))
+      Iterator.fill(rnd.nextInt(max + 1))(
+        new String(Character.toChars(cps(starts(rnd.nextInt(starts.length)))))).mkString
+    }
+    for (_ <- 1 to 300) {
+      val t = randText(30)
+      val k = 1 + rnd.nextInt(6)
+      val got = graft.functions.CharShingles.shingles(u(t), k)
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      // oracle: sliding window over CODE POINTS, distinct, first-occurrence order
+      val cps = t.codePoints.toArray
+      val expect = (0 to cps.length - k)
+        .map(i => new String(cps, i, k)).distinct
+      assert(gotSeq == expect, s"text='$t' k=$k got=$gotSeq expect=$expect")
+    }
+  }
+
+  test("sorted intersect kernels (string + int) match set intersection (300 samples)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30)).distinct.sorted
+      val expect = a.toSet.intersect(b.toSet).size
+      val ints = graft.functions.SortedIntersectCountInt.count(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      assert(ints == expect, s"int kernel: $a / $b")
+      // same sets as zero-padded strings preserve order => same intersection
+      val as = a.map(i => u(f"$i%04d")); val bs = b.map(i => u(f"$i%04d"))
+      val strs = graft.functions.SortedIntersectCount.count(
+        new GenericArrayData(as.toArray[Any]), new GenericArrayData(bs.toArray[Any]))
+      assert(strs == expect, s"string kernel: $a / $b")
+    }
+  }
 }
