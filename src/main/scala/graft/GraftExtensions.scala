@@ -3,21 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{IndelRatio, TokenSortRatio}
+import graft.functions.{CharShingles, DoubleDot, IndelRatio, SortedIntersectCount, SortedIntersectCountInt, TokenSortRatio}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
-  * `indel_ratio(a, b)` and `token_sort_ratio(a, b)` so `spark.sql` users
-  * get the same codegen'd kernels as the Column API.
+  * `indel_ratio(a, b)`, `token_sort_ratio(a, b)`, `char_shingles(text, k)`,
+  * `sorted_intersect_count[_int](a, b)` and `double_dot(a, b)` so
+  * `spark.sql` users get the same codegen'd kernels as the Column API.
   *
   * Two entry points:
   *  - `withExtensions(new GraftExtensions)` at session build time, or
   *  - `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.indelRatioDesc)
-    ext.injectFunction(GraftExtensions.tokenSortRatioDesc)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descs.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -32,17 +31,31 @@ object GraftExtensions {
       build(args)
     })
 
-  private[graft] val indelRatioDesc =
-    binary("indel_ratio", args => IndelRatio(args(0), args(1)))
+  /** `char_shingles(text, k)` — k must be an integer literal (it shapes
+    * the generated kernel call, not per-row data).
+    */
+  private def shingleK(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"char_shingles k must be an integer literal, got $other")
+  }
 
-  private[graft] val tokenSortRatioDesc =
-    binary("token_sort_ratio", args => TokenSortRatio(args(0), args(1)))
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "indel_ratio" -> (args => IndelRatio(args(0), args(1))),
+    "token_sort_ratio" -> (args => TokenSortRatio(args(0), args(1))),
+    "char_shingles" -> (args => CharShingles(args(0), shingleK(args(1)))),
+    "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
+    "sorted_intersect_count_int" -> (args => SortedIntersectCountInt(args(0), args(1))),
+    "double_dot" -> (args => DoubleDot(args(0), args(1))))
+
+  private[graft] val descs = builders.map { case (name, build) =>
+    binary(name, build)
+  }
 
   /** Register on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "indel_ratio", args => IndelRatio(args(0), args(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_sort_ratio", args => TokenSortRatio(args(0), args(1)), "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, build, "scala_udf")
+    }
 }

@@ -145,5 +145,14 @@ class PipelineSpec extends SparkSpec {
       .head
     assert(math.abs(r.getDouble(0) - 61.53846153846154) < 1e-9)
     assert(math.abs(r.getDouble(1) - 95.23809523809523) < 1e-9)
+    val r2 = spark.sql(
+      """SELECT char_shingles('abcdef', 5) AS sh,
+        |       sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS s,
+        |       sorted_intersect_count_int(array(1, 2, 3), array(2, 3, 4)) AS i,
+        |       double_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .head
+    assert(r2.getSeq[String](0) == Seq("abcde", "bcdef"))
+    assert(r2.getInt(1) == 2 && r2.getInt(2) == 2)
+    assert(r2.getDouble(3) == 11.0)
   }
 }
