@@ -70,3 +70,58 @@ object CharShingles {
   def apply(text: Column, k: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(text), k))
 }
+
+/** `ascii_bigrams(text)` — the byte-bigram MULTISET of an ASCII string as
+  * a sorted int array (code = b[i]<<8 | b[i+1], duplicates kept), for the
+  * q-gram count filter on edit-distance joins: one edit destroys at most
+  * q = 2 bigrams, so `|G(a) ∩ G(b)| >= max(|a|,|b|) - 1 - 2*lev(a,b)`
+  * (Gravano et al., approximate string joins) — a pair whose shared-bigram
+  * count (merge scan over these arrays) is below that bound provably can't
+  * be within the lev threshold, and skips the O(nm) DP entirely.
+  *
+  * Non-ASCII input returns an EMPTY array — a sentinel meaning "no
+  * pruning information" (byte-bigrams of multibyte chars would break the
+  * ≤2-grams-per-edit constant), which callers must treat as
+  * cannot-prune. Strings shorter than 2 chars share the sentinel; their
+  * DP is trivial anyway.
+  */
+case class AsciiBigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ascii_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    AsciiBigrams.bigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AsciiBigrams.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AsciiBigrams {
+  private val EMPTY = new GenericArrayData(Array.empty[Any])
+
+  def bigrams(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < 2) return EMPTY
+    var i = 0
+    while (i < n) {
+      if (bytes(i) < 0) return EMPTY // non-ASCII: no pruning information
+      i += 1
+    }
+    val out = new Array[Int](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.column(AsciiBigrams(ColumnBridge.expression(text)))
+}

@@ -44,13 +44,30 @@ object ReferenceOps {
       .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
     val groups = dropOversizedBrands(groups0).localCheckpoint()
 
+    // q-gram count filter (exact, pre-DP): sim >= t needs
+    // lev <= band = floor((1 - t/100) * maxLen), and one edit destroys at
+    // most 2 byte-bigrams, so shared-bigram count < maxLen - 1 - 2*band
+    // proves the pair out without running the O(nm) Levenshtein DP. The
+    // bigram multiset is computed once per DISTINCT name (sorted int
+    // array); the per-pair check is a ~2n-int merge scan vs ~n² DP cells.
+    // Empty bigram arrays are the "no info" sentinel (non-ASCII or len<2)
+    // and never prune.
     val reps = groups.select(col("p_brand"), col("p_name"), col("ids"))
-    val l = reps.select(col("p_brand"), col("p_name").as("name_l"), col("ids").as("ids_l"))
-    val r = reps.select(col("p_brand").as("brand_r"), col("p_name").as("name_r"), col("ids").as("ids_r"))
+      .withColumn("bg", graft.functions.AsciiBigrams(col("p_name")))
+    val l = reps.select(col("p_brand"), col("p_name").as("name_l"),
+      col("ids").as("ids_l"), col("bg").as("bg_l"))
+    val r = reps.select(col("p_brand").as("brand_r"), col("p_name").as("name_r"),
+      col("ids").as("ids_r"), col("bg").as("bg_r"))
+    val maxLen = greatest(length(col("name_l")), length(col("name_r")))
+    val band = floor(lit(1.0 - threshold / 100.0) * maxLen + lit(1e-9))
     val crossName = l.join(r,
-        col("p_brand") === col("brand_r") && col("name_l") < col("name_r"))
+        col("p_brand") === col("brand_r") && col("name_l") < col("name_r") &&
+          (size(col("bg_l")) === 0 || size(col("bg_r")) === 0 ||
+            graft.functions.VectorExpressions.sortedIntersectCountInt(col("bg_l"), col("bg_r"))
+              >= maxLen - 1 - lit(2) * band))
       .withColumn("sim", Similarity.levRatioFast(col("name_l"), col("name_r"), threshold))
       .filter(col("sim") >= threshold)
+      .drop("bg_l", "bg_r")
       .select(explode(col("ids_l")).as("id_l"), col("ids_r"), col("sim"))
       .select(col("id_l"), explode(col("ids_r")).as("id_r"), col("sim"))
       .select(least(col("id_l"), col("id_r")).as("p_partkey_l"),
