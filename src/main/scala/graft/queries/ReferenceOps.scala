@@ -268,17 +268,27 @@ object ReferenceOps {
       """.trim),
       (spark, dir) => {
         val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_type", "p_brand", "p_size")
-        SimilarityJoin.selfJoin(
+        // EXACT decomposition of the size-blocked pair space by brand:
+        //  - brands differ → brandEq = 0, and since levRatio(x,y) = 100
+        //    iff x == y (lev >= 1 costs at least 100/maxLen), any name or
+        //    type inequality puts the total strictly below 0.5*100 +
+        //    0.3*100 = 80.0 (exact in IEEE: 0.3*100.0 == 30.0). So the
+        //    only qualifying cross-brand pairs have name AND type exactly
+        //    equal, score exactly 80.0 — an equi-join, no DP at all.
+        //  - brands equal → the DP join runs inside (p_size, p_brand)
+        //    blocks, ~|brand|× smaller quadratic work than size-only
+        //    blocking.
+        // Union is disjoint by construction (brand equality splits it).
+        val sameBrand = SimilarityJoin.selfJoin(
           p, "p_partkey",
-          blockKey = col("p_size"),
+          blockKey = concat_ws("|", col("p_size"), col("p_brand")),
           // guards are exact: if even the length-gap cap on a field keeps
           // the best possible total below the 80 threshold, the pair can't
-          // qualify, so scoring it 0 changes nothing (name: 0.5*cap+50 >=
-          // 80 needs cap >= 60; type: 70+0.3*cap >= 80 needs cap >= 33).
-          // The name DP runs first and gates the rest: nameSim < 60 caps
-          // the total at 0.5*60 + 30 + 20 = 80^- even with perfect type
-          // and brand, so the (lazy) CASE branch skips the type DP for the
-          // overwhelming majority of candidate pairs.
+          // qualify (name: 0.5*cap+50 >= 80 needs cap >= 60; type: 70 +
+          // 0.3*cap >= 80 needs cap >= 33). The name DP runs first and
+          // gates the rest: nameSim < 60 caps the total at 0.5*60 + 30 +
+          // 20 = 80^- even with perfect type and brand, so the (lazy)
+          // CASE branch skips the type DP for most candidate pairs.
           score = (l, r) => {
             val nameSim = Similarity.levRatioFast(l("p_name"), r("p_name"), 60.0)
             when(nameSim < 60.0, 0.0).otherwise(
@@ -293,6 +303,15 @@ object ReferenceOps {
           threshold = 80.0)
           .pairs
           .select(col("p_partkey_l").as("src"), col("p_partkey_r").as("dst"), col("sim").as("score"))
+        val diffBrand = p.as("a").join(p.as("b"),
+            col("a.p_size") === col("b.p_size") &&
+              col("a.p_name") === col("b.p_name") &&
+              col("a.p_type") === col("b.p_type") &&
+              col("a.p_brand") =!= col("b.p_brand") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("src"), col("b.p_partkey").as("dst"),
+            lit(80.0).as("score")) // == 0.5*100 + 0.3*100 + 0.2*0 exactly
+        sameBrand.unionByName(diffBrand)
       }),
 
     // ------------------------------------------------------------------
