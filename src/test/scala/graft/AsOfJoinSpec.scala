@@ -34,4 +34,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L) == (None, Some(7L)), "left at t=2 matches right t=2")
     assert(out(1L) == (Some(5L), None), "left at t=1 matches right t=1")
   }
+
+  test("payload name collisions and reserved __ columns are rejected") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, "y")).toDF("k", "rt", "v") // payload "v" on both sides
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asof(l, r, Seq("k"), "t", "rt")
+    }
+    assert(e.getMessage.contains("v"))
+    val lr = Seq((1L, 10L, "x")).toDF("k", "t", "__r")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asof(lr, r.toDF("k", "rt", "w"), Seq("k"), "t", "rt")
+    }
+    assert(e2.getMessage.contains("__r"))
+  }
 }

@@ -138,6 +138,30 @@ class PipelineSpec extends SparkSpec {
     assert(meta.getAs[Long]("total_records") == 3)
   }
 
+  test("sink keys that sanitize to the same name stay distinct files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kvcollide").toString
+    val df = Seq(("a/b", 1.0), ("a_b", 2.0), ("a.b", 3.0)).toDF("key", "value")
+    val report = graft.sources.KeyValueSink.write(
+      df, "key", () => new graft.sources.FsKeyValueSink(dir))
+    assert(report.written == 3)
+    // "a/b" cleans to "a_b" (digest-suffixed), "a_b" and "a.b" are
+    // already clean and keep their plain names
+    assert(report.verifiedCount == 3,
+      "colliding sanitized keys must not overwrite each other")
+    val names = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val b = Seq.newBuilder[String]
+        st.forEach(p => b += p.getFileName.toString)
+        b.result().sorted
+      } finally st.close()
+    }
+    assert(names.contains("a_b.json") && names.contains("a.b.json"), names.toString)
+    assert(names.exists(n => n.startsWith("a_b-") && n.endsWith(".json")),
+      s"sanitized key needs a digest suffix: $names")
+  }
+
   test("sql functions registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
