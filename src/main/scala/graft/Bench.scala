@@ -32,8 +32,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query min of $reps runs (steady-state; run 1 pays codegen+JIT warmup)","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1 per-query but must NOT pollute the headline
+    // total (summing the sentinel would fake a speedup); list them instead
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"method":"per-query min of $reps runs (steady-state; run 1 pays codegen+JIT warmup)","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,9 +37,13 @@ object AsOfJoin {
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
     require(rightPayload.nonEmpty, "right side needs at least one payload column")
-    val clash = leftPayload.intersect(rightPayload)
+    // output columns are keys ++ leftTime ++ leftPayload ++ rightPayload:
+    // a right payload column may collide with a LEFT payload column or
+    // with the leftTime name itself (leftPayload excludes leftTime by
+    // construction, so that direction can't collide)
+    val clash = rightPayload.intersect(leftPayload :+ leftTime)
     require(clash.isEmpty,
-      s"payload columns on both sides would collide in the output: " +
+      s"right payload columns would collide with left output columns: " +
         s"${clash.mkString(", ")} — rename or drop one side's")
     val reserved = (left.columns ++ right.columns).filter(_.startsWith("__")).distinct
     require(reserved.isEmpty,

@@ -32,23 +32,6 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("representative"), count(lit(1)).as("n_dups"))
 
-  /** Exact Jaccard-similar pairs over character shingle sets.
-    *
-    * (No length pre-filter: character-length ratio is NOT implied by
-    * shingle-set Jaccard — repetitive texts of very different lengths can
-    * share identical shingle sets — so any length band would silently drop
-    * qualifying pairs. The prefix/positional filters below are the exact
-    * prunes.)
-    *
-    * Documents with IDENTICAL shingle sets are collapsed to one
-    * representative before the quadratic candidate work and expanded back
-    * afterwards: group members are mutually J=1 and interchangeable with
-    * respect to every other document, so the pair set is exactly
-    * reconstructible. Heavily-duplicated corpora (the common case for
-    * web-scale training data) shrink the PPJoin input — and its fat prefix
-    * groups — by the duplication factor, at the cost of one extra
-    * hash-aggregate shuffle.
-    */
   /** Dictionary-encode each document's shingle SET to a sorted dense-int
     * array: vocabulary ints are assigned in ascending (document frequency,
     * shingle) order — exactly the PPJoin global order — so "sorted int
@@ -70,6 +53,7 @@ object Dedup {
   private def encodedSets(docs: DataFrame, k: Int): DataFrame = {
     val tokens = docs
       .select(col("id"), explode(TextFunctions.shingles(col("text"), k)).as("shingle"))
+      .localCheckpoint() // dict build + encode probe share ONE shingle pass
     val dict = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
       .withColumn("tok", row_number().over(
         Window.orderBy(col("df").asc, col("shingle").asc)))
@@ -78,6 +62,23 @@ object Dedup {
       .groupBy("id").agg(array_sort(collect_list(col("tok"))).as("toks"))
   }
 
+  /** Exact Jaccard-similar pairs over character shingle sets.
+    *
+    * (No length pre-filter: character-length ratio is NOT implied by
+    * shingle-set Jaccard — repetitive texts of very different lengths can
+    * share identical shingle sets — so any length band would silently drop
+    * qualifying pairs. The prefix/positional filters in
+    * [[distinctSetPairs]] are the exact prunes.)
+    *
+    * Documents with IDENTICAL shingle sets are collapsed to one
+    * representative before the quadratic candidate work and expanded back
+    * afterwards: group members are mutually J=1 and interchangeable with
+    * respect to every other document, so the pair set is exactly
+    * reconstructible. Heavily-duplicated corpora (the common case for
+    * web-scale training data) shrink the PPJoin input — and its fat prefix
+    * groups — by the duplication factor, at the cost of one extra
+    * hash-aggregate shuffle.
+    */
   def jaccardPairs(
       docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,

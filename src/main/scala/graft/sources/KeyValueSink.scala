@@ -36,15 +36,17 @@ final class FsKeyValueSink(root: String) extends KeyValueSink {
   override def put(key: String, json: String): Unit = {
     val cleaned = key.replaceAll("[^A-Za-z0-9_.-]", "_")
     // sanitization is lossy ("a/b" and "a_b" both clean to "a_b"), so any
-    // key it altered gets a digest suffix of the ORIGINAL key — distinct
-    // keys keep distinct files, and the name stays deterministic (retries
-    // overwrite the same file)
+    // key it altered gets the full md5 of the ORIGINAL key as a suffix —
+    // distinct dirty keys keep distinct files (up to md5 collision), and
+    // the name stays deterministic (retries overwrite the same file). A
+    // clean key that happens to LOOK like a suffixed name is the one
+    // residual ambiguity; callers with such key schemes should pre-hash.
     val safe =
       if (cleaned == key) key
       else {
         val d = java.security.MessageDigest.getInstance("MD5")
           .digest(key.getBytes(StandardCharsets.UTF_8))
-        cleaned + "-" + d.take(4).map("%02x".format(_)).mkString
+        cleaned + "-" + d.map("%02x".format(_)).mkString
       }
     Files.write(Paths.get(root, s"$safe.json"), json.getBytes(StandardCharsets.UTF_8))
   }

@@ -43,6 +43,12 @@ class AsOfJoinSpec extends SparkSpec {
       graft.operators.AsOfJoin.asof(l, r, Seq("k"), "t", "rt")
     }
     assert(e.getMessage.contains("v"))
+    // right payload colliding with the LEFT TIME column name
+    val rt = Seq((1L, 5L, "y")).toDF("k", "rt", "t")
+    val et = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asof(l.select("k", "t"), rt, Seq("k"), "t", "rt")
+    }
+    assert(et.getMessage.contains("t"))
     val lr = Seq((1L, 10L, "x")).toDF("k", "t", "__r")
     val e2 = intercept[IllegalArgumentException] {
       graft.operators.AsOfJoin.asof(lr, r.toDF("k", "rt", "w"), Seq("k"), "t", "rt")
