@@ -205,6 +205,44 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q44b: near-dup cluster consolidation — the step an actual dedup
+    // pipeline runs AFTER pair generation: connected components over the
+    // exact-Jaccard similarity graph, one representative (min id) per
+    // cluster, members listed. Oracle re-derives the same clusters with a
+    // recursive CTE over the exact pair set.
+    GraftQuery(
+      "q44b_neardup_clusters",
+      Some(s"""
+        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS root FROM nodes
+          UNION
+          SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id)
+        SELECT CAST(MIN(id) AS BIGINT) AS representative,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               array_to_string(list_sort(list(id)), chr(31)) AS members
+        FROM comp GROUP BY component
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+        val edges = Dedup.jaccardPairs(d, threshold = 0.8)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        graft.operators.ConnectedComponents.run(spark, edges)
+          .groupBy("component")
+          .agg(
+            min(col("id")).as("representative"),
+            count(lit(1)).as("n_docs"),
+            array_join(transform(sort_array(collect_list(col("id"))),
+              _.cast("string")), "\u001f").as("members"))
+          .select("representative", "n_docs", "members")
+      }),
+
+    // ------------------------------------------------------------------
     // q45: brute-force cosine top-k ANN — broadcast query set × corpus
     // scan, deterministic ranking (cosine rounded, id tie-break).
     GraftQuery(
