@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Dedup}
+
+/** End-to-end corpus deduplication — the composition an LLM training-data
+  * pipeline actually runs, built from the individually-verified operators:
+  *
+  *  1. exact dedup: hash-groupBy on canonicalized text (one shuffle with
+  *     map-side combine) removes byte-identical duplicates BEFORE any
+  *     similarity work — at web scale the exact-dup fraction is large and
+  *     this is by far the cheapest reduction;
+  *  2. near-dup pairs over the exact representatives: MinHash+LSH by
+  *     default (banded equi-join, the 100 TB path), exact PPJoin on
+  *     request (`exact = true`);
+  *  3. cluster consolidation: connected components over the pair graph,
+  *     min-id representative per cluster;
+  *  4. keep-list: exact representatives that are not displaced by a
+  *     smaller-id near-dup cluster member. Every kept doc id represents
+  *     its exact-dup group and its near-dup cluster.
+  *
+  * Everything stays a lazy DataFrame plan; no driver-side loops over data.
+  */
+object DedupPipeline {
+
+  final case class Result(
+      /** (id, text) — documents surviving both dedup tiers */
+      keep: DataFrame,
+      /** (id, kept_as) — dropped doc → the id it was deduplicated into */
+      dropped: DataFrame,
+      /** (representative, n_docs, member_ids) near-dup clusters (size > 1) */
+      clusters: DataFrame,
+      /** single-row: n_docs, n_exact_dropped, n_neardup_dropped, n_kept */
+      stats: DataFrame)
+
+  /** @param docs      (id: long, text: string)
+    * @param threshold Jaccard near-dup threshold
+    * @param exact     true → exact PPJoin pair generation; false → MinHash
+    *                  LSH (recall ≈ 1 above ~0.9 similarity, the scale path)
+    */
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      exact: Boolean = false): Result = {
+
+    // ---- tier 1: exact dedup on canonical text
+    val canon = lower(trim(col("text")))
+    val exactGroups = Dedup.exactGroups(docs, col("id"), canon)
+      .select(col("representative"), col("n_dups"))
+    val withKey = docs.withColumn("__key", canon)
+    val repOf = withKey.select(col("id"), col("__key"))
+      .join(withKey.groupBy("__key").agg(min(col("id")).as("__rep")), "__key")
+      .select(col("id"), col("__rep"))
+      .localCheckpoint() // reused by keep + dropped branches
+    val exactDropped = repOf.filter(col("id") =!= col("__rep"))
+      .select(col("id"), col("__rep").as("kept_as"))
+    val reps = docs.join(
+      repOf.filter(col("id") === col("__rep")).select("id"), Seq("id"))
+
+    // ---- tier 2+3: near-dup pairs over representatives → clusters
+    val pairs =
+      (if (exact) Dedup.jaccardPairs(reps, threshold)
+       else Dedup.minhashLsh(reps, threshold))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.run(spark, pairs)
+      .localCheckpoint() // reused by clusters + keep/dropped branches
+    val clusterRep = comp.groupBy("component")
+      .agg(min(col("id")).as("representative"),
+        count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("member_ids"))
+    val clusters = clusterRep.select("representative", "n_docs", "member_ids")
+
+    // ---- tier 4: keep = reps not displaced by a smaller cluster member
+    val nearDropped = comp
+      .join(clusterRep.select(col("component"), col("representative")), "component")
+      .filter(col("id") =!= col("representative"))
+      .select(col("id"), col("representative").as("kept_as"))
+    val keep = reps.join(nearDropped.select("id"), Seq("id"), "left_anti")
+
+    // an exact-dropped doc's representative may itself be near-dropped in
+    // tier 2 — chain the mapping so kept_as ALWAYS names a kept doc
+    val exactFinal = exactDropped
+      .join(nearDropped.select(col("id").as("kept_as"), col("kept_as").as("__final")),
+        Seq("kept_as"), "left")
+      .select(col("id"), coalesce(col("__final"), col("kept_as")).as("kept_as"))
+    val dropped = exactFinal.unionByName(nearDropped)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(exactDropped.agg(count(lit(1)).as("n_exact_dropped")))
+      .crossJoin(nearDropped.agg(count(lit(1)).as("n_neardup_dropped")))
+      .withColumn("n_kept",
+        col("n_docs") - col("n_exact_dropped") - col("n_neardup_dropped"))
+
+    Result(keep, dropped, clusters, stats)
+  }
+}
