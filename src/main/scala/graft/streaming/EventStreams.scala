@@ -70,6 +70,34 @@ object EventStreams {
       override def close(errorOrNull: Throwable): Unit = ()
     }
 
+  /** Watermarked stream-stream interval join: pair each `thenType` event
+    * with the `firstType` events of the same user in the preceding
+    * `windowSeconds` — the canonical funnel/attribution correlation. Both
+    * sides carry event-time watermarks and the join condition bounds the
+    * event-time distance, so the state store expires rows instead of
+    * growing without bound: O(rate × window) state per side — the only
+    * stream-stream join shape that survives at scale.
+    */
+  def correlate(
+      events: DataFrame,
+      firstType: String,
+      thenType: String,
+      windowSeconds: Long = 3600L): DataFrame = {
+    val first = events.filter(col("event_type") === firstType)
+      .select(col("user_id"), col("ts").as("first_ts"), col("value").as("first_value"))
+      .withWatermark("first_ts", "2 hours")
+    val then_ = events.filter(col("event_type") === thenType)
+      .select(col("user_id").as("then_user"), col("ts").as("then_ts"),
+        col("value").as("then_value"))
+      .withWatermark("then_ts", "2 hours")
+    first.join(then_,
+        col("user_id") === col("then_user") &&
+          col("then_ts") >= col("first_ts") &&
+          col("then_ts") <= col("first_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("first_ts"), col("then_ts"),
+        col("first_value"), col("then_value"))
+  }
+
   /** Inactivity-gap sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives within `gapSeconds` (event time). State
     * per user is one open session — O(users) state, watermark-evicted.

@@ -49,6 +49,21 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q43 minhash LSH candidates come from a band-key equi join") {
+    val p = plan("q43_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q44 simhash pairs come from a band equi join, and q44b clusters stay join-based") {
+    val p = plan("q44_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val p2 = plan("q44b_neardup_clusters")
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
   test("q01 aggregation runs inside whole-stage codegen") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(1500))

@@ -131,6 +131,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.correlate(in.toDF(), "view", "click", windowSeconds = 1800)
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), "view", 1.0),
+        Event(1, ts(10), "click", 2.0),  // within 30 min of the view -> joins
+        Event(1, ts(100), "click", 3.0), // 100 min later -> outside window
+        Event(2, ts(5), "click", 4.0))   // other user, no view -> no join
+      q.processAllAvailable()
+      in.addData(Event(9, ts(900), "view", 0.0)) // advance both watermarks
+      q.processAllAvailable()
+      val rows = spark.table("funnel")
+        .select("user_id", "then_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 2.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("batch sessionization twin agrees with streaming on closed sessions") {
     import spark.implicits._
     val batch = queries.LlmOps.all.find(_.name == "q51_sessionize").get
