@@ -78,6 +78,29 @@ object TextFunctions {
     }._2
   }
 
+  /** Word n-grams over whitespace tokens of the lowered text: the LM-side
+    * corpus statistic (n-gram frequency tables, contamination checks).
+    * Texts with fewer than n tokens yield an empty array. One generator +
+    * `element_at` reads per position — no per-gram re-tokenization.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(typedlit(Seq.empty[String]))
+  }
+
+  /** SQL twin of [[wordNgrams]] for DuckDB (list slicing is 1-based and
+    * end-inclusive, so `t[i:i+n-1]` is exactly n tokens).
+    */
+  def wordNgramsSql(text: String, n: Int): String = {
+    val toks = s"list_filter(string_split_regex(lower(trim($text)), '\\s+'), x -> length(x) > 0)"
+    s"[array_to_string(($toks)[i:i+${n - 1}], ' ') " +
+      s"for i in generate_series(1, len($toks) - ${n - 1})]"
+  }
+
   /** Deterministic polynomial rolling hash over characters, mod 1e9+7 —
     * a cross-engine-stable document fingerprint (unlike xxhash64, the
     * arithmetic is plain SQL on both sides; values stay < 2^35, no

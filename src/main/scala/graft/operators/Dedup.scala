@@ -32,6 +32,36 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("representative"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the shape every production corpus actually
+    * runs: a new batch arrives and must be deduplicated (a) within itself
+    * and (b) against everything already ingested. Keys are md5-digested
+    * first so the two shuffles (batch self-group, history anti-join) move
+    * 32-char digests instead of document-sized keys — at 100 TB of history
+    * the digest column is what makes the anti-join feasible, and a
+    * persisted digest table makes each increment's cost proportional to
+    * the BATCH, not the corpus. (A broadcast Bloom filter over history
+    * digests can pre-drop most novel keys before the shuffle when history
+    * is huge and batches are mostly-new; it's a pure prefilter — the exact
+    * anti-join stays, so results never depend on it.)
+    *
+    * @param batch      new records
+    * @param id         stable id within `batch`
+    * @param key        canonical dedup key (e.g. `lower(trim(text))`)
+    * @param historyKey same canonicalization over `history`
+    * @return (representative, n_batch_dups): one row per batch key NOT in
+    *         history — representative = min id, n_batch_dups = batch
+    *         multiplicity of that key
+    */
+  def incremental(batch: DataFrame, id: Column, key: Column,
+      history: DataFrame, historyKey: Column): DataFrame = {
+    val b = batch.select(id.as("__id"), md5(key.cast("string")).as("__k"))
+    val h = history.select(md5(historyKey.cast("string")).as("__k"))
+    b.groupBy("__k")
+      .agg(min(col("__id")).as("representative"), count(lit(1)).as("n_batch_dups"))
+      .join(h, Seq("__k"), "left_anti")
+      .select("representative", "n_batch_dups")
+  }
+
   /** Dictionary-encode each document's shingle SET to a sorted dense-int
     * array: vocabulary ints are assigned in ascending (document frequency,
     * shingle) order — exactly the PPJoin global order — so "sorted int

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.{Num, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, VectorOps}
+import graft.operators.{Chunker, Dedup, Funnel, Multimodal, Sampling, VectorOps}
 
 /** LLM-training-data pipeline surface over `documents` / `embeddings`:
   * dedup (exact, fingerprint, n-gram Jaccard, MinHash LSH, SimHash),
@@ -498,6 +498,135 @@ object LlmOps {
               .otherwise(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
           .filter(col("cos") >= 0.40)
           .select("id_a", "id_b", "cos")
+      }),
+
+    // ------------------------------------------------------------------
+    // q54: incremental dedup — a new batch (doc_id % 5 = 0) deduplicated
+    // within itself AND against the already-ingested history (the rest).
+    // Digest-keyed shuffles; cost proportional to the batch, not the
+    // corpus (Dedup.incremental).
+    GraftQuery(
+      "q54_incremental_dedup",
+      Some("""
+        WITH batch AS (
+          SELECT doc_id, md5(lower(trim(text))) AS k FROM documents WHERE doc_id % 5 = 0),
+        hist AS (
+          SELECT md5(lower(trim(text))) AS k FROM documents WHERE doc_id % 5 <> 0),
+        grouped AS (
+          SELECT k, MIN(doc_id) AS representative, COUNT(*) AS n_batch_dups
+          FROM batch GROUP BY k)
+        SELECT representative, n_batch_dups FROM grouped
+        WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.k = grouped.k)
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        Dedup.incremental(
+          d.filter(col("doc_id") % 5 === 0), col("doc_id"), lower(trim(col("text"))),
+          d.filter(col("doc_id") % 5 =!= 0), lower(trim(col("text"))))
+      }),
+
+    // ------------------------------------------------------------------
+    // q55: deterministic stratified sampling — mixture construction by
+    // language (30% of English, all of Chinese, 60% elsewhere) via the
+    // salted-md5 hash gate: reproducible, partition-independent, zero
+    // shuffle (Sampling.stratifiedHash).
+    GraftQuery(
+      "q55_stratified_sample",
+      Some(s"""
+        SELECT doc_id, lang, bucket AS sample_bucket FROM (
+          SELECT doc_id, lang, ${Sampling.hashBucketSql("doc_id")} AS bucket
+          FROM documents)
+        WHERE bucket < CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 100 ELSE 60 END
+      """.trim),
+      (spark, dir) => {
+        Sampling.stratifiedHash(
+          Tables(spark, dir).documents,
+          key = col("doc_id"), stratum = col("lang"),
+          rates = Map("en" -> 30, "zh" -> 100), defaultPct = 60)
+          .select("doc_id", "lang", "sample_bucket")
+      }),
+
+    // ------------------------------------------------------------------
+    // q56: n-gram corpus statistics — top-5 trigrams per language by count
+    // (ties broken lexically). The LM-side frequency table; one explode +
+    // one aggregate, per-language top-k via window.
+    GraftQuery(
+      "q56_ngram_stats",
+      Some(s"""
+        WITH t AS (
+          SELECT lang, unnest(${TextFunctions.wordNgramsSql("text", 3)}) AS trigram
+          FROM documents),
+        c AS (SELECT lang, trigram, COUNT(*) AS cnt FROM t GROUP BY lang, trigram),
+        r AS (
+          SELECT lang, trigram, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, trigram ASC) AS rank
+          FROM c)
+        SELECT lang, trigram, cnt, rank FROM r WHERE rank <= 5
+      """.trim),
+      (spark, dir) => {
+        val counts = Tables(spark, dir).documents
+          .select(col("lang"), explode(TextFunctions.wordNgrams(col("text"), 3)).as("trigram"))
+          .groupBy("lang", "trigram")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("trigram").asc)
+        counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      }),
+
+    // ------------------------------------------------------------------
+    // q57: funnel conversions — per user, views that led to a purchase
+    // within 30 minutes (batch twin of the streaming interval join;
+    // Funnel.conversions is the shared range-join shape).
+    GraftQuery(
+      "q57_funnel_conversions",
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id, date_trunc('second', ts) AS tss
+          FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id, date_trunc('second', ts) AS tss
+          FROM events WHERE event_type = 'purchase'),
+        conv AS (
+          SELECT v.user_id, v.event_id,
+                 MIN(CAST(epoch(p.tss) AS BIGINT) - CAST(epoch(v.tss) AS BIGINT)) AS lag_s
+          FROM v JOIN p ON p.user_id = v.user_id
+                       AND p.tss > v.tss AND p.tss <= v.tss + INTERVAL 30 MINUTE
+          GROUP BY v.user_id, v.event_id)
+        SELECT user_id, COUNT(*) AS n_conversions,
+               CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+               CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+        FROM conv GROUP BY user_id
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).events
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("tss"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id").as("key"), col("event_id").as("id"), col("tss").as("ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("key"), col("tss").as("ts"))
+        Funnel.conversions(views, purchases, windowSec = 1800L)
+          .groupBy("key")
+          .agg(count(lit(1)).as("n_conversions"),
+            min(col("lag_s")).as("min_lag_s"), max(col("lag_s")).as("max_lag_s"))
+          .select(col("key").as("user_id"), col("n_conversions"),
+            col("min_lag_s"), col("max_lag_s"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q58: context-window chunking — 200-char windows with 40-char overlap
+    // (map-only explode; chunk digests feed dedup downstream).
+    GraftQuery(
+      "q58_chunk_docs",
+      Some(s"""
+        SELECT id AS doc_id, chunk_idx, length(chunk) AS n_chunk_chars,
+               md5(chunk) AS chunk_digest
+        FROM (${Chunker.fixedChunksSql("documents", "doc_id", "text", size = 200, overlap = 40)})
+      """.trim),
+      (spark, dir) => {
+        Chunker.fixedChunks(Tables(spark, dir).documents,
+            col("doc_id"), col("text"), size = 200, overlap = 40)
+          .select(col("id").as("doc_id"), col("chunk_idx"),
+            length(col("chunk")).as("n_chunk_chars"), md5(col("chunk")).as("chunk_digest"))
       })
   )
 }
