@@ -627,6 +627,68 @@ object LlmOps {
             col("doc_id"), col("text"), size = 200, overlap = 40)
           .select(col("id").as("doc_id"), col("chunk_idx"),
             length(col("chunk")).as("n_chunk_chars"), md5(col("chunk")).as("chunk_digest"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q59: benchmark decontamination — corpus documents sharing any word
+    // 5-gram with the held-out eval set (doc_id < 10 plays the benchmark).
+    // The eval-side gram table is broadcast (benchmark sets are small by
+    // definition), so at 100 TB this is a map-side hash semi-join over the
+    // corpus scan — the corpus is never shuffled.
+    GraftQuery(
+      "q59_decontamination",
+      Some(s"""
+        WITH bench AS (
+          SELECT doc_id AS bench_id, unnest(list_distinct(${TextFunctions.wordNgramsSql("text", 5)})) AS gram
+          FROM documents WHERE doc_id < 10),
+        corp AS (
+          SELECT doc_id, unnest(list_distinct(${TextFunctions.wordNgramsSql("text", 5)})) AS gram
+          FROM documents WHERE doc_id >= 10)
+        SELECT doc_id, COUNT(DISTINCT gram) AS n_shared_grams,
+               COUNT(DISTINCT bench_id) AS n_bench_docs
+        FROM corp JOIN bench USING (gram)
+        GROUP BY doc_id
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.wordNgrams(col("text"), 5))).as("gram"))
+        val bench = grams(d.filter(col("doc_id") < 10))
+          .withColumnRenamed("doc_id", "bench_id")
+        grams(d.filter(col("doc_id") >= 10))
+          .join(broadcast(bench), "gram")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_shared_grams"),
+            countDistinct(col("bench_id")).as("n_bench_docs"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q60: repetition-ratio quality filter — the share of duplicated
+    // trigrams per document (the classic "repetitious text" curation
+    // signal). Pure per-row expression work: no shuffle at any scale.
+    GraftQuery(
+      "q60_repetition_filter",
+      Some(s"""
+        SELECT doc_id, n_tri, n_distinct_tri,
+               CASE WHEN n_tri = 0 THEN 0.0
+                    ELSE 1.0 - CAST(n_distinct_tri AS DOUBLE) / CAST(n_tri AS DOUBLE) END AS rep_ratio,
+               (CASE WHEN n_tri = 0 THEN 0.0
+                     ELSE 1.0 - CAST(n_distinct_tri AS DOUBLE) / CAST(n_tri AS DOUBLE) END) > 0.2 AS flagged
+        FROM (
+          SELECT doc_id,
+                 len(${TextFunctions.wordNgramsSql("text", 3)}) AS n_tri,
+                 len(list_distinct(${TextFunctions.wordNgramsSql("text", 3)})) AS n_distinct_tri
+          FROM documents)
+      """.trim),
+      (spark, dir) => {
+        val tri = TextFunctions.wordNgrams(col("text"), 3)
+        val rep = when(col("n_tri") === 0, 0.0).otherwise(
+          lit(1.0) - col("n_distinct_tri").cast(DoubleType) / col("n_tri").cast(DoubleType))
+        Tables(spark, dir).documents
+          .select(col("doc_id"), size(tri).as("n_tri"),
+            size(array_distinct(tri)).as("n_distinct_tri"))
+          .withColumn("rep_ratio", rep)
+          .withColumn("flagged", col("rep_ratio") > 0.2)
       })
   )
 }

@@ -113,6 +113,42 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 60L), (2L, 20L, 1800L)))
   }
 
+  // --------------------------------------------------- decontamination
+
+  test("decontamination counts distinct shared grams, not occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),        // bench: grams "a b c d e", "b c d e f"
+      (10L, "a b c d e f"),        // shares both grams
+      (11L, "x a b c d e x a b c d e"), // shares "a b c d e" (twice in text -> once distinct)
+      (12L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.wordNgrams(col("text"), 5))).as("gram"))
+    val bench = grams(docs.filter(col("doc_id") < 10)).withColumnRenamed("doc_id", "bench_id")
+    val out = grams(docs.filter(col("doc_id") >= 10))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n"), countDistinct(col("bench_id")).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((10L, 2L, 1L), (11L, 1L, 1L)))
+  }
+
+  test("repetition ratio flags duplicated trigrams") {
+    import spark.implicits._
+    val tri = TextFunctions.wordNgrams(col("text"), 3)
+    val out = Seq(
+      (1L, "a b a b a b a b"),  // 6 trigrams, 2 distinct -> ratio 2/3
+      (2L, "all tokens unique here now"),
+      (3L, "xy"))               // < 3 tokens -> 0 trigrams, ratio 0
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), size(tri).as("n"), size(array_distinct(tri)).as("d"))
+      .withColumn("r", when(col("n") === 0, 0.0)
+        .otherwise(lit(1.0) - col("d").cast("double") / col("n").cast("double")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(out == Set((1L, 6, 2, 1.0 - 2.0 / 6.0), (2L, 3, 3, 0.0), (3L, 0, 0, 0.0)))
+  }
+
   // ---------------------------------------------------- incremental dedup
 
   test("incremental dedup: batch-internal dups collapse, history dups drop") {
