@@ -64,6 +64,37 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
   }
 
+  test("q55 stratified sample is shuffle-free (pure filter over the scan)") {
+    // the whole point of the hash gate: membership must not require data
+    // movement, so the plan has no Exchange at all (the canonical-order
+    // sort the oracle wrapper adds is the only permissible one)
+    val df = graft.operators.Sampling.stratifiedHash(
+      graft.core.Tables(spark, sfDir).documents,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"),
+      Map("en" -> 30), defaultPct = 60)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q58 chunking is a map-only explode (no Exchange)") {
+    val df = graft.operators.Chunker.fixedChunks(
+      graft.core.Tables(spark, sfDir).documents,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), size = 200, overlap = 40)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), "explode should lower to Generate")
+  }
+
+  test("q59 decontamination joins the corpus against a broadcast gram table") {
+    val p = plan("q59_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q01 aggregation runs inside whole-stage codegen") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(1500))
