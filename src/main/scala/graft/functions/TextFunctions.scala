@@ -86,10 +86,17 @@ object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
-      .otherwise(typedlit(Seq.empty[String]))
+    // Bind the token array ONCE as a lambda variable: every element_at
+    // below then reads a bound attribute. Referencing `toks` directly from
+    // each element_at would re-run split+filter per read — O(tokens²) per
+    // document, which showed up as a 10× slowdown on real corpora.
+    element_at(
+      transform(array(toks), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + lit(j))): _*)))
+          .otherwise(typedlit(Seq.empty[String]))),
+      1)
   }
 
   /** SQL twin of [[wordNgrams]] for DuckDB (list slicing is 1-based and

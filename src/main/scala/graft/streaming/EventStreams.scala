@@ -70,6 +70,26 @@ object EventStreams {
       override def close(errorOrNull: Throwable): Unit = ()
     }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.incremental]]'s batch-internal leg: keep the
+    * first record per canonical key, where "first" is arrival order within
+    * the watermark horizon. The key is md5-digested so the state store
+    * holds 32-char digests instead of document-sized keys, and
+    * `dropDuplicatesWithinWatermark` evicts state older than the watermark
+    * — O(keys-per-horizon) state, never O(stream). Exactly-once dedup
+    * across ALL time needs the batch anti-join against a persisted digest
+    * history (the `Dedup.incremental` path); this operator is the
+    * in-flight guard that keeps a hot ingest stream from flooding that
+    * nightly reconciliation.
+    */
+  def dedupStream(records: DataFrame, keyCol: String, tsCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    records
+      .withColumn("__digest", md5(col(keyCol).cast("string")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Watermarked stream-stream interval join: pair each `thenType` event
     * with the `firstType` events of the same user in the preceding
     * `windowSeconds` — the canonical funnel/attribution correlation. Both

@@ -164,6 +164,29 @@ class StreamingSpec extends SparkSpec {
     assert(total == events)
   }
 
+  test("streaming dedup keeps the first record per key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // dedup key = event_type; value identifies WHICH record survived
+    val q = EventStreams.dedupStream(in.toDF(), keyCol = "event_type", tsCol = "ts")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), "alpha", 1.0), Event(2, ts(1), "alpha", 2.0),
+        Event(3, ts(2), "beta", 3.0))
+      q.processAllAvailable()
+      // a later batch with another duplicate still inside the watermark
+      in.addData(Event(4, ts(5), "alpha", 4.0), Event(5, ts(6), "gamma", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .select("event_type", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(rows == Set(("alpha", 1.0), ("beta", 3.0), ("gamma", 5.0)),
+        s"first-wins per key expected, got $rows")
+    } finally q.stop()
+  }
+
   test("streaming sessionize output EQUALS batch q51 on the same fixture slice") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
