@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * Fixed character windows with overlap: chunk i covers
   * `[1 + i*stride, 1 + i*stride + size)` (1-based), `stride = size -
   * overlap`, so consecutive chunks share `overlap` characters and no
-  * character is dropped. The window starts come from `sequence()` and the
-  * slices from `substr()` — one generator + one explode per document,
-  * entirely codegen'd, no shuffle: chunking at 100 TB is a map-only stage
-  * whose output is written straight back out (or piped into dedup, which
-  * is why the chunk digest is part of the output contract downstream).
+  * character is dropped. Starts run while `start <= len - overlap` — past
+  * that bound a window holds only characters the previous chunk already
+  * covers, so every emitted chunk contributes new text and the final
+  * chunk is never a pure-overlap duplicate. The window starts come from
+  * `sequence()` and the slices from `substr()` — one generator + one
+  * explode per document, entirely codegen'd, no shuffle: chunking at
+  * 100 TB is a map-only stage whose output is written straight back out
+  * (or piped into dedup, which is why the chunk digest is part of the
+  * output contract downstream).
   *
   * Token-boundary-aware chunking belongs to the tokenizer (a decode-side
   * concern, same boundary as [[Multimodal]]'s codec); character windows
@@ -37,9 +41,10 @@ object Chunker {
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
     df.select(id.as("id"), text.as("__text"))
-      // greatest(len, 1): a start must exist even for the empty string
+      // greatest(..., 1): a start must exist even for the empty string
       .select(col("id"), col("__text"),
-        explode(sequence(lit(1), greatest(length(col("__text")), lit(1)),
+        explode(sequence(lit(1),
+          greatest(length(col("__text")) - overlap, lit(1)),
           lit(stride))).as("__start"))
       .select(
         col("id"),
@@ -56,6 +61,6 @@ object Chunker {
     s"""SELECT $idExpr AS id,
        CAST((start - 1) // $stride AS INTEGER) AS chunk_idx,
        substring($textExpr, start, $size) AS chunk
-       FROM $tbl, unnest(generate_series(1, greatest(length($textExpr), 1), $stride)) AS u(start)"""
+       FROM $tbl, unnest(generate_series(1, greatest(length($textExpr) - $overlap, 1), $stride)) AS u(start)"""
   }
 }

@@ -54,9 +54,9 @@ class CurationSpec extends SparkSpec {
     val chunks = Chunker.fixedChunks(Seq((1L, text)).toDF("doc_id", "t"),
         col("doc_id"), col("t"), size = 200, overlap = 40)
       .orderBy("chunk_idx").collect().map(_.getString(2))
-    assert(chunks.length == 4) // starts 1, 161, 321, 481
-    assert(chunks.take(3).forall(_.length == 200))
-    assert(chunks.last.length == 40)
+    // starts 1, 161, 321 — NOT 481, which would be a pure-overlap chunk
+    assert(chunks.length == 3)
+    assert(chunks.forall(_.length == 200))
     // consecutive chunks agree on the 40-char overlap
     chunks.sliding(2).foreach { case Array(a, b) =>
       assert(a.takeRight(40) == b.take(math.min(40, b.length)))

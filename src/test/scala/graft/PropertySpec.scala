@@ -127,6 +127,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunker: stitching chunks reconstructs any text for any params (grid)") {
+    import spark.implicits._
+    // text lengths around every boundary of every (size, overlap) pair
+    val params = Seq((5, 0), (5, 2), (8, 7), (200, 40))
+    for ((size, overlap) <- params) {
+      val stride = size - overlap
+      val lens = Seq(0, 1, stride - 1, stride, stride + 1, 3 * stride, 3 * stride + 1)
+        .filter(_ >= 0).distinct
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Iterator.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString)
+      }
+      val byDoc = graft.operators.Chunker.fixedChunks(
+          docs.toDF("doc_id", "t"), col("doc_id"), col("t"), size, overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      for ((id, text) <- docs) {
+        val chunks = byDoc(id)
+        val stitched = chunks.head + chunks.tail.map(_.drop(overlap)).mkString
+        assert(stitched == text, s"size=$size overlap=$overlap len=${text.length}")
+        assert(chunks.init.forall(_.length == size),
+          s"non-final chunks must be full: size=$size overlap=$overlap len=${text.length}")
+      }
+    }
+  }
+
+  test("sampling: bucket is stable, uniform-ish, and nests across rates (2000 keys)") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("k")
+    val buckets = df.select(col("k"), graft.operators.Sampling.hashBucket(col("k")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(buckets.values.forall(b => b >= 0 && b < 100))
+    // uniformity: each decade of buckets holds 10% +- 3pp of keys
+    val perDecade = buckets.values.groupBy(_ / 10).view.mapValues(_.size)
+    assert(perDecade.values.forall(n => n > 140 && n < 260), perDecade.toMap.toString)
+    // determinism across a re-evaluation with different partitioning
+    val again = df.repartition(13)
+      .select(col("k"), graft.operators.Sampling.hashBucket(col("k")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == buckets)
+  }
+
   test("sorted intersect kernels (string + int) match set intersection (300 samples)") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     import org.apache.spark.sql.catalyst.util.GenericArrayData
