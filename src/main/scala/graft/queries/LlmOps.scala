@@ -689,6 +689,47 @@ object LlmOps {
             size(array_distinct(tri)).as("n_distinct_tri"))
           .withColumn("rep_ratio", rep)
           .withColumn("flagged", col("rep_ratio") > 0.2)
+      }),
+
+    // ------------------------------------------------------------------
+    // q61: mixture-rate planning — given target token SHARES per language
+    // and a total budget of half the corpus, the per-language sampling
+    // rate is min(1, share·budget / available). This is the planning step
+    // whose output feeds Sampling.stratifiedHash's rate map; two tiny
+    // aggregates + a broadcast of the 1-row total, O(languages) output.
+    GraftQuery(
+      "q61_mixture_rates",
+      Some("""
+        WITH per AS (
+          SELECT lang,
+                 CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                          t -> length(t) > 0))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+        SELECT lang, n_tokens,
+               CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
+                              WHEN 'de' THEN 0.1 ELSE 0.15 END AS DOUBLE) AS target_share,
+               least(CAST(1.0 AS DOUBLE),
+                     CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
+                                    WHEN 'de' THEN 0.1 ELSE 0.15 END AS DOUBLE)
+                       * 0.5 * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS rate
+        FROM per, tot
+      """.trim),
+      (spark, dir) => {
+        val perLang = Tables(spark, dir).documents
+          .groupBy("lang")
+          .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        val total = perLang.agg(sum(col("n_tokens")).as("total"))
+        val share = when(col("lang") === "en", 0.5)
+          .when(col("lang") === "zh", 0.1)
+          .when(col("lang") === "de", 0.1)
+          .otherwise(0.15)
+        perLang.crossJoin(broadcast(total))
+          .withColumn("target_share", share)
+          .withColumn("rate", least(lit(1.0),
+            col("target_share") * 0.5 * col("total").cast(DoubleType)
+              / col("n_tokens").cast(DoubleType)))
+          .select("lang", "n_tokens", "target_share", "rate")
       })
   )
 }

@@ -149,6 +149,27 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 6, 2, 1.0 - 2.0 / 6.0), (2L, 3, 3, 0.0), (3L, 0, 0, 0.0)))
   }
 
+  // ---------------------------------------------------- mixture planning
+
+  test("mixture rates clamp at 1 when the stratum can't fill its share") {
+    import spark.implicits._
+    // 3 langs, token counts 10 / 80 / 10 (total 100, budget 50)
+    val docs = Seq(
+      ("a", ("w " * 10).trim), ("b", ("w " * 80).trim), ("c", ("w " * 10).trim))
+      .toDF("lang", "text")
+    val perLang = docs.groupBy("lang")
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("total"))
+    val share = when(col("lang") === "a", 0.4).when(col("lang") === "b", 0.4).otherwise(0.2)
+    val out = perLang.crossJoin(broadcast(total))
+      .withColumn("rate", least(lit(1.0),
+        share * 0.5 * col("total").cast("double") / col("n_tokens").cast("double")))
+      .collect().map(r => (r.getString(0), r.getAs[Double]("rate"))).toMap
+    // a: wants 0.4*50=20 of 10 available -> clamp 1.0
+    // b: wants 20 of 80 -> 0.25; c: wants 10 of 10 -> 1.0
+    assert(out("a") == 1.0 && out("b") == 0.25 && out("c") == 1.0, out.toString)
+  }
+
   // ---------------------------------------------------- incremental dedup
 
   test("incremental dedup: batch-internal dups collapse, history dups drop") {
