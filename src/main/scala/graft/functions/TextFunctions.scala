@@ -100,12 +100,15 @@ object TextFunctions {
   }
 
   /** SQL twin of [[wordNgrams]] for DuckDB (list slicing is 1-based and
-    * end-inclusive, so `t[i:i+n-1]` is exactly n tokens).
+    * end-inclusive, so `t[i:i+n-1]` is exactly n tokens). The coalesce
+    * matches Spark's NULL behavior: [[wordNgrams]] lands in its
+    * `.otherwise` (empty array) for NULL text, while the bare DuckDB
+    * comprehension would propagate NULL.
     */
   def wordNgramsSql(text: String, n: Int): String = {
     val toks = s"list_filter(string_split_regex(lower(trim($text)), '\\s+'), x -> length(x) > 0)"
-    s"[array_to_string(($toks)[i:i+${n - 1}], ' ') " +
-      s"for i in generate_series(1, len($toks) - ${n - 1})]"
+    s"coalesce([array_to_string(($toks)[i:i+${n - 1}], ' ') " +
+      s"for i in generate_series(1, len($toks) - ${n - 1})], [])"
   }
 
   /** Deterministic polynomial rolling hash over characters, mod 1e9+7 —

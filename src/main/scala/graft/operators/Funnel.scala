@@ -19,25 +19,29 @@ object Funnel {
 
   /** Earliest qualifying follow per trigger: for every trigger row, the
     * minimum `follow.ts - trigger.ts` over follows with the same key in
-    * `(ts, ts + windowSec]`. Triggers with no qualifying follow drop out
-    * (an outer variant is a left join away; conversion RATES need the
-    * trigger count, which callers keep from the input).
+    * `[ts, ts + windowSec]` — full timestamp precision, both bounds
+    * inclusive, exactly [[graft.streaming.EventStreams.correlate]]'s
+    * condition, so batch and streaming counts agree event-for-event.
+    * Triggers with no qualifying follow drop out (an outer variant is a
+    * left join away; conversion RATES need the trigger count, which
+    * callers keep from the input).
     *
     * @param triggers (key, id, ts) — id must be unique per trigger row
     * @param follows  (key, ts)
     * @return (key, id, lag_s) — lag of the earliest follow, in seconds
+    *         (DOUBLE: sub-second lags survive; integral for
+    *         second-truncated inputs)
     */
   def conversions(triggers: DataFrame, follows: DataFrame,
       windowSec: Long): DataFrame = {
-    val t = triggers.select(col("key"), col("id"),
-      unix_timestamp(col("ts")).as("__t_s"))
-    val f = follows.select(col("key").as("__f_key"),
-      unix_timestamp(col("ts")).as("__f_s"))
+    val t = triggers.select(col("key"), col("id"), col("ts").as("__t_ts"))
+    val f = follows.select(col("key").as("__f_key"), col("ts").as("__f_ts"))
     t.join(f,
         col("key") === col("__f_key") &&
-          col("__f_s") > col("__t_s") &&
-          col("__f_s") <= col("__t_s") + windowSec)
+          col("__f_ts") >= col("__t_ts") &&
+          col("__f_ts") <= col("__t_ts") + expr(s"INTERVAL $windowSec SECONDS"))
       .groupBy(col("key"), col("id"))
-      .agg(min(col("__f_s") - col("__t_s")).as("lag_s"))
+      .agg((min(unix_micros(col("__f_ts")) - unix_micros(col("__t_ts"))).cast("double")
+        / 1e6).as("lag_s"))
   }
 }

@@ -25,15 +25,21 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Deterministic bucket in [0, 100) from a stable key: parse the first
-    * 8 md5-hex chars of `salt:key` as an integer, mod 100.
+    * 8 md5-hex chars of `salt:key` as an integer, mod 100. A NULL key
+    * yields a NULL bucket (`concat` propagates it, like the SQL twin's
+    * `||`), so NULL-keyed rows fail every `bucket < rate` gate and are
+    * excluded from all samples — a sampling key is an identity and a NULL
+    * identity has no stable membership.
     */
   def hashBucket(key: Column, salt: String = "graft"): Column =
-    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 100
 
-  /** SQL twin of [[hashBucket]] for DuckDB. */
-  def hashBucketSql(keyExpr: String, salt: String = "graft"): String =
-    s"CAST(('0x' || substring(md5('$salt' || ':' || CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  /** SQL twin of [[hashBucket]] for DuckDB (same NULL propagation). */
+  def hashBucketSql(keyExpr: String, salt: String = "graft"): String = {
+    val quoted = salt.replace("'", "''")
+    s"CAST(('0x' || substring(md5('$quoted' || ':' || CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  }
 
   /** Stratified deterministic sample: keep a row iff its hash bucket is
     * below the sampling percentage of its stratum (`rates` in percent,

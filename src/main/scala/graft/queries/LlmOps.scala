@@ -589,7 +589,7 @@ object LlmOps {
           SELECT v.user_id, v.event_id,
                  MIN(CAST(epoch(p.tss) AS BIGINT) - CAST(epoch(v.tss) AS BIGINT)) AS lag_s
           FROM v JOIN p ON p.user_id = v.user_id
-                       AND p.tss > v.tss AND p.tss <= v.tss + INTERVAL 30 MINUTE
+                       AND p.tss >= v.tss AND p.tss <= v.tss + INTERVAL 30 MINUTE
           GROUP BY v.user_id, v.event_id)
         SELECT user_id, COUNT(*) AS n_conversions,
                CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
@@ -607,7 +607,8 @@ object LlmOps {
         Funnel.conversions(views, purchases, windowSec = 1800L)
           .groupBy("key")
           .agg(count(lit(1)).as("n_conversions"),
-            min(col("lag_s")).as("min_lag_s"), max(col("lag_s")).as("max_lag_s"))
+            min(col("lag_s")).cast("long").as("min_lag_s"),
+            max(col("lag_s")).cast("long").as("max_lag_s"))
           .select(col("key").as("user_id"), col("n_conversions"),
             col("min_lag_s"), col("max_lag_s"))
       }),

@@ -97,77 +97,85 @@ class CurationSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- funnel
 
-  test("funnel keeps the earliest follow within the window, only") {
+  test("funnel keeps the earliest follow within the window, at full precision") {
     import spark.implicits._
-    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    def ts(s: Int, ms: Int = 0) = {
+      val t = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+      t.setNanos(ms * 1000000); t
+    }
     val views = Seq(
-      (1L, 10L, ts(0)),    // converts: purchases at +60s and +120s -> lag 60
-      (1L, 11L, ts(1700)), // no purchase within (t, t+1800]
-      (2L, 20L, ts(0)))    // purchase at exactly +1800 -> inclusive bound
+      (1L, 10L, ts(0)),        // converts: purchases at +60s and +120s -> lag 60
+      (1L, 11L, ts(1700)),     // no purchase within [t, t+1800]
+      (2L, 20L, ts(0)),        // purchase at exactly +1800 -> inclusive bound
+      (4L, 40L, ts(9, 500)))   // sub-second lag: purchase 300ms later
       .toDF("key", "id", "ts")
     val purchases = Seq(
-      (1L, ts(60)), (1L, ts(120)), (2L, ts(1800)), (3L, ts(30)))
+      (1L, ts(60)), (1L, ts(120)), (2L, ts(1800)), (3L, ts(30)),
+      (4L, ts(9, 800)))
       .toDF("key", "ts")
     val out = Funnel.conversions(views, purchases, windowSec = 1800L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(out == Set((1L, 10L, 60L), (2L, 20L, 1800L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // sub-second pairs must survive (the streaming twin pairs them too)
+    assert(out == Set((1L, 10L, 60.0), (2L, 20L, 1800.0), (4L, 40L, 0.3)))
   }
 
   // --------------------------------------------------- decontamination
 
-  test("decontamination counts distinct shared grams, not occurrences") {
+  /** Stage a controlled documents table so tests can run the SHIPPED
+    * query functions (not re-implementations of them) against it.
+    */
+  private def docsFixture(rows: (Long, String, String)*): String = {
     import spark.implicits._
-    val docs = Seq(
-      (0L, "a b c d e f"),        // bench: grams "a b c d e", "b c d e f"
-      (10L, "a b c d e f"),        // shares both grams
-      (11L, "x a b c d e x a b c d e"), // shares "a b c d e" (twice in text -> once distinct)
-      (12L, "totally different words here now"))
-      .toDF("doc_id", "text")
-    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
-      explode(array_distinct(TextFunctions.wordNgrams(col("text"), 5))).as("gram"))
-    val bench = grams(docs.filter(col("doc_id") < 10)).withColumnRenamed("doc_id", "bench_id")
-    val out = grams(docs.filter(col("doc_id") >= 10))
-      .join(broadcast(bench), "gram")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("n"), countDistinct(col("bench_id")).as("nb"))
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.toSeq.map { case (id, text, lang) => (id, text, lang, "srcT", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def runQuery(name: String, dir: String) =
+    queries.LlmOps.all.find(_.name == name).get.run(spark, dir)
+
+  test("q59 counts distinct shared grams, not occurrences") {
+    val dir = docsFixture(
+      (0L, "a b c d e f", "en"),        // bench: grams "a b c d e", "b c d e f"
+      (10L, "a b c d e f", "en"),        // shares both grams
+      (11L, "x a b c d e x a b c d e", "en"), // shares "a b c d e" (twice -> once distinct)
+      (12L, "totally different words here now", "en"))
+    val out = runQuery("q59_decontamination", dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((10L, 2L, 1L), (11L, 1L, 1L)))
   }
 
-  test("repetition ratio flags duplicated trigrams") {
-    import spark.implicits._
-    val tri = TextFunctions.wordNgrams(col("text"), 3)
-    val out = Seq(
-      (1L, "a b a b a b a b"),  // 6 trigrams, 2 distinct -> ratio 2/3
-      (2L, "all tokens unique here now"),
-      (3L, "xy"))               // < 3 tokens -> 0 trigrams, ratio 0
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), size(tri).as("n"), size(array_distinct(tri)).as("d"))
-      .withColumn("r", when(col("n") === 0, 0.0)
-        .otherwise(lit(1.0) - col("d").cast("double") / col("n").cast("double")))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
-    assert(out == Set((1L, 6, 2, 1.0 - 2.0 / 6.0), (2L, 3, 3, 0.0), (3L, 0, 0, 0.0)))
+  test("q60 repetition ratio flags duplicated trigrams") {
+    val dir = docsFixture(
+      (1L, "a b a b a b a b", "en"),  // 6 trigrams, 2 distinct -> ratio 2/3
+      (2L, "all tokens unique here now", "en"),
+      (3L, "xy", "en"))               // < 3 tokens -> 0 trigrams, ratio 0
+    val out = runQuery("q60_repetition_filter", dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, 6, 2, 1.0 - 2.0 / 6.0, true),
+      (2L, 3, 3, 0.0, false),
+      (3L, 0, 0, 0.0, false)))
   }
 
   // ---------------------------------------------------- mixture planning
 
-  test("mixture rates clamp at 1 when the stratum can't fill its share") {
-    import spark.implicits._
-    // 3 langs, token counts 10 / 80 / 10 (total 100, budget 50)
-    val docs = Seq(
-      ("a", ("w " * 10).trim), ("b", ("w " * 80).trim), ("c", ("w " * 10).trim))
-      .toDF("lang", "text")
-    val perLang = docs.groupBy("lang")
-      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
-    val total = perLang.agg(sum(col("n_tokens")).as("total"))
-    val share = when(col("lang") === "a", 0.4).when(col("lang") === "b", 0.4).otherwise(0.2)
-    val out = perLang.crossJoin(broadcast(total))
-      .withColumn("rate", least(lit(1.0),
-        share * 0.5 * col("total").cast("double") / col("n_tokens").cast("double")))
+  test("q61 mixture rates clamp at 1 when the stratum can't fill its share") {
+    // q61's fixed shares: en 0.5, zh 0.1, else 0.15; budget = total/2.
+    // Token counts 10 / 80 / 10 -> total 100, budget 50:
+    //   en wants 0.5*50=25 of 10 available -> clamp 1.0
+    //   zh wants 5 of 80 -> 0.0625
+    //   fr wants 7.5 of 10 -> 0.75
+    val dir = docsFixture(
+      (1L, ("w " * 10).trim, "en"),
+      (2L, ("w " * 80).trim, "zh"),
+      (3L, ("w " * 10).trim, "fr"))
+    val out = runQuery("q61_mixture_rates", dir)
       .collect().map(r => (r.getString(0), r.getAs[Double]("rate"))).toMap
-    // a: wants 0.4*50=20 of 10 available -> clamp 1.0
-    // b: wants 20 of 80 -> 0.25; c: wants 10 of 10 -> 1.0
-    assert(out("a") == 1.0 && out("b") == 0.25 && out("c") == 1.0, out.toString)
+    assert(out("en") == 1.0 && out("zh") == 0.0625 && out("fr") == 0.75, out.toString)
   }
 
   // ---------------------------------------------------- incremental dedup
