@@ -187,6 +187,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval-join output EQUALS the batch join on the same fixture slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // correlate() is one definition executed both ways: batch execution
+    // ignores the watermarks, streaming uses them for state eviction — the
+    // claim under test is that eviction never drops an in-window pair
+    val slice = graft.core.Tables(spark, sfDir).events
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+        col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.user_id))
+    assert(slice.nonEmpty)
+    val maxT = slice.map(_.ts.getTime).max
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)
+    val batch = EventStreams.correlate(
+        slice.toSeq.toDF(), "view", "purchase", windowSeconds = 1800L)
+      .collect().map(key).sorted
+
+    val in = MemoryStream[Event]
+    val q = EventStreams.correlate(in.toDF(), "view", "purchase", windowSeconds = 1800L)
+      .writeStream.format("memory").queryName("corr_eq").outputMode("append").start()
+    val streamed = try {
+      in.addData(slice.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // sentinels must survive correlate's type filters to advance both
+      // sides' watermarks past every joinable pair (two nudges: advance,
+      // then flush)
+      for (k <- 1 to 2) {
+        val t = new Timestamp(maxT + k * 8L * 3600 * 1000)
+        in.addData(Event(999999L, t, "view", 0.0), Event(999999L, t, "purchase", 0.0))
+        q.processAllAvailable()
+      }
+      spark.table("corr_eq").filter(col("user_id") < 30)
+        .collect().map(key).sorted
+    } finally q.stop()
+
+    assert(streamed.length == batch.length,
+      s"pair count: streaming=${streamed.length} batch=${batch.length}")
+    assert(streamed.sameElements(batch),
+      s"first divergence: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("streaming sessionize output EQUALS batch q51 on the same fixture slice") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
