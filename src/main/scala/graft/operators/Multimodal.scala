@@ -58,4 +58,35 @@ object Multimodal {
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
       lit("image/fake").as("media_type")).as[MediaRecord]
   }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_digest: String)
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  /** STUB frame sampler — the 1→N decode boundary (video pipelines spend
+    * their budget here): emit every `stride`-th frame index of the fake
+    * frame count, with a deterministic per-frame digest standing in for
+    * the decoded frame tensor. Same honest-stub contract as [[decodeStub]]:
+    * the arithmetic (`frames = 1 + n_bytes % 10`, digest =
+    * `md5(md5(payload) || ':' || idx)`) is plain enough for a SQL oracle,
+    * while the `mapPartitions` + iterator-flatMap structure — per-partition
+    * codec init, no frame materialization beyond the emitted ones — is the
+    * real production shape a demuxer drops into.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): Dataset[FrameSample] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition demuxer/codec init would go here
+      it.flatMap { r =>
+        val frames = (1 + r.payload.length % 10).toInt
+        val payloadDigest = md5Hex(r.payload)
+        (0 until frames by stride).iterator.map { idx =>
+          FrameSample(r.doc_id, idx,
+            md5Hex(s"$payloadDigest:$idx".getBytes("UTF-8")))
+        }
+      }
+    }
+  }
 }

@@ -404,6 +404,25 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q50b: multimodal frame sampling — the 1→N decode boundary (every
+    // 2nd fake frame per media payload through the partition-batched
+    // sampler). The stub arithmetic is replicated by the oracle; the
+    // mapPartitions/flatMap structure is the production demuxer shape.
+    GraftQuery(
+      "q50b_frame_sample",
+      Some("""
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               md5(md5(text) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+        FROM documents,
+             unnest(generate_series(0, CAST(octet_length(encode(text)) % 10 AS INTEGER), 2))
+               AS u(frame_idx)
+      """.trim),
+      (spark, dir) => {
+        val media = Multimodal.documentsAsMedia(spark, Tables(spark, dir).documents)
+        Multimodal.sampleFrames(media, stride = 2).toDF()
+      }),
+
+    // ------------------------------------------------------------------
     // q51: batch sessionization — 30-min inactivity gap via lag + running
     // sum (streaming twin: EventStreams.sessionize).
     GraftQuery(

@@ -148,4 +148,22 @@ class OperatorSpec extends SparkSpec {
     val got = df.select(EntityOps.band(col("s"))).collect().map(_.getString(0))
     assert(got.toSeq == Seq("high", "high", "uncertain", "uncertain", "low", "low"))
   }
+
+  // ------------------------------------------------------- multimodal
+  test("frame sampler emits every stride-th frame of the stub frame count") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // payload lengths 11 and 19 -> fake frame counts 2 and 10
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Array.fill[Byte](11)(7), "video/fake"),
+      Multimodal.MediaRecord(2L, Array.fill[Byte](19)(7), "video/fake")).toDS()
+    val out = Multimodal.sampleFrames(media, stride = 2).collect()
+      .groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
+    assert(out == Map(1L -> Seq(0), 2L -> Seq(0, 2, 4, 6, 8)))
+    // digests are per-(payload, idx) deterministic and distinct per frame
+    val digests = Multimodal.sampleFrames(media, stride = 1).collect()
+      .filter(_.doc_id == 2L).map(_.frame_digest)
+    assert(digests.length == 10 && digests.distinct.length == 10)
+    intercept[IllegalArgumentException] { Multimodal.sampleFrames(media, stride = 0) }
+  }
 }
