@@ -26,14 +26,31 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** @param edges two columns `src`, `dst` (any integral type); undirected.
+    * @param localThreshold edge-count (after symmetrization/dedup) at or
+    *        below which the graph is solved by an exact driver-side
+    *        union-find instead of the iterative join loop. Each loop
+    *        iteration costs ~6 Spark jobs — pure scheduling overhead when
+    *        the edge list fits in a few MB — and similarity graphs are
+    *        usually tiny relative to their corpus (edges ∝ near-dups, not
+    *        rows). The bound is measured, not assumed: the count runs on
+    *        the already-persisted edge set, and 100k edges ≈ 1.6 MB on
+    *        the driver. Big graphs take the distributed loop unchanged;
+    *        both paths produce identical (id, min-reachable-id) labels.
     * @return (id, component) — component = min reachable id, for every id
     *         appearing in `edges`.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 100000L): DataFrame = {
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (sym.count() <= localThreshold) {
+      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist()
+      return localUnionFind(spark, es)
+    }
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -73,5 +90,31 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Exact union-find (path-halving) over a bounded edge list; labels are
+    * min-reachable-id, identical to the distributed loop's fixpoint.
+    */
+  private def localUnionFind(spark: SparkSession,
+      es: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElseUpdate(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElseUpdate(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (s, d) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) {
+        // union by min id: the root IS the component label
+        if (rs < rd) parent(rd) = rs else parent(rs) = rd
+      }
+    }
+    import spark.implicits._
+    parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "component")
   }
 }

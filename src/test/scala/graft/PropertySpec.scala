@@ -75,19 +75,27 @@ class PropertySpec extends SparkSpec {
   test("connected components converge on a 200-node chain (deeper than maxIter)") {
     import spark.implicits._
     val chain = (0L until 199L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(spark, chain.toDF("src", "dst"))
+    // localThreshold = 0 forces the DISTRIBUTED loop — this is the
+    // pointer-doubling depth test, which the small-graph fast path would
+    // otherwise absorb
+    val got = ConnectedComponents.run(spark, chain.toDF("src", "dst"), localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200)
     assert(got.values.forall(_ == 0L), s"all labels must reach 0: ${got.toSeq.sortBy(_._1).takeRight(5)}")
   }
 
-  test("connected components match a union-find oracle on random graphs") {
+  test("connected components match a union-find oracle on random graphs (both paths)") {
     import spark.implicits._
     for (trial <- 1 to 3) {
       val es = Seq.fill(25)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
         .filter(e => e._1 != e._2)
       val got = ConnectedComponents.run(spark, es.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the distributed loop must agree with the local fast path exactly
+      val distributed = ConnectedComponents.run(spark, es.toDF("src", "dst"),
+          localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(distributed == got, s"trial $trial: path divergence on $es")
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElseUpdate(x, x)
