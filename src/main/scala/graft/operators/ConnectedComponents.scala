@@ -41,8 +41,14 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
       localThreshold: Long = 100000L): DataFrame = {
+    // NULL endpoints (nullable input columns, or non-numeric ids nulled by
+    // the cast) carry no connectivity: drop them up front so both the local
+    // and distributed paths see the same graph. Without this the local
+    // collect() would NPE on getLong while the join loop would silently
+    // emit a meaningless (null, null) label row.
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

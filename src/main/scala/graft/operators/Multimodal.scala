@@ -28,27 +28,36 @@ object Multimodal {
       fake_frames: Int,
       digest: String)
 
+  /** Fake frame count shared by [[decodeStub]], [[sampleFrames]] and the
+    * q50/q50b SQL oracles (`1 + n_bytes % 10`) — one definition so the 1→1
+    * and 1→N stubs can't drift apart on the same payload.
+    */
+  private[graft] def fakeFrameCount(nBytes: Long): Int = (1 + nBytes % 10).toInt
+
   /** STUB decoder — deterministic fake metadata from payload bytes.
     * Kept arithmetic-only so an external SQL oracle can replicate it.
     */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
+  def decodeStub(r: MediaRecord): MediaFeatures =
+    decode(MessageDigest.getInstance("MD5"), r)
+
+  private def decode(md: MessageDigest, r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
-    val md = MessageDigest.getInstance("MD5").digest(r.payload)
     MediaFeatures(
       doc_id = r.doc_id,
       n_bytes = n,
       fake_width = (n % 640).toInt,
       fake_height = ((n * 31) % 480).toInt,
-      fake_frames = (1 + n % 10).toInt,
-      digest = md.map("%02x".format(_)).mkString)
+      fake_frames = fakeFrameCount(n),
+      digest = md5Hex(md, r.payload))
   }
 
   /** Partition-batched feature extraction over a binary media column. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (codec contexts, buffers)
-      it.map(decodeStub)
+      // per-partition decoder init: one digest instance reused across the batch
+      val md = MessageDigest.getInstance("MD5")
+      it.map(r => decode(md, r))
     }
   }
 
@@ -61,8 +70,24 @@ object Multimodal {
 
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_digest: String)
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of md5(bytes), reusing the caller's digest instance —
+    * per-partition init, not per-record/per-frame (the hot 1→N path emits
+    * one digest per frame).
+    */
+  private def md5Hex(md: MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** STUB frame sampler — the 1→N decode boundary (video pipelines spend
     * their budget here): emit every `stride`-th frame index of the fake
@@ -78,13 +103,14 @@ object Multimodal {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition demuxer/codec init would go here
+      // per-partition demuxer/codec init: one digest instance for the batch
+      val md = MessageDigest.getInstance("MD5")
       it.flatMap { r =>
-        val frames = (1 + r.payload.length % 10).toInt
-        val payloadDigest = md5Hex(r.payload)
+        val frames = fakeFrameCount(r.payload.length.toLong)
+        val payloadDigest = md5Hex(md, r.payload)
         (0 until frames by stride).iterator.map { idx =>
           FrameSample(r.doc_id, idx,
-            md5Hex(s"$payloadDigest:$idx".getBytes("UTF-8")))
+            md5Hex(md, s"$payloadDigest:$idx".getBytes("UTF-8")))
         }
       }
     }

@@ -102,6 +102,19 @@ class OperatorSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(comp(_) == 20L))
   }
 
+  // ---------------------------------------------------------------- A4
+  test("connected components drops NULL-endpoint edges on both paths") {
+    import spark.implicits._
+    val edges = Seq(
+      (Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None),
+      (None: Option[Long], None: Option[Long])).toDF("src", "dst")
+    for (threshold <- Seq(0L, 100000L)) { // distributed and local paths
+      val comp = ConnectedComponents.run(spark, edges, localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L), s"threshold=$threshold: $comp")
+    }
+  }
+
   // ---------------------------------------------------------------- J2
   test("similarity join drops and reports oversized blocks (skew guard)") {
     import spark.implicits._
