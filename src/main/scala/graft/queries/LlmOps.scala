@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.{Num, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Chunker, Dedup, Funnel, Multimodal, Sampling, VectorOps}
+import graft.operators.{Chunker, Dedup, Funnel, Multimodal, Packing, Sampling, VectorOps}
 
 /** LLM-training-data pipeline surface over `documents` / `embeddings`:
   * dedup (exact, fingerprint, n-gram Jaccard, MinHash LSH, SimHash),
@@ -750,6 +750,31 @@ object LlmOps {
             col("target_share") * 0.5 * col("total").cast(DoubleType)
               / col("n_tokens").cast(DoubleType)))
           .select("lang", "n_tokens", "target_share", "rate")
+      }),
+
+    // ------------------------------------------------------------------
+    // q62: sequence packing — concat-and-chunk placement of every document
+    // into fixed-256-token training sequences. The global exclusive prefix
+    // sum is a two-pass distributed scan (per-partition subtotals, then
+    // partition-local accumulation — Packing.packSequences); the oracle
+    // states the same quantity as a window cumsum, which is fine at oracle
+    // scale but would single-task the corpus at 100 TB.
+    GraftQuery(
+      "q62_seq_packing",
+      Some(Packing.packSequencesSql(
+        """SELECT doc_id AS id,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       t -> length(t) > 0)) AS BIGINT) AS wt
+           FROM documents""",
+        budget = 256)
+        .replace("SELECT id, wt, off,", "SELECT id AS doc_id, wt AS n_tokens, off,")),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("wt"))
+        Packing.packSequences(d, budget = 256)
+          .select(col("id").as("doc_id"), col("wt").as("n_tokens"),
+            col("off"), col("first_seq"), col("last_seq"), col("n_seqs"))
       })
   )
 }

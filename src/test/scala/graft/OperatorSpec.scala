@@ -162,6 +162,24 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq == Seq("high", "high", "uncertain", "uncertain", "low", "low"))
   }
 
+  // ------------------------------------------------------- packing
+  test("sequence packing matches the window-cumsum semantics across partitions") {
+    import graft.operators.Packing
+    import spark.implicits._
+    // weights force boundary crossings at budget 10; include an empty doc
+    val docs = Seq((1L, 4L), (2L, 7L), (3L, 0L), (4L, 12L), (5L, 3L), (6L, 10L))
+      .toDF("id", "wt").repartition(5) // deliberately scrambled layout
+    val got = Packing.packSequences(docs, budget = 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.get(3), r.get(4), r.getLong(5)))).toMap
+    // offsets: 0, 4, 11, 11, 23, 26; budget-10 sequences
+    assert(got(1L) == ((0L, 0L, 0L, 1L)))   // tokens 0..3
+    assert(got(2L) == ((4L, 0L, 1L, 2L)))   // tokens 4..10 crosses seq 0->1
+    assert(got(3L) == ((11L, null, null, 0L))) // empty doc occupies nothing
+    assert(got(4L) == ((11L, 1L, 2L, 2L)))  // tokens 11..22
+    assert(got(5L) == ((23L, 2L, 2L, 1L)))
+    assert(got(6L) == ((26L, 2L, 3L, 2L)))
+  }
+
   // ------------------------------------------------------- multimodal
   test("frame sampler emits every stride-th frame of the stub frame count") {
     import graft.operators.Multimodal
