@@ -111,6 +111,39 @@ object TextFunctions {
       s"for i in generate_series(1, len($toks) - ${n - 1})], [])"
   }
 
+  /** PII patterns — deliberately restricted to syntax shared by Java's
+    * regex engine (Spark) and RE2 (DuckDB and most scan-side filter
+    * pushdowns): character classes, bounded repetition, `\b` / `\d`; no
+    * backreferences or lookaround. Redaction order is email → IPv4 →
+    * phone; the patterns are mutually non-overlapping so the order never
+    * changes the result, but it is pinned for cross-engine determinism.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails / IPv4 addresses / phone-style numbers to typed masks.
+    * Map-only `regexp_replace` chain — no shuffle at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** SQL twin of [[redactPii]]. DuckDB's `regexp_replace` replaces only
+    * the FIRST match without the 'g' flag (Spark always replaces all), so
+    * the flag is load-bearing.
+    */
+  def redactPiiSql(expr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($expr, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+
+  /** Count of matches of a PII pattern (group 0) in `text`. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Deterministic polynomial rolling hash over characters, mod 1e9+7 —
     * a cross-engine-stable document fingerprint (unlike xxhash64, the
     * arithmetic is plain SQL on both sides; values stay < 2^35, no

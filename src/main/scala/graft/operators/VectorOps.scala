@@ -54,6 +54,37 @@ object VectorOps {
       .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
   }
 
+  /** Per-vector int8 scalar quantization — the storage tier under every
+    * large ANN index (IVF-SQ / flat-SQ): each vector is mapped to 8-bit
+    * codes over its own [min, max] range, shrinking an `array<float>`
+    * corpus 4× (embedding storage is a first-order cost at 100 TB). Pure
+    * per-row expression work — no shuffle at any scale — and arithmetic-
+    * only (min/max/round), so an external SQL oracle can replicate it
+    * bit-for-bit.
+    *
+    * Constant vectors (max = min) quantize to all-zero codes and
+    * reconstruct exactly. `max_err` is the per-vector reconstruction sup
+    * error — bounded by qscale/2, the invariant VectorSpec asserts.
+    *
+    * @param df  input frame
+    * @param id  vector id column
+    * @param vec array<float|double> embedding column
+    * @return (id, n_dims, qmin, qscale, codes: array<int>, max_err)
+    */
+  def scalarQuantize(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = vec.cast("array<double>")
+    df.select(id.as("id"), v.as("v"))
+      .withColumn("qmin", array_min(col("v")))
+      .withColumn("qscale", (array_max(col("v")) - col("qmin")) / 255.0)
+      .withColumn("codes", transform(col("v"), x =>
+        when(col("qscale") === 0.0, 0)
+          .otherwise(least(round((x - col("qmin")) / col("qscale")), lit(255.0)).cast("int"))))
+      .withColumn("max_err", array_max(zip_with(col("v"), col("codes"), (x, c) =>
+        abs(x - (col("qmin") + c.cast(DoubleType) * col("qscale"))))))
+      .select(col("id"), size(col("v")).cast("long").as("n_dims"),
+        col("qmin"), col("qscale"), col("codes"), col("max_err"))
+  }
+
   /** Deterministic random hyperplanes: `bits` × `dim` Gaussian
     * coefficients, rounded to 6 decimals. The rounding makes every
     * coefficient exactly re-emittable as a plain SQL literal (≤ 7

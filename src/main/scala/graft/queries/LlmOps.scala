@@ -775,6 +775,88 @@ object LlmOps {
         Packing.packSequences(d, budget = 256)
           .select(col("id").as("doc_id"), col("wt").as("n_tokens"),
             col("off"), col("first_seq"), col("last_seq"), col("n_seqs"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q63: embedding int8 scalar quantization — the ANN storage tier
+    // (4× corpus shrink). Map-only expression work; codes rendered as a
+    // chr(31)-joined string for the driver compare (typed array<int> stays
+    // available via VectorOps.scalarQuantize).
+    GraftQuery(
+      "q63_embed_quantize",
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v, list_min(v) AS qmin,
+                     (list_max(v) - list_min(v)) / 255.0 AS qscale FROM e),
+        c AS (SELECT vec_id, v, qmin, qscale,
+                     [CASE WHEN qscale = 0 THEN 0
+                           ELSE CAST(least(round((x - qmin) / qscale), 255.0) AS INT) END
+                      for x in v] AS codes
+              FROM s)
+        SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+               round(qmin, 6) AS qmin, round(qscale, 8) AS qscale,
+               array_to_string(codes, chr(31)) AS codes,
+               round(list_max([abs(v[i] - (qmin + codes[i] * qscale))
+                               for i in generate_series(1, len(v))]), 8) AS max_err
+        FROM c
+      """.trim),
+      (spark, dir) => {
+        VectorOps.scalarQuantize(
+            Tables(spark, dir).embeddings, col("vec_id"), col("embedding"))
+          .select(col("id").as("vec_id"), col("n_dims"),
+            round(col("qmin"), 6).as("qmin"), round(col("qscale"), 8).as("qscale"),
+            array_join(transform(col("codes"), _.cast("string")), "\u001f").as("codes"),
+            round(col("max_err"), 8).as("max_err"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q64: PII redaction — email / IPv4 / phone masking with per-type
+    // match counts. The fixture corpus carries no PII, so both engines
+    // first append deterministic doc_id-derived PII spans (documented
+    // fixture augmentation — the regex-parity check is only meaningful if
+    // there is something to redact); the counts and the digest of the
+    // redacted text must then agree match-for-match. Map-only regexp work.
+    GraftQuery(
+      "q64_pii_redaction",
+      Some {
+        val aug =
+          "text" +
+            " || CASE WHEN doc_id % 3 = 0 THEN ' reach ' || source || '_' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+            " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END" +
+            " || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+            " || CASE WHEN doc_id % 7 = 0 THEN ' cc backup' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END"
+        s"""
+        WITH aug AS (SELECT doc_id, $aug AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '${TextFunctions.Ipv4Re}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '${TextFunctions.PhoneRe}')) AS BIGINT) AS n_phones,
+               CAST(length(${TextFunctions.redactPiiSql("t")}) AS BIGINT) AS n_redacted_chars,
+               md5(${TextFunctions.redactPiiSql("t")}) AS redacted_digest
+        FROM aug
+        """.trim
+      },
+      (spark, dir) => {
+        val id = col("doc_id")
+        val aug = concat(
+          col("text"),
+          when(id % 3 === 0, concat(lit(" reach "), col("source"), lit("_"),
+            id.cast("string"), lit("@example.com"))).otherwise(lit("")),
+          when(id % 4 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+            lit(".0."), ((id * 7) % 256).cast("string"))).otherwise(lit("")),
+          when(id % 5 === 0, concat(lit(" tel 555-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(id % 7 === 0, concat(lit(" cc backup"),
+            id.cast("string"), lit("@example.org"))).otherwise(lit("")))
+        val red = TextFunctions.redactPii(col("t"))
+        Tables(spark, dir).documents
+          .select(id, aug.as("t"))
+          .select(id,
+            TextFunctions.piiCount(col("t"), TextFunctions.EmailRe).as("n_emails"),
+            TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Re).as("n_ips"),
+            TextFunctions.piiCount(col("t"), TextFunctions.PhoneRe).as("n_phones"),
+            length(red).cast("long").as("n_redacted_chars"),
+            md5(red).as("redacted_digest"))
       })
   )
 }

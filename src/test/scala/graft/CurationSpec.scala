@@ -192,4 +192,31 @@ class CurationSpec extends SparkSpec {
     // already in history and must not surface
     assert(out == Set((10L, 2L), (12L, 1L)))
   }
+
+  // ---------------------------------------------------- PII redaction
+
+  test("PII redaction masks emails, IPv4s and phone-style numbers") {
+    import spark.implicits._
+    val cases = Seq(
+      ("mail me at jane.doe+spam@corp-mail.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("server 192.168.001.7 and 10.0.0.1 rebooted",
+        "server <IP> and <IP> rebooted"),
+      ("call 555-0142 or 555-9999 x2", "call <PHONE> or <PHONE> x2"),
+      ("a@b.io 1.2.3.4 555-1234 all three", "<EMAIL> <IP> <PHONE> all three"),
+      ("no pii here, just words", "no pii here, just words"),
+      ("not-a-phone 5551234 or 12-34; version 1.2.3 stays",
+        "not-a-phone 5551234 or 12-34; version 1.2.3 stays"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.redactPii(col("t"))).collect().map(_.getString(0))
+    for (((_, want), g) <- cases.zip(got)) assert(g == want, s"got '$g'")
+    // counts see every match of each type
+    val counts = Seq("a@b.io c@d.net 1.2.3.4 555-0000").toDF("t")
+      .select(
+        TextFunctions.piiCount(col("t"), TextFunctions.EmailRe),
+        TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Re),
+        TextFunctions.piiCount(col("t"), TextFunctions.PhoneRe))
+      .head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((2L, 1L, 1L)))
+  }
 }

@@ -61,4 +61,22 @@ class VectorSpec extends SparkSpec {
     info(s"LSH recall at 4 bits x 8 tables: $recall")
     assert(recall > 0.4)
   }
+
+  test("int8 scalar quantization: codes in range, sup error <= qscale/2") {
+    import spark.implicits._
+    val rows = VectorOps.scalarQuantize(emb, col("vec_id"), col("embedding")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qscale, codes, maxErr) =
+        (r.getDouble(3), r.getSeq[Int](4), r.getDouble(5))
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      // round-to-nearest reconstruction: sup error is half a quantization
+      // step (tiny slack for the FP division in the code computation)
+      assert(maxErr <= qscale / 2 + 1e-12, s"vec ${r.getLong(0)}: $maxErr vs $qscale")
+    }
+    // constant vector: zero scale, all-zero codes, exact reconstruction
+    val const = Seq((1L, Seq.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val c = VectorOps.scalarQuantize(const, col("vec_id"), col("embedding")).head()
+    assert(c.getDouble(3) == 0.0 && c.getSeq[Int](4).forall(_ == 0) && c.getDouble(5) == 0.0)
+  }
 }
