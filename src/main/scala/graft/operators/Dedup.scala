@@ -48,18 +48,51 @@ object Dedup {
     * @param id         stable id within `batch`
     * @param key        canonical dedup key (e.g. `lower(trim(text))`)
     * @param historyKey same canonicalization over `history`
+    * @param bloomItems when set, build a Bloom filter over the history
+    *        digests (expected-distinct-count hint) and use it to split the
+    *        batch BEFORE the exact anti-join: keys the filter rejects are
+    *        definitely novel and skip the join entirely; only the
+    *        might-contain subset probes history. The filter build is one
+    *        map-side aggregate over history (partial filters OR-merged;
+    *        only the final bitset reaches the driver — same mechanism as
+    *        Spark's own runtime row-group filtering), and because the
+    *        Bloom filter has no false negatives the output is EXACT for
+    *        any fpp — mostly-novel batches then shuffle almost nothing
+    *        into the anti-join. Pair with key-bucketed history storage to
+    *        also keep the history side of the residual join shuffle-free.
     * @return (representative, n_batch_dups): one row per batch key NOT in
     *         history — representative = min id, n_batch_dups = batch
     *         multiplicity of that key
     */
   def incremental(batch: DataFrame, id: Column, key: Column,
-      history: DataFrame, historyKey: Column): DataFrame = {
+      history: DataFrame, historyKey: Column,
+      bloomItems: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
     val b = batch.select(id.as("__id"), md5(key.cast("string")).as("__k"))
     val h = history.select(md5(historyKey.cast("string")).as("__k"))
-    b.groupBy("__k")
+    val grouped = b.groupBy("__k")
       .agg(min(col("__id")).as("representative"), count(lit(1)).as("n_batch_dups"))
-      .join(h, Seq("__k"), "left_anti")
-      .select("representative", "n_batch_dups")
+
+    val bloomBytes = bloomItems.flatMap { n =>
+      val agg = new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("__k"))), n)
+      Option(h.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)) // null when history is empty
+    }
+    val filtered = bloomBytes match {
+      case None => grouped.join(h, Seq("__k"), "left_anti")
+      case Some(bytes) =>
+        val might = ColumnBridge.column(BloomFilterMightContain(
+          ColumnBridge.expression(lit(bytes)),
+          ColumnBridge.expression(xxhash64(col("__k")))))
+        val flagged = grouped.withColumn("__maybe", might)
+        flagged.filter(!col("__maybe"))
+          .unionByName(flagged.filter(col("__maybe")).join(h, Seq("__k"), "left_anti"))
+    }
+    filtered.select("representative", "n_batch_dups")
   }
 
   /** Dictionary-encode each document's shingle SET to a sorted dense-int

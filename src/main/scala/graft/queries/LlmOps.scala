@@ -523,7 +523,9 @@ object LlmOps {
     // q54: incremental dedup — a new batch (doc_id % 5 = 0) deduplicated
     // within itself AND against the already-ingested history (the rest).
     // Digest-keyed shuffles; cost proportional to the batch, not the
-    // corpus (Dedup.incremental).
+    // corpus (Dedup.incremental). Runs WITH the Bloom prefilter so the
+    // oracle gate itself certifies the filter's exactness (no false
+    // negatives → identical output to the plain anti-join).
     GraftQuery(
       "q54_incremental_dedup",
       Some("""
@@ -541,7 +543,8 @@ object LlmOps {
         val d = Tables(spark, dir).documents
         Dedup.incremental(
           d.filter(col("doc_id") % 5 === 0), col("doc_id"), lower(trim(col("text"))),
-          d.filter(col("doc_id") % 5 =!= 0), lower(trim(col("text"))))
+          d.filter(col("doc_id") % 5 =!= 0), lower(trim(col("text"))),
+          bloomItems = Some(100000L))
       }),
 
     // ------------------------------------------------------------------

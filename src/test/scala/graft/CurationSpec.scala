@@ -193,6 +193,27 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((10L, 2L), (12L, 1L)))
   }
 
+  test("incremental dedup with Bloom prefilter is output-identical") {
+    import spark.implicits._
+    // enough keys that both prefilter branches (definitely-new and
+    // maybe-in-history) are non-trivially populated
+    val batch = (1L to 200L).map(i => (i, s"doc_${i % 90}")).toDF("id", "text")
+    val history = (0L until 40L).map(i => Tuple1(s"doc_$i")).toDF("text")
+    def run(bloom: Option[Long]) = Dedup.incremental(
+        batch, col("id"), lower(col("text")), history, lower(col("text")),
+        bloomItems = bloom)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = run(None)
+    assert(plain == run(Some(1000L)))
+    assert(plain.nonEmpty && plain.forall { case (rep, _) => rep % 90 >= 40 || rep >= 90 })
+    // empty history: the filter degenerates gracefully (null bitset)
+    val empty = history.filter(lit(false))
+    val all = Dedup.incremental(batch, col("id"), lower(col("text")),
+        empty, lower(col("text")), bloomItems = Some(1000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(all.size == 90)
+  }
+
   // ---------------------------------------------------- PII redaction
 
   test("PII redaction masks emails, IPv4s and phone-style numbers") {
