@@ -46,13 +46,25 @@ object ConnectedComponents {
     // and distributed paths see the same graph. Without this the local
     // collect() would NPE on getLong while the join loop would silently
     // emit a meaningless (null, null) label row.
-    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+    //
+    // Materialize the caller's edge list ONCE before symmetrizing: the
+    // union below references it twice, and edge lists typically arrive
+    // with an expensive lineage (a full similarity-pair pipeline) that
+    // would otherwise be recomputed per branch. One extra pass over the
+    // (near-dup-sized, corpus-small) edge set buys half the pair-
+    // generation cost — at any scale the pair pipeline dominates.
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = sym.count()
+    e.unpersist(blocking = false)
 
-    if (sym.count() <= localThreshold) {
+    if (nEdges <= localThreshold) {
       val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
       sym.unpersist()
       return localUnionFind(spark, es)

@@ -60,8 +60,13 @@ object ReferenceOps {
       col("ids").as("ids_r"), col("bg").as("bg_r"))
     val maxLen = greatest(length(col("name_l")), length(col("name_r")))
     val band = floor(lit(1.0 - threshold / 100.0) * maxLen + lit(1e-9))
+    // length-band prune first: lev >= |len_l - len_r|, so a length gap
+    // beyond the edit band is an exact reject for two integer ops —
+    // cheaper than the bigram merge scan, which then runs only on
+    // length-compatible pairs
     val crossName = l.join(r,
         col("p_brand") === col("brand_r") && col("name_l") < col("name_r") &&
+          abs(length(col("name_l")) - length(col("name_r"))) <= band &&
           (size(col("bg_l")) === 0 || size(col("bg_r")) === 0 ||
             graft.functions.VectorExpressions.sortedIntersectCountInt(col("bg_l"), col("bg_r"))
               >= maxLen - 1 - lit(2) * band))
