@@ -104,4 +104,32 @@ class PlanSpec extends SparkSpec {
     val p = executedPlan("q33_indel_pairs")
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(1500))
   }
+
+  test("q63 quantization and q64 redaction are map-only (no Exchange)") {
+    import org.apache.spark.sql.functions.col
+    val q = graft.operators.VectorOps.scalarQuantize(
+      graft.core.Tables(spark, sfDir).embeddings, col("vec_id"), col("embedding"))
+    val pq = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!pq.contains("Exchange"), pq)
+    val r = graft.core.Tables(spark, sfDir).documents
+      .select(graft.functions.TextFunctions.redactPii(col("text")))
+    val pr = r.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!pr.contains("Exchange"), pr)
+  }
+
+  test("q62 packing has no global single-partition sort or window funnel") {
+    // the distributed prefix-sum scan must not lower to a
+    // SinglePartition exchange (the global-window anti-pattern); range
+    // repartitioning for the in-order scan is the only exchange allowed
+    val df = graft.operators.Packing.packSequences(
+      graft.core.Tables(spark, sfDir).documents.selectExpr(
+        "doc_id AS id", "n_chars AS wt"),
+      budget = 256)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
