@@ -860,6 +860,59 @@ object LlmOps {
             TextFunctions.piiCount(col("t"), TextFunctions.PhoneRe).as("n_phones"),
             length(red).cast("long").as("n_redacted_chars"),
             md5(red).as("redacted_digest"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q65: TF-IDF salient terms — top-3 tokens per document by
+    // tf·ln(N/df). Term counts are computed within the row (no shuffle),
+    // document frequency is one token-keyed aggregate, the idf join is
+    // token-keyed, and the top-k window partitions by doc_id — every
+    // stage stays key-parallel at corpus scale. The 1-row corpus count is
+    // broadcast (as in q61).
+    GraftQuery(
+      "q65_tfidf_terms",
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     t -> length(t) > 0) AS toks
+          FROM documents),
+        t AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS token FROM d),
+        tc AS (SELECT doc_id, n_toks, token, COUNT(*) AS tf_cnt
+               FROM t GROUP BY doc_id, n_toks, token),
+        dfq AS (SELECT token, COUNT(*) AS dfreq FROM tc GROUP BY token),
+        n AS (SELECT COUNT(*) AS total FROM documents),
+        scored AS (
+          SELECT tc.doc_id, tc.token,
+                 (CAST(tf_cnt AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                   * ln(CAST(total AS DOUBLE) / CAST(dfreq AS DOUBLE)) AS s
+          FROM tc JOIN dfq USING (token), n),
+        ranked AS (
+          SELECT doc_id, token, round(s, 6) AS tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY round(s, 6) DESC, token ASC) AS rank
+          FROM scored)
+        SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+      """.trim),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val d = docs.select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0).as("toks"))
+        val tc = d.select(col("doc_id"), size(col("toks")).as("n_toks"),
+            explode(col("toks")).as("token"))
+          .groupBy("doc_id", "n_toks", "token")
+          .agg(count(lit(1)).as("tf_cnt"))
+        val dfq = tc.groupBy("token").agg(count(lit(1)).as("dfreq"))
+        val total = docs.agg(count(lit(1)).as("total"))
+        val scored = tc.join(dfq, "token")
+          .crossJoin(broadcast(total))
+          .withColumn("s",
+            (col("tf_cnt").cast(DoubleType) / col("n_toks").cast(DoubleType))
+              * log(col("total").cast(DoubleType) / col("dfreq").cast(DoubleType)))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(round(col("s"), 6).desc, col("token").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("token"), round(col("s"), 6).as("tfidf"), col("rank"))
       })
   )
 }
