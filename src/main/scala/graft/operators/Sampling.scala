@@ -66,4 +66,41 @@ object Sampling {
     df.withColumn("sample_bucket", hashBucket(key, salt))
       .filter(col("sample_bucket") < rate)
   }
+
+  /** Exactly-k-per-stratum deterministic sample: rank each stratum's rows
+    * by a 60-bit salted key hash (key as tie-break) and keep the first k.
+    * Like the rate gate, membership is a pure function of the keys —
+    * reruns and re-partitioning select the identical rows — but the exact
+    * count costs one shuffle (a window partitioned by stratum).
+    *
+    * Scale note: a very hot stratum funnels through one window task. When
+    * strata are huge and k is small, pre-thin with the rate gate first
+    * (`stratifiedHash(..., rates = pct ≫ k/|stratum|)` then this) — the
+    * gate is shuffle-free and hash-consistent with this ranking's salt
+    * ONLY if different salts are used, so keep the default distinct salt
+    * per stage.
+    *
+    * @return input rows + `sample_rank` (1-based within stratum), rank <= k
+    */
+  def fixedPerStratum(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      k: Int,
+      salt: String = "graft-k"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 15 hex chars = 60 bits: fits a signed long on both engines
+    val hv = conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hv.asc, key.asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** SQL twin of [[fixedPerStratum]]'s ranking hash. */
+  def rankHashSql(keyExpr: String, salt: String = "graft-k"): String = {
+    val quoted = salt.replace("'", "''")
+    s"CAST(('0x' || substring(md5('$quoted' || ':' || CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+  }
 }

@@ -913,6 +913,26 @@ object LlmOps {
         scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("token"), round(col("s"), 6).as("tfidf"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q66: exact-k stratified sample — exactly 20 documents per language,
+    // selected by salted key-hash rank (deterministic, re-partition-
+    // stable; the count-exact complement to q55's rate gate).
+    GraftQuery(
+      "q66_fixed_sample",
+      Some(s"""
+        SELECT doc_id, lang, sample_rank FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY ${Sampling.rankHashSql("doc_id")}, doc_id) AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 20
+      """.trim),
+      (spark, dir) => {
+        Sampling.fixedPerStratum(
+            Tables(spark, dir).documents, col("doc_id"), col("lang"), k = 20)
+          .select(col("doc_id"), col("lang"), col("sample_rank"))
       })
   )
 }

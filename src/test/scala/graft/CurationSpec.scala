@@ -193,6 +193,21 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((10L, 2L), (12L, 1L)))
   }
 
+  test("fixed-k stratified sample is exact-count and partition-independent") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    def sel(parts: Int) = Sampling.fixedPerStratum(
+        df.repartition(parts), col("id"), col("s"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val one = sel(1)
+    assert(one == sel(7)) // layout-independent selection
+    assert(one.count(_._2 == "a") == 10 && one.count(_._2 == "b") == 10)
+    assert(one.filter(_._2 == "a").map(_._3).toSeq.sorted == (1 to 10))
+    // k larger than a stratum returns the whole stratum
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "s")
+    assert(Sampling.fixedPerStratum(tiny, col("id"), col("s"), k = 10).count() == 2)
+  }
+
   test("incremental dedup with Bloom prefilter is output-identical") {
     import spark.implicits._
     // enough keys that both prefilter branches (definitely-new and
