@@ -47,24 +47,21 @@ object ConnectedComponents {
     // collect() would NPE on getLong while the join loop would silently
     // emit a meaningless (null, null) label row.
     //
-    // Materialize the caller's edge list ONCE before symmetrizing: the
-    // union below references it twice, and edge lists typically arrive
-    // with an expensive lineage (a full similarity-pair pipeline) that
-    // would otherwise be recomputed per branch. One extra pass over the
-    // (near-dup-sized, corpus-small) edge set buys half the pair-
-    // generation cost — at any scale the pair pipeline dominates.
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // Symmetrize with a single explode rather than a self-union: edge
+    // lists typically arrive with an expensive lineage (a full
+    // similarity-pair pipeline), and a union's two branches would evaluate
+    // that lineage twice. The explode emits both orientations in the same
+    // pass — one evaluation, no checkpoint barrier needed.
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
-    val sym = e
-      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = sym.count()
-    e.unpersist(blocking = false)
 
-    if (nEdges <= localThreshold) {
+    if (sym.count() <= localThreshold) {
       val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
       sym.unpersist()
       return localUnionFind(spark, es)

@@ -90,6 +90,17 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Stream-static enrichment: join the stream against a bounded dimension
+    * via broadcast hash — the streaming twin of the batch lookup join
+    * (q23). The static side is re-read and re-broadcast per micro-batch
+    * (so slowly-changing dimensions pick up updates between batches), the
+    * stream side never shuffles, and no state store is involved — the one
+    * stream-join shape with zero streaming state at any scale. Left join:
+    * unmatched events pass through with nulls rather than being dropped.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream interval join: pair each `thenType` event
     * with the `firstType` events of the same user in the preceding
     * `windowSeconds` — the canonical funnel/attribution correlation. Both

@@ -34,6 +34,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch lookup join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val events = Seq(
+      Event(1, ts(1), "click", 1.0), Event(2, ts(2), "view", 2.0),
+      Event(3, ts(3), "click", 3.0)) // user 3 has no dim row -> null tier
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val batch = EventStreams.enrich(events.toDF(), dim, "user_id")
+        .select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got == batch)
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
