@@ -114,9 +114,14 @@ object TextFunctions {
   /** PII patterns — deliberately restricted to syntax shared by Java's
     * regex engine (Spark) and RE2 (DuckDB and most scan-side filter
     * pushdowns): character classes, bounded repetition, `\b` / `\d`; no
-    * backreferences or lookaround. Redaction order is email → IPv4 →
-    * phone; the patterns are mutually non-overlapping so the order never
-    * changes the result, but it is pinned for cross-engine determinism.
+    * backreferences or lookaround. Redaction order is pinned at email →
+    * IPv4 → phone and IS load-bearing for adversarial spans that match
+    * more than one pattern (`555-1234@x.com`: the email mask wins whole;
+    * phone-first would leave `<PHONE>@x.com`). [[piiCount]] counts each
+    * pattern independently over the UNredacted text, so per-type counts
+    * need not reconcile with the masks on such overlaps — counts answer
+    * "how many spans LOOK like X", the masks answer "what did redaction
+    * do", in this fixed order.
     */
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

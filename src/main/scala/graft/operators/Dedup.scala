@@ -60,6 +60,12 @@ object Dedup {
     *        any fpp — mostly-novel batches then shuffle almost nothing
     *        into the anti-join. Pair with key-bucketed history storage to
     *        also keep the history side of the residual join shuffle-free.
+    *        NOTE: `BloomFilterAggregate` clamps the item hint to
+    *        `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    *        (default 4M) — for billion-key histories raise that config
+    *        (and its numBits sibling), or the filter saturates and the
+    *        prefilter degrades to pass-through (still exact, no longer a
+    *        saving).
     * @return (representative, n_batch_dups): one row per batch key NOT in
     *         history — representative = min id, n_batch_dups = batch
     *         multiplicity of that key
@@ -88,7 +94,11 @@ object Dedup {
         val might = ColumnBridge.column(BloomFilterMightContain(
           ColumnBridge.expression(lit(bytes)),
           ColumnBridge.expression(xxhash64(col("__k")))))
+        // persist the flagged aggregate: the two filter branches below
+        // would otherwise each re-run the batch groupBy per action —
+        // doubling exactly the batch-side cost the prefilter exists to cut
         val flagged = grouped.withColumn("__maybe", might)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         flagged.filter(!col("__maybe"))
           .unionByName(flagged.filter(col("__maybe")).join(h, Seq("__k"), "left_anti"))
     }

@@ -37,11 +37,27 @@ object Packing {
     require(budget >= 1, s"sequence budget must be >= 1, got $budget")
     val spark = docs.sparkSession
 
-    // pin ONE partition layout: both scan passes below must see the same
+    // Enforce the wt contract distributedly BEFORE the scan passes: a NULL
+    // weight (nullable input, failed cast) would NPE in getLong below, and
+    // a negative one would silently corrupt every later document's offset
+    // (and floorDiv's subtract-remainder identity assumes off >= 0) —
+    // fail loudly instead.
+    val checked = docs.select(col("id").cast(LongType).as("id"),
+      when(col("wt").isNull || col("wt") < 0,
+        raise_error(concat_ws(" ", lit("Packing: wt must be a non-negative number; id"),
+          col("id").cast("string"), lit("has"), col("wt").cast("string"))))
+        .otherwise(col("wt").cast(LongType)).as("wt"))
+
+    // Pin ONE partition layout: both scan passes below must see the same
     // row -> partition assignment (range partitioning samples boundaries,
-    // so an un-materialized plan could re-draw them between passes)
-    val sorted = docs
-      .select(col("id").cast(LongType).as("id"), col("wt").cast(LongType).as("wt"))
+    // so an un-materialized plan could re-draw them between passes).
+    // localCheckpoint (not persist) on purpose: if blocks were evicted and
+    // recomputed between the passes, a re-drawn layout would corrupt
+    // offsets SILENTLY — checkpoint turns that into a loud job failure.
+    // The pinned RDD lives until the session's persistent-RDD sweep (the
+    // bench harness runs one per query); callers looping packSequences
+    // within one session should sweep likewise.
+    val sorted = checked
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")
       .localCheckpoint()

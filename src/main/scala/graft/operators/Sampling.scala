@@ -24,6 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Integer parse of the first `chars` md5-hex chars of `salt:key` — the
+    * one salted-hash idiom both sampling modes build on (its SQL twin is
+    * [[hexPrefixHashSql]]; keep the two in lockstep). NULL keys propagate
+    * to NULL (`concat`, like SQL `||`).
+    */
+  private[operators] def hexPrefixHash(key: Column, salt: String, chars: Int): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, chars), 16, 10)
+      .cast("long")
+
+  /** SQL twin of [[hexPrefixHash]] for DuckDB (same NULL propagation). */
+  private[operators] def hexPrefixHashSql(keyExpr: String, salt: String, chars: Int): String = {
+    val quoted = salt.replace("'", "''")
+    s"CAST(('0x' || substring(md5('$quoted' || ':' || CAST($keyExpr AS VARCHAR)), 1, $chars)) AS BIGINT)"
+  }
+
   /** Deterministic bucket in [0, 100) from a stable key: parse the first
     * 8 md5-hex chars of `salt:key` as an integer, mod 100. A NULL key
     * yields a NULL bucket (`concat` propagates it, like the SQL twin's
@@ -32,14 +47,11 @@ object Sampling {
     * identity has no stable membership.
     */
   def hashBucket(key: Column, salt: String = "graft"): Column =
-    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+    hexPrefixHash(key, salt, 8) % 100
 
   /** SQL twin of [[hashBucket]] for DuckDB (same NULL propagation). */
-  def hashBucketSql(keyExpr: String, salt: String = "graft"): String = {
-    val quoted = salt.replace("'", "''")
-    s"CAST(('0x' || substring(md5('$quoted' || ':' || CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-  }
+  def hashBucketSql(keyExpr: String, salt: String = "graft"): String =
+    s"${hexPrefixHashSql(keyExpr, salt, 8)} % 100"
 
   /** Stratified deterministic sample: keep a row iff its hash bucket is
     * below the sampling percentage of its stratum (`rates` in percent,
@@ -89,18 +101,22 @@ object Sampling {
       k: Int,
       salt: String = "graft-k"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // 15 hex chars = 60 bits: fits a signed long on both engines
-    val hv = conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    // NULL keys are excluded outright (same rule as the rate gate's NULL
+    // bucket): a NULL hash would rank FIRST under Spark's ASC (nulls
+    // first) but LAST under SQL ASC (nulls last), silently occupying a
+    // sample slot on one engine only.
+    // 15 hex chars = 60 bits: fits a signed long on both engines.
+    val hv = hexPrefixHash(key, salt, 15)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(hv.asc, key.asc)
-    df.withColumn("sample_rank", row_number().over(w))
+    df.where(key.isNotNull)
+      .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
 
-  /** SQL twin of [[fixedPerStratum]]'s ranking hash. */
-  def rankHashSql(keyExpr: String, salt: String = "graft-k"): String = {
-    val quoted = salt.replace("'", "''")
-    s"CAST(('0x' || substring(md5('$quoted' || ':' || CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
-  }
+  /** SQL twin of [[fixedPerStratum]]'s ranking hash (add `WHERE key IS
+    * NOT NULL` to mirror the NULL-key exclusion).
+    */
+  def rankHashSql(keyExpr: String, salt: String = "graft-k"): String =
+    hexPrefixHashSql(keyExpr, salt, 15)
 }

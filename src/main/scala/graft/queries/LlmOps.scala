@@ -764,13 +764,19 @@ object LlmOps {
     // scale but would single-task the corpus at 100 TB.
     GraftQuery(
       "q62_seq_packing",
-      Some(Packing.packSequencesSql(
-        """SELECT doc_id AS id,
-                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                                       t -> length(t) > 0)) AS BIGINT) AS wt
-           FROM documents""",
-        budget = 256)
-        .replace("SELECT id, wt, off,", "SELECT id AS doc_id, wt AS n_tokens, off,")),
+      Some {
+        // rename via an outer projection, not string surgery on the
+        // generated SQL (a reflow of packSequencesSql would silently
+        // no-op a .replace and break the oracle far from the cause)
+        val inner = Packing.packSequencesSql(
+          """SELECT doc_id AS id,
+                    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                         t -> length(t) > 0)) AS BIGINT) AS wt
+             FROM documents""",
+          budget = 256)
+        s"""SELECT id AS doc_id, wt AS n_tokens, off, first_seq, last_seq, n_seqs
+            FROM ($inner)"""
+      },
       (spark, dir) => {
         val d = Tables(spark, dir).documents
           .select(col("doc_id").as("id"),
