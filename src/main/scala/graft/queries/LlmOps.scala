@@ -939,6 +939,54 @@ object LlmOps {
         Sampling.fixedPerStratum(
             Tables(spark, dir).documents, col("doc_id"), col("lang"), k = 20)
           .select(col("doc_id"), col("lang"), col("sample_rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q67: source-distribution drift — KL(source ‖ corpus) over token
+    // unigram distributions, the standard "did this slice shift?" curation
+    // check. Token-keyed aggregates + a broadcast 1-row corpus total, so
+    // every stage is key-parallel; the KL sum is decimal-cast per term
+    // (like every oracle-checked double sum here) so the reduction is
+    // order-independent across engines.
+    GraftQuery(
+      "q67_source_drift",
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    x -> length(x) > 0)) AS token
+          FROM documents),
+        st AS (SELECT source, token, COUNT(*) AS cnt FROM t GROUP BY source, token),
+        stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS s_total FROM st GROUP BY source),
+        ct AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS t_cnt FROM st GROUP BY token),
+        tot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS total FROM ct),
+        terms AS (
+          SELECT st.source,
+                 (CAST(cnt AS DOUBLE) / CAST(s_total AS DOUBLE))
+                   * ln((CAST(cnt AS DOUBLE) / CAST(s_total AS DOUBLE))
+                        / (CAST(t_cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS term
+          FROM st JOIN stot USING (source) JOIN ct USING (token), tot)
+        SELECT source, s_total AS n_tokens,
+               round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl
+        FROM terms JOIN stot USING (source)
+        GROUP BY source, s_total
+      """.trim),
+      (spark, dir) => {
+        val toks = Tables(spark, dir).documents
+          .select(col("source"),
+            explode(filter(split(lower(trim(col("text"))), "\\s+"),
+              t => length(t) > 0)).as("token"))
+        val st = toks.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+        val stot = st.groupBy("source").agg(sum(col("cnt")).cast("long").as("s_total"))
+        val ct = st.groupBy("token").agg(sum(col("cnt")).cast("long").as("t_cnt"))
+        val tot = ct.agg(sum(col("t_cnt")).cast("long").as("total"))
+        val p = col("cnt").cast(DoubleType) / col("s_total").cast(DoubleType)
+        val q = col("t_cnt").cast(DoubleType) / col("total").cast(DoubleType)
+        st.join(stot, "source").join(ct, "token")
+          .crossJoin(broadcast(tot))
+          .withColumn("term", p * log(p / q))
+          .groupBy(col("source"), col("s_total").as("n_tokens"))
+          .agg(round(sum(col("term").cast(DecimalType(38, 12))).cast(DoubleType), 6).as("kl"))
       })
   )
 }
