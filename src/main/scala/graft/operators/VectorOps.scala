@@ -85,6 +85,21 @@ object VectorOps {
         col("qmin"), col("qscale"), col("codes"), col("max_err"))
   }
 
+  /** ANN over the int8-quantized corpus (flat-SQ): corpus vectors are
+    * stored as [[scalarQuantize]] codes (4× smaller scan), dequantized
+    * in-expression at probe time, and scored against the FULL-precision
+    * query vectors — the memory/accuracy trade every large flat index
+    * ships. Deterministic given the codes, so unlike IVF this compressed
+    * tier is exactly oracle-checkable; recall vs the uncompressed scan is
+    * asserted in VectorSpec.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int, scale: Int = 4): DataFrame = {
+    val dq = scalarQuantize(corpus, col("id"), col("vec"))
+      .select(col("id"), transform(col("codes"),
+        c => col("qmin") + c.cast(DoubleType) * col("qscale")).as("vec"))
+    bruteForceTopK(dq, queries, k, scale)
+  }
+
   /** Deterministic random hyperplanes: `bits` × `dim` Gaussian
     * coefficients, rounded to 6 decimals. The rounding makes every
     * coefficient exactly re-emittable as a plain SQL literal (≤ 7

@@ -987,6 +987,44 @@ object LlmOps {
           .withColumn("term", p * log(p / q))
           .groupBy(col("source"), col("s_total").as("n_tokens"))
           .agg(round(sum(col("term").cast(DecimalType(38, 12))).cast(DoubleType), 6).as("kl"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q68: flat-SQ ANN — top-k over the int8-dequantized corpus with
+    // full-precision query probes (q63's codes feeding q45's scan: the
+    // compressed storage tier actually doing retrieval). Deterministic
+    // dequantization → exactly oracle-checkable, unlike IVF.
+    GraftQuery(
+      "q68_ann_sq",
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v, list_min(v) AS qmin,
+                     (list_max(v) - list_min(v)) / 255.0 AS qscale FROM e),
+        c AS (SELECT vec_id, v, qmin, qscale,
+                     [CASE WHEN qscale = 0 THEN 0
+                           ELSE CAST(least(round((x - qmin) / qscale), 255.0) AS INT) END
+                      for x in v] AS codes
+              FROM s),
+        dq AS (SELECT vec_id, [qmin + codes[i] * qscale
+                              for i in generate_series(1, len(codes))] AS v
+               FROM c)
+        SELECT qid, neighbor, cos, rank FROM (
+          SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+                 round(list_cosine_similarity(d.v, q.v), 4) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, q.v), 4) DESC,
+                            d.vec_id ASC) AS rank
+          FROM dq d, e q
+          WHERE q.vec_id < 10 AND d.vec_id != q.vec_id)
+        WHERE rank <= 5
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        VectorOps.sqTopK(corpus, queries, k = 5)
       })
   )
 }

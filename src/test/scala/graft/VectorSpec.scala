@@ -62,6 +62,21 @@ class VectorSpec extends SparkSpec {
     assert(recall > 0.4)
   }
 
+  test("flat-SQ ANN recall vs uncompressed scan is high (int8 codes)") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = VectorOps.bruteForceTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = VectorOps.sqTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & sq).size.toDouble / brute.size
+    info(s"flat-SQ recall at int8: $recall")
+    // 8-bit per-vector quantization perturbs cosines by ~qscale/2 per dim;
+    // on this corpus the top-5 sets should stay nearly identical
+    assert(recall > 0.85, s"recall $recall")
+  }
+
   test("int8 scalar quantization: codes in range, sup error <= qscale/2") {
     import spark.implicits._
     val rows = VectorOps.scalarQuantize(emb, col("vec_id"), col("embedding")).collect()
