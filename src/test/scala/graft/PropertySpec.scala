@@ -112,6 +112,36 @@ class PropertySpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- shingles / intersect kernels
+  test("packing offsets equal the window-cumsum reference on random weights") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      val budget = 1 + rnd.nextInt(97)
+      // sparse ids, ~15% zero-weight docs, weights spanning the budget
+      val rows = (1 to n).map(i =>
+        (i.toLong * 3 + rnd.nextInt(2), // non-contiguous, still unique
+          if (rnd.nextInt(100) < 15) 0L else rnd.nextInt(3 * budget).toLong))
+        .distinctBy(_._1)
+      val df = rows.toDF("id", "wt").repartition(1 + rnd.nextInt(8))
+      val got = graft.operators.Packing.packSequences(df, budget)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), Option(r.get(3)), Option(r.get(4)), r.getLong(5)))).toMap
+      // single-partition window reference (fine at test scale)
+      val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+      val ref = df.withColumn("off", coalesce(sum(col("wt")).over(w), lit(0L)))
+        .collect().map { r =>
+          val (id, wt, off) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          val first = off / budget
+          val last = (off + wt - 1) / budget
+          id -> ((off, if (wt > 0) Some(first) else None,
+            if (wt > 0) Some(last) else None, if (wt > 0) last - first + 1 else 0L))
+        }.toMap
+      assert(got == ref, s"trial $trial (n=$n budget=$budget)")
+    }
+  }
+
   test("CharShingles equals the HOF substring formulation incl. multibyte UTF-8 (300 samples)") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     // mixed-width alphabet: 1-byte ASCII, 2-byte accents, 3-byte CJK, 4-byte emoji
