@@ -1025,6 +1025,33 @@ object LlmOps {
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         VectorOps.sqTopK(corpus, queries, k = 5)
+      }),
+
+    // ------------------------------------------------------------------
+    // q69: typed JSON extraction — `from_json` with an explicit schema
+    // (the Spark-native semi-structured path: one parse, typed fields,
+    // NULL on absent/corrupt) aggregated per event type. Complements
+    // q21's regexp-coercion route; the oracle uses DuckDB's JSON path
+    // functions, so the parse semantics themselves are cross-checked.
+    GraftQuery(
+      "q69_json_extract",
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+               CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             AS DECIMAL(38,0))) AS BIGINT) AS sum_k,
+               CAST(COUNT(*) - COUNT(json_extract_string(props, '$.missing')) AS BIGINT) AS n_without_missing
+        FROM events GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val parsed = Tables(spark, dir).events
+          .withColumn("j", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG, missing STRING")))
+        parsed.groupBy("event_type")
+          .agg(
+            count(col("j.k")).as("n_with_k"),
+            sum(col("j.k").cast(DecimalType(38, 0))).cast("long").as("sum_k"),
+            (count(lit(1)) - count(col("j.missing"))).as("n_without_missing"))
       })
   )
 }
