@@ -950,10 +950,10 @@ object LlmOps {
     // order-independent across engines.
     GraftQuery(
       "q67_source_drift",
-      Some("""
+      Some(s"""
         WITH t AS (
           SELECT source,
-                 unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                     x -> length(x) > 0)) AS token
           FROM documents),
         st AS (SELECT source, token, COUNT(*) AS cnt FROM t GROUP BY source, token),
@@ -967,7 +967,7 @@ object LlmOps {
                         / (CAST(t_cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS term
           FROM st JOIN stot USING (source) JOIN ct USING (token), tot)
         SELECT source, s_total AS n_tokens,
-               round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl
+               round(${Num.dsumSql("term", 12)}, 6) AS kl
         FROM terms JOIN stot USING (source)
         GROUP BY source, s_total
       """.trim),
@@ -986,7 +986,7 @@ object LlmOps {
           .crossJoin(broadcast(tot))
           .withColumn("term", p * log(p / q))
           .groupBy(col("source"), col("s_total").as("n_tokens"))
-          .agg(round(sum(col("term").cast(DecimalType(38, 12))).cast(DoubleType), 6).as("kl"))
+          .agg(round(dsum(col("term"), 12), 6).as("kl"))
       }),
 
     // ------------------------------------------------------------------
@@ -1029,28 +1029,34 @@ object LlmOps {
 
     // ------------------------------------------------------------------
     // q69: typed JSON extraction — `from_json` with an explicit schema
-    // (the Spark-native semi-structured path: one parse, typed fields,
-    // NULL on absent/corrupt) aggregated per event type. Complements
-    // q21's regexp-coercion route; the oracle uses DuckDB's JSON path
-    // functions, so the parse semantics themselves are cross-checked.
+    // (the Spark-native semi-structured path: one parse, typed fields)
+    // aggregated per event type; complements q21's regexp-coercion route.
+    // The field is extracted as STRING then cast, mirroring the oracle's
+    // json_extract_string + TRY_CAST value-for-value (quoted numbers,
+    // floats and booleans behave identically on both engines). The
+    // equivalence holds for WELL-FORMED JSON only: on malformed documents
+    // Spark's PERMISSIVE mode nulls the record while DuckDB's JSON
+    // functions raise — an engine-level policy difference, not an
+    // extraction-semantics one (fixture props are all well-formed).
     GraftQuery(
       "q69_json_extract",
       Some("""
         SELECT event_type,
                CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
-               CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                             AS DECIMAL(38,0))) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                             AS DECIMAL(38,4))) AS BIGINT) AS sum_k,
                CAST(COUNT(*) - COUNT(json_extract_string(props, '$.missing')) AS BIGINT) AS n_without_missing
         FROM events GROUP BY event_type
       """.trim),
       (spark, dir) => {
         val parsed = Tables(spark, dir).events
           .withColumn("j", from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k LONG, missing STRING")))
+            org.apache.spark.sql.types.StructType.fromDDL("k STRING, missing STRING")))
         parsed.groupBy("event_type")
           .agg(
             count(col("j.k")).as("n_with_k"),
-            sum(col("j.k").cast(DecimalType(38, 0))).cast("long").as("sum_k"),
+            sum(col("j.k").cast(DoubleType).cast(DecimalType(38, 4)))
+              .cast("long").as("sum_k"),
             (count(lit(1)) - count(col("j.missing"))).as("n_without_missing"))
       })
   )

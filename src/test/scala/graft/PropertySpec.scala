@@ -121,9 +121,8 @@ class PropertySpec extends SparkSpec {
       val budget = 1 + rnd.nextInt(97)
       // sparse ids, ~15% zero-weight docs, weights spanning the budget
       val rows = (1 to n).map(i =>
-        (i.toLong * 3 + rnd.nextInt(2), // non-contiguous, still unique
+        (i.toLong * 3 + rnd.nextInt(2), // {3i, 3i+1}: non-contiguous, unique by construction
           if (rnd.nextInt(100) < 15) 0L else rnd.nextInt(3 * budget).toLong))
-        .distinctBy(_._1)
       val df = rows.toDF("id", "wt").repartition(1 + rnd.nextInt(8))
       val got = graft.operators.Packing.packSequences(df, budget)
         .collect().map(r => r.getLong(0) ->
