@@ -186,6 +186,84 @@ object Dedup {
     inter.unionByName(intra)
   }
 
+  /** Asymmetric set-containment pairs: C(A→B) = |A∩B| / |A| ≥ t for A ≠ B —
+    * "is document A's shingle set (mostly) inside document B's?". Jaccard
+    * misses these when |B| ≫ |A| (a paragraph quoted inside a long page has
+    * J ≈ |A|/|B| ≈ 0 but C(A→B) = 1), so containment is the dedup signal
+    * for subset/supersede relationships in web corpora.
+    *
+    * Candidate generation is the PRETTI/prefix shape for containment joins:
+    * only A's prefix (its |A| − ⌈t·|A|⌉ + 1 RAREST shingles, by the same
+    * frequency-ordered dictionary as [[jaccardPairs]]) probes an inverted
+    * index over ALL of B's shingles — if B misses every prefix shingle of A
+    * then |A∩B| < ⌈t·|A|⌉ and the pair can't qualify. The B side is the
+    * full posting list, but only postings for tokens that occur in some
+    * A-prefix are ever matched, and prefixes hold rare tokens, so candidate
+    * groups stay thin. Size prune inside the join: |B| ≥ ⌈t·|A|⌉ (the
+    * intersection can't exceed |B|). Identical shingle sets are collapsed
+    * to one representative before the quadratic work and expanded after,
+    * exactly as in [[jaccardPairs]] (both orientations of an intra-group
+    * pair are C = 1).
+    *
+    * @return (id_a, id_b, containment) — DIRECTED: a row per ordered pair
+    *         with C(A→B) ≥ t; near-identical docs appear in both directions.
+    */
+  def containmentPairs(
+      docs: DataFrame, // columns: id (long), text (string)
+      threshold: Double,
+      k: Int = 5): DataFrame = {
+    val groups = encodedSets(docs, k).groupBy(col("toks"))
+      .agg(min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint() // reused by rep pairing + both expansions
+
+    val enc = groups.select(col("rep").as("id"), col("toks"))
+      .withColumn("setsize", size(col("toks")))
+      .localCheckpoint() // shared by the probe explode + index + verify join-backs
+
+    // same epsilon-before-ceil guard as distinctSetPairs: a one-ulp
+    // overshoot would shorten A's prefix and silently drop threshold pairs
+    val prefixLen = (col("setsize") -
+      ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1).cast("int")
+    val probe = enc.select(col("id").as("id_a"), col("setsize").as("sz_a"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val index = enc.select(col("id").as("id_b"), col("setsize").as("sz_b"),
+      explode(col("toks")).as("tok"))
+    val candidates = probe.join(index,
+        probe("tok") === index("tok") && col("id_a") =!= col("id_b") &&
+          col("sz_b").cast(DoubleType) >= lit(threshold) * col("sz_a") - lit(1e-9))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val sides = enc.select(col("id"), col("toks"), col("setsize"))
+    val repPairs = candidates
+      .join(sides.select(col("id").as("id_a"), col("toks").as("t_a"),
+        col("setsize").cast(DoubleType).as("sz_a")), "id_a")
+      .join(sides.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+      .withColumn("containment",
+        graft.functions.VectorExpressions.sortedIntersectCountInt(col("t_a"), col("t_b"))
+          .cast(DoubleType) / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+    // expand representative pairs to member pairs (groups are disjoint, so
+    // no duplicates); intra-group ordered pairs are C = 1 by definition
+    val m = groups.select(col("rep"), col("members"))
+    val inter = repPairs
+      .join(m.select(col("rep").as("id_a"), col("members").as("ms_a")), "id_a")
+      .join(m.select(col("rep").as("id_b"), col("members").as("ms_b")), "id_b")
+      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("containment"))
+      .select(col("x").as("id_a"), explode(col("ms_b")).as("id_b"), col("containment"))
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x").as("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
+
+    inter.unionByName(intra)
+  }
+
   /** PPJoin candidate generation + exact verification over documents with
     * pairwise-DISTINCT dictionary-encoded shingle sets (`id`,
     * `toks: sorted array<int>` in global frequency order; callers collapse

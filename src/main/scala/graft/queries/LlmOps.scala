@@ -105,6 +105,33 @@ object LlmOps {
     SELECT qid, neighbor, cos, rank FROM ranked WHERE rank <= $k""".trim
   }
 
+  /** Embedding-cosine near-dup pair SQL (shared oracle for q53 and q70). */
+  private val embeddingPairsSql = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40""".trim
+
+  /** Embedding-cosine near-dup pairs (q53's body, reused as q70's edge
+    * set): norms precomputed per vector — identical value to cosine()'s
+    * inline norms, one array traversal per pair instead of three.
+    */
+  private def embeddingPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        when(col("n_a") * col("n_b") === 0.0, 0.0)
+          .otherwise(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
+      .filter(col("cos") >= 0.40)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
   private val jaccardPairsSql = s"""
     WITH sh AS (
@@ -496,28 +523,8 @@ object LlmOps {
     // bucketing of q46 is the scale path for tighter thresholds).
     GraftQuery(
       "q53_embedding_neardup",
-      Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
-      """.trim),
-      (spark, dir) => {
-        // norms precomputed per vector (identical value to cosine()'s
-        // inline norms, one array traversal per pair instead of three)
-        val e = Tables(spark, dir).embeddings
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", VectorOps.norm(col("v")))
-        val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-        a.join(b, col("id_a") < col("id_b"))
-          .withColumn("cos", round(
-            when(col("n_a") * col("n_b") === 0.0, 0.0)
-              .otherwise(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
-          .filter(col("cos") >= 0.40)
-          .select("id_a", "id_b", "cos")
-      }),
+      Some(embeddingPairsSql),
+      embeddingPairs),
 
     // ------------------------------------------------------------------
     // q54: incremental dedup — a new batch (doc_id % 5 = 0) deduplicated
@@ -1058,6 +1065,66 @@ object LlmOps {
             sum(col("j.k").cast(DoubleType).cast(DecimalType(38, 4)))
               .cast("long").as("sum_k"),
             (count(lit(1)) - count(col("j.missing"))).as("n_without_missing"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q70: semantic dedup keep-list — the SemDeDup-shaped consolidation
+    // step over the EMBEDDING near-dup graph (the vector twin of q44b's
+    // text-graph consolidation): q53's exact-cosine pairs → connected
+    // components → one kept representative (min id) per semantic cluster,
+    // every other member marked for drop. Deterministic end-to-end, so the
+    // oracle re-derives the same clusters with a recursive CTE over the
+    // same pair SQL. At scale the edge set comes from the LSH/IVF tiers
+    // instead of the brute pair join; the keep-list shape is unchanged.
+    GraftQuery(
+      "q70_semantic_keeplist",
+      Some(s"""
+        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($embeddingPairsSql)),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS root FROM nodes
+          UNION
+          SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id)
+        SELECT CAST(id AS BIGINT) AS vec_id,
+               CAST(component AS BIGINT) AS representative,
+               (id = component) AS keep
+        FROM comp
+      """.trim),
+      (spark, dir) => {
+        val edges = embeddingPairs(spark, dir)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        graft.operators.ConnectedComponents.run(spark, edges)
+          .select(col("id").as("vec_id"), col("component").as("representative"),
+            (col("id") === col("component")).as("keep"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q71: asymmetric containment pairs — C(A→B) = |A∩B|/|A| over shingle
+    // sets, the subset/supersede dedup signal Jaccard can't see (a short
+    // doc quoted inside a long one has J ≈ 0 but C = 1). Prefix-probe vs
+    // inverted-index candidates, exact merge-scan verify (Dedup
+    // .containmentPairs). The oracle brute-forces the same directed pairs;
+    // docs shorter than the shingle width have no set and drop on both
+    // engines (len(s) > 0 ↔ explode of an empty shingle array).
+    GraftQuery(
+      "q71_containment_pairs",
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, ${TextFunctions.shinglesSql("text")} AS s
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+        FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+        Dedup.containmentPairs(d, threshold = 0.9)
       })
   )
 }

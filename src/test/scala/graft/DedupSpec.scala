@@ -50,6 +50,49 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("containment sees subset relations jaccard misses, and is directed") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val sup = base + " followed by a very long appended tail of entirely new material stretching onward"
+    val cdocs = Seq((0L, base), (1L, sup), (2L, "something else entirely unrelated"))
+      .toDF("id", "text")
+    val pairs = Dedup.containmentPairs(cdocs, threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0), "prefix doc is fully contained in its superset")
+    assert(!pairs.contains((1L, 0L)), "superset direction must not qualify")
+    assert(pairs.keySet == Set((0L, 1L)))
+    // Jaccard at any threshold this strict cannot see the same pair
+    val j = Dedup.jaccardPairs(cdocs, threshold = 0.9).collect()
+    assert(j.isEmpty, "J = |A|/|B| is diluted by the superset's extra shingles")
+  }
+
+  test("containment pairs match brute force over shingle sets") {
+    val sh = docs.select(col("id"),
+        graft.functions.TextFunctions.shingles(col("text"), 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && sa.nonEmpty && sb.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= 0.9
+    } yield ((a, b), c)).toMap
+    val got = Dedup.containmentPairs(docs, threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == brute)
+  }
+
+  test("semantic keep-list marks exactly one representative per component") {
+    val df = SparkEntry.queries("q70_semantic_keeplist")(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty, "fixture embeddings must produce at least one cluster")
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._3) == 1, s"component $rep must keep exactly one")
+      assert(members.find(_._3).get._1 == rep, s"kept member must be the min id $rep")
+      assert(members.map(_._1).min == rep, "representative must be the component min")
+    }
+  }
+
   test("minhash LSH output equals exact jaccard output on the fixture corpus") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
