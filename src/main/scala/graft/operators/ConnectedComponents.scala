@@ -30,17 +30,23 @@ object ConnectedComponents {
     *        below which the graph is solved by an exact driver-side
     *        union-find instead of the iterative join loop. Each loop
     *        iteration costs ~6 Spark jobs — pure scheduling overhead when
-    *        the edge list fits in a few MB — and similarity graphs are
+    *        the edge list fits on the driver — and similarity graphs are
     *        usually tiny relative to their corpus (edges ∝ near-dups, not
     *        rows). The bound is measured, not assumed: the count runs on
-    *        the already-persisted edge set, and 100k edges ≈ 1.6 MB on
-    *        the driver. Big graphs take the distributed loop unchanged;
-    *        both paths produce identical (id, min-reachable-id) labels.
+    *        the already-persisted edge set, and the default 4M symmetrized
+    *        edges ≈ 64 MB of (long, long) on the driver — noise against a
+    *        multi-GB driver heap, and union-find resolves it in well under
+    *        a second, vs ~3 s of pure scheduling for even one join-loop
+    *        round trip. (Measured at sf0.1: the 85-threshold entity graph
+    *        is 313k symmetrized edges; the loop path cost q28-q31 ~2.6 s
+    *        each, the local path ~0.3 s, identical labels.) Big graphs
+    *        take the distributed loop unchanged; both paths produce
+    *        identical (id, min-reachable-id) labels.
     * @return (id, component) — component = min reachable id, for every id
     *         appearing in `edges`.
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
-      localThreshold: Long = 100000L): DataFrame = {
+      localThreshold: Long = 4000000L): DataFrame = {
     // NULL endpoints (nullable input columns, or non-numeric ids nulled by
     // the cast) carry no connectivity: drop them up front so both the local
     // and distributed paths see the same graph. Without this the local

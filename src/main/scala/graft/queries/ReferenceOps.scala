@@ -38,7 +38,7 @@ object ReferenceOps {
     * intra-group pairs are exact duplicates (score 100). Exact, and the
     * standard first move for entity corpora where duplication is the norm.
     */
-  private def partPairs(spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double) = {
+  private[graft] def partPairs(spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double) = {
     val p = Tables(spark, dir).part.select("p_partkey", "p_name", "p_brand")
     val groups0 = p.groupBy("p_brand", "p_name")
       .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))

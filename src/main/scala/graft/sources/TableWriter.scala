@@ -33,4 +33,32 @@ object TableWriter {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Bucketed layout — co-locate a join/aggregation key at WRITE time.
+    *
+    * Every equi-join or groupBy on `bucketCol` against another table
+    * bucketed the same way (same column semantics, same `nBuckets`) then
+    * reads pre-shuffled data: the exchange is paid ONCE at ingest instead
+    * of once per query, which is the difference between "a nightly join of
+    * two 100 TB fact tables shuffles 200 TB" and "it shuffles nothing".
+    * `sortBy(bucketCol)` additionally lets sort-merge joins skip their
+    * per-task sort. Bucketing requires the table catalog (`saveAsTable`);
+    * the explicit `path` keeps the data external so the files live with
+    * the rest of the lake layout rather than in the warehouse directory.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.write
+      .mode(mode)
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

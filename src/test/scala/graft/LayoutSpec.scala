@@ -22,6 +22,36 @@ class LayoutSpec extends SparkSpec {
     assert(read.count() > 0)
   }
 
+  test("bucketed tables equi-join with no shuffle, and agree with plain join") {
+    val tmp = java.nio.file.Files.createTempDirectory("buck").toString
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    TableWriter.writeBucketed(c, "buck_customer", s"$tmp/c", "c_custkey", nBuckets = 8)
+    TableWriter.writeBucketed(o, "buck_orders", s"$tmp/o", "o_custkey", nBuckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join to its at-scale shape (no broadcast escape hatch):
+      // with both sides bucketed by the key, the sort-merge join must read
+      // bucket files directly — zero Exchange anywhere in the plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("buck_customer")
+        .join(spark.table("buck_orders"), col("c_custkey") === col("o_custkey"))
+      val p = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware: " + p)
+      val plain = c.join(o, col("c_custkey") === col("o_custkey")).count()
+      assert(j.count() == plain, "bucketed join must not change results")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS buck_customer")
+      spark.sql("DROP TABLE IF EXISTS buck_orders")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val o = graft.core.Tables(spark, sfDir).orders
     val plain = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))

@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
   }
 
+  test("q71 containment candidates come from the prefix/index equi join") {
+    val p = plan("q71_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q55 stratified sample is shuffle-free (pure filter over the scan)") {
     // the whole point of the hash gate: membership must not require data
     // movement, so the plan has no Exchange at all (the canonical-order
