@@ -63,6 +63,85 @@ object VectorExpressions {
   /** Intersection size of two PRE-SORTED int arrays (merge scan). */
   def sortedIntersectCountInt(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountInt(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Pack a 1-based dictionary-id int array into a fixed-width bitset. */
+  def toBitset(toks: Column, nWords: Int): Column =
+    ColumnBridge.column(ToBitset(ColumnBridge.expression(toks), nWords))
+
+  /** popcount(a AND b) over two equal-width long-array bitsets. */
+  def bitsetAndCount(a: Column, b: Column): Column =
+    ColumnBridge.column(BitsetAndCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `to_bitset(toks, nWords)` — pack a set of 1-based dictionary ids into an
+  * `array<long>` bitset of fixed word width (id i → word (i−1)/64, bit
+  * (i−1)%64). Small-dictionary corpora (the degenerate case for prefix
+  * filtering: every "rare" gram is still common) get set intersection as
+  * popcount-of-AND over a few cache lines instead of a merge scan over
+  * hundreds of ints — see [[BitsetAndCount]].
+  */
+case class ToBitset(child: Expression, nWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "to_bitset"
+
+  override def nullSafeEval(a: Any): Any =
+    ToBitset.build(a.asInstanceOf[ArrayData], nWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ToBitset.build($c, $nWords)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ToBitset {
+  def build(toks: ArrayData, nWords: Int): ArrayData = {
+    val words = new Array[Long](nWords)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getInt(i) - 1
+      words(t >> 6) |= (1L << (t & 63))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(words)
+  }
+}
+
+/** `bitset_and_count(a, b)` — |A ∩ B| as popcount of the word-wise AND of
+  * two [[ToBitset]]-packed sets: O(dictionary/64) with no branches, vs the
+  * O(|A|+|B|) branchy merge scan — ~10× on 200-element sets over a small
+  * dictionary, which is what candidate verification does millions of times.
+  */
+case class BitsetAndCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bitset_and_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitsetAndCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitsetAndCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object BitsetAndCount {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      c += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    c
+  }
 }
 
 /** `sorted_intersect_count(a, b)` — |A ∩ B| for two sorted string arrays

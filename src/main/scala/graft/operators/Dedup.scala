@@ -135,6 +135,21 @@ object Dedup {
       .groupBy("id").agg(array_sort(collect_list(col("tok"))).as("toks"))
   }
 
+  /** Broadcast-hint a collapsed rep-side table when it is MEASURED small.
+    *
+    * The rep/encoded-set frames here are localCheckpointed, and RDD-backed
+    * plans carry no size statistics — Spark (and AQE) then default to
+    * sort-merge joins, which shuffle the MILLIONS-of-rows candidate side
+    * to join back a few thousand reps. The row count is already
+    * materialized (the frames are checkpointed), so the hint costs one
+    * metadata-cheap count; past the bound (~100 MB at ~1 KB/row of
+    * encoded sets) the shuffle join is the correct at-scale shape and the
+    * frame is passed through unhinted.
+    */
+  private def maybeBroadcast(df: DataFrame, rows: Long,
+      maxRows: Long = 100000L): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** Exact Jaccard-similar pairs over character shingle sets.
     *
     * (No length pre-filter: character-length ratio is NOT implied by
@@ -155,22 +170,29 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      maxBitsetVocab: Int = 4096): DataFrame = {
     // one row per distinct shingle SET
     val groups = encodedSets(docs, k).groupBy(col("toks"))
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
+    val nReps = groups.count() // already materialized; drives broadcast hints
+    val vocab: Int = groups.agg(max(element_at(col("toks"), -1))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r                  => r.getInt(0)
+    }
 
     val repPairs = distinctSetPairs(
-      groups.select(col("rep").as("id"), col("toks")), threshold)
+      groups.select(col("rep").as("id"), col("toks")), threshold, nReps,
+      vocab, maxBitsetVocab)
 
     // expand representative pairs to member pairs; groups are disjoint, so
     // least/greatest re-ordering cannot produce duplicates
     val m = groups.select(col("rep"), col("members"))
     val inter = repPairs
-      .join(m.select(col("rep").as("id_a"), col("members").as("ms_a")), "id_a")
-      .join(m.select(col("rep").as("id_b"), col("members").as("ms_b")), "id_b")
+      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), nReps), "id_a")
+      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), nReps), "id_b")
       .select(explode(col("ms_a")).as("x"), col("ms_b"), col("jaccard"))
       .select(col("x"), explode(col("ms_b")).as("y"), col("jaccard"))
       .select(least(col("x"), col("y")).as("id_a"),
@@ -211,16 +233,99 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      maxBitsetVocab: Int = 4096): DataFrame = {
     val groups = encodedSets(docs, k).groupBy(col("toks"))
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
+    val nReps = groups.count() // already materialized; drives path choice + hints
 
     val enc = groups.select(col("rep").as("id"), col("toks"))
       .withColumn("setsize", size(col("toks")))
       .localCheckpoint() // shared by the probe explode + index + verify join-backs
 
+    // Path choice is MEASURED, not assumed. Prefix filtering earns its keep
+    // only when the dictionary is large enough that "rare" grams are
+    // actually rare; on a small dictionary (vocab ≈ 2k on the fixture
+    // corpus) nearly every pair shares some prefix gram, candidates
+    // approach all-pairs, and the dedup shuffle + array join-backs dominate.
+    // There the sets fit fixed-width bitsets (vocab/64 longs), so verify
+    // runs INLINE on the raw equi-join matches (popcount-of-AND over a few
+    // cache lines) and only the survivors — not the millions of candidates —
+    // reach a shuffle. Both paths produce identical rows; vocab is the max
+    // dictionary id (arrays are sorted, so last element), one tiny agg over
+    // the checkpointed reps.
+    val vocab: Int = enc.agg(max(element_at(col("toks"), -1))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r                  => r.getInt(0)
+    }
+    val repPairs =
+      if (vocab > 0 && vocab <= maxBitsetVocab && nReps <= 100000L)
+        containRepPairsBitset(enc, threshold, vocab)
+      else containRepPairsPrefix(enc, threshold, nReps)
+
+    // expand representative pairs to member pairs (groups are disjoint, so
+    // no duplicates); intra-group ordered pairs are C = 1 by definition
+    val m = groups.select(col("rep"), col("members"))
+    val inter = repPairs
+      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), nReps), "id_a")
+      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), nReps), "id_b")
+      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("containment"))
+      .select(col("x").as("id_a"), explode(col("ms_b")).as("id_b"), col("containment"))
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x").as("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
+
+    inter.unionByName(intra)
+  }
+
+  /** Containment rep pairs, small-dictionary path: the same prefix-probe ×
+    * inverted-index equi-join generates matches, but verification runs
+    * INLINE on the raw match stream — both sets are fetched as
+    * [[graft.functions.ToBitset]] bitsets through guaranteed-broadcast hash
+    * joins (reps ≤ 100k) and |A∩B| is a popcount-of-AND — so no candidate
+    * dedup shuffle, no sort-merge join-backs; only verified survivors reach
+    * the final distinct. The match stream itself stays THIN (two ids and a
+    * size): measured on the fixture corpus, carrying the 256-byte bitsets
+    * through the sort-merge tok-join instead was 4× slower than this
+    * shape — wide rows in SMJ buffers cost more than a second hash lookup.
+    */
+  private def containRepPairsBitset(enc: DataFrame, threshold: Double,
+      vocab: Int): DataFrame = {
+    val nWords = (vocab + 63) >> 6
+    val bits = graft.functions.VectorExpressions.toBitset(col("toks"), nWords)
+    val prefixLen = (col("setsize") -
+      ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1).cast("int")
+    val probe = enc.select(col("id").as("id_a"),
+      col("setsize").cast(DoubleType).as("sz_a"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val index = enc.select(col("id").as("id_b"), col("setsize").as("sz_b"),
+      explode(col("toks")).as("tok"))
+    probe.join(index,
+        probe("tok") === index("tok") && col("id_a") =!= col("id_b") &&
+          col("sz_b").cast(DoubleType) >= lit(threshold) * col("sz_a") - lit(1e-9))
+      .select("id_a", "id_b", "sz_a")
+      .join(broadcast(enc.select(col("id").as("id_a"), bits.as("bits_a"))), "id_a")
+      .join(broadcast(enc.select(col("id").as("id_b"), bits.as("bits_b"))), "id_b")
+      .withColumn("containment",
+        graft.functions.VectorExpressions.bitsetAndCount(col("bits_a"), col("bits_b"))
+          .cast(DoubleType) / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Containment rep pairs, large-dictionary path: prefix probes are
+    * genuinely selective, so candidates are deduplicated first and the few
+    * survivors fetch their arrays for the merge-scan verify — the shape
+    * that scales when neither side fits a bitset or a broadcast.
+    */
+  private def containRepPairsPrefix(enc: DataFrame, threshold: Double,
+      nReps: Long): DataFrame = {
     // same epsilon-before-ceil guard as distinctSetPairs: a one-ulp
     // overshoot would shorten A's prefix and silently drop threshold pairs
     val prefixLen = (col("setsize") -
@@ -236,32 +341,15 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val sides = enc.select(col("id"), col("toks"), col("setsize"))
-    val repPairs = candidates
-      .join(sides.select(col("id").as("id_a"), col("toks").as("t_a"),
-        col("setsize").cast(DoubleType).as("sz_a")), "id_a")
-      .join(sides.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+    candidates
+      .join(maybeBroadcast(sides.select(col("id").as("id_a"), col("toks").as("t_a"),
+        col("setsize").cast(DoubleType).as("sz_a")), nReps), "id_a")
+      .join(maybeBroadcast(sides.select(col("id").as("id_b"), col("toks").as("t_b")), nReps), "id_b")
       .withColumn("containment",
         graft.functions.VectorExpressions.sortedIntersectCountInt(col("t_a"), col("t_b"))
           .cast(DoubleType) / col("sz_a"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
-
-    // expand representative pairs to member pairs (groups are disjoint, so
-    // no duplicates); intra-group ordered pairs are C = 1 by definition
-    val m = groups.select(col("rep"), col("members"))
-    val inter = repPairs
-      .join(m.select(col("rep").as("id_a"), col("members").as("ms_a")), "id_a")
-      .join(m.select(col("rep").as("id_b"), col("members").as("ms_b")), "id_b")
-      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("containment"))
-      .select(col("x").as("id_a"), explode(col("ms_b")).as("id_b"), col("containment"))
-    val intra = groups
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("x"), col("members"))
-      .select(col("x").as("id_a"), explode(col("members")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
-
-    inter.unionByName(intra)
   }
 
   /** PPJoin candidate generation + exact verification over documents with
@@ -269,7 +357,8 @@ object Dedup {
     * `toks: sorted array<int>` in global frequency order; callers collapse
     * duplicates first).
     */
-  private def distinctSetPairs(enc0: DataFrame, threshold: Double): DataFrame = {
+  private def distinctSetPairs(enc0: DataFrame, threshold: Double,
+      nReps: Long, vocab: Int = 0, maxBitsetVocab: Int = 0): DataFrame = {
     // AllPairs/PPJoin prefix filtering: under any consistent global shingle
     // order, two sets with J >= t must share an element within each other's
     // first |X| - ceil(t*|X|) + 1 shingles. The dictionary order ranks by
@@ -306,15 +395,41 @@ object Dedup {
     //    its first-common-shingle row, so dropping late-rank rows is safe.
     val needOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.setsize") + col("b.setsize")) - lit(1e-9))
-    val candidates = prefix.as("a")
+    val raw = prefix.as("a")
       .join(prefix.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         least(col("a.setsize"), col("b.setsize")).cast(DoubleType) /
           greatest(col("a.setsize"), col("b.setsize")).cast(DoubleType) >= threshold &&
         lit(1) + least(col("a.setsize") - col("a.rn"), col("b.setsize") - col("b.rn")) >= needOverlap)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
 
-    verifyJaccardInt(candidates, enc.select(col("id"), col("toks")), threshold)
+    // Small-dictionary fast path (same rationale + measured row-width
+    // caveat as the containment twin [[containRepPairsBitset]]): skip the
+    // candidate dedup shuffle entirely — verify the raw match stream
+    // inline via broadcast bitset lookups and popcount-of-AND, then
+    // distinct only the survivors. Identical output either way; prefix
+    // selectivity is what decides which shape is cheaper, and on a small
+    // dictionary it is degenerate.
+    if (vocab > 0 && vocab <= maxBitsetVocab && nReps <= 100000L) {
+      val nWords = (vocab + 63) >> 6
+      val bits = graft.functions.VectorExpressions.toBitset(col("toks"), nWords)
+      raw
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.setsize").cast(DoubleType).as("sz_a"),
+          col("b.setsize").cast(DoubleType).as("sz_b"))
+        .join(broadcast(enc.select(col("id").as("id_a"), bits.as("bits_a"))), "id_a")
+        .join(broadcast(enc.select(col("id").as("id_b"), bits.as("bits_b"))), "id_b")
+        .withColumn("inter",
+          graft.functions.VectorExpressions.bitsetAndCount(col("bits_a"), col("bits_b"))
+            .cast(DoubleType))
+        .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .dropDuplicates("id_a", "id_b")
+    } else {
+      val candidates = raw
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      verifyJaccardInt(candidates, enc.select(col("id"), col("toks")), threshold, nReps)
+    }
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
@@ -325,12 +440,14 @@ object Dedup {
     * hash-set allocation, which dominates at millions of candidates.
     */
   private def verifyJaccardInt(candidates: DataFrame, enc: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, nReps: Long): DataFrame = {
     val sides = enc.select(col("id"), col("toks"),
       size(col("toks")).cast(DoubleType).as("sz"))
     candidates
-      .join(sides.select(col("id").as("id_a"), col("toks").as("t_a"), col("sz").as("sz_a")), "id_a")
-      .join(sides.select(col("id").as("id_b"), col("toks").as("t_b"), col("sz").as("sz_b")), "id_b")
+      .join(maybeBroadcast(
+        sides.select(col("id").as("id_a"), col("toks").as("t_a"), col("sz").as("sz_a")), nReps), "id_a")
+      .join(maybeBroadcast(
+        sides.select(col("id").as("id_b"), col("toks").as("t_b"), col("sz").as("sz_b")), nReps), "id_b")
       .withColumn("inter",
         graft.functions.VectorExpressions.sortedIntersectCountInt(col("t_a"), col("t_b"))
           .cast(DoubleType))
@@ -372,6 +489,7 @@ object Dedup {
     val rows = numHashes / bands
     val enc = encodedSets(docs, k)
       .localCheckpoint() // reused by signatures + both verify join-backs
+    val nEnc = enc.count() // already materialized; drives broadcast hints
 
     // materialize the long-cast element ids in their own projection so the
     // 32 signature aggregates share ONE pass-ready attribute (inlining the
@@ -398,7 +516,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccardInt(candidates, enc, threshold)
+    verifyJaccardInt(candidates, enc, threshold, nEnc)
   }
 
   /** Cross-engine 64-bit token hash: four 16-bit chunks of the md5 hex

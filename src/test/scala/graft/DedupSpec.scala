@@ -66,6 +66,22 @@ class DedupSpec extends SparkSpec {
     assert(j.isEmpty, "J = |A|/|B| is diluted by the superset's extra shingles")
   }
 
+  test("bitset and prefix verify paths produce identical pairs") {
+    // maxBitsetVocab = 0 forces the large-dictionary (dedup + merge-scan
+    // join-back) path; the default takes the bitset inline-verify path on
+    // these small-vocab fixtures — outputs must be row-identical
+    val jBit = Dedup.jaccardPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jPre = Dedup.jaccardPairs(docs, threshold = 0.8, maxBitsetVocab = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jBit == jPre)
+    val cBit = Dedup.containmentPairs(docs, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cPre = Dedup.containmentPairs(docs, threshold = 0.9, maxBitsetVocab = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cBit == cPre)
+  }
+
   test("containment pairs match brute force over shingle sets") {
     val sh = docs.select(col("id"),
         graft.functions.TextFunctions.shingles(col("text"), 5).as("s"))
