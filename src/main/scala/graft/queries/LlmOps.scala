@@ -105,6 +105,33 @@ object LlmOps {
     SELECT qid, neighbor, cos, rank FROM ranked WHERE rank <= $k""".trim
   }
 
+  /** DuckDB twin of the flat-SQ ANN tier (oracle for q68; reused as a CTE
+    * by q72's fusion oracle). Re-derives the int8 codes, dequantizes, and
+    * ranks by cosine exactly as [[graft.operators.VectorOps.sqTopK]].
+    */
+  private val annSqSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_min(v) AS qmin,
+                 (list_max(v) - list_min(v)) / 255.0 AS qscale FROM e),
+    c AS (SELECT vec_id, v, qmin, qscale,
+                 [CASE WHEN qscale = 0 THEN 0
+                       ELSE CAST(least(round((x - qmin) / qscale), 255.0) AS INT) END
+                  for x in v] AS codes
+          FROM s),
+    dq AS (SELECT vec_id, [qmin + codes[i] * qscale
+                          for i in generate_series(1, len(codes))] AS v
+           FROM c)
+    SELECT qid, neighbor, cos, rank FROM (
+      SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+             round(list_cosine_similarity(d.v, q.v), 4) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(d.v, q.v), 4) DESC,
+                        d.vec_id ASC) AS rank
+      FROM dq d, e q
+      WHERE q.vec_id < 10 AND d.vec_id != q.vec_id)
+    WHERE rank <= 5""".trim
+
   /** Embedding-cosine near-dup pair SQL (shared oracle for q53 and q70). */
   private val embeddingPairsSql = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -1003,29 +1030,7 @@ object LlmOps {
     // dequantization → exactly oracle-checkable, unlike IVF.
     GraftQuery(
       "q68_ann_sq",
-      Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        s AS (SELECT vec_id, v, list_min(v) AS qmin,
-                     (list_max(v) - list_min(v)) / 255.0 AS qscale FROM e),
-        c AS (SELECT vec_id, v, qmin, qscale,
-                     [CASE WHEN qscale = 0 THEN 0
-                           ELSE CAST(least(round((x - qmin) / qscale), 255.0) AS INT) END
-                      for x in v] AS codes
-              FROM s),
-        dq AS (SELECT vec_id, [qmin + codes[i] * qscale
-                              for i in generate_series(1, len(codes))] AS v
-               FROM c)
-        SELECT qid, neighbor, cos, rank FROM (
-          SELECT q.vec_id AS qid, d.vec_id AS neighbor,
-                 round(list_cosine_similarity(d.v, q.v), 4) AS cos,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(d.v, q.v), 4) DESC,
-                            d.vec_id ASC) AS rank
-          FROM dq d, e q
-          WHERE q.vec_id < 10 AND d.vec_id != q.vec_id)
-        WHERE rank <= 5
-      """.trim),
+      Some(annSqSql),
       (spark, dir) => {
         val e = Tables(spark, dir).embeddings
         val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1125,6 +1130,94 @@ object LlmOps {
         val d = Tables(spark, dir).documents
           .select(col("doc_id").as("id"), col("text"))
         Dedup.containmentPairs(d, threshold = 0.9)
+      }),
+
+    // ------------------------------------------------------------------
+    // q72: reciprocal-rank fusion across retrieval tiers — the standard
+    // way production search combines heterogeneous rankers (here: the
+    // sign-LSH tier q46 and the int8-SQ tier q68) without score
+    // calibration: rrf = Σ_tiers 1/(60 + rank). Each tier's candidate set
+    // stays bucketed/compressed as before; fusion itself is one tiny
+    // groupBy over ≤ k rows per (query, tier). Exact: a neighbor's rrf is
+    // a sum of at most two doubles (commutative in IEEE), ties broken by
+    // neighbor id, so both engines rank identically.
+    GraftQuery(
+      "q72_rrf_fusion",
+      Some(s"""
+        WITH u AS (
+          SELECT qid, neighbor, 1.0 / (60.0 + rank) AS c
+          FROM (${annLshOracleSql(bits = 4, dim = 64, tables = 8, k = 5)})
+          UNION ALL
+          SELECT qid, neighbor, 1.0 / (60.0 + rank) AS c
+          FROM ($annSqSql)),
+        f AS (
+          SELECT qid, neighbor, round(SUM(c), 6) AS rrf,
+                 CAST(COUNT(*) AS BIGINT) AS n_tiers
+          FROM u GROUP BY qid, neighbor)
+        SELECT qid, neighbor, rrf, n_tiers, fused_rank FROM (
+          SELECT qid, neighbor, rrf, n_tiers,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rrf DESC, neighbor ASC) AS fused_rank
+          FROM f)
+        WHERE fused_rank <= 5
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val contrib = (df: org.apache.spark.sql.DataFrame) =>
+          df.select(col("qid"), col("neighbor"),
+            (lit(1.0) / (lit(60.0) + col("rank"))).as("c"))
+        val u = contrib(VectorOps.lshTopK(corpus, queries, k = 5, bits = 4, dim = 64))
+          .unionByName(contrib(VectorOps.sqTopK(corpus, queries, k = 5)))
+        val f = u.groupBy("qid", "neighbor")
+          .agg(round(sum(col("c")), 6).as("rrf"), count(lit(1)).as("n_tiers"))
+        val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("neighbor").asc)
+        f.withColumn("fused_rank", row_number().over(w))
+          .filter(col("fused_rank") <= 5)
+          .select("qid", "neighbor", "rrf", "n_tiers", "fused_rank")
+      }),
+
+    // ------------------------------------------------------------------
+    // q73: duplicated-span coverage — for each document, the fraction of
+    // its distinct 50-char windows that also occur in ANOTHER document
+    // (the exact-substring dedup signal of Lee et al.'s "Deduplicating
+    // Training Data Makes Language Models Better": long verbatim overlaps
+    // that doc-level near-dup measures miss). Two window-keyed shuffles
+    // (df count + rejoin), both key-parallel; at corpus scale the window
+    // column would be a rolling hash instead of the raw 50 bytes — same
+    // plan shape, thinner shuffle.
+    GraftQuery(
+      "q73_dup_spans",
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_distinct([substring(text, i, 50)
+                        for i in generate_series(1, length(text) - 49)])) AS win
+          FROM documents),
+        d AS (SELECT win, COUNT(DISTINCT doc_id) AS n_docs FROM w GROUP BY win)
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(CASE WHEN d.n_docs > 1 THEN 1 END) AS BIGINT) AS n_shared,
+               round(CAST(COUNT(CASE WHEN d.n_docs > 1 THEN 1 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+        FROM w JOIN d USING (win)
+        GROUP BY w.doc_id
+      """.trim),
+      (spark, dir) => {
+        val w = Tables(spark, dir).documents
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 50)).as("win"))
+          .localCheckpoint() // window explode feeds both the df agg + rejoin
+        val d = w.groupBy("win").agg(countDistinct(col("doc_id")).as("n_docs"))
+        w.join(d, "win")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_windows"),
+            count(when(col("n_docs") > 1, lit(1))).as("n_shared"))
+          .withColumn("shared_frac",
+            round(col("n_shared").cast(DoubleType) / col("n_windows").cast(DoubleType), 6))
       })
   )
 }

@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicated-span coverage: exact dups fully shared, unique docs zero") {
+    val df = SparkEntry.queries("q73_dup_spans")(spark, sfDir)
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (n, s, f) =>
+      assert(s <= n && f >= 0.0 && f <= 1.0)
+    }
+    // the fixture corpus contains exact duplicate texts (q40 finds them):
+    // every window of a duplicated doc is shared, so some doc has frac 1.0
+    assert(rows.values.exists(_._3 == 1.0), "exact dups must be fully covered")
+  }
+
   test("minhash LSH output equals exact jaccard output on the fixture corpus") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

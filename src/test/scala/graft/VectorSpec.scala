@@ -77,6 +77,22 @@ class VectorSpec extends SparkSpec {
     assert(recall > 0.85, s"recall $recall")
   }
 
+  test("RRF fusion: 5 rows per query, tier counts sane, both-tier hits rank first") {
+    val df = SparkEntry.queries("q72_rrf_fusion")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getInt(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q must fuse to exactly 5")
+      assert(rs.map(_._5).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      assert(rs.forall(r => r._4 == 1L || r._4 == 2L), "contributions from 1 or 2 tiers")
+      // rrf is non-increasing in fused rank
+      val ordered = rs.sortBy(_._5).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("int8 scalar quantization: codes in range, sup error <= qscale/2") {
     import spark.implicits._
     val rows = VectorOps.scalarQuantize(emb, col("vec_id"), col("embedding")).collect()
