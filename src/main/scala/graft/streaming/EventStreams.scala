@@ -90,6 +90,24 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming heavy hitters: the [[graft.functions.SpaceSavingTopK]]
+    * sketch as a streaming aggregate. TypedImperativeAggregate state is
+    * mergeable and serializable, so partial sketches flow through the
+    * streaming state store exactly like partial sums — O(capacity) state
+    * TOTAL regardless of stream length or cardinality, the property that
+    * makes frequency tracking viable on an unbounded token stream where an
+    * exact groupBy-count's state would grow with the vocabulary. Complete
+    * output mode: each micro-batch emits the current global top-k.
+    */
+  def topTokensStream(tokens: DataFrame, tokenCol: String, k: Int,
+      capacity: Int = 4096): DataFrame = {
+    import graft.functions.SpaceSavingTopK.spaceSavingTopK
+    tokens.groupBy()
+      .agg(spaceSavingTopK(col(tokenCol), k, capacity).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.est_count"))
+  }
+
   /** Stream-static enrichment: join the stream against a bounded dimension
     * via broadcast hash — the streaming twin of the batch lookup join
     * (q23). The static side is re-read and re-broadcast per micro-batch

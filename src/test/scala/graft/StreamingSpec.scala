@@ -58,6 +58,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: sketch state merges across micro-batches to exact counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = EventStreams.topTokensStream(in.toDF().toDF("token"), "token", k = 3,
+        capacity = 64)
+      .writeStream.format("memory").queryName("toptok").outputMode("complete").start()
+    try {
+      // two micro-batches: the second batch's partial sketch must MERGE
+      // into the first's state, not replace it
+      in.addData(Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(4)("beta") ++ Seq.fill(2)("delta") ++ Seq("alpha"): _*)
+      q.processAllAvailable()
+      val got = spark.table("toptok").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // capacity 64 > 4 distinct tokens → the sketch is exact
+      assert(got == Map("beta" -> 7L, "alpha" -> 6L, "delta" -> 2L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
