@@ -1206,18 +1206,30 @@ object LlmOps {
         GROUP BY w.doc_id
       """.trim),
       (spark, dir) => {
+        // windows travel as md5 digests (the engine's standard exactness
+        // assumption, as in the fingerprint/incremental dedup keys) so the
+        // window-keyed shuffle moves 32-byte keys, not 50-byte text. The
+        // duplicated-window SET is usually a small fraction of the corpus
+        // (∝ duplication, not size), so it is measured and broadcast: the
+        // per-doc shared count is then a map-side semi join — the corpus
+        // windows shuffle ONCE (for the doc-count agg), never twice.
         val w = Tables(spark, dir).documents
           .select(col("doc_id"),
             explode(TextFunctions.shingles(col("text"), 50)).as("win"))
-          .localCheckpoint() // window explode feeds both the df agg + rejoin
-        val d = w.groupBy("win").agg(countDistinct(col("doc_id")).as("n_docs"))
-        w.join(d, "win")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_windows"),
-            count(when(col("n_docs") > 1, lit(1))).as("n_shared"))
+          .select(col("doc_id"), md5(col("win")).as("wd"))
+          .localCheckpoint() // feeds the dup-set agg + the semi join + per-doc count
+        val perDoc = w.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        val shared = w.groupBy("wd").agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select("wd")
+          .localCheckpoint()
+        val sj = if (shared.count() <= 1000000L) broadcast(shared) else shared
+        val nShared = w.join(sj, Seq("wd"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        perDoc.join(nShared, Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
           .withColumn("shared_frac",
             round(col("n_shared").cast(DoubleType) / col("n_windows").cast(DoubleType), 6))
+          .select("doc_id", "n_windows", "n_shared", "shared_frac")
       })
   )
 }
