@@ -33,10 +33,13 @@ object ConnectedComponents {
     *        the edge list fits on the driver — and similarity graphs are
     *        usually tiny relative to their corpus (edges ∝ near-dups, not
     *        rows). The bound is measured, not assumed: the count runs on
-    *        the already-persisted edge set, and the default 4M symmetrized
-    *        edges ≈ 64 MB of (long, long) on the driver — noise against a
-    *        multi-GB driver heap, and union-find resolves it in well under
-    *        a second, vs ~3 s of pure scheduling for even one join-loop
+    *        the already-persisted edge set, and the memory math is kept
+    *        honest by collecting primitive-specialized pairs (~32 B/edge
+    *        transient, no Row boxing) into an open-addressed primitive
+    *        parent map (~16 B/slot) — the default 1M symmetrized edges is
+    *        ~32 MB of collect plus a ≤2M-node map, well inside any sane
+    *        driver heap, and union-find resolves it in well under a
+    *        second vs ~3 s of pure scheduling for even one join-loop
     *        round trip. (Measured at sf0.1: the 85-threshold entity graph
     *        is 313k symmetrized edges; the loop path cost q28-q31 ~2.6 s
     *        each, the local path ~0.3 s, identical labels.) Big graphs
@@ -46,7 +49,7 @@ object ConnectedComponents {
     *         appearing in `edges`.
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
-      localThreshold: Long = 4000000L): DataFrame = {
+      localThreshold: Long = 1000000L): DataFrame = {
     // NULL endpoints (nullable input columns, or non-numeric ids nulled by
     // the cast) carry no connectivity: drop them up front so both the local
     // and distributed paths see the same graph. Without this the local
@@ -68,7 +71,10 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     if (sym.count() <= localThreshold) {
-      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // RDD-level map BEFORE collect: Tuple2[Long, Long] is @specialized,
+      // so the driver receives primitive pairs, not boxed Rows — this is
+      // what keeps the localThreshold memory math truthful
+      val es = sym.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
       sym.unpersist()
       return localUnionFind(spark, es)
     }
@@ -115,10 +121,13 @@ object ConnectedComponents {
 
   /** Exact union-find (path-halving) over a bounded edge list; labels are
     * min-reachable-id, identical to the distributed loop's fixpoint.
+    * Parent links live in an open-addressed primitive map (~16 B/slot) —
+    * a boxed HashMap[Long, Long] costs ~6× per entry, which is the
+    * difference between the documented threshold budget and a driver OOM.
     */
   private def localUnionFind(spark: SparkSession,
       es: Array[(Long, Long)]): DataFrame = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val parent = new LongLongMap(es.length * 2)
     def find(x0: Long): Long = {
       var x = x0
       while (parent.getOrElseUpdate(x, x) != x) {
@@ -136,6 +145,68 @@ object ConnectedComponents {
       }
     }
     import spark.implicits._
-    parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "component")
+    val out = Array.newBuilder[(Long, Long)]
+    parent.foreachKey(id => out += ((id, find(id))))
+    out.result().toSeq.toDF("id", "component")
+  }
+
+  /** Minimal open-addressing Long→Long map (linear probing, power-of-two
+    * capacity, load ≤ 0.5): primitive arrays only, for the driver-side
+    * union-find's parent links.
+    */
+  private final class LongLongMap(expected: Int) {
+    private var cap = {
+      var c = 16
+      while (c < expected * 2 && c < (1 << 30)) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+
+    private def slot(k: Long): Int = {
+      // Fibonacci mixing spreads sequential ids before linear probing
+      var i = ((k * -7046029254386353131L) >>> 40).toInt & mask
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    private def grow(): Unit = {
+      val (ok, ov, ou) = (keys, vals, used)
+      cap <<= 1; mask = cap - 1; n = 0
+      keys = new Array[Long](cap); vals = new Array[Long](cap); used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) update(ok(i), ov(i))
+        i += 1
+      }
+    }
+
+    def apply(k: Long): Long = vals(slot(k))
+
+    def update(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; n += 1
+        if (n * 2 > cap) { vals(i) = v; grow(); return }
+      }
+      vals(slot(k)) = v
+    }
+
+    def getOrElseUpdate(k: Long, v: Long): Long = {
+      val i = slot(k)
+      if (used(i)) vals(i)
+      else { update(k, v); v }
+    }
+
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        if (used(i)) f(keys(i))
+        i += 1
+      }
+    }
   }
 }

@@ -140,15 +140,32 @@ object Dedup {
     * The rep/encoded-set frames here are localCheckpointed, and RDD-backed
     * plans carry no size statistics — Spark (and AQE) then default to
     * sort-merge joins, which shuffle the MILLIONS-of-rows candidate side
-    * to join back a few thousand reps. The row count is already
-    * materialized (the frames are checkpointed), so the hint costs one
-    * metadata-cheap count; past the bound (~100 MB at ~1 KB/row of
-    * encoded sets) the shuffle join is the correct at-scale shape and the
-    * frame is passed through unhinted.
+    * to join back a few thousand reps. Whether the hint is safe is decided
+    * from MEASURED totals, not a row count alone: rows bound the per-row
+    * overhead, but the dominant payload is the variable-width toks arrays,
+    * so callers also gate on the summed element count (≤ 25M ints ≈
+    * 100 MB) — a row-count-only proxy would happily broadcast a 100k-doc
+    * corpus of book-length texts into a multi-GB build side. Past either
+    * bound the shuffle join is the correct at-scale shape and the frame
+    * passes through unhinted.
     */
-  private def maybeBroadcast(df: DataFrame, rows: Long,
-      maxRows: Long = 100000L): DataFrame =
-    if (rows <= maxRows) broadcast(df) else df
+  private def maybeBroadcast(df: DataFrame, ok: Boolean): DataFrame =
+    if (ok) broadcast(df) else df
+
+  /** (rows, total toks elements, max dictionary id) of a checkpointed
+    * encoded-set frame, in one tiny aggregate — the measured metadata that
+    * picks verify shapes and broadcast eligibility.
+    */
+  private def encStats(enc: DataFrame, toks: String): (Long, Long, Int) = {
+    val r = enc.agg(count(lit(1)), sum(size(col(toks))),
+      max(element_at(col(toks), -1))).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0 else r.getInt(2))
+  }
+
+  private val MaxBroadcastRows  = 100000L
+  private val MaxBroadcastElems = 25000000L
 
   /** Exact Jaccard-similar pairs over character shingle sets.
     *
@@ -177,22 +194,19 @@ object Dedup {
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
-    val nReps = groups.count() // already materialized; drives broadcast hints
-    val vocab: Int = groups.agg(max(element_at(col("toks"), -1))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r                  => r.getInt(0)
-    }
+    val (nReps, totalToks, vocab) = encStats(groups, "toks")
+    val bcastOk = nReps <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
 
     val repPairs = distinctSetPairs(
       groups.select(col("rep").as("id"), col("toks")), threshold, nReps,
-      vocab, maxBitsetVocab)
+      bcastOk, vocab, maxBitsetVocab)
 
     // expand representative pairs to member pairs; groups are disjoint, so
     // least/greatest re-ordering cannot produce duplicates
     val m = groups.select(col("rep"), col("members"))
     val inter = repPairs
-      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), nReps), "id_a")
-      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), nReps), "id_b")
+      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), bcastOk), "id_a")
+      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), bcastOk), "id_b")
       .select(explode(col("ms_a")).as("x"), col("ms_b"), col("jaccard"))
       .select(col("x"), explode(col("ms_b")).as("y"), col("jaccard"))
       .select(least(col("x"), col("y")).as("id_a"),
@@ -239,7 +253,8 @@ object Dedup {
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
-    val nReps = groups.count() // already materialized; drives path choice + hints
+    val (nReps, totalToks, vocab) = encStats(groups, "toks")
+    val bcastOk = nReps <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
 
     val enc = groups.select(col("rep").as("id"), col("toks"))
       .withColumn("setsize", size(col("toks")))
@@ -253,24 +268,19 @@ object Dedup {
     // There the sets fit fixed-width bitsets (vocab/64 longs), so verify
     // runs INLINE on the raw equi-join matches (popcount-of-AND over a few
     // cache lines) and only the survivors — not the millions of candidates —
-    // reach a shuffle. Both paths produce identical rows; vocab is the max
-    // dictionary id (arrays are sorted, so last element), one tiny agg over
-    // the checkpointed reps.
-    val vocab: Int = enc.agg(max(element_at(col("toks"), -1))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r                  => r.getInt(0)
-    }
+    // reach a shuffle. Both paths produce identical rows; all three stats
+    // come from one tiny agg over the checkpointed reps (encStats).
     val repPairs =
-      if (vocab > 0 && vocab <= maxBitsetVocab && nReps <= 100000L)
+      if (vocab > 0 && vocab <= maxBitsetVocab && nReps <= MaxBroadcastRows)
         containRepPairsBitset(enc, threshold, vocab)
-      else containRepPairsPrefix(enc, threshold, nReps)
+      else containRepPairsPrefix(enc, threshold, bcastOk)
 
     // expand representative pairs to member pairs (groups are disjoint, so
     // no duplicates); intra-group ordered pairs are C = 1 by definition
     val m = groups.select(col("rep"), col("members"))
     val inter = repPairs
-      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), nReps), "id_a")
-      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), nReps), "id_b")
+      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), bcastOk), "id_a")
+      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), bcastOk), "id_b")
       .select(explode(col("ms_a")).as("x"), col("ms_b"), col("containment"))
       .select(col("x").as("id_a"), explode(col("ms_b")).as("id_b"), col("containment"))
     val intra = groups
@@ -283,21 +293,42 @@ object Dedup {
     inter.unionByName(intra)
   }
 
+  /** Inline bitset verification of a THIN (id_a, id_b, sizes…) match
+    * stream: both sets are fetched as [[graft.functions.ToBitset]] bitsets
+    * through guaranteed-broadcast hash joins (callers ensure reps ≤
+    * [[MaxBroadcastRows]]; bitset width is capped by the vocab bound) and
+    * |A∩B| lands in an `inter` column as popcount-of-AND — no candidate
+    * dedup shuffle, no sort-merge join-backs; only scored survivors reach
+    * the final distinct. The match stream must stay THIN: measured on the
+    * fixture corpus, carrying the 256-byte bitsets through the sort-merge
+    * tok-join instead was 4× slower — wide rows in SMJ buffers cost more
+    * than a second hash lookup.
+    *
+    * @param score expression over `inter` (+ whatever size columns the
+    *              caller kept on the stream) producing the similarity
+    */
+  private def bitsetVerifyPairs(matches: DataFrame, enc: DataFrame, vocab: Int,
+      score: Column, scoreName: String, threshold: Double): DataFrame = {
+    val nWords = (vocab + 63) >> 6
+    val bits = graft.functions.VectorExpressions.toBitset(col("toks"), nWords)
+    matches
+      .join(broadcast(enc.select(col("id").as("id_a"), bits.as("bits_a"))), "id_a")
+      .join(broadcast(enc.select(col("id").as("id_b"), bits.as("bits_b"))), "id_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.bitsetAndCount(col("bits_a"), col("bits_b"))
+          .cast(DoubleType))
+      .withColumn(scoreName, score)
+      .filter(col(scoreName) >= threshold)
+      .select(col("id_a"), col("id_b"), col(scoreName))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Containment rep pairs, small-dictionary path: the same prefix-probe ×
-    * inverted-index equi-join generates matches, but verification runs
-    * INLINE on the raw match stream — both sets are fetched as
-    * [[graft.functions.ToBitset]] bitsets through guaranteed-broadcast hash
-    * joins (reps ≤ 100k) and |A∩B| is a popcount-of-AND — so no candidate
-    * dedup shuffle, no sort-merge join-backs; only verified survivors reach
-    * the final distinct. The match stream itself stays THIN (two ids and a
-    * size): measured on the fixture corpus, carrying the 256-byte bitsets
-    * through the sort-merge tok-join instead was 4× slower than this
-    * shape — wide rows in SMJ buffers cost more than a second hash lookup.
+    * inverted-index equi-join generates matches, verified inline by
+    * [[bitsetVerifyPairs]].
     */
   private def containRepPairsBitset(enc: DataFrame, threshold: Double,
       vocab: Int): DataFrame = {
-    val nWords = (vocab + 63) >> 6
-    val bits = graft.functions.VectorExpressions.toBitset(col("toks"), nWords)
     val prefixLen = (col("setsize") -
       ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1).cast("int")
     val probe = enc.select(col("id").as("id_a"),
@@ -305,18 +336,12 @@ object Dedup {
       explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
     val index = enc.select(col("id").as("id_b"), col("setsize").as("sz_b"),
       explode(col("toks")).as("tok"))
-    probe.join(index,
+    val matches = probe.join(index,
         probe("tok") === index("tok") && col("id_a") =!= col("id_b") &&
           col("sz_b").cast(DoubleType) >= lit(threshold) * col("sz_a") - lit(1e-9))
       .select("id_a", "id_b", "sz_a")
-      .join(broadcast(enc.select(col("id").as("id_a"), bits.as("bits_a"))), "id_a")
-      .join(broadcast(enc.select(col("id").as("id_b"), bits.as("bits_b"))), "id_b")
-      .withColumn("containment",
-        graft.functions.VectorExpressions.bitsetAndCount(col("bits_a"), col("bits_b"))
-          .cast(DoubleType) / col("sz_a"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
-      .dropDuplicates("id_a", "id_b")
+    bitsetVerifyPairs(matches, enc, vocab,
+      score = col("inter") / col("sz_a"), scoreName = "containment", threshold)
   }
 
   /** Containment rep pairs, large-dictionary path: prefix probes are
@@ -325,7 +350,7 @@ object Dedup {
     * that scales when neither side fits a bitset or a broadcast.
     */
   private def containRepPairsPrefix(enc: DataFrame, threshold: Double,
-      nReps: Long): DataFrame = {
+      bcastOk: Boolean): DataFrame = {
     // same epsilon-before-ceil guard as distinctSetPairs: a one-ulp
     // overshoot would shorten A's prefix and silently drop threshold pairs
     val prefixLen = (col("setsize") -
@@ -343,8 +368,8 @@ object Dedup {
     val sides = enc.select(col("id"), col("toks"), col("setsize"))
     candidates
       .join(maybeBroadcast(sides.select(col("id").as("id_a"), col("toks").as("t_a"),
-        col("setsize").cast(DoubleType).as("sz_a")), nReps), "id_a")
-      .join(maybeBroadcast(sides.select(col("id").as("id_b"), col("toks").as("t_b")), nReps), "id_b")
+        col("setsize").cast(DoubleType).as("sz_a")), bcastOk), "id_a")
+      .join(maybeBroadcast(sides.select(col("id").as("id_b"), col("toks").as("t_b")), bcastOk), "id_b")
       .withColumn("containment",
         graft.functions.VectorExpressions.sortedIntersectCountInt(col("t_a"), col("t_b"))
           .cast(DoubleType) / col("sz_a"))
@@ -358,7 +383,8 @@ object Dedup {
     * duplicates first).
     */
   private def distinctSetPairs(enc0: DataFrame, threshold: Double,
-      nReps: Long, vocab: Int = 0, maxBitsetVocab: Int = 0): DataFrame = {
+      nReps: Long, bcastOk: Boolean, vocab: Int = 0,
+      maxBitsetVocab: Int = 0): DataFrame = {
     // AllPairs/PPJoin prefix filtering: under any consistent global shingle
     // order, two sets with J >= t must share an element within each other's
     // first |X| - ceil(t*|X|) + 1 shingles. The dictionary order ranks by
@@ -408,27 +434,18 @@ object Dedup {
     // distinct only the survivors. Identical output either way; prefix
     // selectivity is what decides which shape is cheaper, and on a small
     // dictionary it is degenerate.
-    if (vocab > 0 && vocab <= maxBitsetVocab && nReps <= 100000L) {
-      val nWords = (vocab + 63) >> 6
-      val bits = graft.functions.VectorExpressions.toBitset(col("toks"), nWords)
-      raw
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.setsize").cast(DoubleType).as("sz_a"),
-          col("b.setsize").cast(DoubleType).as("sz_b"))
-        .join(broadcast(enc.select(col("id").as("id_a"), bits.as("bits_a"))), "id_a")
-        .join(broadcast(enc.select(col("id").as("id_b"), bits.as("bits_b"))), "id_b")
-        .withColumn("inter",
-          graft.functions.VectorExpressions.bitsetAndCount(col("bits_a"), col("bits_b"))
-            .cast(DoubleType))
-        .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .dropDuplicates("id_a", "id_b")
+    if (vocab > 0 && vocab <= maxBitsetVocab && nReps <= MaxBroadcastRows) {
+      val matches = raw.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.setsize").cast(DoubleType).as("sz_a"),
+        col("b.setsize").cast(DoubleType).as("sz_b"))
+      bitsetVerifyPairs(matches, enc, vocab,
+        score = col("inter") / (col("sz_a") + col("sz_b") - col("inter")),
+        scoreName = "jaccard", threshold)
     } else {
       val candidates = raw
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      verifyJaccardInt(candidates, enc.select(col("id"), col("toks")), threshold, nReps)
+      verifyJaccardInt(candidates, enc.select(col("id"), col("toks")), threshold, bcastOk)
     }
   }
 
@@ -440,14 +457,14 @@ object Dedup {
     * hash-set allocation, which dominates at millions of candidates.
     */
   private def verifyJaccardInt(candidates: DataFrame, enc: DataFrame,
-      threshold: Double, nReps: Long): DataFrame = {
+      threshold: Double, bcastOk: Boolean): DataFrame = {
     val sides = enc.select(col("id"), col("toks"),
       size(col("toks")).cast(DoubleType).as("sz"))
     candidates
       .join(maybeBroadcast(
-        sides.select(col("id").as("id_a"), col("toks").as("t_a"), col("sz").as("sz_a")), nReps), "id_a")
+        sides.select(col("id").as("id_a"), col("toks").as("t_a"), col("sz").as("sz_a")), bcastOk), "id_a")
       .join(maybeBroadcast(
-        sides.select(col("id").as("id_b"), col("toks").as("t_b"), col("sz").as("sz_b")), nReps), "id_b")
+        sides.select(col("id").as("id_b"), col("toks").as("t_b"), col("sz").as("sz_b")), bcastOk), "id_b")
       .withColumn("inter",
         graft.functions.VectorExpressions.sortedIntersectCountInt(col("t_a"), col("t_b"))
           .cast(DoubleType))
@@ -489,7 +506,8 @@ object Dedup {
     val rows = numHashes / bands
     val enc = encodedSets(docs, k)
       .localCheckpoint() // reused by signatures + both verify join-backs
-    val nEnc = enc.count() // already materialized; drives broadcast hints
+    val (nEnc, totalToks, _) = encStats(enc, "toks")
+    val bcastOk = nEnc <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
 
     // materialize the long-cast element ids in their own projection so the
     // 32 signature aggregates share ONE pass-ready attribute (inlining the
@@ -516,7 +534,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccardInt(candidates, enc, threshold, nEnc)
+    verifyJaccardInt(candidates, enc, threshold, bcastOk)
   }
 
   /** Cross-engine 64-bit token hash: four 16-bit chunks of the md5 hex

@@ -66,4 +66,22 @@ object GraftQuery {
 
   def toOracleMap(qs: Seq[GraftQuery]): Map[String, String] =
     qs.flatMap(q => q.oracle.map(sql => q.name -> canonicalOracle(sql))).toMap
+
+  /** DuckDB recursive-CTE connected components over an edge-pair SQL:
+    * yields `SELECT id, component` where component = min reachable id —
+    * the oracle twin of [[graft.operators.ConnectedComponents.run]],
+    * shared by every clustering oracle (q28-q31, q44b, q70) so the CC
+    * semantics live in exactly one place. Usable as a CTE body (DuckDB
+    * accepts a nested WITH RECURSIVE inside a CTE).
+    */
+  def componentsOverSql(pairsSql: String, srcCol: String, dstCol: String): String = s"""
+    WITH RECURSIVE cc_pairs AS (
+      SELECT $srcCol AS src, $dstCol AS dst FROM ($pairsSql)),
+    cc_edges AS (SELECT src, dst FROM cc_pairs UNION SELECT dst, src FROM cc_pairs),
+    cc_nodes AS (SELECT DISTINCT src AS id FROM cc_edges),
+    cc_reach AS (
+      SELECT id, id AS root FROM cc_nodes
+      UNION
+      SELECT e.dst AS id, r.root FROM cc_reach r JOIN cc_edges e ON e.src = r.id)
+    SELECT id, MIN(root) AS component FROM cc_reach GROUP BY id""".trim
 }

@@ -267,15 +267,7 @@ object LlmOps {
     GraftQuery(
       "q44b_neardup_clusters",
       Some(s"""
-        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($jaccardPairsSql)),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        reach AS (
-          SELECT id, id AS root FROM nodes
-          UNION
-          SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id),
-        comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id)
+        WITH comp AS (${GraftQuery.componentsOverSql(jaccardPairsSql, "id_a", "id_b")})
         SELECT CAST(MIN(id) AS BIGINT) AS representative,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                array_to_string(list_sort(list(id)), chr(31)) AS members
@@ -1084,15 +1076,7 @@ object LlmOps {
     GraftQuery(
       "q70_semantic_keeplist",
       Some(s"""
-        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($embeddingPairsSql)),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        reach AS (
-          SELECT id, id AS root FROM nodes
-          UNION
-          SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id),
-        comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id)
+        WITH comp AS (${GraftQuery.componentsOverSql(embeddingPairsSql, "id_a", "id_b")})
         SELECT CAST(id AS BIGINT) AS vec_id,
                CAST(component AS BIGINT) AS representative,
                (id = component) AS keep

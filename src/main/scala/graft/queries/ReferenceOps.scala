@@ -98,16 +98,8 @@ object ReferenceOps {
                    / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)) >= $threshold"""
 
   /** DuckDB recursive-CTE connected components over the same edges. */
-  private def componentsSql(threshold: Double) = s"""
-    WITH RECURSIVE pairs AS (${pairsSql(threshold)}),
-    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach AS (
-      SELECT id, id AS root FROM nodes
-      UNION
-      SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
-    )
-    SELECT id, MIN(root) AS component FROM reach GROUP BY id"""
+  private def componentsSql(threshold: Double) =
+    GraftQuery.componentsOverSql(pairsSql(threshold), "src", "dst")
 
   val all: Seq[GraftQuery] = Seq(
 
