@@ -1117,6 +1117,95 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q74: unigram LM quality score — per-doc mean log-probability of its
+    // tokens under the corpus's own unigram distribution, the cheap
+    // perplexity proxy curation pipelines use when no external LM is
+    // available (gibberish and boilerplate score far below fluent text).
+    // Token-keyed aggregates + one broadcast total, decimal-exact log-prob
+    // sums (as in q67's KL) so the reduction is order-independent; every
+    // token has corpus count >= 1, so ln p is always finite.
+    GraftQuery(
+      "q74_unigram_logprob",
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    x -> length(x) > 0)) AS token
+          FROM documents),
+        ct AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ct)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(${Num.dsumSql("ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))", 12)}
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+        FROM t JOIN ct USING (token), tot
+        GROUP BY doc_id
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir).documents
+          .select(col("doc_id"),
+            explode(filter(split(lower(trim(col("text"))), "\\s+"),
+              x => length(x) > 0)).as("token"))
+        val ct = t.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val tot = ct.agg(sum(col("cnt")).as("total"))
+        t.join(ct, "token")
+          .crossJoin(broadcast(tot))
+          .withColumn("lp", log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(dsum(col("lp"), 12) / count(lit(1)).cast(DoubleType), 6).as("avg_logprob"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q75: single-pass column profiling — null counts, exact distinct
+    // counts, min/max per profiled column in ONE scan (all metrics in one
+    // aggregate row, stacked to tall form by an explode of structs). The
+    // data-quality front door every ingest runs before heavier curation;
+    // at 100 TB one pass vs per-column scans is the difference that
+    // matters. Doubles are excluded from min/max rendering (engines format
+    // them differently); ints and ASCII strings render identically.
+    GraftQuery(
+      "q75_column_profile",
+      Some("""
+        SELECT 'event_type' AS col_name,
+               CAST(COUNT(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               CAST(MIN(event_type) AS VARCHAR) AS min_val,
+               CAST(MAX(event_type) AS VARCHAR) AS max_val
+        FROM events
+        UNION ALL
+        SELECT 'user_id',
+               CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'props',
+               CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT),
+               CAST(COUNT(DISTINCT props) AS BIGINT),
+               CAST(MIN(props) AS VARCHAR), CAST(MAX(props) AS VARCHAR)
+        FROM events
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).events
+        def metrics(c: String, i: Int) = Seq(
+          count(when(col(c).isNull, lit(1))).as(s"n$i"),
+          countDistinct(col(c)).as(s"d$i"),
+          // min/max in the column's NATIVE type, rendered afterwards —
+          // casting first would compare ints lexicographically ("99">"149")
+          min(col(c)).cast("string").as(s"mn$i"),
+          max(col(c)).cast("string").as(s"mx$i"))
+        val cols = Seq("event_type", "user_id", "props")
+        val aggs = cols.zipWithIndex.flatMap { case (c, i) => metrics(c, i) }
+        e.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+            struct(lit(c).as("col_name"), col(s"n$i").as("n_nulls"),
+              col(s"d$i").as("n_distinct"), col(s"mn$i").as("min_val"),
+              col(s"mx$i").as("max_val"))
+          }: _*)).as("p"))
+          .select("p.*")
+      }),
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score

@@ -70,6 +70,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q75 profiles every column in ONE scan of the table") {
+    val p = plan("q75_column_profile")
+    // count detail-section node headers ("(n) Scan parquet"), not every
+    // textual mention — FormattedMode prints each node in the tree AND
+    // in the numbered detail list
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single-pass profile, saw $scans scans:\n$p")
+  }
+
   test("q55 stratified sample is shuffle-free (pure filter over the scan)") {
     // the whole point of the hash gate: membership must not require data
     // movement, so the plan has no Exchange at all (the canonical-order
