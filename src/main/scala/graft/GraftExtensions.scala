@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CharShingles, DoubleDot, IndelRatio, SortedIntersectCount, SortedIntersectCountInt, TokenSortRatio}
+import graft.functions.{BitsetAndCount, CharShingles, DoubleDot, IndelRatio, SortedIntersectCount, SortedIntersectCountInt, ToBitset, TokenSortRatio}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `indel_ratio(a, b)`, `token_sort_ratio(a, b)`, `char_shingles(text, k)`,
-  * `sorted_intersect_count[_int](a, b)` and `double_dot(a, b)` so
+  * `sorted_intersect_count[_int](a, b)`, `double_dot(a, b)`,
+  * `to_bitset(toks, nWords)` and `bitset_and_count(a, b)` so
   * `spark.sql` users get the same codegen'd kernels as the Column API.
   *
   * Two entry points:
@@ -31,22 +32,25 @@ object GraftExtensions {
       build(args)
     })
 
-  /** `char_shingles(text, k)` — k must be an integer literal (it shapes
-    * the generated kernel call, not per-row data).
+  /** `char_shingles(text, k)` / `to_bitset(toks, nWords)` — the int
+    * argument must be a literal (it shapes the generated kernel call,
+    * not per-row data).
     */
-  private def shingleK(e: Expression): Int = e match {
+  private def intLit(fn: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"char_shingles k must be an integer literal, got $other")
+      s"$fn's int argument must be an integer literal, got $other")
   }
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "indel_ratio" -> (args => IndelRatio(args(0), args(1))),
     "token_sort_ratio" -> (args => TokenSortRatio(args(0), args(1))),
-    "char_shingles" -> (args => CharShingles(args(0), shingleK(args(1)))),
+    "char_shingles" -> (args => CharShingles(args(0), intLit("char_shingles", args(1)))),
     "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
     "sorted_intersect_count_int" -> (args => SortedIntersectCountInt(args(0), args(1))),
-    "double_dot" -> (args => DoubleDot(args(0), args(1))))
+    "double_dot" -> (args => DoubleDot(args(0), args(1))),
+    "to_bitset" -> (args => ToBitset(args(0), intLit("to_bitset", args(1)))),
+    "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))))
 
   private[graft] val descs = builders.map { case (name, build) =>
     binary(name, build)
