@@ -229,4 +229,57 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
   }
+
+  /** Flattened (table, bucket) posting key for the persisted index. */
+  private def lshPostingKey(vec: Column, bits: Int, dim: Int, tables: Int): Column =
+    explode(array((0 until tables).map { t =>
+      lit(t.toLong * (1L << bits)) + lshBucket(vec, bits, dim, seed = 7L + t)
+    }: _*))
+
+  /** Persist the multi-table sign-LSH index as a BUCKETED postings table —
+    * "hash once at ingest, probe many times": each corpus vector writes one
+    * posting row per hash table, keyed by a flattened (table, bucket) id
+    * and laid out with [[graft.sources.TableWriter.writeBucketed]] so the
+    * posting key determines the FILE a row lands in. Probes then prune at
+    * the scan ([[probeLshIndex]]); re-hashing the corpus per query batch —
+    * what [[lshTopK]] does — disappears entirely. Postings carry the
+    * vector (tables× duplication) so probing never joins back to the
+    * corpus; for fatter vectors store (bkey, id) postings and join the
+    * candidates to a corpus table by id instead — same probe shape.
+    */
+  def buildLshIndex(corpus: DataFrame, table: String, path: String,
+      bits: Int, dim: Int, tables: Int = 8, nBuckets: Int = 16): Unit = {
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    graft.sources.TableWriter.writeBucketed(
+      c.select(col("id"), col("vec"),
+        lshPostingKey(col("vec"), bits, dim, tables).as("bkey")),
+      table, path, "bkey", nBuckets)
+  }
+
+  /** Probe a [[buildLshIndex]] table: the query batch's posting keys are
+    * collected (|queries| × tables values — bounded metadata) into an IN
+    * filter, which Spark turns into BUCKET PRUNING on the index scan —
+    * only the files holding matching buckets are read. Candidates then
+    * score and rank exactly as [[lshTopK]]; given the same (bits, dim,
+    * tables) the output is row-identical to the in-memory path.
+    */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, k: Int, bits: Int, dim: Int,
+      tables: Int = 8, scale: Int = 4): DataFrame = {
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
+      .select(col("qid"), col("qvec"),
+        lshPostingKey(col("qvec"), bits, dim, tables).as("bkey"))
+      .localCheckpoint() // tiny; feeds both the pruning-key collect + the join
+    val keys = q.select("bkey").distinct().collect().map(_.getLong(0))
+    val cand = spark.table(table)
+      .filter(col("bkey").isin(keys.map(Long.box): _*))
+      .join(broadcast(q), Seq("bkey"))
+      .filter(col("id") =!= col("qid"))
+      .dropDuplicates("qid", "id")
+      .withColumn("cos", round(cosine(col("vec"), col("qvec")), scale))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
+  }
 }

@@ -77,6 +77,28 @@ class VectorSpec extends SparkSpec {
     assert(recall > 0.85, s"recall $recall")
   }
 
+  test("persisted LSH index probe equals in-memory lshTopK and prunes buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    try {
+      VectorOps.buildLshIndex(corpus, "lsh_idx", s"$tmp/idx", bits = 4, dim = 64)
+      val probed = VectorOps.probeLshIndex(spark, "lsh_idx", queries, k = 5,
+        bits = 4, dim = 64)
+      val direct = VectorOps.lshTopK(corpus, queries, k = 5, bits = 4, dim = 64)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(rows(probed) == rows(direct),
+        "index probe must reproduce the in-memory LSH results exactly")
+      // the probe's IN filter must reach the scan as bucket pruning
+      val p = probed.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx")
+  }
+
   test("RRF fusion: 5 rows per query, tier counts sane, both-tier hits rank first") {
     val df = SparkEntry.queries("q72_rrf_fusion")(spark, sfDir)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
