@@ -188,36 +188,64 @@ object Dedup {
       docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,
       k: Int = 5,
-      maxBitsetVocab: Int = 4096): DataFrame = {
-    // one row per distinct shingle SET
+      maxBitsetVocab: Int = 4096): DataFrame =
+    collapseExpand(docs, k, directed = false, scoreName = "jaccard") { (enc0, st) =>
+      distinctSetPairs(enc0, threshold, st.nReps, st.bcastOk, st.vocab, maxBitsetVocab)
+    }
+
+  /** Measured metadata of a collapsed rep table — drives verify-shape
+    * choice and broadcast eligibility (see [[maybeBroadcast]]).
+    */
+  private final case class CollapseStats(nReps: Long, totalToks: Long, vocab: Int) {
+    def bcastOk: Boolean = nReps <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
+  }
+
+  /** Shared collapse/expand scaffolding for the set-similarity joins:
+    * documents with IDENTICAL shingle sets are collapsed to one
+    * representative before the quadratic candidate work and expanded back
+    * afterwards — group members are mutually score-1 and interchangeable
+    * with respect to every other document, so the pair set is exactly
+    * reconstructible while heavily-duplicated corpora shrink the candidate
+    * stage by the duplication factor.
+    *
+    * @param directed false → unordered pairs (least/greatest ids, intra
+    *                 pairs x < y); true → ordered pairs (intra pairs
+    *                 x ≠ y, both orientations)
+    * @param repPairs produces (id_a, id_b, scoreName) over the distinct
+    *                 (id, toks) rep table
+    */
+  private def collapseExpand(docs: DataFrame, k: Int, directed: Boolean,
+      scoreName: String)(
+      repPairs: (DataFrame, CollapseStats) => DataFrame): DataFrame = {
     val groups = encodedSets(docs, k).groupBy(col("toks"))
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
     val (nReps, totalToks, vocab) = encStats(groups, "toks")
-    val bcastOk = nReps <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
+    val stats = CollapseStats(nReps, totalToks, vocab)
 
-    val repPairs = distinctSetPairs(
-      groups.select(col("rep").as("id"), col("toks")), threshold, nReps,
-      bcastOk, vocab, maxBitsetVocab)
+    val pairs = repPairs(groups.select(col("rep").as("id"), col("toks")), stats)
 
     // expand representative pairs to member pairs; groups are disjoint, so
-    // least/greatest re-ordering cannot produce duplicates
+    // id re-ordering cannot produce duplicates
     val m = groups.select(col("rep"), col("members"))
-    val inter = repPairs
-      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), bcastOk), "id_a")
-      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), bcastOk), "id_b")
-      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("jaccard"))
-      .select(col("x"), explode(col("ms_b")).as("y"), col("jaccard"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
-    // intra-group: identical non-empty sets are J = 1.0
-    val intra = groups
+    val inter0 = pairs
+      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), stats.bcastOk), "id_a")
+      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), stats.bcastOk), "id_b")
+      .select(explode(col("ms_a")).as("x"), col("ms_b"), col(scoreName))
+      .select(col("x"), explode(col("ms_b")).as("y"), col(scoreName))
+    val inter =
+      if (directed) inter0.select(col("x").as("id_a"), col("y").as("id_b"), col(scoreName))
+      else inter0.select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col(scoreName))
+    // intra-group: identical non-empty sets score exactly 1
+    val intra0 = groups
       .filter(size(col("members")) > 1)
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))
-      .filter(col("x") < col("y"))
-      .select(col("x").as("id_a"), col("y").as("id_b"), lit(1.0).as("jaccard"))
+    val intra = (if (directed) intra0.filter(col("x") =!= col("y"))
+                 else intra0.filter(col("x") < col("y")))
+      .select(col("x").as("id_a"), col("y").as("id_b"), lit(1.0).as(scoreName))
 
     inter.unionByName(intra)
   }
@@ -248,15 +276,14 @@ object Dedup {
       docs: DataFrame, // columns: id (long), text (string)
       threshold: Double,
       k: Int = 5,
-      maxBitsetVocab: Int = 4096): DataFrame = {
-    val groups = encodedSets(docs, k).groupBy(col("toks"))
-      .agg(min(col("id")).as("rep"),
-        sort_array(collect_list(col("id"))).as("members"))
-      .localCheckpoint() // reused by rep pairing + both expansions
-    val (nReps, totalToks, vocab) = encStats(groups, "toks")
-    val bcastOk = nReps <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
+      maxBitsetVocab: Int = 4096): DataFrame =
+    collapseExpand(docs, k, directed = true, scoreName = "containment") { (enc0, st) =>
+      containRepPairs(enc0, threshold, maxBitsetVocab, st)
+    }
 
-    val enc = groups.select(col("rep").as("id"), col("toks"))
+  private def containRepPairs(enc0: DataFrame, threshold: Double,
+      maxBitsetVocab: Int, st: CollapseStats): DataFrame = {
+    val enc = enc0
       .withColumn("setsize", size(col("toks")))
       .localCheckpoint() // shared by the probe explode + index + verify join-backs
 
@@ -270,27 +297,9 @@ object Dedup {
     // cache lines) and only the survivors — not the millions of candidates —
     // reach a shuffle. Both paths produce identical rows; all three stats
     // come from one tiny agg over the checkpointed reps (encStats).
-    val repPairs =
-      if (vocab > 0 && vocab <= maxBitsetVocab && nReps <= MaxBroadcastRows)
-        containRepPairsBitset(enc, threshold, vocab)
-      else containRepPairsPrefix(enc, threshold, bcastOk)
-
-    // expand representative pairs to member pairs (groups are disjoint, so
-    // no duplicates); intra-group ordered pairs are C = 1 by definition
-    val m = groups.select(col("rep"), col("members"))
-    val inter = repPairs
-      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), bcastOk), "id_a")
-      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), bcastOk), "id_b")
-      .select(explode(col("ms_a")).as("x"), col("ms_b"), col("containment"))
-      .select(col("x").as("id_a"), explode(col("ms_b")).as("id_b"), col("containment"))
-    val intra = groups
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("x"), col("members"))
-      .select(col("x").as("id_a"), explode(col("members")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
-
-    inter.unionByName(intra)
+    if (st.vocab > 0 && st.vocab <= maxBitsetVocab && st.nReps <= MaxBroadcastRows)
+      containRepPairsBitset(enc, threshold, st.vocab)
+    else containRepPairsPrefix(enc, threshold, st.bcastOk)
   }
 
   /** Inline bitset verification of a THIN (id_a, id_b, sizes…) match
@@ -493,7 +502,12 @@ object Dedup {
         .as(s"mh_$i")
     }
 
-  /** LSH candidate pairs + exact-Jaccard verification.
+  /** LSH candidate pairs + exact-Jaccard verification. Identical shingle
+    * sets collapse to one representative before signatures (same
+    * [[collapseExpand]] scaffolding as the other set joins): signatures
+    * depend only on the set, so the rep-level band keys — and therefore
+    * the final pair set — are unchanged, while a dup-heavy corpus hashes
+    * each distinct set once instead of per copy.
     *
     * @return (id_a, id_b, jaccard) for verified pairs >= threshold.
     */
@@ -502,12 +516,16 @@ object Dedup {
       threshold: Double,
       k: Int = 5,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8): DataFrame =
+    collapseExpand(docs, k, directed = false, scoreName = "jaccard") { (enc0, st) =>
+      minhashRepPairs(enc0, threshold, numHashes, bands, st)
+    }
+
+  private def minhashRepPairs(enc0: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int, st: CollapseStats): DataFrame = {
     val rows = numHashes / bands
-    val enc = encodedSets(docs, k)
-      .localCheckpoint() // reused by signatures + both verify join-backs
-    val (nEnc, totalToks, _) = encStats(enc, "toks")
-    val bcastOk = nEnc <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
+    val enc = enc0.localCheckpoint() // reused by signatures + both verify join-backs
+    val bcastOk = st.bcastOk
 
     // materialize the long-cast element ids in their own projection so the
     // 32 signature aggregates share ONE pass-ready attribute (inlining the
