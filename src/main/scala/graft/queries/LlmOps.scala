@@ -1206,6 +1206,45 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q76: join-key skew diagnosis — the measured input for every salting
+    // / AQE-skew decision (operators.Salt): per-key counts, the heaviest
+    // keys with their corpus share, and the max/mean skew factor. One
+    // map-side-combined groupBy + a broadcast single-row stats join; the
+    // top-k window ranks only the (small) per-key count table.
+    GraftQuery(
+      "q76_key_skew",
+      Some("""
+        WITH c AS (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+        s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                     CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt) AS skew
+              FROM c)
+        SELECT k, CAST(cnt AS BIGINT) AS cnt,
+               round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+               round(skew, 4) AS skew_factor, hot_rank
+        FROM (SELECT k, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, k ASC) AS hot_rank
+              FROM c), s
+        WHERE hot_rank <= 5
+      """.trim),
+      (spark, dir) => {
+        val c = Tables(spark, dir).orders
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cnt"))
+        val s = c.agg(sum(col("cnt")).as("total"),
+          (max(col("cnt")).cast(DoubleType) * count(lit(1)).cast(DoubleType)
+            / sum(col("cnt")).cast(DoubleType)).as("skew"))
+        // top-5 via distributed sort+limit (TakeOrderedAndProject), THEN
+        // rank the 5 survivors — a global row_number window over the whole
+        // per-key table would funnel every key through one task
+        val w = Window.orderBy(col("cnt").desc, col("k").asc)
+        c.orderBy(col("cnt").desc, col("k").asc).limit(5)
+          .withColumn("hot_rank", row_number().over(w))
+          .crossJoin(broadcast(s))
+          .select(col("k"), col("cnt"),
+            round(col("cnt").cast(DoubleType) / col("total").cast(DoubleType), 6).as("share"),
+            round(col("skew"), 4).as("skew_factor"), col("hot_rank"))
+      }),
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score
