@@ -10,11 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Per-query best-of-N (default 2): the first run pays janino codegen +
+    // Per-query best-of-N (default 3): the first run pays janino codegen +
     // JIT warmup + GC luck — single-shot timings swung ±30-68% between
-    // otherwise-identical rounds, masking real regressions. min-of-reps
-    // measures the steady-state plan cost and is reproducible within ~10%.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // otherwise-identical rounds, masking real regressions, and even
+    // min-of-2 left occasional ±40% outliers on the shuffle-heavy dedup
+    // family. Runs after the first are cheap (code is compiled), so
+    // min-of-3 buys the extra stability for ~a third more wall-clock.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
