@@ -64,6 +64,10 @@ object VectorExpressions {
   def sortedIntersectCountInt(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountInt(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Intersection size of two PRE-SORTED long arrays (merge scan). */
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Pack a 1-based dictionary-id int array into a fixed-width bitset. */
   def toBitset(toks: Column, nWords: Int): Column =
     ColumnBridge.column(ToBitset(ColumnBridge.expression(toks), nWords))
@@ -218,6 +222,45 @@ object SortedIntersectCountInt {
     while (i < n && j < m) {
       val x = a.getInt(i)
       val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** [[SortedIntersectCountInt]] over sorted LONG arrays — the verify kernel
+  * for batch-stable (hash-encoded) shingle sets, whose element ids are
+  * 64-bit digests rather than dictionary ranks.
+  */
+case class SortedIntersectCountLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountLong.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCountLong.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCountLong {
+  /** Merge-scan intersection count over sorted long arrays. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1

@@ -555,6 +555,94 @@ object Dedup {
     verifyJaccardInt(candidates, enc, threshold, bcastOk)
   }
 
+  /** Batch-stable encoded shingle sets: element ids are md5-derived 64-bit
+    * digests of the shingles ([[md5Hash64]]) rather than dictionary ranks.
+    * A frequency dictionary is corpus-relative — tomorrow's batch would
+    * rank the same shingle differently — so anything PERSISTED (the
+    * near-dup index) must encode with a content hash that yesterday's
+    * corpus and tomorrow's batch compute identically. Sets are sorted for
+    * the merge-scan verify; 64-bit digest collisions are the engine's
+    * standard exactness assumption (as with every md5 dedup key).
+    *
+    * @return (id, toks: sorted array<long>)
+    */
+  private def hashedSets(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("id"), TextFunctions.shingles(col("text"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), array_sort(transform(col("sh"), s => md5Hash64(s))).as("toks"))
+
+  /** MinHash band keys over a batch-stable encoded set — shared by the
+    * index writer and the probe so both sides derive identical buckets.
+    * Signatures permute `pmod(digest, P)` (the permutation arithmetic
+    * needs [0, P)); the full 64-bit digests still do the exact verify.
+    */
+  private def stableBandKeys(enc: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = enc
+      .select(col("id"), transform(col("toks"), t => pmod(t, lit(P))).as("hs"))
+      .select(col("id") +: minhashSignature(col("hs"), numHashes): _*)
+    sig.select(col("id"),
+      explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("_", (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*).as("key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Persist a near-dup index over a document corpus — the MinHash-LSH
+    * sibling of the exact digest history behind [[incremental]]: "hash the
+    * corpus once at ingest, probe every future batch against it". Two
+    * bucketed tables: `<table>_postings` (band, key, id) laid out by band
+    * key so probe joins co-locate, and `<table>_sets` (id, sorted digest
+    * array) laid out by id so the verify join-back reads pre-shuffled
+    * buckets. Band keys/signatures use the batch-stable [[hashedSets]]
+    * encoding — a NEW batch hashed tomorrow derives byte-identical keys.
+    */
+  def buildNearDupIndex(docs: DataFrame, table: String, path: String,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 16): Unit = {
+    val enc = hashedSets(docs, k).localCheckpoint() // one shingle pass feeds both tables
+    graft.sources.TableWriter.writeBucketed(
+      stableBandKeys(enc, numHashes, bands), s"${table}_postings", s"$path/postings",
+      "key", nBuckets)
+    graft.sources.TableWriter.writeBucketed(
+      enc, s"${table}_sets", s"$path/sets", "id", nBuckets)
+  }
+
+  /** Probe a [[buildNearDupIndex]] table with a new batch: batch band keys
+    * equi-join the persisted postings (cost ∝ batch, never ∝ history),
+    * candidate pairs fetch the stored digest sets — the batch side by
+    * broadcast, the history side through its id-bucketed layout — and
+    * exact Jaccard over the full 64-bit digests verifies. Same LSH
+    * recall/precision trade as [[minhashLsh]] (verification removes every
+    * false positive; borderline pairs just above the threshold can be
+    * missed with the banding's small probability).
+    *
+    * @return (batch_id, index_id, jaccard) for verified pairs ≥ threshold
+    */
+  def probeNearDupIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, threshold: Double,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val enc = hashedSets(batch, k).localCheckpoint() // band keys + verify share it
+    val candidates = stableBandKeys(enc, numHashes, bands)
+      .withColumnRenamed("id", "batch_id")
+      .join(spark.table(s"${table}_postings").withColumnRenamed("id", "index_id"),
+        Seq("band", "key"))
+      .select("batch_id", "index_id")
+      .dropDuplicates("batch_id", "index_id")
+    val verified = candidates
+      .join(broadcast(enc.select(col("id").as("batch_id"), col("toks").as("t_a"),
+        size(col("toks")).cast(DoubleType).as("sz_a"))), "batch_id")
+      .join(spark.table(s"${table}_sets")
+        .select(col("id").as("index_id"), col("toks").as("t_b"),
+          size(col("toks")).cast(DoubleType).as("sz_b")), "index_id")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
+          .cast(DoubleType))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    verified.select(col("batch_id"), col("index_id"), col("jaccard"))
+  }
+
   /** Cross-engine 64-bit token hash: four 16-bit chunks of the md5 hex
     * digest packed little-endian (chunk j = hex chars [4j, 4j+4) at bits
     * [16j, 16j+16)). Unlike xxhash64's internal bit mixing, md5-hex +

@@ -109,6 +109,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted near-dup index: batch probe equals brute-force cross jaccard") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val history = docs.select("id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"), // = docs 0/3
+      (101L, "the quick brown fox jumps over the lazy dog again and again todaX"), // 1 char off
+      (102L, "entirely novel content that matches nothing else at all"))
+      .toDF("id", "text")
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), graft.functions.TextFunctions.shingles(col("text"), 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    try {
+      Dedup.buildNearDupIndex(history, "nd_idx", s"$tmp/idx")
+      val got = Dedup.probeNearDupIndex(spark, "nd_idx", batch, threshold = 0.8)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val brute = (for {
+        (b, sb) <- sets(batch); (h, sh) <- sets(history)
+        j = sb.intersect(sh).size.toDouble / sb.union(sh).size
+        if j >= 0.8
+      } yield ((b, h), j)).toMap
+      assert(got == brute,
+        s"probe must match brute-force batch x history pairs; got=$got brute=$brute")
+      assert(got.get((100L, 0L)).contains(1.0) && got.get((100L, 3L)).contains(1.0))
+      assert(!got.keys.exists(_._1 == 102L), "novel doc must match nothing")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nd_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS nd_idx_sets")
+    }
+  }
+
   test("duplicated-span coverage: exact dups fully shared, unique docs zero") {
     val df = SparkEntry.queries("q73_dup_spans")(spark, sfDir)
     val rows = df.collect().map(r =>
