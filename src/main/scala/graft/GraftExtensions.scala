@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BitsetAndCount, CharShingles, DoubleDot, IndelRatio, SortedIntersectCount, SortedIntersectCountInt, ToBitset, TokenSortRatio}
+import graft.functions.{BitsetAndCount, CharShingles, DoubleDot, IndelRatio, SortedIntersectCount, SortedIntersectCountInt, SortedIntersectCountLong, ToBitset, TokenSortRatio}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `indel_ratio(a, b)`, `token_sort_ratio(a, b)`, `char_shingles(text, k)`,
@@ -48,6 +48,7 @@ object GraftExtensions {
     "char_shingles" -> (args => CharShingles(args(0), intLit("char_shingles", args(1)))),
     "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
     "sorted_intersect_count_int" -> (args => SortedIntersectCountInt(args(0), args(1))),
+    "sorted_intersect_count_long" -> (args => SortedIntersectCountLong(args(0), args(1))),
     "double_dot" -> (args => DoubleDot(args(0), args(1))),
     "to_bitset" -> (args => ToBitset(args(0), intLit("to_bitset", args(1)))),
     "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))))

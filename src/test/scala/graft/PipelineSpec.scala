@@ -180,8 +180,10 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getDouble(3) == 11.0)
     val r3 = spark.sql(
       // ids 1 and 65 pack into words 0 and 1; AND with {1, 2} leaves id 1
-      "SELECT bitset_and_count(to_bitset(array(1, 65), 2), to_bitset(array(1, 2), 2)) AS c")
+      """SELECT bitset_and_count(to_bitset(array(1, 65), 2), to_bitset(array(1, 2), 2)) AS c,
+        |       sorted_intersect_count_long(array(1L, 9999999999L), array(9999999999L)) AS l""".stripMargin)
       .head
     assert(r3.getInt(0) == 1)
+    assert(r3.getInt(1) == 1)
   }
 }
