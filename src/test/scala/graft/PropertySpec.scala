@@ -84,6 +84,32 @@ class PropertySpec extends SparkSpec {
     assert(got.values.forall(_ == 0L), s"all labels must reach 0: ${got.toSeq.sortBy(_._1).takeRight(5)}")
   }
 
+  test("local union-find survives map growth and sparse 64-bit ids") {
+    import spark.implicits._
+    // 3000 edges over ~2000 nodes with huge sparse ids: forces the
+    // open-addressed parent map through several capacity doublings and
+    // exercises the hash mixing far from the dense-small-int comfort zone
+    val ids = Array.fill(2000)(rnd.nextLong() & 0x7FFFFFFFFFFFFFFFL)
+    val es = Seq.fill(3000) {
+      (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+    }.filter(e => e._1 != e._2)
+    val got = ConnectedComponents.run(spark, es.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // boxed-HashMap reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      r
+    }
+    es.foreach { case (s, d) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want, s"open-map union-find diverged from reference on ${es.size} edges")
+  }
+
   test("connected components match a union-find oracle on random graphs (both paths)") {
     import spark.implicits._
     for (trial <- 1 to 3) {
