@@ -104,9 +104,15 @@ object ToBitset {
   def build(toks: ArrayData, nWords: Int): ArrayData = {
     val words = new Array[Long](nWords)
     val n = toks.numElements()
+    val max = nWords.toLong * 64
     var i = 0
     while (i < n) {
-      val t = toks.getInt(i) - 1
+      val id = toks.getInt(i)
+      // registered on the public SQL surface — fail with the contract, not
+      // a raw ArrayIndexOutOfBounds from generated code
+      if (id < 1 || id > max) throw new IllegalArgumentException(
+        s"to_bitset ids must be in [1, nWords*64] = [1, $max]; got $id")
+      val t = id - 1
       words(t >> 6) |= (1L << (t & 63))
       i += 1
     }

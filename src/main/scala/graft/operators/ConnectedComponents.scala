@@ -161,6 +161,9 @@ object ConnectedComponents {
       c
     }
     private var mask = cap - 1
+    // top-log2(cap) hash bits — covers the whole table at every capacity
+    // (a fixed >>>40 would stop spreading past 2^24 slots)
+    private var shift = 64 - java.lang.Integer.numberOfTrailingZeros(cap)
     private var keys = new Array[Long](cap)
     private var vals = new Array[Long](cap)
     private var used = new Array[Boolean](cap)
@@ -168,14 +171,19 @@ object ConnectedComponents {
 
     private def slot(k: Long): Int = {
       // Fibonacci mixing spreads sequential ids before linear probing
-      var i = ((k * -7046029254386353131L) >>> 40).toInt & mask
+      var i = ((k * -7046029254386353131L) >>> shift).toInt & mask
       while (used(i) && keys(i) != k) i = (i + 1) & mask
       i
     }
 
     private def grow(): Unit = {
+      // 1<<30 is the max power-of-two Array size; shifting past it would
+      // overflow Int. ~536M keys at load 0.5 — far beyond any localThreshold
+      // a driver should hold; fail with the remedy, not a negative-size array
+      if (cap == (1 << 30)) throw new IllegalStateException(
+        "LongLongMap full (2^29 keys): lower ConnectedComponents.localThreshold so this graph takes the distributed path")
       val (ok, ov, ou) = (keys, vals, used)
-      cap <<= 1; mask = cap - 1; n = 0
+      cap <<= 1; mask = cap - 1; shift -= 1; n = 0
       keys = new Array[Long](cap); vals = new Array[Long](cap); used = new Array[Boolean](cap)
       var i = 0
       while (i < ok.length) {

@@ -152,16 +152,17 @@ object Dedup {
   private def maybeBroadcast(df: DataFrame, ok: Boolean): DataFrame =
     if (ok) broadcast(df) else df
 
-  /** (rows, total toks elements, max dictionary id) of a checkpointed
-    * encoded-set frame, in one tiny aggregate — the measured metadata that
-    * picks verify shapes and broadcast eligibility.
+  /** (reps, total toks elements, max dictionary id, total members) of the
+    * checkpointed collapse-groups frame, in one tiny aggregate — the
+    * measured metadata that picks verify shapes and both broadcast gates.
     */
-  private def encStats(enc: DataFrame, toks: String): (Long, Long, Int) = {
-    val r = enc.agg(count(lit(1)), sum(size(col(toks))),
-      max(element_at(col(toks), -1))).head()
-    (r.getLong(0),
+  private def collapseStats(groups: DataFrame): CollapseStats = {
+    val r = groups.agg(count(lit(1)), sum(size(col("toks"))),
+      max(element_at(col("toks"), -1)), sum(size(col("members")))).head()
+    CollapseStats(r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1),
-      if (r.isNullAt(2)) 0 else r.getInt(2))
+      if (r.isNullAt(2)) 0 else r.getInt(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
   }
 
   private val MaxBroadcastRows  = 100000L
@@ -196,8 +197,15 @@ object Dedup {
   /** Measured metadata of a collapsed rep table — drives verify-shape
     * choice and broadcast eligibility (see [[maybeBroadcast]]).
     */
-  private final case class CollapseStats(nReps: Long, totalToks: Long, vocab: Int) {
+  private final case class CollapseStats(
+      nReps: Long, totalToks: Long, vocab: Int, totalMembers: Long) {
     def bcastOk: Boolean = nReps <= MaxBroadcastRows && totalToks <= MaxBroadcastElems
+    // separate gate for the members-expansion joins: sum(size(members)) is
+    // the TOTAL CORPUS row count, not nReps — a 100k-rep corpus with 10k
+    // copies each would broadcast 10^9 member longs under the toks-based
+    // gate. Longs are 8 bytes (toks are 4), so the element bound halves.
+    def membersBcastOk: Boolean =
+      nReps <= MaxBroadcastRows && totalMembers <= MaxBroadcastElems / 2
   }
 
   /** Shared collapse/expand scaffolding for the set-similarity joins:
@@ -221,8 +229,7 @@ object Dedup {
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .localCheckpoint() // reused by rep pairing + both expansions
-    val (nReps, totalToks, vocab) = encStats(groups, "toks")
-    val stats = CollapseStats(nReps, totalToks, vocab)
+    val stats = collapseStats(groups)
 
     val pairs = repPairs(groups.select(col("rep").as("id"), col("toks")), stats)
 
@@ -230,8 +237,8 @@ object Dedup {
     // id re-ordering cannot produce duplicates
     val m = groups.select(col("rep"), col("members"))
     val inter0 = pairs
-      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), stats.bcastOk), "id_a")
-      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), stats.bcastOk), "id_b")
+      .join(maybeBroadcast(m.select(col("rep").as("id_a"), col("members").as("ms_a")), stats.membersBcastOk), "id_a")
+      .join(maybeBroadcast(m.select(col("rep").as("id_b"), col("members").as("ms_b")), stats.membersBcastOk), "id_b")
       .select(explode(col("ms_a")).as("x"), col("ms_b"), col(scoreName))
       .select(col("x"), explode(col("ms_b")).as("y"), col(scoreName))
     val inter =

