@@ -650,6 +650,21 @@ object Dedup {
     verified.select(col("batch_id"), col("index_id"), col("jaccard"))
   }
 
+  /** Append a batch's documents to a [[buildNearDupIndex]] table pair.
+    * The batch-stable encoding ([[hashedSets]]) guarantees the appended
+    * postings and digest sets are byte-compatible with every earlier
+    * batch's, so "hash once at ingest" extends across increments: each
+    * batch hashes only ITSELF, and `insertInto` lays the new rows out by
+    * the tables' existing bucket spec — future probes stay co-located.
+    */
+  def extendNearDupIndex(docs: DataFrame, table: String,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8): Unit = {
+    val enc = hashedSets(docs, k).localCheckpoint() // one shingle pass, two tables
+    stableBandKeys(enc, numHashes, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_postings")
+    enc.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_sets")
+  }
+
   /** Cross-engine 64-bit token hash: four 16-bit chunks of the md5 hex
     * digest packed little-endian (chunk j = hex chars [4j, 4j+4) at bits
     * [16j, 16j+16)). Unlike xxhash64's internal bit mixing, md5-hex +

@@ -45,11 +45,69 @@ object DedupPipeline {
       docs: DataFrame,
       threshold: Double = 0.8,
       exact: Boolean = false): Result = {
+    val t1 = exactTier(docs)
 
-    // ---- tier 1: exact dedup on canonical text
+    // ---- tier 2+3: near-dup pairs over representatives → clusters
+    val pairs =
+      (if (exact) Dedup.jaccardPairs(t1.reps, threshold)
+       else Dedup.minhashLsh(t1.reps, threshold))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    finish(spark, docs, t1, pairs)
+  }
+
+  /** Incremental curation step — deduplicate a NEW batch against the
+    * persisted near-dup index of the already-curated corpus WITHOUT
+    * re-hashing history ([[Dedup.probeNearDupIndex]]: probe cost ∝ batch),
+    * then extend the index with the batch's kept docs so the NEXT batch
+    * probes this one too.
+    *
+    * Semantics are [[run]] with history frozen: tier-1 exact dedup within
+    * the batch; near-dup edges = in-batch pairs over batch reps ∪ probe
+    * hits against the index; connected components over that union; a
+    * batch doc drops when its component holds a smaller id — an index doc
+    * (ingest ids are monotone, so history always wins) or an earlier
+    * batch doc. `kept_as` may therefore name an index doc: a member of
+    * the already-curated corpus.
+    *
+    * Equals the from-scratch [[run]] over history∪batch except where
+    * incremental dedup is INHERENTLY different: a batch doc that bridges
+    * two separate history clusters cannot merge them (history is never
+    * revised), and a batch doc similar only to a doc history DROPPED
+    * finds no edge (the index holds the curated corpus, not its
+    * discards). PipelineSpec asserts exact agreement on a bridge-free
+    * corpus.
+    *
+    * @param indexTable name passed to [[Dedup.buildNearDupIndex]] when the
+    *        curated corpus was indexed (same k/numHashes/bands required)
+    */
+  def runIncremental(
+      spark: SparkSession,
+      batch: DataFrame,
+      indexTable: String,
+      threshold: Double = 0.8,
+      exact: Boolean = false,
+      extendIndex: Boolean = true): Result = {
+    val t1 = exactTier(batch)
+
+    val inBatch =
+      (if (exact) Dedup.jaccardPairs(t1.reps, threshold)
+       else Dedup.minhashLsh(t1.reps, threshold))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cross = Dedup.probeNearDupIndex(spark, indexTable, t1.reps, threshold)
+      .select(col("batch_id").as("src"), col("index_id").as("dst"))
+
+    val r = finish(spark, batch, t1, inBatch.unionByName(cross))
+    if (extendIndex) Dedup.extendNearDupIndex(r.keep, indexTable)
+    r
+  }
+
+  private final case class ExactTier(reps: DataFrame, exactDropped: DataFrame)
+
+  /** Tier 1: exact dedup on canonical text — min-id representative per
+    * identical-text group, (id → kept_as) for the rest.
+    */
+  private def exactTier(docs: DataFrame): ExactTier = {
     val canon = lower(trim(col("text")))
-    val exactGroups = Dedup.exactGroups(docs, col("id"), canon)
-      .select(col("representative"), col("n_dups"))
     val withKey = docs.withColumn("__key", canon)
     val repOf = withKey.select(col("id"), col("__key"))
       .join(withKey.groupBy("__key").agg(min(col("id")).as("__rep")), "__key")
@@ -59,12 +117,17 @@ object DedupPipeline {
       .select(col("id"), col("__rep").as("kept_as"))
     val reps = docs.join(
       repOf.filter(col("id") === col("__rep")).select("id"), Seq("id"))
+    ExactTier(reps, exactDropped)
+  }
 
-    // ---- tier 2+3: near-dup pairs over representatives → clusters
-    val pairs =
-      (if (exact) Dedup.jaccardPairs(reps, threshold)
-       else Dedup.minhashLsh(reps, threshold))
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
+  /** Tiers 3+4 over an edge set: connected components, min-id cluster
+    * representative, keep/dropped partition, kept_as chaining, stats.
+    * Components may contain non-batch nodes (index docs in the
+    * incremental path); only `t1.reps` members can drop, and the
+    * representative — the component min — never does.
+    */
+  private def finish(spark: SparkSession, docs: DataFrame, t1: ExactTier,
+      pairs: DataFrame): Result = {
     val comp = ConnectedComponents.run(spark, pairs)
       .localCheckpoint() // reused by clusters + keep/dropped branches
     val clusterRep = comp.groupBy("component")
@@ -73,22 +136,24 @@ object DedupPipeline {
         sort_array(collect_list(col("id"))).as("member_ids"))
     val clusters = clusterRep.select("representative", "n_docs", "member_ids")
 
-    // ---- tier 4: keep = reps not displaced by a smaller cluster member
+    // keep = reps not displaced by a smaller cluster member (restricted to
+    // this run's docs: index nodes are history's business, not this batch's)
     val nearDropped = comp
       .join(clusterRep.select(col("component"), col("representative")), "component")
       .filter(col("id") =!= col("representative"))
+      .join(t1.reps.select("id"), Seq("id"))
       .select(col("id"), col("representative").as("kept_as"))
-    val keep = reps.join(nearDropped.select("id"), Seq("id"), "left_anti")
+    val keep = t1.reps.join(nearDropped.select("id"), Seq("id"), "left_anti")
 
     // an exact-dropped doc's representative may itself be near-dropped in
     // tier 2 — chain the mapping so kept_as ALWAYS names a kept doc
-    val exactFinal = exactDropped
+    val exactFinal = t1.exactDropped
       .join(nearDropped.select(col("id").as("kept_as"), col("kept_as").as("__final")),
         Seq("kept_as"), "left")
       .select(col("id"), coalesce(col("__final"), col("kept_as")).as("kept_as"))
     val dropped = exactFinal.unionByName(nearDropped)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(exactDropped.agg(count(lit(1)).as("n_exact_dropped")))
+      .crossJoin(t1.exactDropped.agg(count(lit(1)).as("n_exact_dropped")))
       .crossJoin(nearDropped.agg(count(lit(1)).as("n_neardup_dropped")))
       .withColumn("n_kept",
         col("n_docs") - col("n_exact_dropped") - col("n_neardup_dropped"))

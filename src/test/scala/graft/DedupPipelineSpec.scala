@@ -51,6 +51,53 @@ class DedupPipelineSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("incremental: batch 2 probes batch 1's persisted index; merged keep == from-scratch") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("ndidx").toString
+    // batch 1 = the shared corpus (keep = {2, 9, 11}); batch 2 arrives with
+    // monotonically larger ids: a near-dup of a KEPT history doc (21), its
+    // exact copy (22), a novel doc (24) and its in-batch near-dup (25)
+    val batch2 = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog again and again todaz"),
+      (22L, "the quick brown fox jumps over the lazy dog again and again todaz"),
+      (24L, "unrelated fresh snippet arriving with the incremental batch case"),
+      (25L, "unrelated fresh snippet arriving with the incremental batch casa"))
+      .toDF("id", "text")
+    try {
+      val r1 = DedupPipeline.run(spark, docs, threshold = 0.8, exact = true)
+      Dedup.buildNearDupIndex(r1.keep, "nd_idx", s"$tmp/idx")
+      val r2 = DedupPipeline.runIncremental(spark, batch2, "nd_idx",
+        threshold = 0.8, exact = true)
+
+      // 21 must drop into history's kept 2 (via the index probe), 22 chains
+      // through its exact rep 21 to the same doc, 25 drops into 24 in-batch
+      val dropped2 = r2.dropped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dropped2 == Map(21L -> 2L, 22L -> 2L, 25L -> 24L), dropped2.toString)
+
+      // merged incremental keep-list == the from-scratch run over both batches
+      val merged = (r1.keep.select("id").collect() ++ r2.keep.select("id").collect())
+        .map(_.getLong(0)).sorted
+      val scratch = DedupPipeline.run(spark, docs.unionByName(batch2),
+        threshold = 0.8, exact = true)
+        .keep.select("id").collect().map(_.getLong(0)).sorted
+      assert(merged.sameElements(scratch),
+        s"merged=${merged.mkString(",")} scratch=${scratch.mkString(",")}")
+
+      // the index was extended with batch 2's kept docs: a batch-3 doc
+      // near-dupping 24 now finds it without re-hashing either batch
+      val batch3 = Seq(
+        (31L, "unrelated fresh snippet arriving with the incremental batch casx"))
+        .toDF("id", "text")
+      val hits = Dedup.probeNearDupIndex(spark, "nd_idx", batch3, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hits.contains((31L, 24L)), hits.mkString(","))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nd_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS nd_idx_sets")
+    }
+  }
+
   test("fixture corpus: keep + dropped partitions the input exactly") {
     val d = graft.core.Tables(spark, sfDir).documents
       .select(col("doc_id").as("id"), col("text"))
