@@ -29,6 +29,14 @@ object Salt {
       .withColumnRenamed("__key", "key")
   }
 
+  /** Per-row salt in [0, salts): row-unique input scattered by xxhash64, so
+    * a key's rows spread ~uniformly over `salts` reduce groups regardless
+    * of how skewed the key itself is. Public so specs/diagnostics can
+    * measure the exact group-size distribution a salted shuffle produces.
+    */
+  def saltCol(salts: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salts))
+
   /** Skew-safe equi-join: salt the skewed (big) side, replicate the other
     * side once per salt value, join on (key, salt). Row multiplication is
     * `salts ×` on the small side only.
@@ -39,8 +47,7 @@ object Salt {
       bigKey: String,
       smallKey: String,
       salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val saltedBig = big.withColumn("__salt", saltCol(salts))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated,

@@ -1239,6 +1239,31 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q77: the cure for what q76 diagnoses — a salted equi-join
+    // (operators.Salt): the fact side's rows spread over (key, salt)
+    // reduce groups, the dimension side replicates salts×, so one hot key
+    // can no longer funnel a reduce task. Salting is pure plan surgery —
+    // results are identical to the plain join, which is exactly what the
+    // DuckDB twin checks. (LayoutSpec separately measures the bounded
+    // group sizes on a synthetically skewed fixture.)
+    GraftQuery(
+      "q77_salted_join",
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice", 4)} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        graft.operators.Salt.saltedJoin(
+          t.orders, t.customer, "o_custkey", "c_custkey", salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 4).as("revenue"))
+      }),
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score

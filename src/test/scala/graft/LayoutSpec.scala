@@ -63,6 +63,34 @@ class LayoutSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("hot-key fixture: salted join equals plain join AND bounds the reduce groups") {
+    // 90% of the fact side is ONE key — the shape q76 diagnoses, AQE can't
+    // split for aggregations, and a plain shuffle join funnels into one task
+    val hot = 45000L
+    val big = spark.range(50000).select(
+      when(col("id") < hot, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val small = spark.range(50000).select(col("id").as("sk"), (col("id") % 97).as("attr"))
+
+    // identical results: salting is plan surgery, not a semantics change
+    def checksum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum("v"), sum("attr")).head()
+    val plain = checksum(big.join(small, col("k") === col("sk")))
+    val salted = checksum(Salt.saltedJoin(big, small, "k", "sk", salts = 8))
+    assert(salted == plain, s"salted=$salted plain=$plain")
+
+    // bounded max reduce-group: after salting, the hot key's rows land in
+    // `salts` distinct (key, salt) shuffle groups, so no reduce task can
+    // receive more than ~hot/salts of it (vs ALL of it unsalted)
+    val groups = big.withColumn("__salt", Salt.saltCol(8))
+      .groupBy("k", "__salt").count()
+    val maxGroup = groups.agg(max("count")).head().getLong(0)
+    assert(maxGroup <= hot / 8 * 2,
+      s"hot key must spread over salts: max group $maxGroup vs unsalted $hot")
+    // and all 8 salt values actually receive rows of the hot key
+    assert(groups.filter(col("k") === 7L).count() == 8)
+  }
+
   test("salted join equals plain join") {
     val t = graft.core.Tables(spark, sfDir)
     val plain = t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
