@@ -96,6 +96,17 @@ def main():
             continue
         gc, gd, gn, ghe, ghs, grows = fingerprint(got)
         ec, ed, en, ehe, ehs, erows = fingerprint(exp)
+        # INVARIANT (GraftQuery.canonicalOrder): Spark sorts output rows by
+        # SCHEMA field order, the oracle wrapper by SELECT-LIST order — the
+        # two only agree when every oracle names its columns in the Spark
+        # output's left-to-right order. Enforce it HERE (both engines'
+        # un-sorted column lists are visible), so a reordered column fails
+        # with the cause instead of a cryptic ORDER-ONLY hash mismatch.
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: column ORDER spark={list(got.columns)} "
+                  f"duckdb={list(exp.columns)} — canonical sort keys diverge")
+            n_fail += 1
+            continue
         if gc != ec:
             print(f"FAIL {name}: schema spark={gc} duckdb={ec}")
             n_fail += 1

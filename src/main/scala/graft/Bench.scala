@@ -38,7 +38,14 @@ object Bench {
     // total (summing the sentinel would fake a speedup); list them instead
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"method":"per-query min of $reps runs (steady-state; run 1 pays codegen+JIT warmup)","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"method":"per-query min of $reps runs (steady-state; run 1 pays codegen+JIT warmup)","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is one giant JSON object and a tail-capture can
+    // truncate it (round 3 lost q01-q14 + the total that way) — persist
+    // the artifact losslessly as well
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }
