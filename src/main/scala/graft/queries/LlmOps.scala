@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.{Num, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Chunker, Dedup, Funnel, Multimodal, Packing, Sampling, VectorOps}
+import graft.operators.{Chunker, Dedup, Funnel, Multimodal, Packing, RangeJoin, Sampling, VectorOps}
 
 /** LLM-training-data pipeline surface over `documents` / `embeddings`:
   * dedup (exact, fingerprint, n-gram Jaccard, MinHash LSH, SimHash),
@@ -152,6 +152,40 @@ object LlmOps {
       Tables(spark, dir).embeddings
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
       threshold = 0.40, dim = 64)
+
+  /** Shared sessionization core (q51 + q78): 30-min inactivity gap via
+    * lag + running sum over (user, time, event_id) order.
+    * @return events + (new_session, session_idx) columns
+    */
+  private def sessionized(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("value"),
+        date_trunc("second", col("ts")).as("tss"))
+    val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+    e.withColumn("new_session",
+      when(unix_timestamp(col("tss")) - unix_timestamp(lag(col("tss"), 1).over(w)) > 1800
+        || lag(col("tss"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** DuckDB twin of [[sessionized]] — CTE body ending in a `sessions`
+    * relation (usable as `WITH $sessionsSqlCte <select>`).
+    */
+  private val sessionsSqlCte = """
+    e AS (
+      SELECT user_id, event_id, value, date_trunc('second', ts) AS tss
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN CAST(epoch(tss) AS BIGINT)
+                          - CAST(epoch(lag(tss) OVER w) AS BIGINT) > 1800
+                     OR lag(tss) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+    sessions AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM flagged)""".trim
 
   /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
   private val jaccardPairsSql = s"""
@@ -467,19 +501,8 @@ object LlmOps {
     // sum (streaming twin: EventStreams.sessionize).
     GraftQuery(
       "q51_sessionize",
-      Some("""
-        WITH e AS (
-          SELECT user_id, event_id, value, date_trunc('second', ts) AS tss
-          FROM events),
-        flagged AS (
-          SELECT *, CASE WHEN CAST(epoch(tss) AS BIGINT)
-                              - CAST(epoch(lag(tss) OVER w) AS BIGINT) > 1800
-                         OR lag(tss) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
-        sessions AS (
-          SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
-                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-          FROM flagged)
+      Some(s"""
+        WITH $sessionsSqlCte
         SELECT user_id, session_idx,
                strftime(MIN(tss), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(MAX(tss), '%Y-%m-%d %H:%M:%S') AS session_end,
@@ -488,21 +511,41 @@ object LlmOps {
         FROM sessions GROUP BY user_id, session_idx
       """.trim),
       (spark, dir) => {
-        val e = Tables(spark, dir).events
-          .select(col("user_id"), col("event_id"), col("value"),
-            date_trunc("second", col("ts")).as("tss"))
-        val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
-        val flagged = e.withColumn("new_session",
-          when(unix_timestamp(col("tss")) - unix_timestamp(lag(col("tss"), 1).over(w)) > 1800
-            || lag(col("tss"), 1).over(w).isNull, 1).otherwise(0))
-        val sessions = flagged.withColumn("session_idx",
-          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        sessions.groupBy("user_id", "session_idx")
+        sessionized(spark, dir).groupBy("user_id", "session_idx")
           .agg(
             date_format(min(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
             date_format(max(col("tss")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
             count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(38, 4))).cast(DoubleType).as("sum_value"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q78: concurrent-session pairs — an interval OVERLAP join. The range
+    // predicate alone would be a nested-loop scale-killer; candidates
+    // instead come from a 10-min time-grid bin equi-join with arithmetic
+    // (canonical-bin) dedup — operators.RangeJoin. The DuckDB twin runs
+    // the plain theta join (its IEJoin handles fixture scale), checking
+    // that gridding is pure plan surgery.
+    GraftQuery(
+      "q78_session_overlap",
+      Some(s"""
+        WITH $sessionsSqlCte,
+        iv AS (SELECT user_id * 100000 + session_idx AS id,
+                      CAST(epoch(MIN(tss)) AS BIGINT) AS s,
+                      CAST(epoch(MAX(tss)) AS BIGINT) AS e
+               FROM sessions GROUP BY user_id, session_idx)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap
+        FROM iv a JOIN iv b ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+      """.trim),
+      (spark, dir) => {
+        val iv = sessionized(spark, dir)
+          .groupBy("user_id", "session_idx")
+          .agg(unix_timestamp(min(col("tss"))).as("s"),
+            unix_timestamp(max(col("tss"))).as("e"))
+          .select((col("user_id") * 100000 + col("session_idx")).as("id"),
+            col("s"), col("e"))
+        RangeJoin.overlapPairs(iv, binWidth = 600L)
       }),
 
     // ------------------------------------------------------------------

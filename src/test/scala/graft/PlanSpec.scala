@@ -84,6 +84,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q78 interval-overlap candidates come from the bin equi join") {
+    val p = plan("q78_session_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q75 profiles every column in ONE scan of the table") {
     val p = plan("q75_column_profile")
     // count detail-section node headers ("(n) Scan parquet"), not every
