@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Order-independent dataset fingerprints — the integrity primitive behind
+  * "did the 100 TB copy/migration/backfill produce the same table?".
+  *
+  * Each row hashes to 48 bits (md5 over a canonical unit-separator
+  * rendering of the chosen columns), and the dataset digest combines row
+  * hashes with COMMUTATIVE aggregates only (count, xor, modular sum, min,
+  * max) — so the digest is independent of partitioning, task order, and
+  * row order, and two copies compare by comparing one row. One scan,
+  * map-side-combined aggregation, nothing ever shuffles but per-partition
+  * partials: the cost at 100 TB is the read itself.
+  *
+  * Column discipline: render integers/strings/booleans directly; convert
+  * timestamps to epoch millis and doubles to a scaled-decimal string
+  * BEFORE hashing (IEEE double → string rendering differs across engines;
+  * the fingerprint's job is byte equality, so feed it bytes that are
+  * well-defined). NULL renders as a reserved NUL sentinel, distinct from
+  * the empty string and from the column separator.
+  */
+object Integrity {
+
+  /** 48-bit md5-derived hash of one row's canonical rendering. 12 hex
+    * chars parse exactly on any engine's signed 64-bit integers (the full
+    * 64 would overflow a BIGINT literal parse on the oracle side), and a
+    * single-row change flips the xor digest unless a 2⁻⁴⁸ collision hits.
+    */
+  def rowHash(cols: Seq[Column]): Column =
+    conv(substring(md5(canonical(cols)), 1, 12), 16, 10).cast(LongType)
+
+  // unit separator between columns; NUL sentinel for NULL (distinct from
+  // the empty string and from any printable value)
+  private def canonical(cols: Seq[Column]): Column =
+    concat_ws("\u001f", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+
+  private val SumMod = 1L << 48
+
+  /** Single-row digest of `df` over `cols`:
+    * (dataset, n_rows, xor_hash, sum_hash, min_hash, max_hash).
+    * `sum_hash` is the decimal-exact sum of row hashes mod 2⁴⁸, catching
+    * the xor blind spot — a row duplicated an EVEN number of times
+    * xor-cancels but never sum-cancels. (Exact sum first, one mod after:
+    * overflow-free for any row count and identical on every engine.)
+    */
+  def fingerprint(df: DataFrame, cols: Seq[Column], label: String): DataFrame =
+    df.select(rowHash(cols).as("h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_hash"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(SumMod)).cast(LongType).as("sum_hash"),
+        min(col("h")).as("min_hash"),
+        max(col("h")).as("max_hash"))
+      .select(lit(label).as("dataset"), col("n_rows"), col("xor_hash"),
+        col("sum_hash"), col("min_hash"), col("max_hash"))
+
+  /** DuckDB twin of [[rowHash]] over SQL expressions. */
+  def rowHashSql(exprs: Seq[String]): String = {
+    val canon = exprs
+      .map(e => s"COALESCE(CAST($e AS VARCHAR), chr(0))")
+      .mkString(s"concat_ws(chr(31), ", ", ", ")")
+    s"CAST(('0x' || substring(md5($canon), 1, 12)) AS BIGINT)"
+  }
+
+  /** DuckDB twin of [[fingerprint]] (same output columns). */
+  def fingerprintSql(table: String, exprs: Seq[String], label: String): String = s"""
+    SELECT '$label' AS dataset, COUNT(*) AS n_rows,
+           bit_xor(h) AS xor_hash,
+           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % $SumMod AS BIGINT) AS sum_hash,
+           MIN(h) AS min_hash, MAX(h) AS max_hash
+    FROM (SELECT ${rowHashSql(exprs)} AS h FROM $table)""".trim
+}

@@ -1307,6 +1307,38 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q79: dataset integrity checksums — order-independent per-table
+    // digests (operators.Integrity): 48-bit md5 row hashes combined by
+    // count / xor / modular-sum / min / max, so the digest is identical
+    // for ANY partitioning or row order. The cross-engine hash match IS
+    // the point: two independent engines computing the same digest from
+    // the same bytes is exactly the copy-verification this ships for.
+    {
+      val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val lineCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      GraftQuery(
+        "q79_dataset_checksum",
+        Some(Seq(
+          graft.operators.Integrity.fingerprintSql(
+            "orders", ordersCols :+ "epoch_ms(o_orderdate)", "orders"),
+          graft.operators.Integrity.fingerprintSql("customer", custCols, "customer"),
+          graft.operators.Integrity.fingerprintSql(
+            "lineitem", lineCols :+ "epoch_ms(l_shipdate)", "lineitem"))
+          .mkString("\nUNION ALL\n")),
+        (spark, dir) => {
+          val t = Tables(spark, dir)
+          import graft.operators.Integrity.fingerprint
+          fingerprint(t.orders,
+            ordersCols.map(col) :+ unix_millis(col("o_orderdate").cast("timestamp")), "orders")
+            .unionByName(fingerprint(t.customer, custCols.map(col), "customer"))
+            .unionByName(fingerprint(t.lineitem,
+              lineCols.map(col) :+ unix_millis(col("l_shipdate").cast("timestamp")), "lineitem"))
+        })
+    },
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score

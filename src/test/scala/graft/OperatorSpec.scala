@@ -197,4 +197,31 @@ class OperatorSpec extends SparkSpec {
     assert(digests.length == 10 && digests.distinct.length == 10)
     intercept[IllegalArgumentException] { Multimodal.sampleFrames(media, stride = 0) }
   }
+
+  test("dataset fingerprint: order/partitioning-invariant, mutation-sensitive") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Integrity
+    val c = graft.core.Tables(spark, sfDir).customer
+    val cols = Seq(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Integrity.fingerprint(df, cols, "t").head()
+
+    val base = digest(c)
+    // any layout of the same rows digests identically
+    assert(digest(c.repartition(17)) == base)
+    assert(digest(c.orderBy(desc("c_name"))) == base)
+    // a single changed value flips it
+    val mutated = c.withColumn("c_name",
+      when(col("c_custkey") === 5L, concat(col("c_name"), lit("x")))
+        .otherwise(col("c_name")))
+    assert(digest(mutated) != base)
+    // xor blind spot covered by sum_hash: duplicating a row twice keeps
+    // xor unchanged but must still change the digest row
+    val dup = c.unionByName(c.limit(1)).unionByName(c.limit(1))
+    val d = digest(dup)
+    assert(d != base)
+    assert(d.getLong(1) == base.getLong(1) + 2) // n_rows
+    assert(d.getLong(2) == base.getLong(2), "even duplication xor-cancels by design")
+    assert(d.getLong(3) != base.getLong(3), "sum_hash must catch it")
+  }
 }
