@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+import graft.pipeline.DedupPipeline
+
+/** Streaming incremental corpus curation — the streaming twin of
+  * [[graft.pipeline.DedupPipeline.runIncremental]]: documents arrive as a
+  * stream, each micro-batch deduplicates within itself and against the
+  * persisted near-dup index of everything kept so far, and the batch's
+  * kept docs extend the index for the next micro-batch. History is never
+  * re-hashed — per-batch cost is proportional to the batch, which is what
+  * keeps a continuously-ingesting 100 TB corpus curatable at all.
+  *
+  * `foreachBatch` is the right tool here, not incremental streaming
+  * operators: the per-batch work is a full multi-join DAG (LSH probe,
+  * connected components, keep-list arithmetic) that has no incremental
+  * formulation, while the STATE between batches lives in the persisted
+  * index tables rather than in operator state stores.
+  *
+  * Exactly-once caveat (documented, not hidden): on failure-replay of a
+  * micro-batch, [[Dedup.extendNearDupIndex]]'s append is re-executed.
+  * Replayed postings are harmless for correctness of future probes
+  * (duplicate candidates dedup before verification) but waste space; a
+  * production deployment should stamp appended files with the batch id
+  * and skip already-committed ids — the standard foreachBatch idempotence
+  * recipe.
+  */
+object CurationStream {
+
+  /** Start the curation stream.
+    *
+    * @param docs       streaming frame with (id: long, text: string)
+    * @param indexTable near-dup index table pair name; created on the
+    *                   first non-empty batch if absent (cold start runs
+    *                   the full [[DedupPipeline.run]] and indexes its keep)
+    * @param indexPath  storage path for a cold-start index build
+    * @param keepSink   called once per non-empty micro-batch with the
+    *                   batch's KEPT (id, text) rows and the batch id
+    */
+  def start(docs: DataFrame, indexTable: String, indexPath: String,
+      threshold: Double = 0.8)(keepSink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        // the pipeline runs several actions over the batch (stats, CC,
+        // probes) — pin the micro-batch once
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val r =
+            if (sp.catalog.tableExists(s"${indexTable}_postings"))
+              DedupPipeline.runIncremental(sp, b, indexTable, threshold)
+            else {
+              val r0 = DedupPipeline.run(sp, b, threshold)
+              Dedup.buildNearDupIndex(r0.keep, indexTable, indexPath)
+              r0
+            }
+          keepSink(r.keep.localCheckpoint(), batchId)
+        }
+      }
+      .start()
+}

@@ -232,6 +232,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: micro-batches probe + extend the index; keep == from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ndstream").toString
+    val in = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.streaming.CurationStream.start(
+      in.toDF().toDF("id", "text"), "nd_stream_idx", s"$tmp/idx",
+      threshold = 0.8) { (keep, _) =>
+      kept.synchronized { kept ++= keep.select("id").collect().map(_.getLong(0)) }
+    }
+    // same bridge-free corpus shape as DedupPipelineSpec's incremental case
+    val batch1 = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (7L, "the quick brown fox jumps over the lazy dog again and again todai"),
+      (9L, "completely different content about spark engines and columnar io"))
+    val batch2 = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog again and again todaz"),
+      (24L, "unrelated fresh snippet arriving with the incremental batch case"),
+      (25L, "unrelated fresh snippet arriving with the incremental batch casa"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val scratch = graft.pipeline.DedupPipeline.run(
+        spark, (batch1 ++ batch2).toDF("id", "text"), threshold = 0.8)
+        .keep.select("id").collect().map(_.getLong(0)).sorted
+      assert(kept.sorted == scratch.toSeq,
+        s"streamed=${kept.sorted.mkString(",")} scratch=${scratch.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS nd_stream_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS nd_stream_idx_sets")
+    }
+  }
+
   test("streaming interval-join output EQUALS the batch join on the same fixture slice") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
