@@ -23,6 +23,10 @@ object Plans {
         case "op:chunker" => graft.operators.Chunker.fixedChunks(
           graft.core.Tables(spark, sfDir).documents,
           col("doc_id"), col("text"), size = 200, overlap = 40)
+        case "op:cosinepairs" => graft.operators.VectorOps.cosinePairs(
+          graft.core.Tables(spark, sfDir).embeddings
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.40, dim = 64, localThreshold = 0L) // forced bucketed tier
         case _ => SparkEntry.queries(name)(spark, sfDir)
       }
       println(s"==== $name ====")
