@@ -34,6 +34,35 @@ object TableWriter {
       .parquet(path)
   }
 
+  /** Small-file compaction — the lake-maintenance pass every streaming or
+    * incremental ingest eventually needs: micro-batches and per-task
+    * writers leave thousands of KB-sized files, and at 100 TB the scan
+    * cost becomes file-open overhead instead of IO. Rewrites a parquet
+    * directory into ⌈measured bytes / targetBytes⌉ files via round-robin
+    * `repartition(n)` (even output sizes by construction); optional
+    * `sortCols` restores run-length/min-max-friendly layout in the same
+    * pass. Writes to a NEW directory — the caller swaps paths after
+    * verifying (e.g. with [[graft.operators.Integrity.fingerprint]],
+    * which is invariant to exactly the re-layout this performs).
+    *
+    * @return number of output files written
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortCols.nonEmpty) df.repartition(nFiles).sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    laid.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
   /** Bucketed layout — co-locate a join/aggregation key at WRITE time.
     *
     * Every equi-join or groupBy on `bucketCol` against another table

@@ -52,6 +52,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses a shattered table; integrity digest is unchanged") {
+    import graft.operators.Integrity
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val c = graft.core.Tables(spark, sfDir).customer
+    val cols = Seq(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    // shatter: 64 tiny files, the streaming-ingest pathology
+    c.repartition(64).write.parquet(s"$tmp/shattered")
+    def parquetFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/shattered") == 64)
+
+    val n = TableWriter.compact(spark, s"$tmp/shattered", s"$tmp/compacted",
+      targetBytes = 1L << 20, sortCols = Seq("c_custkey"))
+    assert(parquetFiles(s"$tmp/compacted") == n && n < 8, s"$n files")
+    // re-layout must be invisible to the data: same order-independent digest
+    val before = Integrity.fingerprint(c, cols, "t").head()
+    val after = Integrity.fingerprint(
+      spark.read.parquet(s"$tmp/compacted"), cols, "t").head()
+    assert(after == before)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val o = graft.core.Tables(spark, sfDir).orders
     val plain = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
