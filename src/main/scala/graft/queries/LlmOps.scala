@@ -1339,6 +1339,41 @@ object LlmOps {
     },
 
     // ------------------------------------------------------------------
+    // q80: co-purchase PageRank — fixed-iteration distributed graph
+    // centrality (operators.PageRank): parts sharing an order form a
+    // symmetric edge set (equi self-join on the order key, never a cross
+    // product), then 3 power iterations of edges⋈ranks⋈degrees with
+    // decimal-exact contribution sums. The DuckDB twin unrolls the SAME
+    // iterations as chained CTEs — bit-identical ranks, no tolerance.
+    GraftQuery(
+      "q80_copurchase_pagerank",
+      Some(s"""
+        WITH ed AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+        ${graft.operators.PageRank.unrolledSql(3)}
+        SELECT id AS part, round(pr, 8) AS pr, rank FROM (
+          SELECT id, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, id ASC) AS rank
+          FROM pr3)
+        WHERE rank <= 20
+      """.trim),
+      (spark, dir) => {
+        val li = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val pr = graft.operators.PageRank.run(spark, edges, iters = 3)
+        // top-20 via distributed sort+limit BEFORE the rank window (q76 rule)
+        val w = Window.orderBy(col("pr").desc, col("id").asc)
+        pr.orderBy(col("pr").desc, col("id").asc).limit(20)
+          .withColumn("rank", row_number().over(w))
+          .select(col("id").as("part"), round(col("pr"), 8).as("pr"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score

@@ -198,6 +198,26 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.sampleFrames(media, stride = 0) }
   }
 
+  test("pagerank: probability mass conserved, symmetry respected, hubs win") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // star: 1 is the hub of 2,3,4 (symmetric edges → no dangling mass)
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val pr = graft.operators.PageRank.run(spark, star, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // no dangling nodes → total mass stays exactly 1 per iteration
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.toString)
+    assert(pr(2) == pr(3) && pr(3) == pr(4), "leaves are symmetric")
+    assert(pr(1) > pr(2), "hub must outrank leaves")
+    // triangle: full symmetry → exactly uniform thirds at any iteration
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val uni = graft.operators.PageRank.run(spark, tri, iters = 3)
+      .collect().map(_.getDouble(1))
+    assert(uni.forall(v => math.abs(v - 1.0 / 3) < 1e-12), uni.mkString(","))
+  }
+
   test("dataset fingerprint: order/partitioning-invariant, mutation-sensitive") {
     import org.apache.spark.sql.functions._
     import graft.operators.Integrity
