@@ -1374,6 +1374,52 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q81: snapshot diff — the audit half of keyed snapshot maintenance
+    // (operators.Merge.diff): one full-outer key join classifies every
+    // divergent key as added / removed / changed, identical rows emit
+    // nothing, and rows travel as key + 48-bit hash. The second snapshot
+    // here is a deterministic mutation of orders (modular deletes,
+    // updates, and key-shifted inserts) so both engines derive it
+    // identically; the oracle classifies by comparing values directly —
+    // agreeing with the hash-based path is the point.
+    GraftQuery(
+      "q81_snapshot_diff",
+      Some("""
+        WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_orderpriority AS p
+                   FROM orders),
+        b AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_orderstatus || 'X'
+                      ELSE o_orderstatus END AS s,
+                 o_orderpriority AS p
+          FROM orders WHERE o_orderkey % 101 != 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+          FROM orders WHERE o_orderkey % 103 = 0)
+        SELECT o_orderkey, status FROM (
+          SELECT COALESCE(a.k, b.k) AS o_orderkey,
+                 CASE WHEN a.k IS NULL THEN 'added'
+                      WHEN b.k IS NULL THEN 'removed'
+                      WHEN a.s != b.s OR a.p != b.p THEN 'changed' END AS status
+          FROM a FULL JOIN b ON a.k = b.k)
+        WHERE status IS NOT NULL
+      """.trim),
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders
+        val a = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        val b = o.filter(col("o_orderkey") % 101 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 97 === 0, concat(col("o_orderstatus"), lit("X")))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            col("o_orderpriority"))
+          .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_orderstatus"), col("o_orderpriority")))
+        graft.operators.Merge.diff(a, b, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_orderpriority"))
+      }),
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score

@@ -198,6 +198,20 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.sampleFrames(media, stride = 0) }
   }
 
+  test("upsert: updates replace by key, inserts append, orderCol picks last writer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("k", "v", "ver")
+    val updates = Seq(
+      (2L, "b2", 2), (2L, "b3", 3), // same key twice: ver 3 must win
+      (4L, "d", 2)).toDF("k", "v", "ver")
+    val merged = graft.operators.Merge.upsert(base, updates, Seq("k"),
+      orderCol = Some(col("ver")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(merged == Map(
+      1L -> ("a", 1), 2L -> ("b3", 3), 3L -> ("c", 1), 4L -> ("d", 2)), merged.toString)
+  }
+
   test("pagerank: probability mass conserved, symmetry respected, hubs win") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
