@@ -248,4 +248,65 @@ class PropertySpec extends SparkSpec {
       assert(strs == expect, s"string kernel: $a / $b")
     }
   }
+
+  test("binned overlap join matches brute force on random interval sets (10 rounds)") {
+    import spark.implicits._
+    for (round <- 1 to 10) {
+      // vary density and span each round; bin width deliberately decoupled
+      // from the span distribution (correctness may not depend on it)
+      val n = 20 + rnd.nextInt(60)
+      val span = 1 + rnd.nextInt(3000)
+      val iv = (0 until n).map { i =>
+        val s = rnd.nextInt(10000).toLong
+        (i.toLong, s, s + rnd.nextInt(span))
+      }
+      val df = iv.toDF("id", "s", "e")
+      val brute = (for {
+        (i, si, ei) <- iv; (j, sj, ej) <- iv
+        if i < j && si <= ej && sj <= ei
+      } yield (i, j, math.min(ei, ej) - math.max(si, sj))).toSet
+      val w = 1L + rnd.nextInt(2000)
+      val got = graft.operators.RangeJoin.overlapPairs(df, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute, s"round $round (n=$n span=$span w=$w)")
+    }
+  }
+
+  test("diff(a,b) mirrors diff(b,a): added/removed swap, changed fixed (10 rounds)") {
+    import spark.implicits._
+    for (round <- 1 to 10) {
+      def snap() = (0 until 40).map(k =>
+        (k.toLong, ('a' + rnd.nextInt(3)).toChar.toString))
+        .filter(_ => rnd.nextInt(5) > 0) // random subset
+        .toDF("k", "v").dropDuplicates("k")
+      val (a, b) = (snap().localCheckpoint(), snap().localCheckpoint())
+      def d(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+        graft.operators.Merge.diff(x, y, Seq("k"), Seq("v"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val fwd = d(a, b)
+      val bwd = d(b, a)
+      val mirrored = bwd.map {
+        case (k, "added") => k -> "removed"
+        case (k, "removed") => k -> "added"
+        case kv => kv
+      }
+      assert(fwd == mirrored, s"round $round: $fwd vs $bwd")
+    }
+  }
+
+  test("upsert is idempotent and keeps base row count + net inserts (10 rounds)") {
+    import spark.implicits._
+    for (round <- 1 to 10) {
+      val base = (0 until 30).map(k => (k.toLong, s"b$k")).toDF("k", "v")
+      val ups = (0 until 15).map(_ => (rnd.nextInt(40).toLong, s"u$round"))
+        .toDF("k", "v").dropDuplicates("k").localCheckpoint()
+      val once = graft.operators.Merge.upsert(base, ups, Seq("k")).localCheckpoint()
+      val twice = graft.operators.Merge.upsert(once, ups, Seq("k"))
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m(once) == m(twice), s"round $round: idempotence")
+      val inserts = ups.filter(col("k") >= 30).count()
+      assert(once.count() == 30 + inserts, s"round $round: counts")
+    }
+  }
 }
