@@ -40,14 +40,21 @@ object PageRank {
       .distinct()
       .localCheckpoint()
     val n = nodes.count() // bounded: one long
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    if (n == 0) return nodes.withColumn("pr", lit(0.0)) // empty graph: no 1/0
+    // degree rides on the edge row, joined ONCE before the loop — the
+    // iteration then pays a single join over the checkpointed edge table
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    // ranks are node-sized; checkpointed frames carry no stats, so hint
+    // the build side from the measured node count (~16 bytes/row)
+    val bcastOk = n <= 10000000L
+    def hinted(df: DataFrame) = if (bcastOk) broadcast(df) else df
 
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var it = 0
     while (it < iters) {
-      val contribs = e
-        .join(pr.withColumnRenamed("id", "src"), "src")
-        .join(outDeg, "src")
+      val contribs = ew
+        .join(hinted(pr.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
         .groupBy("id")
         .agg(sum(col("c").cast(DecimalType(38, 18))).cast(DoubleType).as("s"))

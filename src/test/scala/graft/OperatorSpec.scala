@@ -230,6 +230,9 @@ class OperatorSpec extends SparkSpec {
     val uni = graft.operators.PageRank.run(spark, tri, iters = 3)
       .collect().map(_.getDouble(1))
     assert(uni.forall(v => math.abs(v - 1.0 / 3) < 1e-12), uni.mkString(","))
+    // empty edge set: no nodes, no 1/0
+    val none = graft.operators.PageRank.run(spark, star.limit(0), iters = 3)
+    assert(none.count() == 0)
   }
 
   test("dataset fingerprint: order/partitioning-invariant, mutation-sensitive") {
