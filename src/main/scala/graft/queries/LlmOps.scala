@@ -1420,6 +1420,49 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q82: filter-funnel attribution — every curation pipeline needs to
+    // answer "WHY was each document dropped", not just "how many
+    // survived": rules apply in a fixed order and the FIRST failure is
+    // the verdict, so per-rule attrition is additive and auditable.
+    // Composes the q48/q60 metrics (same expressions, same SQL twins) —
+    // pure per-row work, no shuffle at any scale.
+    GraftQuery(
+      "q82_filter_funnel",
+      Some(s"""
+        SELECT doc_id, n_tokens, rep_ratio, stop_ratio,
+               CASE WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN rep_ratio > 0.2 THEN 'repetitious'
+                    WHEN stop_ratio < 0.02 THEN 'low_stopword'
+                    ELSE 'kept' END AS verdict
+        FROM (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)) AS n_tokens,
+                 CASE WHEN len(${TextFunctions.wordNgramsSql("text", 3)}) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(${TextFunctions.wordNgramsSql("text", 3)})) AS DOUBLE)
+                                   / CAST(len(${TextFunctions.wordNgramsSql("text", 3)}) AS DOUBLE) END AS rep_ratio,
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                      t -> length(t) > 0 AND t IN ($stopwordsSql))) AS DOUBLE)
+                   / CAST(greatest(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                                   t -> length(t) > 0)), 1) AS DOUBLE) AS stop_ratio
+          FROM documents)
+      """.trim),
+      (spark, dir) => {
+        val tri = TextFunctions.wordNgrams(col("text"), 3)
+        Tables(spark, dir).documents
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"),
+            when(size(tri) === 0, 0.0)
+              .otherwise(lit(1.0) - size(array_distinct(tri)).cast(DoubleType)
+                / size(tri).cast(DoubleType)).as("rep_ratio"),
+            TextFunctions.stopwordRatio(col("text"), stopwords).as("stop_ratio"))
+          .withColumn("verdict",
+            when(col("n_tokens") < 20, "too_short")
+              .when(col("rep_ratio") > 0.2, "repetitious")
+              .when(col("stop_ratio") < 0.02, "low_stopword")
+              .otherwise("kept"))
+      }),
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score
