@@ -1,0 +1,113 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+  * summary: the count-min sketch and its applications") as a native
+  * Catalyst `TypedImperativeAggregate` — bounded-memory frequency
+  * estimation for a WATCHLIST of items.
+  *
+  * The buffer is a depth×width counter matrix (longs); an item increments
+  * one counter per row (independent seeded MurmurHash3 — pure arithmetic,
+  * identical on every JVM), and its estimate is the minimum across rows.
+  * Guarantees `est >= true` always, and `est <= true + εN` with
+  * probability ≥ 1−δ for ε = e/width, δ = e^−depth. The merge is
+  * element-wise addition — exact, commutative, associative — so map-side
+  * partial aggregation ships O(depth·width) state per partition
+  * regardless of input size, and the SAME aggregate runs as a streaming
+  * complete-mode aggregate ([[SpaceSavingTopK]]'s pattern).
+  *
+  * Complement to [[SpaceSavingTopK]]: Space-Saving answers "WHICH items
+  * are frequent" (it tracks identities), Count-Min answers "how frequent
+  * are THESE items" in O(1) memory per query item — e.g. estimating
+  * candidate hot keys for a salting decision without a full groupBy.
+  *
+  * Output: array<struct<item string, est_count long>> in `items` order.
+  */
+case class CountMinEstimate(
+    child: Expression,
+    items: Seq[String],
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth > 0 && width > 0, "need depth > 0 and width > 0")
+  require(items.nonEmpty, "need a non-empty watchlist")
+
+  private def slot(item: String, row: Int): Int =
+    row * width + ((MurmurHash3.stringHash(item, 1000003 * row + 7) & 0x7fffffff) % width)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.toString
+      var r = 0
+      while (r < depth) { buf(slot(item, r)) += 1; r += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val rows = items.map { item =>
+      var est = Long.MaxValue
+      var r = 0
+      while (r < depth) { est = math.min(est, buf(slot(item, r))); r += 1 }
+      InternalRow(UTF8String.fromString(item), est)
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bytes.putLong)
+    bytes.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong())
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType),
+    StructField("est_count", LongType))))
+
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "count_min_estimate"
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinEstimate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinEstimate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}
+
+object CountMinEstimate {
+  /** Column API: `countMinEstimate(col, watchlist, depth, width)`. */
+  def countMinEstimate(c: Column, items: Seq[String],
+      depth: Int = 5, width: Int = 1 << 12): Column =
+    ColumnBridge.column(
+      CountMinEstimate(ColumnBridge.expression(c), items, depth, width)
+        .toAggregateExpression())
+}

@@ -45,4 +45,34 @@ class SketchSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(run(1) == run(16), "exact regime must be partitioning-invariant")
   }
+
+  test("count-min: est >= true, bounded overcount, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CountMinEstimate.countMinEstimate
+    val toks = graft.core.Tables(spark, sfDir).documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .localCheckpoint()
+    val n = toks.count()
+    val truth = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // watch frequent, rare, and ABSENT items
+    val watch = truth.toSeq.sortBy(-_._2).take(3).map(_._1) ++
+      truth.toSeq.sortBy(_._2).take(2).map(_._1) ++ Seq("never_seen_token")
+    val width = 1 << 10
+    def run(parts: Int) = toks.repartition(parts)
+      .agg(countMinEstimate(col("tok"), watch, depth = 5, width = width).as("t"))
+      .select(explode(col("t")).as("e")).select("e.item", "e.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val est = run(16).toMap
+    for ((item, e) <- est) {
+      val t = truth.getOrElse(item, 0L)
+      assert(e >= t, s"$item: est $e < true $t")
+      // the ε = e/width bound at δ = e^-5; deterministic hashes make this
+      // a fixed (not probabilistic) property of this corpus + seed set
+      assert(e - t <= (math.E * n / width).toLong + 1, s"$item overcount ${e - t}")
+    }
+    // element-wise-add merge is exact → layout cannot matter
+    assert(run(1) == run(16))
+  }
 }
