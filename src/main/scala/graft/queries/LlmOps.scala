@@ -1345,12 +1345,22 @@ object LlmOps {
     // product), then 3 power iterations of edges⋈ranks⋈degrees with
     // decimal-exact contribution sums. The DuckDB twin unrolls the SAME
     // iterations as chained CTEs — bit-identical ranks, no tolerance.
+    // Pair generation is O(k²) in basket size, so baskets above 100
+    // items are excluded BY CONTRACT on both engines — the same
+    // skew-guard discipline as SimilarityJoin's oversized-block drop
+    // (a single 10k-item basket would emit 10⁸ edge rows at scale;
+    // TPC-H-shaped baskets are ≤ 7, so the fixture loses nothing).
     GraftQuery(
       "q80_copurchase_pagerank",
       Some(s"""
-        WITH ed AS (
+        WITH ok AS (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) <= 100),
+        li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_orderkey IN (SELECT l_orderkey FROM ok)),
+        ed AS (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM lineitem a JOIN lineitem b
+          FROM li a JOIN li b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
         ${graft.operators.PageRank.unrolledSql(3)}
         SELECT id AS part, round(pr, 8) AS pr, rank FROM (
@@ -1359,7 +1369,10 @@ object LlmOps {
         WHERE rank <= 20
       """.trim),
       (spark, dir) => {
-        val li = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+        val li0 = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+        val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= 100).select("l_orderkey")
+        val li = li0.join(ok, "l_orderkey")
         val edges = li.as("a").join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey")
               && col("a.l_partkey") =!= col("b.l_partkey"))
