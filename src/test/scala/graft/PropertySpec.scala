@@ -272,6 +272,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cosinePairs bucketed tier: subset of exact, identical scores, any params (4 rounds)") {
+    import spark.implicits._
+    for (round <- 1 to 4) {
+      val n = 30 + rnd.nextInt(50)
+      val dim = 8
+      val corpus = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+        .toDF("id", "vec")
+      val exact = graft.operators.VectorOps.cosinePairs(corpus, 0.3, dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val bits = 1 + rnd.nextInt(5)
+      val tables = 1 + rnd.nextInt(8)
+      val lsh = graft.operators.VectorOps.cosinePairs(corpus, 0.3, dim,
+        bits = bits, tables = tables, localThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // candidates may be missed (that's the recall trade) but NEVER
+      // invented, and a verified score is the exact score
+      lsh.foreach { case (k, c) =>
+        assert(exact.get(k).contains(c),
+          s"round $round (bits=$bits tables=$tables): spurious/mis-scored pair $k")
+      }
+    }
+  }
+
   test("diff(a,b) mirrors diff(b,a): added/removed swap, changed fixed (10 rounds)") {
     import spark.implicits._
     for (round <- 1 to 10) {
