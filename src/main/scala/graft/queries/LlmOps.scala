@@ -1476,6 +1476,78 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q83: dedup impact report — what exact dedup would SAVE, by source:
+    // doc counts, distinct canonical texts, and the characters a keep-one
+    // policy drops. One (source, canonical-text) groupBy with map-side
+    // combine, then a per-source rollup of group-level arithmetic — the
+    // before-you-run-it sizing every curation pass starts with.
+    GraftQuery(
+      "q83_dedup_impact",
+      Some("""
+        WITH g AS (
+          SELECT source, lower(trim(text)) AS k,
+                 COUNT(*) AS cnt, MAX(n_chars) AS len
+          FROM documents GROUP BY source, lower(trim(text)))
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_docs,
+               round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_ratio,
+               CAST(SUM((cnt - 1) * len) AS BIGINT) AS chars_saved
+        FROM g GROUP BY source
+      """.trim),
+      (spark, dir) => {
+        val g = Tables(spark, dir).documents
+          .groupBy(col("source"), lower(trim(col("text"))).as("k"))
+          .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("len"))
+        g.groupBy("source")
+          .agg(sum(col("cnt")).as("n_docs"),
+            count(lit(1)).as("n_distinct"),
+            (sum(col("cnt")) - count(lit(1))).as("n_dup_docs"),
+            round(lit(1.0) - count(lit(1)).cast(DoubleType)
+              / sum(col("cnt")).cast(DoubleType), 6).as("dup_ratio"),
+            sum((col("cnt") - 1) * col("len")).as("chars_saved"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q84: cross-source contamination matrix — how many canonicalized
+    // texts each PAIR of sources shares (the "is source B just a scrape
+    // of source A" diagnostic). The key is the sorted distinct token SET
+    // (q41's reordered-clone canonicalization — byte-identical texts
+    // never cross sources in this corpus, token-set clones do). Distinct
+    // (source, key) projection, then a key equi-join — never a
+    // source×source cross product; output is |sources|² rows at most.
+    GraftQuery(
+      "q84_source_overlap",
+      // s-interpolated so '\\s+' collapses to the single-backslash regex
+      // DuckDB needs (raw triple quotes would ship a literal double
+      // backslash, which RE2 reads as an escaped backslash — no split)
+      Some(s"""
+        WITH t AS (
+          SELECT DISTINCT source,
+            array_to_string(list_sort(list_distinct(
+              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> length(x) > 0))), ' ') AS k
+          FROM documents)
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        FROM t a JOIN t b ON a.k = b.k AND a.source < b.source
+        GROUP BY a.source, b.source
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir).documents
+          .select(col("source"),
+            array_join(array_sort(array_distinct(
+              filter(split(lower(trim(col("text"))), "\\s+"),
+                x => length(x) > 0))), " ").as("k"))
+          .distinct()
+        t.select(col("source").as("source_a"), col("k"))
+          .join(t.select(col("source").as("source_b"), col("k")), "k")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+      }),
+
+    // ------------------------------------------------------------------
     // q72: reciprocal-rank fusion across retrieval tiers — the standard
     // way production search combines heterogeneous rankers (here: the
     // sign-LSH tier q46 and the int8-SQ tier q68) without score

@@ -232,6 +232,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min: watchlist estimates merge exactly across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    // same complete-mode shape as topTokensStream — the element-wise-add
+    // merge makes the streamed sketch equal a batch sketch over the union
+    val q = in.toDF().toDF("token")
+      .agg(graft.functions.CountMinEstimate.countMinEstimate(
+        col("token"), Seq("alpha", "beta", "absent"), depth = 5, width = 1 << 10).as("t"))
+      .select(explode(col("t")).as("e")).select("e.item", "e.est_count")
+      .writeStream.format("memory").queryName("cmstream").outputMode("complete").start()
+    try {
+      in.addData(Seq.fill(5)("alpha") ++ Seq.fill(3)("beta"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(2)("alpha") ++ Seq("gamma"): _*)
+      q.processAllAvailable()
+      val got = spark.table("cmstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // width >> distinct tokens → no collisions → exact counts
+      assert(got == Map("alpha" -> 7L, "beta" -> 3L, "absent" -> 0L), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming curation: micro-batches probe + extend the index; keep == from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
