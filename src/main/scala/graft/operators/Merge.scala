@@ -38,18 +38,23 @@ object Merge {
     * in both, compared columns differ). Identical rows produce NOTHING —
     * the output is the changeset, sized by the change, not the table.
     * Rows compare by [[Integrity.rowHash]] over `cols`, so wide rows
-    * travel the full-outer shuffle as key + 8 bytes.
+    * travel the full-outer shuffle as key + 8 bytes. Keys join
+    * NULL-SAFELY (`<=>`): a NULL-keyed row present identically on both
+    * sides is a match, not a spurious added+removed pair.
     */
   def diff(a: DataFrame, b: DataFrame, keys: Seq[String],
       cols: Seq[String]): DataFrame = {
     val ha = a.select(keys.map(col) :+ Integrity.rowHash(cols.map(col)).as("__ha"): _*)
-    val hb = b.select(keys.map(col) :+ Integrity.rowHash(cols.map(col)).as("__hb"): _*)
-    ha.join(hb, keys, "full_outer")
+    val hb = b.select(keys.map(k => col(k).as(s"__b_$k"))
+      :+ Integrity.rowHash(cols.map(col)).as("__hb"): _*)
+    val cond = keys.map(k => ha(k) <=> hb(s"__b_$k")).reduce(_ && _)
+    ha.join(hb, cond, "full_outer")
       .withColumn("status",
         when(col("__ha").isNull, "added")
           .when(col("__hb").isNull, "removed")
           .when(col("__ha") =!= col("__hb"), "changed"))
       .filter(col("status").isNotNull)
-      .select(keys.map(col) :+ col("status"): _*)
+      .select(keys.map(k => coalesce(col(k), col(s"__b_$k")).as(k))
+        :+ col("status"): _*)
   }
 }

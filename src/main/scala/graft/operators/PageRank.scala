@@ -46,8 +46,11 @@ object PageRank {
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
     // ranks are node-sized; checkpointed frames carry no stats, so hint
-    // the build side from the measured node count (~16 bytes/row)
-    val bcastOk = n <= 10000000L
+    // the build side from the measured node count. 6M rows ≈ 100 MB as a
+    // built hash relation — the same byte budget as the other measured
+    // broadcast gates (Dedup / cosinePairs); rebuilt per iteration, so
+    // an oversized hint would hurt three times
+    val bcastOk = n <= 6000000L
     def hinted(df: DataFrame) = if (bcastOk) broadcast(df) else df
 
     var pr = nodes.withColumn("pr", lit(1.0 / n))
@@ -73,6 +76,12 @@ object PageRank {
     * same (1−d)/n + d·s arithmetic — or the cross-engine hash breaks.
     */
   def unrolledSql(iters: Int, damping: Double = 0.85): String = {
+    // the teleport numerator is PRE-computed in IEEE doubles and emitted
+    // as a round-trip literal: DuckDB would evaluate `1.0 - 0.85` in
+    // DECIMAL (exact 0.15, a different double after conversion than the
+    // JVM's 1.0-0.85 = 0.15000000000000002), a 2-ulp divergence that
+    // round() usually — but not always — masks
+    val teleport = java.lang.Double.toString(1.0 - damping)
     val init = s"""
     deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
     nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
@@ -86,8 +95,8 @@ object PageRank {
             FROM ed e JOIN $prev p ON e.src = p.id JOIN deg ON e.src = deg.src
             GROUP BY e.dst),
     pr$i AS (SELECT nodes.id,
-                    (1.0 - $damping) / nn.cnt
-                      + $damping * COALESCE(s$i.s, 0.0) AS pr
+                    CAST($teleport AS DOUBLE) / nn.cnt
+                      + CAST($damping AS DOUBLE) * COALESCE(s$i.s, 0.0) AS pr
              FROM nodes CROSS JOIN nn LEFT JOIN s$i ON nodes.id = s$i.id)"""
     }
     (init +: steps).mkString(",")

@@ -78,7 +78,10 @@ object DedupPipeline {
     * corpus.
     *
     * @param indexTable name passed to [[Dedup.buildNearDupIndex]] when the
-    *        curated corpus was indexed (same k/numHashes/bands required)
+    *        curated corpus was indexed
+    * @param k,numHashes,bands MUST match the values the index was built
+    *        with — band keys are derived from them, so a mismatch makes
+    *        every probe miss silently AND appends incompatible postings
     */
   def runIncremental(
       spark: SparkSession,
@@ -86,19 +89,29 @@ object DedupPipeline {
       indexTable: String,
       threshold: Double = 0.8,
       exact: Boolean = false,
-      extendIndex: Boolean = true): Result = {
+      extendIndex: Boolean = true,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8): Result = {
     val t1 = exactTier(batch)
 
     val inBatch =
-      (if (exact) Dedup.jaccardPairs(t1.reps, threshold)
-       else Dedup.minhashLsh(t1.reps, threshold))
+      (if (exact) Dedup.jaccardPairs(t1.reps, threshold, k)
+       else Dedup.minhashLsh(t1.reps, threshold, k, numHashes, bands))
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val cross = Dedup.probeNearDupIndex(spark, indexTable, t1.reps, threshold)
+    val cross = Dedup.probeNearDupIndex(spark, indexTable, t1.reps, threshold,
+        k, numHashes, bands)
       .select(col("batch_id").as("src"), col("index_id").as("dst"))
 
     val r = finish(spark, batch, t1, inBatch.unionByName(cross))
-    if (extendIndex) Dedup.extendNearDupIndex(r.keep, indexTable)
-    r
+    if (!extendIndex) r
+    else {
+      // keep is consumed twice (index append + caller) and its DAG holds
+      // the probe/verify joins — pin it once
+      val keep = r.keep.localCheckpoint()
+      Dedup.extendNearDupIndex(keep, indexTable, k, numHashes, bands)
+      r.copy(keep = keep)
+    }
   }
 
   private final case class ExactTier(reps: DataFrame, exactDropped: DataFrame)

@@ -142,16 +142,20 @@ object LlmOps {
 
   /** Embedding-cosine near-dup pairs (q53's body, reused as q70's edge
     * set): [[VectorOps.cosinePairs]] — exact triangular comparison at or
-    * below its measured corpus bound (the oracle-checked fixture sizes),
-    * LSH-bucket candidates + exact-cosine verify above it, so the pair
-    * plan never goes quadratic at scale.
+    * below its measured corpus bound, LSH-bucket candidates +
+    * exact-cosine verify above it, so the pair plan never goes quadratic
+    * at scale. The bound here is 50k — an order of magnitude above any
+    * oracle-checked fixture SF, so the exact-SQL twin stays valid at
+    * every size the gate can run; BEYOND it the result is approximate BY
+    * DESIGN (sign-LSH recall), which the exact theta-join oracle does
+    * not model.
     */
   private def embeddingPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     VectorOps.cosinePairs(
       Tables(spark, dir).embeddings
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
-      threshold = 0.40, dim = 64)
+      threshold = 0.40, dim = 64, localThreshold = 50000L)
 
   /** Shared sessionization core (q51 + q78): 30-min inactivity gap via
     * lag + running sum over (user, time, event_id) order.

@@ -37,11 +37,15 @@ object CurationStream {
     *                   first non-empty batch if absent (cold start runs
     *                   the full [[DedupPipeline.run]] and indexes its keep)
     * @param indexPath  storage path for a cold-start index build
+    * @param k,numHashes,bands index hashing parameters — every batch
+    *                   (including the cold-start build) uses the same
+    *                   values, the compatibility the index requires
     * @param keepSink   called once per non-empty micro-batch with the
     *                   batch's KEPT (id, text) rows and the batch id
     */
   def start(docs: DataFrame, indexTable: String, indexPath: String,
-      threshold: Double = 0.8)(keepSink: (DataFrame, Long) => Unit): StreamingQuery =
+      threshold: Double = 0.8, k: Int = 5, numHashes: Int = 32,
+      bands: Int = 8)(keepSink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
@@ -49,15 +53,19 @@ object CurationStream {
         // probes) — pin the micro-batch once
         val b = batch.localCheckpoint()
         if (!b.isEmpty) {
-          val r =
+          val keep =
             if (sp.catalog.tableExists(s"${indexTable}_postings"))
-              DedupPipeline.runIncremental(sp, b, indexTable, threshold)
+              // runIncremental already pins keep before the index append
+              DedupPipeline.runIncremental(sp, b, indexTable, threshold,
+                k = k, numHashes = numHashes, bands = bands).keep
             else {
-              val r0 = DedupPipeline.run(sp, b, threshold)
-              Dedup.buildNearDupIndex(r0.keep, indexTable, indexPath)
-              r0
+              val keep0 = DedupPipeline.run(sp, b, threshold).keep
+                .localCheckpoint() // consumed by the index build AND the sink
+              Dedup.buildNearDupIndex(keep0, indexTable, indexPath,
+                k, numHashes, bands)
+              keep0
             }
-          keepSink(r.keep.localCheckpoint(), batchId)
+          keepSink(keep, batchId)
         }
       }
       .start()

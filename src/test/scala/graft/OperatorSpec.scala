@@ -212,6 +212,25 @@ class OperatorSpec extends SparkSpec {
       1L -> ("a", 1), 2L -> ("b3", 3), 3L -> ("c", 1), 4L -> ("d", 2)), merged.toString)
   }
 
+  test("diff joins keys null-safely: identical NULL-keyed rows are not a change") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = true), StructField("v", StringType)))
+    def snap(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val a = snap(Seq(Row(null, "x"), Row(1L, "p")))
+    val b = snap(Seq(Row(null, "x"), Row(1L, "q")))
+    val d = graft.operators.Merge.diff(a, b, Seq("k"), Seq("v"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+    assert(d.toSeq == Seq(Some(1L) -> "changed"), d.mkString(","))
+    // and a genuinely changed NULL-keyed row still reports
+    val b2 = snap(Seq(Row(null, "y"), Row(1L, "p")))
+    val d2 = graft.operators.Merge.diff(a, b2, Seq("k"), Seq("v"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+    assert(d2.toSeq == Seq(None -> "changed"), d2.mkString(","))
+  }
+
   test("pagerank: probability mass conserved, symmetry respected, hubs win") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
