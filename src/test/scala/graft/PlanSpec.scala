@@ -90,6 +90,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q80 co-purchase edge build is an order-key equi self-join, no nested loop") {
+    // the query's own final plan starts at the iteration checkpoints
+    // (Scan ExistingRDD), so assert on the quadratic-risk part directly:
+    // the capped basket self-join that generates the edges
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li0 = graft.core.Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val p = edges.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q84 source overlap joins on the canonical key, never source x source") {
+    val p = plan("q84_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q75 profiles every column in ONE scan of the table") {
     val p = plan("q75_column_profile")
     // count detail-section node headers ("(n) Scan parquet"), not every
