@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.core.{Num, Tables}
+
+/** Event/warehouse analytics beyond the relational suite: journey
+  * transition matrices, CUBE summaries, time-range rolling windows, and
+  * decimal-exact outlier detection. Each is a one-or-two shuffle plan
+  * keyed on user/type — the shapes that stay key-parallel at 100 TB.
+  */
+object AnalyticsOps {
+  import Num._
+
+  // --------------------------------------------------------------------
+  // q89: journey transition matrix — counts of consecutive event-type
+  // pairs per user (the Markov-chain view of user behavior), plus the
+  // decimal-exact mean gap between the two events. One shuffle to order
+  // each user's timeline (lag window, tie-broken by event_id), one
+  // key-parallel agg over at most |types|² groups. Per-user state never
+  // leaves its partition — the window is the sessionization shape q51
+  // already proved out.
+  private def transitionMatrix(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        (sum((col("ms") - col("prev_ms")).cast(DecimalType(38, 0))).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("avg_gap_ms"))
+      .select("prev_type", "next_type", "n_transitions", "avg_gap_ms")
+  }
+
+  private val transitionMatrixSql: String = """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) AS prev_type,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) AS prev_ms
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions,
+           CAST(SUM(CAST(ms - prev_ms AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_gap_ms
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type""".trim
+
+  // --------------------------------------------------------------------
+  // q90: CUBE over order priority × status — every grouping-set level
+  // (cell, per-priority, per-status, grand total) in ONE pass with a
+  // grouping-id disambiguator, revenue decimal-exact. Spark expands the
+  // cube map-side (rows × 4 partials, combined before the shuffle), so
+  // the plan is still a single hash aggregation; at 100 TB that beats
+  // four separate rollup queries by 4× on scan volume alone.
+  private def cubeOrders(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    Tables(spark, dir).orders
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().as("level"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .select("o_orderpriority", "o_orderstatus", "level", "n_orders", "revenue")
+  }
+
+  private val cubeOrdersSql: String = s"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS level,
+           COUNT(*) AS n_orders,
+           ${dsumSql("o_totalprice")} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)""".trim
+
+  // --------------------------------------------------------------------
+  // q91: rolling one-hour activity — for every event, the count and
+  // decimal-exact value sum of the SAME user's events in the trailing
+  // hour, via a RANGE frame over epoch millis. Range frames include all
+  // ties as peers, so the result is well-defined even when timestamps
+  // collide (no ROWS-frame order sensitivity). One shuffle on user_id;
+  // frame evaluation is a per-partition sliding aggregate — linear, not
+  // quadratic, in events per user.
+  private def rollingActivity(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc)
+      .rangeBetween(-3600000L, Window.currentRow)
+    ev.select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("value").cast(DecimalType(38, 6))).over(w).cast(DoubleType).as("val_1h"))
+  }
+
+  private val rollingActivitySql: String = """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".trim
+
+  // --------------------------------------------------------------------
+  // q92: per-type value outliers — events whose value sits more than 3σ
+  // from their type's mean. The moments are decimal-exact sums (Σx at
+  // scale 6, Σx² at scale 12 — x² itself is one exactly-rounded double
+  // multiply), so both engines derive bit-identical means/variances; the
+  // final z² > 9·σ² comparison is the same IEEE expression tree on both
+  // sides. Two passes over a pruned (type, value) projection: a 5-row
+  // stats agg, broadcast back as a map-side filter. No per-row state, no
+  // sort — the 100 TB cost is the scan.
+  private def valueOutliers(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+    val stats = ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("s"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 12))).cast(DoubleType).as("q"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("variance", col("q") / col("n") - col("mean") * col("mean"))
+      .select("event_type", "mean", "variance")
+    ev.join(broadcast(stats), "event_type")
+      .filter((col("value") - col("mean")) * (col("value") - col("mean"))
+        > lit(9.0) * col("variance"))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  private val valueOutliersSql: String = """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS q
+      FROM events GROUP BY event_type),
+    m AS (SELECT event_type, s / n AS mean, q / n - (s / n) * (s / n) AS variance FROM s)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN m USING (event_type)
+    WHERE (e.value - m.mean) * (e.value - m.mean) > 9.0 * m.variance""".trim
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
+    GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
+    GraftQuery("q91_rolling_activity", Some(rollingActivitySql), rollingActivity),
+    GraftQuery("q92_value_outliers", Some(valueOutliersSql), valueOutliers))
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.core.Tables
+import graft.operators.{Integrity, Sampling}
+
+/** Corpus-curation surface beyond the per-document filters: mixture
+  * construction against a token budget, deterministic training-shard
+  * assignment, and keyword retrieval (boolean + ranked) over an exploded
+  * posting list. All four are oracle-checked; all four are one-or-two
+  * shuffle plans whose cost scales with the corpus scan, not with any
+  * driver-side state.
+  */
+object CurationOps {
+
+  // --------------------------------------------------------------------
+  // q85: mixture resampling — build a training mix from target SOURCE
+  // shares and a global size budget. Given per-source target shares (of
+  // the OUTPUT, in permille) and a budget (fraction of total corpus
+  // chars, in permille), derive each source's keep-rate and gate rows
+  // with the deterministic hash bucket (Sampling.hashBucket — stable
+  // under reruns/retries/re-partitioning). Rates derive from measured
+  // per-source volume, so the same targets adapt as the corpus drifts.
+  //
+  // Scale: per-source stats are one map-side-combined agg over a column
+  // pair; the rates frame is |sources| rows, broadcast back; the gate is
+  // a narrow filter. The corpus is scanned twice (stats, then gate) —
+  // at 100 TB the stats pass reads just (source, n_chars) via column
+  // pruning, and a production run would cache the tiny rates table
+  // between batches.
+  //
+  // Rate arithmetic is double on BOTH engines with an identical
+  // expression tree (products/divisions are exactly-rounded IEEE ops, so
+  // engines agree bit-for-bit; only reassociated SUMS diverge, and the
+  // only sum here is an integer one).
+  private val mixTargets = Seq("src0" -> 200, "src1" -> 100, "src2" -> 50)
+  private val mixDefaultPermille = 30
+  private val mixBudgetPermille  = 500
+
+  private def mixtureResample(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(spark, dir).documents
+    val stats = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
+    val total = stats.agg(sum("chars_total").as("bt"))
+    val tgt = mixTargets.foldLeft(lit(mixDefaultPermille)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    val rates = stats.crossJoin(broadcast(total))
+      .withColumn("rate_pct",
+        least(lit(100.0), floor(
+          lit(100.0) * (col("bt").cast(DoubleType) * (tgt.cast(DoubleType) / lit(1000.0))
+            * (lit(mixBudgetPermille).cast(DoubleType) / lit(1000.0)))
+            / col("chars_total").cast(DoubleType))).cast(LongType))
+      .select("source", "n_docs", "chars_total", "rate_pct")
+    val kept = docs
+      .join(broadcast(rates.select("source", "rate_pct")), "source")
+      .filter(Sampling.hashBucket(col("doc_id"), "mix") < col("rate_pct"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("chars_total"), col("rate_pct"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+  }
+
+  private val mixtureResampleSql: String = {
+    val tgtCase = mixTargets
+      .map { case (s, p) => s"WHEN source = '$s' THEN $p" }
+      .mkString("CASE ", " ", s" ELSE $mixDefaultPermille END")
+    s"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(chars_total) AS BIGINT) AS bt FROM s),
+    r AS (
+      SELECT source, n_docs, chars_total,
+             CAST(least(100.0, floor(
+               100.0 * ((CAST(bt AS DOUBLE) * (CAST($tgtCase AS DOUBLE) / 1000.0))
+                 * (CAST($mixBudgetPermille AS DOUBLE) / 1000.0))
+               / CAST(chars_total AS DOUBLE))) AS BIGINT) AS rate_pct
+      FROM s, tot),
+    k AS (
+      SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+      FROM documents d JOIN r USING (source)
+      WHERE ${Sampling.hashBucketSql("doc_id", "mix")} < rate_pct
+      GROUP BY d.source)
+    SELECT r.source, r.n_docs, r.chars_total, r.rate_pct,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.chars_kept, 0) AS chars_kept
+    FROM r LEFT JOIN k ON r.source = k.source""".trim
+  }
+
+  // --------------------------------------------------------------------
+  // q86: training-shard manifest — assign every document a deterministic
+  // shard (48-bit hash of the stable id, mod n) and emit the per-shard
+  // manifest a training loader checks before reading: row count, char
+  // volume, and an order-independent content digest (modular sum of
+  // 48-bit text hashes, Integrity's idiom — any dropped/duplicated/
+  // corrupted row flips it). Assignment is a pure row function: reruns
+  // and re-partitioning shard identically, and shard sizes concentrate
+  // tightly around n/16 by hash uniformity. The manifest is one
+  // map-side-combined agg; writing the shards themselves is
+  // TableWriter.writePartitioned(..., partitionCols = Seq("shard")).
+  private val nShards = 16
+
+  private def shardManifest(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(spark, dir).documents
+    docs
+      .withColumn("shard", pmod(Integrity.rowHash(Seq(col("doc_id"))), lit(nShards.toLong)))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        (sum(Integrity.rowHash(Seq(col("text"))).cast("decimal(38,0)")) % lit(1L << 48))
+          .cast(LongType).as("content_digest"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+  }
+
+  private val shardManifestSql: String = s"""
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(CAST(SUM(CAST(${Integrity.rowHashSql(Seq("text"))} AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) % ${1L << 48} AS BIGINT) AS content_digest,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM (SELECT *, ${Integrity.rowHashSql(Seq("doc_id"))} % $nShards AS shard
+          FROM documents)
+    GROUP BY shard""".trim
+
+  // --------------------------------------------------------------------
+  // Shared retrieval plumbing: the corpus as a posting list (doc_id,
+  // term, tf). One explode + one agg; every downstream retrieval query
+  // joins it against a tiny broadcast query-term table, so no plan ever
+  // touches docs × queries.
+  private def postings(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  private val postingsSql: String = s"""
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents)
+    WHERE length(term) > 0
+    GROUP BY doc_id, term""".trim
+
+  private def queryTermsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      qs: Seq[(Int, Seq[String])]) = {
+    import spark.implicits._
+    qs.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }.toDF("qid", "term")
+  }
+
+  private def queryTermsSql(qs: Seq[(Int, Seq[String])]): String =
+    qs.flatMap { case (qid, terms) => terms.map(t => s"($qid, '$t')") }
+      .mkString("(VALUES ", ", ", ") AS q(qid, term)")
+
+  // --------------------------------------------------------------------
+  // q87: boolean conjunctive search — for each query, the documents
+  // containing ALL its terms. Postings semi-join against the broadcast
+  // term table, then a count-matches-arity check per (qid, doc): the
+  // inverted-index AND every search engine runs, as two key-parallel
+  // shuffles. Terms within a posting row are already distinct, so
+  // count(*) counts distinct matched terms.
+  private val boolQueries = Seq(
+    1 -> Seq("spark", "hash", "merge"),
+    2 -> Seq("window", "sort", "batch"),
+    3 -> Seq("table", "scan", "row", "fast"))
+
+  private def booleanSearch(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = postings(Tables(spark, dir).documents)
+    val q = broadcast(queryTermsDf(spark, boolQueries))
+    val arity = boolQueries.foldLeft(lit(-1)) { case (acc, (qid, terms)) =>
+      when(col("qid") === qid, lit(terms.size)).otherwise(acc)
+    }
+    p.join(q, "term")
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === arity)
+      .select("qid", "doc_id", "n_matched")
+  }
+
+  private val booleanSearchSql: String = {
+    val arityCase = boolQueries
+      .map { case (qid, terms) => s"WHEN qid = $qid THEN ${terms.size}" }
+      .mkString("CASE ", " ", " ELSE -1 END")
+    s"""
+    SELECT qid, doc_id, n_matched FROM (
+      SELECT q.qid, p.doc_id, COUNT(*) AS n_matched
+      FROM ($postingsSql) p JOIN ${queryTermsSql(boolQueries)} ON p.term = q.term
+      GROUP BY q.qid, p.doc_id)
+    WHERE n_matched = $arityCase""".trim
+  }
+
+  // --------------------------------------------------------------------
+  // q88: ranked keyword retrieval — top-10 docs per query by Σ_t tf·idf.
+  // The idf is the BM25-shaped rational (N − df + ½)/(df + ½), but held
+  // EXACT as a scaled integer: ((2(N−df)+1)·10⁶) div (2df+1). Scores are
+  // then pure BIGINT sums — commutative, so both engines rank
+  // identically with no float-accumulation caveat (ln/pow idf is NOT
+  // cross-engine bit-stable; the rational preserves its ordering).
+  //
+  // Scale: df comes from the postings of MATCHED terms only (a broadcast
+  // semi-join keeps the agg ∝ query vocabulary); the per-query ranking
+  // window partitions by qid over ≤ |matched docs| rows. The corpus-wide
+  // N is one count(). Top-k per query, never a global sort.
+  private val rankQueries = Seq(
+    1 -> Seq("spark", "shuffle"),
+    2 -> Seq("hash", "merge"),
+    3 -> Seq("window", "stream"))
+  private val idfScale = 1000000L
+
+  private def keywordTopK(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(spark, dir).documents
+    val n = docs.count() // corpus cardinality: one scalar, the ranking's N
+    val p = postings(docs)
+    val q = broadcast(queryTermsDf(spark, rankQueries))
+    val matched = p.join(q, "term") // (doc_id, term, tf, qid)
+    val df = matched.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf_scaled",
+        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
+    val scored = matched.join(broadcast(df.select("term", "idf_scaled")), "term")
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("qid", "doc_id", "score", "rank")
+  }
+
+  private val keywordTopKSql: String = s"""
+    WITH p AS ($postingsSql),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    m AS (SELECT q.qid, p.doc_id, p.term, p.tf
+          FROM p JOIN ${queryTermsSql(rankQueries)} ON p.term = q.term),
+    d AS (SELECT term,
+                 ((2 * (n.n - COUNT(DISTINCT doc_id)) + 1) * $idfScale)
+                   // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_scaled
+          FROM m, n GROUP BY term, n.n),
+    s AS (SELECT m.qid, m.doc_id, CAST(SUM(m.tf * d.idf_scaled) AS BIGINT) AS score
+          FROM m JOIN d USING (term) GROUP BY m.qid, m.doc_id)
+    SELECT qid, doc_id, score, rank FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+      FROM s)
+    WHERE rank <= 10""".trim
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
+    GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
+    GraftQuery("q87_boolean_search", Some(booleanSearchSql), booleanSearch),
+    GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK))
+}
