@@ -75,4 +75,78 @@ class SketchSpec extends SparkSpec {
     // element-wise-add merge is exact → layout cannot matter
     assert(run(1) == run(16))
   }
+
+  // ------------------------------------------------------------------
+  // KLL quantile sketch
+
+  /** Max |rank(estimate) − q·n| / n over the requested quantiles. */
+  private def maxRankErr(sorted: Array[Double], qs: Seq[Double],
+      est: Map[Double, Double]): Double =
+    qs.map { q =>
+      val v = est(q)
+      // any rank within the value's tie range is a correct answer
+      val lo = sorted.count(_ < v)
+      val hi = sorted.count(_ <= v)
+      val target = math.max(1L, math.ceil(q * sorted.length).toLong).toDouble
+      val d = if (target < lo + 1) (lo + 1) - target
+              else if (target > hi) target - hi
+              else 0.0
+      d / sorted.length
+    }.max
+
+  private def collectQuantiles(df: org.apache.spark.sql.DataFrame): Map[Double, Double] =
+    df.select(explode(col("t")).as("e")).select("e.q", "e.value")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+
+  test("kll: exact order statistics while nothing has compacted (n < k)") {
+    import spark.implicits._
+    import graft.functions.Kll.kllQuantiles
+    val data = (1 to 100).map(_.toDouble)
+    val est = collectQuantiles(
+      scala.util.Random.shuffle(data).toDF("x").repartition(4)
+        .agg(kllQuantiles(col("x"), Seq(0.0, 0.25, 0.5, 0.9, 1.0), k = 256).as("t")))
+    assert(est(0.0) == 1.0 && est(1.0) == 100.0)
+    assert(est(0.25) == 25.0 && est(0.5) == 50.0 && est(0.9) == 90.0)
+  }
+
+  test("kll: rank error bounded under heavy compaction and any partitioning") {
+    import graft.functions.Kll.kllQuantiles
+    val values = graft.core.Tables(spark, sfDir).events
+      .select(col("value")).localCheckpoint()
+    val sorted = values.collect().map(_.getDouble(0)).sorted
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    for (parts <- Seq(1, 16); k <- Seq(64, 256)) {
+      val est = collectQuantiles(values.repartition(parts)
+        .agg(kllQuantiles(col("value"), qs, k).as("t")))
+      val err = maxRankErr(sorted, qs, est)
+      // uniform-capacity compactor: generous 4·log₂(n/k)/k envelope
+      val bound = math.max(0.01, 4.0 * (math.log(sorted.length.toDouble / k)
+        / math.log(2.0)) / k)
+      assert(err <= bound, s"k=$k parts=$parts rank err $err > $bound")
+    }
+  }
+
+  test("kll sketch table: persist per-source sketches, merge without rescanning") {
+    import graft.functions.Kll.{kllBuild, kllMergeQuantiles}
+    val docs = graft.core.Tables(spark, sfDir).documents
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+    // ingest-time artifact: one kilobyte-ish sketch row per source
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    docs.groupBy("source").agg(kllBuild(col("v"), k = 128).as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    assert(stored.count() > 1, "need multiple sketch rows to make merging real")
+    // query time: corpus-wide quantiles from the stored rows alone
+    val qs = Seq(0.1, 0.5, 0.9)
+    val est = collectQuantiles(
+      stored.agg(kllMergeQuantiles(col("sk"), qs, k = 128).as("t")))
+    val sorted = docs.collect().map(_.getDouble(1)).sorted
+    val err = maxRankErr(sorted, qs, est)
+    assert(err <= 0.05, s"merged-sketch rank err $err")
+    // capacity mismatch must fail loudly, not skew silently
+    val e = intercept[Exception] {
+      stored.agg(kllMergeQuantiles(col("sk"), qs, k = 256).as("t")).collect()
+    }
+    assert(e.getMessage.contains("k=128") || e.getCause.getMessage.contains("k=128"))
+  }
 }

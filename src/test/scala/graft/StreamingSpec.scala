@@ -255,6 +255,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming kll: quantiles over all micro-batches stay rank-accurate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Double]
+    val q = in.toDF().toDF("v")
+      .agg(graft.functions.Kll.kllQuantiles(col("v"), Seq(0.1, 0.5, 0.9), k = 128).as("t"))
+      .select(explode(col("t")).as("e")).select("e.q", "e.value")
+      .writeStream.format("memory").queryName("kllstream").outputMode("complete").start()
+    try {
+      val all = (1 to 3000).map(_.toDouble)
+      all.grouped(1000).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      val est = spark.table("kllstream").collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      // values are 1..3000, so a value IS its rank: |v − q·n| ≤ 5% of n
+      Seq(0.1, 0.5, 0.9).foreach { p =>
+        assert(math.abs(est(p) - p * 3000) <= 150, s"q=$p est=${est(p)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming curation: micro-batches probe + extend the index; keep == from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
