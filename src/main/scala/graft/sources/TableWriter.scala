@@ -63,6 +63,70 @@ object TableWriter {
     nFiles
   }
 
+  /** Z-order layout — multi-dimensional data skipping at WRITE time.
+    *
+    * A single sort key gives parquet min/max pruning on ONE column; a
+    * query filtering on a different column still reads every file. Z-order
+    * interleaves the bits of per-column QUANTILE buckets (quantiles, not
+    * min/max scaling, so skewed columns still spread across buckets) into
+    * one sort key, so each output file covers a small hyper-rectangle of
+    * the value space — range filters on ANY of the z-columns prune files.
+    * The classic trade: each single dimension prunes less sharply than a
+    * dedicated sort, but every dimension prunes (at 100 TB, "2 of 5000
+    * files for time AND user" beats "40 files for time, all 5000 for
+    * user").
+    *
+    * Mechanics, all plan-native: per-column bucket boundaries come from
+    * `approxQuantile` (driver-held, bounded: 2^bits doubles per column);
+    * the bucket id is a filtered-array rank over the broadcast boundary
+    * literals; bit interleave is shift/or column arithmetic (codegen'd);
+    * layout is `repartitionByRange` + `sortWithinPartitions` on the z
+    * value — one shuffle, same as any re-sort.
+    *
+    * NULL z-column values land in bucket 0 (they sort together and never
+    * poison min/max stats).
+    */
+  def zordered(
+      df: DataFrame,
+      zCols: Seq[String],
+      nFiles: Int,
+      bits: Int = 8): DataFrame = {
+    require(zCols.nonEmpty && nFiles > 0 && bits >= 2 && bits * zCols.size <= 62,
+      s"need cols, files > 0, and bits*|cols| <= 62 (got $bits x ${zCols.size})")
+    val nBuckets = 1 << bits
+    val zv = zCols.zipWithIndex.map { case (c, ci) =>
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds = df.select(col(c).cast("double").as("v"))
+        .stat.approxQuantile("v", probs, 0.001)
+      val boundsArr = array(bounds.toSeq.map(lit): _*)
+      val bucket = when(col(c).isNull, lit(0L))
+        .otherwise(size(filter(boundsArr, b => b <= col(c).cast("double"))).cast("long"))
+      (bucket, ci)
+    }.foldLeft(lit(0L)) { case (acc, (bucket, ci)) =>
+      (0 until bits).foldLeft(acc) { (a, j) =>
+        // bucket bit j → z bit j·|cols| + ci
+        a.bitwiseOR(shiftleft(bucket.bitwiseAND(lit(1L << j)),
+          j * (zCols.size - 1) + ci))
+      }
+    }
+    df.withColumn("__z", zv)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** [[zordered]] + parquet write: the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * maintenance pass, minus the table format.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      nFiles: Int,
+      bits: Int = 8,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    zordered(df, zCols, nFiles, bits).write.mode(mode).parquet(path)
+
   /** Bucketed layout — co-locate a join/aggregation key at WRITE time.
     *
     * Every equi-join or groupBy on `bucketCol` against another table

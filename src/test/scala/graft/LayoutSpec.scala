@@ -120,4 +120,47 @@ class LayoutSpec extends SparkSpec {
       .groupBy("n_name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("z-order layout: every z-dimension prunes files; content unchanged") {
+    val nFiles = 16
+    val ev = graft.core.Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+    val base = java.nio.file.Files.createTempDirectory("zord").toString
+    // "linear" control: the same file count in the table's natural order
+    ev.repartitionByRange(nFiles, col("event_id")).write.parquet(s"$base/linear")
+    TableWriter.writeZOrdered(ev, s"$base/zorder", Seq("user_id", "ms"), nFiles)
+
+    // re-layout must be content-invisible (the compaction test's rule)
+    val fp = (p: String) => graft.operators.Integrity.fingerprint(
+      spark.read.parquet(p), Seq(col("event_id"), col("user_id"), col("ms")), "z")
+      .collect().head.toSeq
+    assert(fp(s"$base/zorder") == fp(s"$base/linear"))
+
+    // per-file min/max footprint — what a stats-based reader would prune on
+    def footprints(p: String) = spark.read.parquet(p)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("ms").as("mlo"), max("ms").as("mhi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val lin = footprints(s"$base/linear")
+    val zrd = footprints(s"$base/zorder")
+    assert(lin.length == nFiles && zrd.length == nFiles)
+
+    // a 10%-selectivity range query per dimension: count candidate files
+    val (uAll, mAll) = (ev.select(min("user_id"), max("user_id")).head,
+      ev.select(min("ms"), max("ms")).head)
+    val (uq1, uq2) = (uAll.getLong(0), uAll.getLong(0) + (uAll.getLong(1) - uAll.getLong(0)) / 10)
+    val (mq1, mq2) = (mAll.getLong(0), mAll.getLong(0) + (mAll.getLong(1) - mAll.getLong(0)) / 10)
+    def hitsUser(fs: Array[(Long, Long, Long, Long)]) =
+      fs.count { case (ulo, uhi, _, _) => ulo <= uq2 && uhi >= uq1 }
+    def hitsTime(fs: Array[(Long, Long, Long, Long)]) =
+      fs.count { case (_, _, mlo, mhi) => mlo <= mq2 && mhi >= mq1 }
+
+    // natural order is ~insertion order: user ranges span every file
+    assert(hitsUser(lin) == nFiles, s"control should not prune on user: ${hitsUser(lin)}")
+    // z-order prunes on BOTH dimensions (neither needs to be perfect)
+    assert(hitsUser(zrd) <= nFiles / 2, s"user-range files: ${hitsUser(zrd)}")
+    assert(hitsTime(zrd) <= nFiles / 2, s"time-range files: ${hitsTime(zrd)}")
+  }
 }
