@@ -138,9 +138,75 @@ object AnalyticsOps {
     FROM events e JOIN m USING (event_type)
     WHERE (e.value - m.mean) * (e.value - m.mean) > 9.0 * m.variance""".trim
 
+  // --------------------------------------------------------------------
+  // q93: cohort retention — users bucketed by first-active day, counted
+  // as distinct actives at each day offset (the triangle matrix every
+  // growth dashboard draws). Distinct (user, day) projection first, so
+  // the cohort join and the offset agg both run over at most users×days
+  // rows, not raw events; the cohort frame shuffles once on user_id.
+  private def cohortRetention(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ud.join(cohorts, "user_id")
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast(LongType).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val cohortRetentionSql: String = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
+           COUNT(DISTINCT ud.user_id) AS n_users
+    FROM ud JOIN c USING (user_id)
+    GROUP BY 1, 2""".trim
+
+  // --------------------------------------------------------------------
+  // q96: hourly anomaly detection — hours where a type's event count
+  // exceeds 2× its trailing-24h average, in PURE INTEGER arithmetic
+  // (cnt·n_win > 2·Σ_win — no float thresholds to diverge cross-engine).
+  // The trailing frame EXCLUDES the current hour (a spike must not raise
+  // its own baseline) and requires ≥ 6 hours of history. Events collapse
+  // to per-hour counts before any window runs, so the window input is
+  // |types|×|hours| rows — at 100 TB of events this plan's window sees
+  // thousands of rows, and the heavy lifting is the map-side-combined
+  // hourly agg.
+  private def hourlyAnomaly(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val h = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val tw = Window.partitionBy("event_type").orderBy(col("hour_ms").asc)
+      .rangeBetween(-86400000L, -3600000L)
+    h.withColumn("trail_sum", sum(col("cnt")).over(tw))
+      .withColumn("n_win", count(lit(1)).over(tw))
+      .filter(col("n_win") >= 6 && col("cnt") * col("n_win") > lit(2L) * col("trail_sum"))
+      .select("event_type", "hour_ms", "cnt", "trail_sum", "n_win")
+  }
+
+  private val hourlyAnomalySql: String = """
+    WITH h AS (
+      SELECT event_type, CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT *, CAST(SUM(cnt) OVER tw AS BIGINT) AS trail_sum,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS n_win
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ms
+                    RANGE BETWEEN 86400000 PRECEDING AND 3600000 PRECEDING))
+    SELECT event_type, hour_ms, cnt, trail_sum, n_win
+    FROM w WHERE n_win >= 6 AND cnt * n_win > 2 * trail_sum""".trim
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
     GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
     GraftQuery("q91_rolling_activity", Some(rollingActivitySql), rollingActivity),
-    GraftQuery("q92_value_outliers", Some(valueOutliersSql), valueOutliers))
+    GraftQuery("q92_value_outliers", Some(valueOutliersSql), valueOutliers),
+    GraftQuery("q93_cohort_retention", Some(cohortRetentionSql), cohortRetention),
+    GraftQuery("q96_hourly_anomaly", Some(hourlyAnomalySql), hourlyAnomaly))
 }

@@ -1649,6 +1649,55 @@ object LlmOps {
           .withColumn("shared_frac",
             round(col("n_shared").cast(DoubleType) / col("n_windows").cast(DoubleType), 6))
           .select("doc_id", "n_windows", "n_shared", "shared_frac")
+      }),
+
+    // ------------------------------------------------------------------
+    // q94: anomalous sessions — q51's sessionization composed with q92's
+    // decimal-exact outlier gate: sessions whose duration sits 3σ above
+    // the corpus session mean (bot/scraper signature). Moments are exact
+    // decimal sums over per-session BIGINT durations; the 5-double stats
+    // row broadcasts back as a map-side filter, so the added cost over
+    // plain sessionization is one tiny agg.
+    GraftQuery(
+      "q94_session_outliers",
+      Some(s"""
+        WITH $sessionsSqlCte,
+        d AS (
+          SELECT user_id, session_idx,
+                 CAST(epoch(MAX(tss)) - epoch(MIN(tss)) AS BIGINT) AS duration_s,
+                 COUNT(*) AS n_events
+          FROM sessions GROUP BY user_id, session_idx),
+        s AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(duration_s AS DECIMAL(38,0))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(duration_s * duration_s AS DECIMAL(38,0))) AS DOUBLE) AS q
+          FROM d),
+        m AS (SELECT s / n AS mean, q / n - (s / n) * (s / n) AS variance FROM s)
+        SELECT d.user_id, d.session_idx, d.duration_s, d.n_events
+        FROM d, m
+        WHERE (d.duration_s - m.mean) * (d.duration_s - m.mean) > 9.0 * m.variance
+          AND d.duration_s > m.mean
+      """.trim),
+      (spark, dir) => {
+        val d = sessionized(spark, dir)
+          .groupBy("user_id", "session_idx")
+          .agg(
+            (unix_timestamp(max(col("tss"))) - unix_timestamp(min(col("tss"))))
+              .as("duration_s"),
+            count(lit(1)).as("n_events"))
+        val stats = d.agg(
+            count(lit(1)).cast(DoubleType).as("n"),
+            sum(col("duration_s").cast(DecimalType(38, 0))).cast(DoubleType).as("s"),
+            sum((col("duration_s") * col("duration_s")).cast(DecimalType(38, 0)))
+              .cast(DoubleType).as("q"))
+          .withColumn("mean", col("s") / col("n"))
+          .withColumn("variance", col("q") / col("n") - col("mean") * col("mean"))
+          .select("mean", "variance")
+        d.crossJoin(broadcast(stats))
+          .filter((col("duration_s") - col("mean")) * (col("duration_s") - col("mean"))
+            > lit(9.0) * col("variance"))
+          .filter(col("duration_s") > col("mean"))
+          .select("user_id", "session_idx", "duration_s", "n_events")
       })
   )
 }

@@ -166,4 +166,75 @@ class CurationAnalyticsSpec extends SparkSpec {
     assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
     assert(plan("q92_value_outliers").contains("BroadcastHashJoin"))
   }
+
+  // ---------------------------------------------------------------- q93
+  test("q93 cohorts: day-0 actives per cohort sum to the distinct user count") {
+    val rows = q("q93_cohort_retention").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val users = graft.core.Tables(spark, sfDir).events
+      .select("user_id").distinct().count()
+    // every user is active on their own cohort day exactly once
+    assert(rows.filter(_._2 == 0L).map(_._3).sum == users)
+    // actives at any offset never exceed the cohort's day-0 size
+    val day0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c, _, n) => assert(n <= day0(c), s"cohort $c: $n > ${day0(c)}") }
+  }
+
+  // ---------------------------------------------------------------- q94
+  test("q94 session outliers sit 3 sigma above the q51 session population") {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val durations = q("q51_sessionize").collect().map { r =>
+      val s = java.time.LocalDateTime.parse(r.getString(2), fmt)
+      val e = java.time.LocalDateTime.parse(r.getString(3), fmt)
+      ((r.getLong(0), r.getLong(1)), java.time.Duration.between(s, e).getSeconds)
+    }.toMap
+    val n = durations.size.toDouble
+    val mean = durations.values.map(BigDecimal(_)).sum.toDouble / n
+    val meanSq = durations.values.map(d => BigDecimal(d) * BigDecimal(d)).sum.toDouble / n
+    val variance = meanSq - mean * mean
+    val expected = durations.filter { case (_, d) =>
+      (d - mean) * (d - mean) > 9.0 * variance && d > mean
+    }.keySet
+    val got = q("q94_session_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+  }
+
+  // ---------------------------------------------------------------- q95
+  test("q95 token lift agrees with an in-memory brute force") {
+    val docTokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty).toSet).toMap
+    val n = docTokens.size.toLong
+    val df = docTokens.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val topf = df.toSeq.sortBy { case (t, c) => (-c, t) }.take(200).toMap
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+    for (toks <- docTokens.values; a <- toks if topf.contains(a);
+         b <- toks if topf.contains(b) && a < b)
+      pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + 1
+    val expected = pairCounts.toSeq.map { case ((a, b), nab) =>
+      (a, b, nab, (nab * n * 1000000L) / (topf(a) * topf(b)))
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(50).toSet
+    val got = q("q95_token_lift").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+  }
+
+  // ---------------------------------------------------------------- q96
+  test("q96 hourly anomalies agree with a brute-force trailing baseline") {
+    val hours = graft.core.Tables(spark, sfDir).events
+      .groupBy(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("h")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hours.flatMap { case (t, h, c) =>
+      val win = hours.filter { case (t2, h2, _) =>
+        t2 == t && h2 >= h - 86400000L && h2 <= h - 3600000L }
+      val (sum, nw) = (win.map(_._3).sum, win.length.toLong)
+      if (nw >= 6 && c * nw > 2 * sum) Some((t, h)) else None
+    }.toSet
+    val got = q("q96_hourly_anomaly").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+  }
 }
