@@ -205,6 +205,40 @@ case class KllBuild(
     copy(child = cs.head)
 }
 
+/** serialized sketches (binary column) → ONE serialized sketch — the
+  * rollup-maintenance aggregate: fold yesterday's stored sketch rows and
+  * today's batch sketches into a new storable row without touching raw
+  * history. Same k check as [[KllMergeQuantiles]].
+  */
+case class KllMerge(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends KllAggregate {
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = KllBuffer.deserialize(v.asInstanceOf[Array[Byte]])
+      require(other.k == k,
+        s"stored sketch k=${other.k} != aggregate k=$k — rebuild or re-parameterize")
+      buf.merge(other)
+    }
+    buf
+  }
+  override def eval(buf: KllBuffer): Any = buf.serialize
+  override def dataType: DataType = BinaryType
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "kll_merge"
+  override def withNewMutableAggBufferOffset(o: Int): KllMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}
+
 /** serialized sketches (binary column) → array<struct<q, value>>. A
   * stored sketch's k must equal this aggregate's k (checked: mismatched
   * compaction capacities would silently skew error bounds).
@@ -240,6 +274,28 @@ case class KllMergeQuantiles(
     copy(child = cs.head)
 }
 
+/** SCALAR quantile extraction from one serialized sketch per row (the
+  * aggregates above fold many rows; this reads a stored sketch column in
+  * a plain projection). CodegenFallback is fine here: it runs once per
+  * ROLLUP row (thousands), never per data row.
+  */
+case class KllSketchQuantiles(child: Expression, qs: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = KllBuffer.deserialize(input.asInstanceOf[Array[Byte]])
+    if (buf.n == 0L) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(qs.map(q => InternalRow(q, buf.quantile(q)): Any).toArray)
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q", DoubleType),
+    StructField("value", DoubleType))))
+  override def prettyName: String = "kll_sketch_quantiles"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object Kll {
   /** Column API: quantile estimates straight from a numeric column. */
   def kllQuantiles(c: Column, qs: Seq[Double], k: Int = 256): Column =
@@ -255,4 +311,13 @@ object Kll {
   def kllMergeQuantiles(c: Column, qs: Seq[Double], k: Int = 256): Column =
     ColumnBridge.column(
       KllMergeQuantiles(ColumnBridge.expression(c), k, qs).toAggregateExpression())
+
+  /** Column API: fold serialized sketches into one storable sketch. */
+  def kllMerge(c: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      KllMerge(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Column API: scalar per-row quantile read of a stored sketch. */
+  def kllSketchQuantiles(c: Column, qs: Seq[Double]): Column =
+    ColumnBridge.column(KllSketchQuantiles(ColumnBridge.expression(c), qs))
 }

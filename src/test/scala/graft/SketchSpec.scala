@@ -149,4 +149,55 @@ class SketchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("k=128") || e.getCause.getMessage.contains("k=128"))
   }
+
+  // ------------------------------------------------------------------
+  // incremental metrics rollup
+
+  test("stats rollup: merge of batch rollups == from-scratch, through parquet") {
+    import graft.operators.StatsRollup
+    val ev = graft.core.Tables(spark, sfDir).events
+      .select(col("event_type"), col("value"), col("user_id"))
+      .localCheckpoint()
+    // slice the "history" into three ingest batches by an arbitrary rule
+    val batches = Seq(
+      ev.filter(col("user_id") % 3 === 0),
+      ev.filter(col("user_id") % 3 === 1),
+      ev.filter(col("user_id") % 3 === 2))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    // ingest loop: each batch's rollup merges with the stored table
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val r = StatsRollup.build(b, col("event_type"), col("value"), col("user_id"))
+      val merged =
+        if (i == 0) r
+        else StatsRollup.merge(r.unionByName(spark.read.parquet(s"$tmp/r${i - 1}")))
+      merged.write.mode("overwrite").parquet(s"$tmp/r$i")
+    }
+    val incremental = spark.read.parquet(s"$tmp/r${batches.size - 1}")
+    val scratch = StatsRollup.build(ev, col("event_type"), col("value"), col("user_id"))
+
+    def reportMap(r: org.apache.spark.sql.DataFrame) =
+      StatsRollup.report(r, Seq(0.5)).collect().map { row =>
+        row.getString(0) -> (row.getLong(1), row.getDouble(2), row.getLong(4).toDouble,
+          row.getSeq[org.apache.spark.sql.Row](5).head.getDouble(1))
+      }.toMap
+    val (inc, scr) = (reportMap(incremental), reportMap(scratch))
+    assert(inc.keySet == scr.keySet)
+    val truth = ev.groupBy("event_type")
+      .agg(count(lit(1)), countDistinct(col("user_id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((k, (n, s, dEst, med)) <- inc) {
+      val (nScr, sScr, dScr, medScr) = scr(k)
+      assert(n == nScr && n == truth(k)._1, s"$k exact count must survive slicing")
+      assert(math.abs(s - sScr) < 1e-6, s"$k decimal sum must survive slicing")
+      // HLL estimate: within 5% of the true distinct count on both paths
+      Seq(dEst, dScr).foreach { d =>
+        assert(math.abs(d - truth(k)._2) <= 0.05 * truth(k)._2, s"$k hll $d vs ${truth(k)._2}")
+      }
+      // medians from both paths: sane values inside the data range
+      Seq(med, medScr).foreach(m => assert(m > 0 && m < 500, s"$k median $m"))
+    }
+    // corpus-wide answer from stored rows alone
+    val g = StatsRollup.globalReport(incremental, Seq(0.5)).collect()
+    assert(g.length == 1 && g.head.getLong(1) == ev.count())
+  }
 }
