@@ -194,4 +194,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("AQE splits a skewed shuffle join at runtime (complements Salt)") {
+    // operators.Salt is the explicit cure; AQE's OptimizeSkewedJoin is the
+    // runtime one. Verify the engine's plans actually let AQE fire: a
+    // 90%-one-key fact joined on a sort-merge join must show skew=true
+    // partitions in the FINAL adaptive plan, with results unchanged.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val fact = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("payload"))
+      val dim = spark.range(200000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      assert(joined.count() == 200000L)
+      // drive THIS QueryExecution's physical plan so ITS adaptive plan
+      // finalizes (every DataFrame action spawns a fresh execution)
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() == 200000L)
+      val p = qe.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(2000))
+      assert(p.contains("skew=true"), "AQE skew split did not fire:\n" + p.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

@@ -150,6 +150,32 @@ class SketchSpec extends SparkSpec {
     assert(e.getMessage.contains("k=128") || e.getCause.getMessage.contains("k=128"))
   }
 
+  test("count-min inner product: join-size estimate bounded, from stored sketches") {
+    import spark.implicits._
+    import graft.functions.CountMin.{cmInnerProduct, countMinBuild}
+    // skewed fact keys vs a dim with duplicated hot rows — the shape
+    // where a pre-flight size estimate actually changes the plan
+    val fact = (1 to 5000).map(i => if (i % 10 != 0) "hot" else s"k$i").toDF("k")
+    val dim = (Seq.fill(20)("hot") ++ (1 to 500).map(i => s"k$i")).toDF("k")
+    val trueSize = fact.join(dim, "k").count()
+    val width = 1 << 10
+    // the production path: persist per-table sketch rows, estimate later
+    val tmp = java.nio.file.Files.createTempDirectory("cmip").toString
+    fact.agg(countMinBuild(col("k"), width = width).as("sk"))
+      .withColumn("side", lit("fact"))
+      .unionByName(dim.agg(countMinBuild(col("k"), width = width).as("sk"))
+        .withColumn("side", lit("dim")))
+      .write.mode("overwrite").parquet(tmp)
+    val sk = spark.read.parquet(tmp)
+    val est = sk.filter(col("side") === "fact").select(col("sk").as("a"))
+      .crossJoin(sk.filter(col("side") === "dim").select(col("sk").as("b")))
+      .select(cmInnerProduct(col("a"), col("b")).as("est"))
+      .head.getLong(0)
+    assert(est >= trueSize, s"CM inner product must not undercount: $est < $trueSize")
+    val slack = (math.E * fact.count() * dim.count() / width).toLong + 1
+    assert(est <= trueSize + slack, s"overcount ${est - trueSize} > eps bound $slack")
+  }
+
   // ------------------------------------------------------------------
   // incremental metrics rollup
 

@@ -313,6 +313,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming stats rollup: foreachBatch-maintained rows equal from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.StatsRollup
+    val tmp = java.nio.file.Files.createTempDirectory("rollstream").toString
+    val in = MemoryStream[(String, Double, Long)]
+    // the CurationStream shape: cross-batch state lives in the stored
+    // rollup table, not in operator state stores
+    val q = in.toDF().toDF("k", "v", "id").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val r = StatsRollup.build(batch, col("k"), col("v"), col("id"))
+        val merged =
+          if (id == 0) r
+          else StatsRollup.merge(r.unionByName(spark.read.parquet(s"$tmp/cur"))
+            .localCheckpoint()) // sever lineage: we overwrite what we read
+        merged.write.mode("overwrite").parquet(s"$tmp/next")
+        // atomic-ish swap: read side always sees a complete table
+        spark.read.parquet(s"$tmp/next").write.mode("overwrite").parquet(s"$tmp/cur")
+        ()
+      }.start()
+    val b1 = Seq(("a", 1.0, 1L), ("a", 3.0, 2L), ("b", 10.0, 1L))
+    val b2 = Seq(("a", 5.0, 2L), ("b", 20.0, 3L), ("b", 30.0, 3L))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = StatsRollup.report(spark.read.parquet(s"$tmp/cur"), Seq(0.5))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(4)))
+        .toMap
+      val scratch = StatsRollup.report(
+        StatsRollup.build((b1 ++ b2).toDF("k", "v", "id"), col("k"), col("v"), col("id")),
+        Seq(0.5))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(4)))
+        .toMap
+      assert(streamed == scratch, s"streamed=$streamed scratch=$scratch")
+      assert(streamed("a") == ((3L, 9.0, 2L)) && streamed("b")._1 == 3L, streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming interval-join output EQUALS the batch join on the same fixture slice") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
