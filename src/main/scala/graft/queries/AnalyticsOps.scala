@@ -145,9 +145,12 @@ object AnalyticsOps {
   // the cohort join and the offset agg both run over at most users×days
   // rows, not raw events; the cohort frame shuffles once on user_id.
   private def cohortRetention(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    // |users|×|days| rows at most, materialized once — the cohort agg and
+    // the retention join both read it; otherwise events dedup runs twice
     val ud = Tables(spark, dir).events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
+      .localCheckpoint()
     val cohorts = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     ud.join(cohorts, "user_id")
       .groupBy(

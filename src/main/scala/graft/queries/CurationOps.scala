@@ -219,7 +219,10 @@ object CurationOps {
     val n = docs.count() // corpus cardinality: one scalar, the ranking's N
     val p = postings(docs)
     val q = broadcast(queryTermsDf(spark, rankQueries))
-    val matched = p.join(q, "term") // (doc_id, term, tf, qid)
+    // (doc_id, term, tf, qid) — materialized once: it feeds BOTH the df
+    // aggregate and the scoring join, and is tiny (∝ query vocabulary);
+    // without this the whole postings subtree (scan+explode+agg) runs twice
+    val matched = p.join(q, "term").localCheckpoint()
     val df = matched.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("idf_scaled",
@@ -270,7 +273,10 @@ object CurationOps {
       .filter(length(col("t")) > 0)
     val topf = toks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
       .orderBy(col("df").desc, col("t").asc).limit(liftTopTokens)
+    // materialized once: both sides of the pair self-join read it, and it
+    // is bounded by topF·|docs| rows — recomputing would double-scan the corpus
     val dt = toks.select("doc_id", "t").distinct().join(broadcast(topf), "t")
+      .localCheckpoint()
     val a = dt.select(col("doc_id"), col("t").as("tok_a"), col("df").as("df_a"))
     val b = dt.select(col("doc_id"), col("t").as("tok_b"), col("df").as("df_b"))
     a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))

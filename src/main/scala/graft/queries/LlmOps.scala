@@ -1679,12 +1679,15 @@ object LlmOps {
           AND d.duration_s > m.mean
       """.trim),
       (spark, dir) => {
+        // one row per session, materialized once — it feeds the stats agg
+        // AND the outlier filter; recomputing would sessionize twice
         val d = sessionized(spark, dir)
           .groupBy("user_id", "session_idx")
           .agg(
             (unix_timestamp(max(col("tss"))) - unix_timestamp(min(col("tss"))))
               .as("duration_s"),
             count(lit(1)).as("n_events"))
+          .localCheckpoint()
         val stats = d.agg(
             count(lit(1)).cast(DoubleType).as("n"),
             sum(col("duration_s").cast(DecimalType(38, 0))).cast(DoubleType).as("s"),
