@@ -33,6 +33,59 @@ object Merge {
       .unionByName(up)
   }
 
+  /** SCD2 (type-2 slowly-changing dimension) history from a full event
+    * log: one row per ATTRIBUTE RUN — consecutive events with an
+    * unchanged attribute collapse, a change closes the previous row
+    * (`valid_to` = change time) and opens a new one (`valid_to` NULL,
+    * `is_current`). Output: (key, attr, valid_from, valid_to,
+    * is_current). `tie` makes same-timestamp ordering total.
+    *
+    * Two windows over one key shuffle (lag to find changes, lead over
+    * the change rows to close them) — the standard warehouse history
+    * build, key-parallel at any scale.
+    */
+  def scd2FromHistory(events: DataFrame, key: String, ts: Column, tie: Column,
+      attr: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("valid_from").asc, col("__tie").asc)
+    events
+      .select(col(key), ts.as("valid_from"), tie.as("__tie"), attr.as("attr"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col("attr"), 1).over(w))
+      // null-safe change test: a NULL attr is a value, not a wildcard
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col("attr")))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(col(key), col("attr"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Incremental SCD2 maintenance: fold a new event batch into an
+    * existing history WITHOUT touching untouched keys' rows. Closed rows
+    * of touched keys are kept verbatim; each touched key's CURRENT row
+    * becomes the seed event (ordered before any batch event via a
+    * sentinel tie), so a batch opening with the same attribute extends
+    * the current run instead of duplicating it. Cost ∝ batch keys, not
+    * history. Contract: batch timestamps are ≥ the touched keys' current
+    * `valid_from` (append-only time — the usual CDC guarantee).
+    *
+    * `scd2Apply(scd2FromHistory(A), B) == scd2FromHistory(A ∪ B)` under
+    * that contract (spec-checked).
+    */
+  def scd2Apply(current: DataFrame, batch: DataFrame, key: String, ts: Column,
+      tie: Column, attr: Column): DataFrame = {
+    val touched = batch.select(col(key)).distinct()
+    val untouched = current.join(touched, Seq(key), "left_anti")
+    val ofTouched = current.join(touched, Seq(key), "left_semi")
+    val closed = ofTouched.filter(!col("is_current"))
+    val seeds = ofTouched.filter(col("is_current"))
+      .select(col(key), col("valid_from").as("__ts"),
+        lit(Long.MinValue).as("__tie"), col("attr"))
+    val events = seeds.unionByName(
+      batch.select(col(key), ts.as("__ts"), tie.cast("long").as("__tie"), attr.as("attr")))
+    val rebuilt = scd2FromHistory(events, key, col("__ts"), col("__tie"), col("attr"))
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
+
   /** Classify every key whose row differs between two snapshots:
     * `added` (only in `b`), `removed` (only in `a`), `changed` (present
     * in both, compared columns differ). Identical rows produce NOTHING —

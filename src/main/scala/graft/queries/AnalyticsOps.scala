@@ -205,11 +205,48 @@ object AnalyticsOps {
     SELECT event_type, hour_ms, cnt, trail_sum, n_win
     FROM w WHERE n_win >= 6 AND cnt * n_win > 2 * trail_sum""".trim
 
+  // --------------------------------------------------------------------
+  // q97: SCD2 dimension history — each customer's order-priority runs as
+  // type-2 rows (valid_from/valid_to/is_current), consecutive unchanged
+  // values collapsed. Two windows over one customer shuffle
+  // (operators.Merge.scd2FromHistory); the INCREMENTAL fold
+  // (Merge.scd2Apply: batch ∪ seeded current rows, untouched keys never
+  // rewritten) is equivalence-tested in OperatorSpec.
+  private def scd2History(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.operators.Merge.scd2FromHistory(
+        Tables(spark, dir).orders,
+        "o_custkey", col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .select(col("o_custkey"), col("attr"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("is_current"))
+  }
+
+  private val scd2HistorySql: String = """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tie,
+             o_orderpriority AS attr
+      FROM orders),
+    w AS (
+      SELECT *, ROW_NUMBER() OVER win AS rn, LAG(attr) OVER win AS prev
+      FROM o WINDOW win AS (PARTITION BY o_custkey ORDER BY ts ASC, tie ASC)),
+    chg AS (SELECT * FROM w WHERE rn = 1 OR prev IS DISTINCT FROM attr),
+    h AS (
+      SELECT o_custkey, attr, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts ASC, tie ASC) AS valid_to
+      FROM chg)
+    SELECT o_custkey, attr,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM h""".trim
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
     GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
     GraftQuery("q91_rolling_activity", Some(rollingActivitySql), rollingActivity),
     GraftQuery("q92_value_outliers", Some(valueOutliersSql), valueOutliers),
     GraftQuery("q93_cohort_retention", Some(cohortRetentionSql), cohortRetention),
-    GraftQuery("q96_hourly_anomaly", Some(hourlyAnomalySql), hourlyAnomaly))
+    GraftQuery("q96_hourly_anomaly", Some(hourlyAnomalySql), hourlyAnomaly),
+    GraftQuery("q97_scd2_history", Some(scd2HistorySql), scd2History))
 }

@@ -280,4 +280,70 @@ class OperatorSpec extends SparkSpec {
     assert(d.getLong(2) == base.getLong(2), "even duplication xor-cancels by design")
     assert(d.getLong(3) != base.getLong(3), "sum_hash must catch it")
   }
+
+  test("jsonl quarantine: every line is either parsed or preserved raw") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl")
+    val f = tmp.resolve("feed.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"id": 1, "text": "ok row"}""",
+      """{"id": 2, "text": "also fine"}""",
+      """{"id": "NOT_A_NUMBER", "text": "type clash"}""",
+      """{"id": 3 "text": "missing comma"}""",
+      """{"id": 4, "text": "fine again"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val (good, bad) = graft.sources.JsonlSource.readWithQuarantine(
+      spark, f.toString, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    val rawLines = bad.collect().map(_.getString(0))
+    assert(rawLines.length == 2, rawLines.mkString("\n"))
+    assert(rawLines.exists(_.contains("NOT_A_NUMBER")))
+    assert(rawLines.exists(_.contains("missing comma")), "raw evidence preserved")
+    // nothing dropped on the floor: good + quarantined == input lines
+    assert(good.count() + bad.count() == 5)
+  }
+
+  test("scd2: runs collapse, change closes, incremental apply == from-scratch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Merge
+    import spark.implicits._
+    // hand-built log: k=1 has a repeat (collapses), a change, a same-ts
+    // tie (tie order decides), and a late revert; k=2 never changes
+    val log = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 30L, 4L, "C"), (1L, 50L, 5L, "A"),
+      (2L, 10L, 6L, "X"), (2L, 40L, 7L, "X"))
+      .toDF("k", "ts", "tie", "a")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "attr", "valid_from", "valid_to", "is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+        .toSet
+    val hist = rows(Merge.scd2FromHistory(log, "k", col("ts"), col("tie"), col("a")))
+    assert(hist == Set(
+      (1L, "A", 10L, Some(30L), false), // 10 and 20 collapsed into one run
+      (1L, "B", 30L, Some(30L), false), // tie=3 then tie=4 at the same ts
+      (1L, "C", 30L, Some(50L), false),
+      (1L, "A", 50L, None, true),       // revert opens a NEW run
+      (2L, "X", 10L, None, true)), hist.toString)
+
+    // incremental: every split point of the log must rebuild identically
+    for (cut <- Seq(20L, 30L, 45L)) {
+      val before = log.filter(col("ts") <= cut)
+      val batch = log.filter(col("ts") > cut)
+      val cur = Merge.scd2FromHistory(before, "k", col("ts"), col("tie"), col("a"))
+      val applied = rows(
+        Merge.scd2Apply(cur, batch, "k", col("ts"), col("tie"), col("a")))
+      assert(applied == hist, s"cut=$cut: $applied")
+    }
+    // a batch touching NO existing key, and one extending a current run
+    val applied2 = rows(Merge.scd2Apply(
+      Merge.scd2FromHistory(log, "k", col("ts"), col("tie"), col("a")),
+      Seq((3L, 60L, 8L, "N"), (2L, 60L, 9L, "X")).toDF("k", "ts", "tie", "a"),
+      "k", col("ts"), col("tie"), col("a")))
+    assert(applied2 == hist + ((3L, "N", 60L, None, true)),
+      "new key appends; unchanged attr extends the current run: " + applied2)
+  }
 }
