@@ -33,19 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Output: array<struct<item string, est_count long>> in `items` order.
   */
-case class CountMinEstimate(
-    child: Expression,
-    items: Seq[String],
-    depth: Int,
-    width: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
-
-  require(depth > 0 && width > 0, "need depth > 0 and width > 0")
-  require(items.nonEmpty, "need a non-empty watchlist")
-
-  private def slot(item: String, row: Int): Int = CountMin.slot(item, row, width)
+/** Shared counter-matrix plumbing for every CM aggregate — one buffer
+  * layout, one update/merge/serialization, so sketches built by any of
+  * them stay comparable (the [[KllAggregate]] pattern).
+  */
+sealed trait CmMatrixAggregate extends TypedImperativeAggregate[Array[Long]] {
+  def child: Expression
+  def depth: Int
+  def width: Int
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
@@ -54,7 +49,7 @@ case class CountMinEstimate(
     if (v != null) {
       val item = v.toString
       var r = 0
-      while (r < depth) { buf(slot(item, r)) += 1; r += 1 }
+      while (r < depth) { buf(CountMin.slot(item, r, width)) += 1; r += 1 }
     }
     buf
   }
@@ -65,33 +60,46 @@ case class CountMinEstimate(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    val rows = items.map { item =>
-      var est = Long.MaxValue
-      var r = 0
-      while (r < depth) { est = math.min(est, buf(slot(item, r))); r += 1 }
-      InternalRow(UTF8String.fromString(item), est)
-    }
-    new GenericArrayData(rows.toArray[Any])
-  }
-
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bytes = java.nio.ByteBuffer.allocate(buf.length * 8)
     buf.foreach(bytes.putLong)
     bytes.array()
   }
-
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     Array.fill(depth * width)(bb.getLong())
+  }
+
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+}
+
+case class CountMinEstimate(
+    child: Expression,
+    items: Seq[String],
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends CmMatrixAggregate {
+
+  require(depth > 0 && width > 0, "need depth > 0 and width > 0")
+  require(items.nonEmpty, "need a non-empty watchlist")
+
+  override def eval(buf: Array[Long]): Any = {
+    val rows = items.map { item =>
+      var est = Long.MaxValue
+      var r = 0
+      while (r < depth) { est = math.min(est, buf(CountMin.slot(item, r, width))); r += 1 }
+      InternalRow(UTF8String.fromString(item), est)
+    }
+    new GenericArrayData(rows.toArray[Any])
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType),
     StructField("est_count", LongType))))
 
-  override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "count_min_estimate"
 
   override def withNewMutableAggBufferOffset(o: Int): CountMinEstimate =
@@ -128,43 +136,13 @@ case class CountMinBuild(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends CmMatrixAggregate {
 
   require(depth > 0 && width > 0, "need depth > 0 and width > 0")
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
-
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val item = v.toString
-      var r = 0
-      while (r < depth) { buf(CountMin.slot(item, r, width)) += 1; r += 1 }
-    }
-    buf
-  }
-
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
-  }
-
   override def eval(buf: Array[Long]): Any = CountMin.toBytes(depth, width, buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bytes = java.nio.ByteBuffer.allocate(buf.length * 8)
-    buf.foreach(bytes.putLong)
-    bytes.array()
-  }
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(depth * width)(bb.getLong())
-  }
-
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "count_min_build"
   override def withNewMutableAggBufferOffset(o: Int): CountMinBuild =
     copy(mutableAggBufferOffset = o)

@@ -165,7 +165,7 @@ case class KllQuantiles(
 
   override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Number].doubleValue())
+    if (v != null) buf.update(v.asInstanceOf[Double])
     buf
   }
   override def eval(buf: KllBuffer): Any = quantileRows(buf, qs)
@@ -190,7 +190,7 @@ case class KllBuild(
 
   override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Number].doubleValue())
+    if (v != null) buf.update(v.asInstanceOf[Double])
     buf
   }
   override def eval(buf: KllBuffer): Any = buf.serialize
@@ -297,15 +297,22 @@ case class KllSketchQuantiles(child: Expression, qs: Seq[Double])
 }
 
 object Kll {
+  // The value aggregates' update() trusts a Double child, so the Column
+  // API coerces at ANALYSIS time (`AbstractDataType` is private[sql], so
+  // the aggregates can't declare inputTypes themselves). Without this, a
+  // Decimal column — whose runtime class is not java.lang.Double — would
+  // pass analysis and crash executors mid-job.
+  private def asDouble(c: Column): Column = c.cast("double")
+
   /** Column API: quantile estimates straight from a numeric column. */
   def kllQuantiles(c: Column, qs: Seq[Double], k: Int = 256): Column =
     ColumnBridge.column(
-      KllQuantiles(ColumnBridge.expression(c), k, qs).toAggregateExpression())
+      KllQuantiles(ColumnBridge.expression(asDouble(c)), k, qs).toAggregateExpression())
 
   /** Column API: serialized sketch of a numeric column (persist me). */
   def kllBuild(c: Column, k: Int = 256): Column =
     ColumnBridge.column(
-      KllBuild(ColumnBridge.expression(c), k).toAggregateExpression())
+      KllBuild(ColumnBridge.expression(asDouble(c)), k).toAggregateExpression())
 
   /** Column API: quantile estimates from a column of serialized sketches. */
   def kllMergeQuantiles(c: Column, qs: Seq[Double], k: Int = 256): Column =

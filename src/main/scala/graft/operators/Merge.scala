@@ -77,11 +77,17 @@ object Merge {
     val untouched = current.join(touched, Seq(key), "left_anti")
     val ofTouched = current.join(touched, Seq(key), "left_semi")
     val closed = ofTouched.filter(!col("is_current"))
+    // seeds order before any same-timestamp batch event via a RANK field
+    // inside a struct tie (structs compare lexicographically), keeping the
+    // caller's tie column at its native type — no narrowing cast, no
+    // sentinel value that a legitimate tie could collide with
+    val tieType = batch.select(tie.as("t")).schema.head.dataType
     val seeds = ofTouched.filter(col("is_current"))
       .select(col(key), col("valid_from").as("__ts"),
-        lit(Long.MinValue).as("__tie"), col("attr"))
+        struct(lit(0).as("r"), lit(null).cast(tieType).as("t")).as("__tie"), col("attr"))
     val events = seeds.unionByName(
-      batch.select(col(key), ts.as("__ts"), tie.cast("long").as("__tie"), attr.as("attr")))
+      batch.select(col(key), ts.as("__ts"),
+        struct(lit(1).as("r"), tie.as("t")).as("__tie"), attr.as("attr")))
     val rebuilt = scd2FromHistory(events, key, col("__ts"), col("__tie"), col("attr"))
     untouched.unionByName(closed).unionByName(rebuilt)
   }

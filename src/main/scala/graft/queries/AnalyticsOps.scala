@@ -118,7 +118,10 @@ object AnalyticsOps {
         sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("s"),
         sum((col("value") * col("value")).cast(DecimalType(38, 12))).cast(DoubleType).as("q"))
       .withColumn("mean", col("s") / col("n"))
-      .withColumn("variance", col("q") / col("n") - col("mean") * col("mean"))
+      // clamp: the two-pass identity can round to a tiny NEGATIVE variance
+      // on a near-constant group, which would flag EVERY row as an outlier
+      .withColumn("variance",
+        greatest(col("q") / col("n") - col("mean") * col("mean"), lit(0.0)))
       .select("event_type", "mean", "variance")
     ev.join(broadcast(stats), "event_type")
       .filter((col("value") - col("mean")) * (col("value") - col("mean"))
@@ -133,7 +136,8 @@ object AnalyticsOps {
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
              CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS q
       FROM events GROUP BY event_type),
-    m AS (SELECT event_type, s / n AS mean, q / n - (s / n) * (s / n) AS variance FROM s)
+    m AS (SELECT event_type, s / n AS mean,
+                 greatest(q / n - (s / n) * (s / n), 0.0) AS variance FROM s)
     SELECT e.event_id, e.event_type, e.value
     FROM events e JOIN m USING (event_type)
     WHERE (e.value - m.mean) * (e.value - m.mean) > 9.0 * m.variance""".trim
@@ -156,7 +160,10 @@ object AnalyticsOps {
       .groupBy(
         date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast(LongType).as("offset_days"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // (user, day) rows are already distinct and day determines the
+      // offset, so each user appears once per group: a plain count equals
+      // COUNT(DISTINCT) without the extra dedup expansion
+      .agg(count(lit(1)).as("n_users"))
   }
 
   private val cohortRetentionSql: String = """
@@ -164,7 +171,7 @@ object AnalyticsOps {
     c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
     SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
            CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
-           COUNT(DISTINCT ud.user_id) AS n_users
+           COUNT(*) AS n_users
     FROM ud JOIN c USING (user_id)
     GROUP BY 1, 2""".trim
 

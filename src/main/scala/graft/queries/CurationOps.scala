@@ -256,59 +256,63 @@ object CurationOps {
   // --------------------------------------------------------------------
   // q95: token co-occurrence lift — for the corpus's frequent tokens,
   // which PAIRS appear in the same document more than independence
-  // predicts: lift = P(a,b)/(P(a)·P(b)), held exact as parts-per-million
-  // via BIGINT floor division (n_ab·N·10⁶ div df_a·df_b) — the PMI
-  // ordering without cross-engine ln. Pairs come from a doc_id EQUI
-  // self-join restricted to the top-F tokens (distinct per doc first),
-  // so the join is |docs|·L_f² for L_f ≤ F frequent tokens per doc —
-  // never vocabulary², never doc×doc. Top-50 by lift via sort+limit.
+  // predicts: lift = P(a,b)/(P(a)·P(b)) as floored parts-per-million —
+  // the PMI ordering without cross-engine ln (and without the BIGINT
+  // n_ab·N·10⁶ product, which would wrap past ~10⁶ docs). Pairs come
+  // from a doc_id EQUI self-join restricted to the top-F tokens
+  // (distinct per doc first), so the join is |docs|·L_f² for L_f ≤ F
+  // frequent tokens per doc — never vocabulary², never doc×doc. Top-50
+  // by lift via sort+limit.
   private val liftTopTokens = 200
-  private val liftScale = 1000000L
 
   private def tokenLift(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables(spark, dir).documents
     val nDocs = docs.count() // scalar N for the independence baseline
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
-      .filter(length(col("t")) > 0)
-    val topf = toks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
-      .orderBy(col("df").desc, col("t").asc).limit(liftTopTokens)
+    // q87/q88's posting list IS the (doc, token) universe: rows are
+    // already distinct per (doc_id, term), so doc frequency is a plain
+    // row count — one tokenization rule shared by the whole retrieval family
+    val p = postings(docs)
+    val topf = p.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(liftTopTokens)
     // materialized once: both sides of the pair self-join read it, and it
     // is bounded by topF·|docs| rows — recomputing would double-scan the corpus
-    val dt = toks.select("doc_id", "t").distinct().join(broadcast(topf), "t")
+    val dt = p.select("doc_id", "term").join(broadcast(topf), "term")
       .localCheckpoint()
-    val a = dt.select(col("doc_id"), col("t").as("tok_a"), col("df").as("df_a"))
-    val b = dt.select(col("doc_id"), col("t").as("tok_b"), col("df").as("df_b"))
+    val a = dt.select(col("doc_id"), col("term").as("tok_a"), col("df").as("df_a"))
+    val b = dt.select(col("doc_id"), col("term").as("tok_b"), col("df").as("df_b"))
+    // lift in DOUBLE with one fixed association, floored to ppm: products
+    // and the division are single exactly-rounded IEEE ops (identical on
+    // both engines), and doubles don't overflow where the all-BIGINT
+    // n_ab·N·10⁶ product would wrap past ~10⁶ documents
     a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
       .groupBy("tok_a", "tok_b", "df_a", "df_b")
       .agg(count(lit(1)).as("n_ab"))
       .withColumn("lift_ppm",
-        expr(s"(n_ab * ${nDocs}L * ${liftScale}L) div (df_a * df_b)"))
+        floor(col("n_ab").cast(DoubleType) * lit(nDocs.toDouble) * lit(1000000.0)
+          / (col("df_a") * col("df_b")).cast(DoubleType)))
       .orderBy(col("lift_ppm").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(50)
       .select("tok_a", "tok_b", "n_ab", "lift_ppm")
   }
 
   private val tokenLiftSql: String = s"""
-    WITH tok AS (
-      SELECT doc_id, t FROM (
-        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-        FROM documents)
-      WHERE length(t) > 0),
+    WITH p AS ($postingsSql),
     nd AS (SELECT COUNT(*) AS n FROM documents),
-    freq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
-    topf AS (SELECT t, df FROM (
-        SELECT t, df, ROW_NUMBER() OVER (ORDER BY df DESC, t ASC) AS r FROM freq)
+    topf AS (SELECT term, df FROM (
+        SELECT term, COUNT(*) AS df,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS r
+        FROM p GROUP BY term)
       WHERE r <= $liftTopTokens),
-    dt AS (SELECT DISTINCT doc_id, t FROM tok WHERE t IN (SELECT t FROM topf)),
+    dt AS (SELECT doc_id, term FROM p WHERE term IN (SELECT term FROM topf)),
     pairs AS (
-      SELECT a.t AS tok_a, b.t AS tok_b, COUNT(*) AS n_ab
-      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+      SELECT a.term AS tok_a, b.term AS tok_b, COUNT(*) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
       GROUP BY 1, 2)
     SELECT tok_a, tok_b, n_ab,
-           (n_ab * nd.n * $liftScale) // (fa.df * fb.df) AS lift_ppm
-    FROM pairs JOIN topf fa ON pairs.tok_a = fa.t
-               JOIN topf fb ON pairs.tok_b = fb.t, nd
+           CAST(floor(CAST(n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE) * 1000000.0
+             / CAST(fa.df * fb.df AS DOUBLE)) AS BIGINT) AS lift_ppm
+    FROM pairs JOIN topf fa ON pairs.tok_a = fa.term
+               JOIN topf fb ON pairs.tok_b = fb.term, nd
     ORDER BY lift_ppm DESC, tok_a ASC, tok_b ASC LIMIT 50""".trim
 
   val all: Seq[GraftQuery] = Seq(

@@ -1672,7 +1672,8 @@ object LlmOps {
                  CAST(SUM(CAST(duration_s AS DECIMAL(38,0))) AS DOUBLE) AS s,
                  CAST(SUM(CAST(duration_s * duration_s AS DECIMAL(38,0))) AS DOUBLE) AS q
           FROM d),
-        m AS (SELECT s / n AS mean, q / n - (s / n) * (s / n) AS variance FROM s)
+        m AS (SELECT s / n AS mean,
+                     greatest(q / n - (s / n) * (s / n), 0.0) AS variance FROM s)
         SELECT d.user_id, d.session_idx, d.duration_s, d.n_events
         FROM d, m
         WHERE (d.duration_s - m.mean) * (d.duration_s - m.mean) > 9.0 * m.variance
@@ -1694,7 +1695,9 @@ object LlmOps {
             sum((col("duration_s") * col("duration_s")).cast(DecimalType(38, 0)))
               .cast(DoubleType).as("q"))
           .withColumn("mean", col("s") / col("n"))
-          .withColumn("variance", col("q") / col("n") - col("mean") * col("mean"))
+          // same clamp as q92: two-pass variance can round slightly negative
+          .withColumn("variance",
+            greatest(col("q") / col("n") - col("mean") * col("mean"), lit(0.0)))
           .select("mean", "variance")
         d.crossJoin(broadcast(stats))
           .filter((col("duration_s") - col("mean")) * (col("duration_s") - col("mean"))

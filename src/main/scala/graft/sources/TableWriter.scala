@@ -94,11 +94,15 @@ object TableWriter {
     require(zCols.nonEmpty && nFiles > 0 && bits >= 2 && bits * zCols.size <= 62,
       s"need cols, files > 0, and bits*|cols| <= 62 (got $bits x ${zCols.size})")
     val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // ONE boundary pass for all z-columns (per-column approxQuantile
+    // calls would scan the input |zCols| times before the write)
+    val castCols = zCols.indices.map(i => s"__zq$i")
+    val allBounds = df
+      .select(zCols.zip(castCols).map { case (c, a) => col(c).cast("double").as(a) }: _*)
+      .stat.approxQuantile(castCols.toArray, probs, 0.001)
     val zv = zCols.zipWithIndex.map { case (c, ci) =>
-      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-      val bounds = df.select(col(c).cast("double").as("v"))
-        .stat.approxQuantile("v", probs, 0.001)
-      val boundsArr = array(bounds.toSeq.map(lit): _*)
+      val boundsArr = array(allBounds(ci).toSeq.map(lit): _*)
       val bucket = when(col(c).isNull, lit(0L))
         .otherwise(size(filter(boundsArr, b => b <= col(c).cast("double"))).cast("long"))
       (bucket, ci)

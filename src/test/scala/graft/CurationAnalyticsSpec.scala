@@ -159,7 +159,7 @@ class CurationAnalyticsSpec extends SparkSpec {
       val qq = rows.map(r => BigDecimal(r._3 * r._3).setScale(12, BigDecimal.RoundingMode.HALF_UP))
         .sum.toDouble
       val mean = s / n
-      val variance = qq / n - mean * mean
+      val variance = math.max(qq / n - mean * mean, 0.0)
       rows.filter(r => (r._3 - mean) * (r._3 - mean) > 9.0 * variance).map(_._1).toSeq
     }.toSet
     val got = q("q92_value_outliers").collect().map(_.getLong(0)).toSet
@@ -191,7 +191,7 @@ class CurationAnalyticsSpec extends SparkSpec {
     val n = durations.size.toDouble
     val mean = durations.values.map(BigDecimal(_)).sum.toDouble / n
     val meanSq = durations.values.map(d => BigDecimal(d) * BigDecimal(d)).sum.toDouble / n
-    val variance = meanSq - mean * mean
+    val variance = math.max(meanSq - mean * mean, 0.0)
     val expected = durations.filter { case (_, d) =>
       (d - mean) * (d - mean) > 9.0 * variance && d > mean
     }.keySet
@@ -214,7 +214,9 @@ class CurationAnalyticsSpec extends SparkSpec {
          b <- toks if topf.contains(b) && a < b)
       pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + 1
     val expected = pairCounts.toSeq.map { case ((a, b), nab) =>
-      (a, b, nab, (nab * n * 1000000L) / (topf(a) * topf(b)))
+      (a, b, nab,
+        math.floor(nab.toDouble * n.toDouble * 1000000.0
+          / (topf(a) * topf(b)).toDouble).toLong)
     }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(50).toSet
     val got = q("q95_token_lift").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet

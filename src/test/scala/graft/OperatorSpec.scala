@@ -345,5 +345,15 @@ class OperatorSpec extends SparkSpec {
       "k", col("ts"), col("tie"), col("a")))
     assert(applied2 == hist + ((3L, "N", 60L, None, true)),
       "new key appends; unchanged attr extends the current run: " + applied2)
+
+    // NON-NUMERIC tie column: apply must preserve its native ordering
+    // (a narrowing cast would null it out and garble same-ts ordering)
+    val slog = Seq((1L, 10L, "e1", "A"), (1L, 30L, "e3", "B"), (1L, 30L, "e4", "C"))
+      .toDF("k", "ts", "tie", "a")
+    val sHist = rows(Merge.scd2FromHistory(slog, "k", col("ts"), col("tie"), col("a")))
+    val sApplied = rows(Merge.scd2Apply(
+      Merge.scd2FromHistory(slog.filter(col("ts") <= 10), "k", col("ts"), col("tie"), col("a")),
+      slog.filter(col("ts") > 10), "k", col("ts"), col("tie"), col("a")))
+    assert(sApplied == sHist, s"string tie: $sApplied vs $sHist")
   }
 }

@@ -107,6 +107,16 @@ class SketchSpec extends SparkSpec {
         .agg(kllQuantiles(col("x"), Seq(0.0, 0.25, 0.5, 0.9, 1.0), k = 256).as("t")))
     assert(est(0.0) == 1.0 && est(1.0) == 100.0)
     assert(est(0.25) == 25.0 && est(0.5) == 50.0 && est(0.9) == 90.0)
+
+    // non-Double numeric children must coerce, not crash mid-job
+    // (Decimal's runtime class is not java.lang.Double)
+    val estDec = collectQuantiles(
+      data.toDF("x").select(col("x").cast("decimal(10,2)").as("x"))
+        .agg(kllQuantiles(col("x"), Seq(0.5), k = 256).as("t")))
+    assert(estDec(0.5) == 50.0)
+    val estInt = collectQuantiles(
+      (1 to 100).toDF("x").agg(kllQuantiles(col("x"), Seq(1.0), k = 256).as("t")))
+    assert(estInt(1.0) == 100.0)
   }
 
   test("kll: rank error bounded under heavy compaction and any partitioning") {
