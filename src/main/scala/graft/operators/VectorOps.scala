@@ -205,6 +205,112 @@ object VectorOps {
     * (bits, tables) to the corpus geometry. Same output shape as
     * [[bruteForceTopK]]; recall measured in VectorSpec.
     */
+  /** Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search"): the vector splits into
+    * `m` subspaces, each learns its own tiny `nCodes`-centroid codebook
+    * (the IVF Lloyd loop per subspace — driver holds m·nCodes·(dim/m)
+    * doubles, bounded metadata), and a corpus vector is stored as m
+    * small codes — dim·4 bytes shrink to m bytes (here 64·4 → 8, 32×),
+    * which is what makes a 10⁹-vector corpus fit a cluster's memory.
+    *
+    * Queries score candidates by ADC (asymmetric distance computation):
+    * each query precomputes a lookup table of its subvector·centroid dot
+    * products (m·nCodes doubles, broadcast with the query), so a
+    * candidate's approximate dot product is m ARRAY LOOKUPS, no float
+    * vector in sight. The ADC top-`rerank·k` then re-rank EXACTLY by
+    * cosine (one id-keyed join back to the float corpus, candidate-set
+    * sized), so emitted scores are true cosines — only membership is
+    * approximate (recall measured in VectorSpec).
+    *
+    * @param corpus  (id: long, vec: array<float>), dim divisible by m
+    * @param queries (qid: long, qvec: array<float>) — small, collected
+    *                to build the ADC tables (the brute-force tier already
+    *                broadcasts this set)
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, nCodes: Int = 16, iters: Int = 2, rerank: Int = 3,
+      scale: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .localCheckpoint() // codebook training + encoding + re-rank all read it
+
+    // per-subspace codebooks via the IVF Lloyd shape (deterministic init:
+    // first nCodes vectors by id supply each subspace's seeds)
+    val seeds = c.orderBy("id").limit(nCodes).select("vec")
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (seeds.length < 2) return bruteForceTopK(corpus, queries, k, scale)
+    var books: Array[Array[Array[Double]]] = // [m][nCodes][sub]
+      Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+
+    def codeOf(j: Int, subvec: Column): Column = {
+      val scored = books(j).zipWithIndex.map { case (p, i) =>
+        val d2 = lit(p.map(x => x * x).sum) -
+          lit(2.0) * doubleDot(subvec, array(p.map(lit): _*))
+        struct(d2.as("d"), lit(i).as("code"))
+      }
+      least(scored.toIndexedSeq: _*).getField("code")
+    }
+    def subvec(j: Int): Column = slice(col("vec"), j * sub + 1, sub)
+
+    var it = 0
+    while (it < iters) {
+      // one combined pass per iteration: every subspace's assignment and
+      // mean-update travels in a single exploded frame
+      val assigned = c.select((0 until m).map(j =>
+        struct(lit(j).as("j"), codeOf(j, subvec(j)).as("code"),
+          subvec(j).as("sv")).as(s"s$j")): _*)
+        .select(explode(array((0 until m).map(j => col(s"s$j")): _*)).as("e"))
+        .select(col("e.j"), col("e.code"), posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos").agg(avg("x").as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      assigned.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      books = next
+      it += 1
+    }
+
+    // encode: the corpus as m small codes per id
+    val codes = c.select(col("id"),
+      array((0 until m).map(j => codeOf(j, subvec(j))): _*).as("codes"))
+
+    // ADC tables per query: lut[j][code] = <q_sub_j, centroid_{j,code}>
+    val qRows = queries.select(col("qid"), col("qvec").cast("array<double>").as("qv"))
+      .collect()
+    val luts = qRows.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val lut = Array.tabulate(m) { j =>
+        val qs = qv.slice(j * sub, (j + 1) * sub)
+        books(j).map(p => p.zip(qs).map { case (a, b) => a * b }.sum).toSeq
+      }.toSeq
+      (r.getLong(0), lut)
+    }
+    val lutDf = c.sparkSession.createDataFrame(luts.toIndexedSeq).toDF("qid", "lut")
+
+    // score = Σ_j lut[j][code_j] — m array lookups per candidate
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("lut"), j + 1), col("codes")(j) + 1))
+      .reduce(_ + _)
+    val cand = codes.crossJoin(broadcast(lutDf))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adc", adc)
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("id").asc)))
+      .filter(col("crk") <= rerank * k)
+      .select("qid", "id")
+
+    // exact re-rank of the candidate set only
+    val q = queries.select(col("qid").as("rq"), col("qvec").cast("array<double>").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    cand.join(c, "id")
+      .join(broadcast(q), col("qid") === col("rq"))
+      .withColumn("cos", round(cosine(col("vec"), col("qvec")), scale))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
       tables: Int = 8, scale: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]) =

@@ -248,6 +248,62 @@ object AnalyticsOps {
            valid_to IS NULL AS is_current
     FROM h""".trim
 
+  // --------------------------------------------------------------------
+  // q98: point-in-time enrichment — every lineitem joined to the state
+  // its customer's SCD2 priority history (q97's table) had AT SHIP TIME:
+  // the feature-store correctness problem (training-serving skew comes
+  // from joining CURRENT dimension values onto PAST facts). The join is
+  // an EQUI join on the entity key with the validity range as a residual
+  // — per-entity history is short, so this stays a hash/sort-merge join,
+  // never a nested loop (a time-only range join would need binning; the
+  // entity key is the better blocking key and is always present in a PIT
+  // lookup). Ship time ≥ order time ≥ first run start, and runs
+  // partition [first, ∞) half-open, so every lineitem matches EXACTLY
+  // at most one run; facts dated BEFORE the entity's first known state
+  // (this fixture ships some lines before the order date) take a NULL
+  // state via the LEFT join — the honest answer, where an inner join
+  // would silently drop them. Output row count == fact count, asserted.
+  private def pitEnrich(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = Tables(spark, dir)
+    val dim = graft.operators.Merge.scd2FromHistory(
+        t.orders, "o_custkey", col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .select(col("o_custkey"), col("attr"),
+        unix_millis(col("valid_from").cast("timestamp")).as("vf"),
+        unix_millis(col("valid_to").cast("timestamp")).as("vt"))
+    val facts = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    facts
+      .join(dim, facts("o_custkey") === dim("o_custkey")
+        && col("vf") <= col("ship_ms")
+        && (col("vt").isNull || col("ship_ms") < col("vt")), "left")
+      .groupBy(col("attr").as("priority_at_ship"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+  }
+
+  private val pitEnrichSql: String = s"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tie, o_orderpriority AS attr
+      FROM orders),
+    w AS (
+      SELECT *, ROW_NUMBER() OVER win AS rn, LAG(attr) OVER win AS prev
+      FROM o WINDOW win AS (PARTITION BY o_custkey ORDER BY ts ASC, tie ASC)),
+    chg AS (SELECT * FROM w WHERE rn = 1 OR prev IS DISTINCT FROM attr),
+    h AS (
+      SELECT o_custkey, attr, epoch_ms(ts) AS vf,
+             epoch_ms(LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts ASC, tie ASC)) AS vt
+      FROM chg),
+    f AS (
+      SELECT ord.o_custkey, epoch_ms(l.l_shipdate) AS ship_ms, l.l_extendedprice
+      FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey)
+    SELECT h.attr AS priority_at_ship, COUNT(*) AS n_items,
+           ${dsumSql("f.l_extendedprice")} AS revenue
+    FROM f LEFT JOIN h ON f.o_custkey = h.o_custkey
+                      AND h.vf <= f.ship_ms AND (h.vt IS NULL OR f.ship_ms < h.vt)
+    GROUP BY h.attr""".trim
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
     GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
@@ -255,5 +311,6 @@ object AnalyticsOps {
     GraftQuery("q92_value_outliers", Some(valueOutliersSql), valueOutliers),
     GraftQuery("q93_cohort_retention", Some(cohortRetentionSql), cohortRetention),
     GraftQuery("q96_hourly_anomaly", Some(hourlyAnomalySql), hourlyAnomaly),
-    GraftQuery("q97_scd2_history", Some(scd2HistorySql), scd2History))
+    GraftQuery("q97_scd2_history", Some(scd2HistorySql), scd2History),
+    GraftQuery("q98_pit_enrich", Some(pitEnrichSql), pitEnrich))
 }

@@ -380,6 +380,23 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q99: PQ approximate ANN — per-subspace codebooks compress the
+    // corpus 32× (64 floats → 8 byte codes); queries score by ADC table
+    // lookups, then exact-cosine re-rank the short candidate list.
+    // Approximate by design (iterative k-means) → rows-only; recall and
+    // the compression invariant in VectorSpec.
+    GraftQuery(
+      "q99_ann_pq",
+      None,
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        VectorOps.pqTopK(corpus, queries, k = 5, dim = 64)
+      }),
+
+    // ------------------------------------------------------------------
     // q47: language ID — stopword-marker voting with deterministic
     // first-wins tie order.
     GraftQuery(

@@ -223,6 +223,21 @@ class CurationAnalyticsSpec extends SparkSpec {
     assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
   }
 
+  // ---------------------------------------------------------------- q98
+  test("q98 PIT enrichment: every lineitem hits exactly one history run, no nested loop") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val got = q("q98_pit_enrich").collect()
+    // runs partition [first_order, infinity) per customer half-open, and
+    // pre-history facts take the NULL group — so nothing duplicates and
+    // nothing drops: group counts sum exactly to the fact count
+    assert(got.map(_.getLong(1)).sum == li, s"PIT join must be 1:1 with facts")
+    assert(got.exists(_.isNullAt(0)),
+      "fixture ships some lines before the first run: NULL state group expected")
+    val p = plan("q98_pit_enrich")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the entity key must carry the join: " + p)
+  }
+
   // ---------------------------------------------------------------- q96
   test("q96 hourly anomalies agree with a brute-force trailing baseline") {
     val hours = graft.core.Tables(spark, sfDir).events

@@ -49,6 +49,25 @@ class VectorSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("PQ top-k: ADC candidates + exact re-rank give useful recall, true scores") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = VectorOps.bruteForceTopK(corpus, queries, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pq = VectorOps.pqTopK(corpus, queries, k = 5, dim = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val recall = pq.count(p => brute.contains(p._1)).toDouble / brute.size
+    info(s"PQ recall at m=8, 16 codes, 3k re-rank: $recall")
+    // 32x-compressed codes on a random-noise corpus: loose floor
+    assert(recall > 0.3)
+    // the re-rank is exact: every emitted score equals the brute cosine
+    pq.filter(p => brute.contains(p._1)).foreach { case (key, cos) =>
+      assert(cos == brute(key), s"$key: $cos != ${brute(key)} — re-rank must be exact")
+    }
+    assert(pq.groupBy(_._1._1).forall(_._2.size <= 5))
+  }
+
   test("LSH top-k recall vs brute force is useful (4 bits x 8 tables)") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.filter(col("vec_id") < 20)
