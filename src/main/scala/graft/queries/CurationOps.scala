@@ -315,10 +315,74 @@ object CurationOps {
                JOIN topf fb ON pairs.tok_b = fb.term, nd
     ORDER BY lift_ppm DESC, tok_a ASC, tok_b ASC LIMIT 50""".trim
 
+  // --------------------------------------------------------------------
+  // q100: hybrid retrieval — the modern search stack's money shape:
+  // keyword ranking (q88's scaled-integer tf·idf) and embedding ranking
+  // (q45's exact cosine, query vector = the query doc's own embedding)
+  // fused by reciprocal rank, Σ 1/(60+rank) — q72's calibration-free
+  // combinator, here across MODALITIES rather than ANN tiers. A doc's
+  // rrf sums at most two doubles (commutative in IEEE), ties break on
+  // doc_id, so both engines rank identically. Each tier keeps its own
+  // scale path (posting equi-joins; broadcast query × corpus scan);
+  // fusion is a tiny groupBy over ≤ 2·10 rows per query.
+  private def hybridSearch(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val kw = keywordTopK(spark, dir)
+      .select(col("qid").cast(LongType).as("qid"), col("doc_id"), col("rank"))
+    val e = Tables(spark, dir).embeddings
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qids = rankQueries.map(_._1)
+    val queries = e.filter(col("vec_id").isin(qids.map(_.toLong): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val vec = graft.operators.VectorOps.bruteForceTopK(corpus, queries, k = 10)
+      .select(col("qid"), col("neighbor").as("doc_id"), col("rank"))
+    val contrib = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("qid"), col("doc_id"),
+        (lit(1.0) / (lit(60.0) + col("rank"))).as("c"))
+    val f = contrib(kw).unionByName(contrib(vec))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("c")), 6).as("rrf"), count(lit(1)).as("n_tiers"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id").asc)
+    f.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= 10)
+      .select("qid", "doc_id", "rrf", "n_tiers", "fused_rank")
+  }
+
+  private val hybridSearchSql: String = {
+    val qidList = rankQueries.map(_._1).mkString(", ")
+    s"""
+    WITH kw AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, rank FROM ($keywordTopKSql)),
+    vec AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                       CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                          c.vec_id ASC) AS rank
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id IN ($qidList) AND c.vec_id != q.vec_id)
+      WHERE rank <= 10),
+    u AS (
+      SELECT qid, doc_id, 1.0 / (60.0 + rank) AS c FROM kw
+      UNION ALL
+      SELECT qid, doc_id, 1.0 / (60.0 + rank) AS c FROM vec),
+    f AS (
+      SELECT qid, doc_id, round(SUM(c), 6) AS rrf,
+             CAST(COUNT(*) AS BIGINT) AS n_tiers
+      FROM u GROUP BY qid, doc_id)
+    SELECT qid, doc_id, rrf, n_tiers, fused_rank FROM (
+      SELECT qid, doc_id, rrf, n_tiers,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+      FROM f)
+    WHERE fused_rank <= 10""".trim
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
     GraftQuery("q87_boolean_search", Some(booleanSearchSql), booleanSearch),
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),
-    GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift))
+    GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
+    GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch))
 }
