@@ -3,13 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BitsetAndCount, CharShingles, DoubleDot, IndelRatio, SortedIntersectCount, SortedIntersectCountInt, SortedIntersectCountLong, ToBitset, TokenSortRatio}
+import graft.functions.{BitsetAndCount, CharShingles, CmInnerProduct, DoubleDot, IndelRatio, KllSketchQuantiles, SortedIntersectCount, SortedIntersectCountInt, SortedIntersectCountLong, ToBitset, TokenSortRatio}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `indel_ratio(a, b)`, `token_sort_ratio(a, b)`, `char_shingles(text, k)`,
   * `sorted_intersect_count[_int](a, b)`, `double_dot(a, b)`,
-  * `to_bitset(toks, nWords)` and `bitset_and_count(a, b)` so
-  * `spark.sql` users get the same codegen'd kernels as the Column API.
+  * `to_bitset(toks, nWords)`, `bitset_and_count(a, b)`,
+  * `cm_inner_product(sketch_a, sketch_b)` and
+  * `kll_sketch_quantiles(sketch, array(q, ...))` so `spark.sql` users get
+  * the same kernels as the Column API. (The sketch BUILDERS stay
+  * Column-API-only — aggregates with config parameters don't fit the
+  * 2-arg scalar registration shape.)
   *
   * Two entry points:
   *  - `withExtensions(new GraftExtensions)` at session build time, or
@@ -42,6 +46,22 @@ object GraftExtensions {
       s"$fn's int argument must be an integer literal, got $other")
   }
 
+  /** `kll_sketch_quantiles(sketch, array(...))` — the quantile list must
+    * be literal doubles (it shapes the output schema, not per-row data).
+    */
+  private def doubleSeqLit(fn: String, e: Expression): Seq[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+      items.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+          v.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn's quantiles must be double literals, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn's second argument must be array(<double literals>), got $other")
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "indel_ratio" -> (args => IndelRatio(args(0), args(1))),
     "token_sort_ratio" -> (args => TokenSortRatio(args(0), args(1))),
@@ -51,7 +71,10 @@ object GraftExtensions {
     "sorted_intersect_count_long" -> (args => SortedIntersectCountLong(args(0), args(1))),
     "double_dot" -> (args => DoubleDot(args(0), args(1))),
     "to_bitset" -> (args => ToBitset(args(0), intLit("to_bitset", args(1)))),
-    "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))))
+    "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))),
+    "cm_inner_product" -> (args => CmInnerProduct(args(0), args(1))),
+    "kll_sketch_quantiles" -> (args =>
+      KllSketchQuantiles(args(0), doubleSeqLit("kll_sketch_quantiles", args(1)))))
 
   private[graft] val descs = builders.map { case (name, build) =>
     binary(name, build)

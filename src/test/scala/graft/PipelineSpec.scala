@@ -185,5 +185,17 @@ class PipelineSpec extends SparkSpec {
       .head
     assert(r3.getInt(0) == 1)
     assert(r3.getInt(1) == 1)
+    // sketch readers: build sketches via the Column API, read them in SQL
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 100).map(_.toDouble).toDF("v")
+      .agg(graft.functions.Kll.kllBuild(col("v"), k = 128).as("sk"), // k > n: exact
+        graft.functions.CountMin.countMinBuild(col("v"), width = 64).as("cm"))
+      .createOrReplaceTempView("sk_tbl")
+    val r4 = spark.sql(
+      """SELECT kll_sketch_quantiles(sk, array(0.5D)) AS q,
+        |       cm_inner_product(cm, cm) AS ip FROM sk_tbl""".stripMargin).head
+    assert(r4.getSeq[org.apache.spark.sql.Row](0).head.getDouble(1) == 50.0)
+    assert(r4.getLong(1) >= 100L, "self inner product >= n distinct-ish mass")
   }
 }
