@@ -92,6 +92,34 @@ object Merge {
     untouched.unionByName(closed).unionByName(rebuilt)
   }
 
+  /** Apply a CDC changelog to a keyed snapshot: per key, the change with
+    * the LARGEST `order` wins — an upsert (`op` != "D") replaces or
+    * inserts the row, a delete (`op` == "D") removes it, and earlier
+    * changes to the same key are superseded (a delete followed by a
+    * later upsert resurrects the key). Contract: `changes` carries every
+    * `base` column (delete payloads may be null — only their key is
+    * read) and `order` is a TOTAL order per key (pass a
+    * `struct(ts, seq)` when timestamps can tie).
+    *
+    * One per-key window over the CHANGES (sized by the batch, never the
+    * snapshot) plus one anti-join against the batch's keys — the same
+    * cost-∝-batch shape as [[upsert]] and [[scd2Apply]], which is what
+    * lets a 100 TB snapshot absorb a stream of small batches. The
+    * batch-per-trigger streaming twin is `foreachBatch(applyChangelog)`.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      order: Column, op: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(order.desc)
+    val latest = changes
+      .withColumn("__op", op)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(latest.filter(col("__op") =!= "D")
+        .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Classify every key whose row differs between two snapshots:
     * `added` (only in `b`), `removed` (only in `a`), `changed` (present
     * in both, compared columns differ). Identical rows produce NOTHING —

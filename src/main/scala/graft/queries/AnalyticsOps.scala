@@ -304,6 +304,129 @@ object AnalyticsOps {
                       AND h.vf <= f.ship_ms AND (h.vt IS NULL OR f.ship_ms < h.vt)
     GROUP BY h.attr""".trim
 
+  // --------------------------------------------------------------------
+  // q101: bloom-pruned fact join — revenue per container for one brand's
+  // parts, with the lineitem scan pre-filtered by a Bloom filter built
+  // from the selective part keys (operators.BloomPrune: Spark's own
+  // BloomFilterAggregate/BloomFilterMightContain pair, explicit instead
+  // of AQE-heuristic). This is the join-size regime broadcast can't
+  // reach at 100 TB — a 10⁷-key dimension is gigabytes as a hash
+  // relation but megabytes as a bloom — and the probe's shuffle write
+  // shrinks by ~the build side's selectivity (1/25 here). False
+  // positives only waste shuffle rows; the join removes them, so the
+  // oracle is the PLAIN join — agreeing with it is the point.
+  private def bloomJoin(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = Tables(spark, dir)
+    val dim = t.part.filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"), col("p_size"))
+    val fact = t.lineitem
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    graft.operators.BloomPrune.prunedJoin(fact, dim, "l_partkey", "p_partkey")
+      .groupBy("p_size")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(38, 6))).cast(DoubleType).as("revenue"))
+      .select("p_size", "n_items", "revenue")
+  }
+
+  private val bloomJoinSql: String = """
+    SELECT p_size, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+    GROUP BY p_size""".trim
+
+  // --------------------------------------------------------------------
+  // q102: CDC changelog apply — a keyed snapshot absorbs a batch of
+  // out-of-order upserts and deletes, latest sequence number winning per
+  // key (operators.Merge.applyChangelog): the Debezium/binlog
+  // materialization shape. The synthesized changelog exercises every
+  // path — plain update (%11), delete (%13), update-supersedes-update
+  // (%33), delete-then-resurrect (%429), and fresh inserts (%17 key
+  // shift) — and BOTH engines derive it from orders with the same
+  // modular rules, so the final snapshot is hash-exact. Cost ∝ batch
+  // (window over changes, anti-join on batch keys), never ∝ snapshot.
+  private def cdcApply(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def slice(m: Int, status: Option[String], op: String, seq: Int,
+        shift: Long = 0L) =
+      o.filter(col("o_orderkey") % m === 0)
+        .select((col("o_orderkey") + shift).as("o_orderkey"),
+          status.map(lit(_)).getOrElse(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice"), lit(op).as("op"), lit(seq).as("seq"))
+    val changes = slice(11, Some("U1"), "U", 1)
+      .unionByName(slice(13, None, "D", 2))
+      .unionByName(slice(33, Some("U3"), "U", 3))
+      .unionByName(slice(17, Some("N"), "U", 1, shift = 20000000L))
+    graft.operators.Merge.applyChangelog(o, changes, Seq("o_orderkey"),
+      col("seq"), col("op"))
+  }
+
+  private val cdcApplySql: String = """
+    WITH ch AS (
+      SELECT o_orderkey, 'U1' AS o_orderstatus, o_totalprice, 'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U3', o_totalprice, 'U', 3
+      FROM orders WHERE o_orderkey % 33 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'N', o_totalprice, 'U', 1
+      FROM orders WHERE o_orderkey % 17 = 0),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM ch),
+    l1 AS (SELECT * FROM latest WHERE rn = 1)
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM l1)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM l1 WHERE op != 'D'""".trim
+
+  // --------------------------------------------------------------------
+  // q103: per-group discrete quantiles — quartiles of customer balance
+  // per nation as ORDER STATISTICS (the value at rank ⌈q·n⌉), not
+  // interpolation: a picked value is a datum both engines already agree
+  // on, where interpolated quantiles hinge on cross-engine float
+  // arithmetic. One rank window + one conditional agg over a single
+  // nation-key shuffle; ties in the balance order are totalized by
+  // custkey, which can't change the PICKED VALUE (equal balances are
+  // interchangeable at a rank boundary). ⌈q·n⌉ is exact in IEEE doubles
+  // for q ∈ {¼,½,¾} (dyadic-rational × integer), so the rank arithmetic
+  // is bit-identical cross-engine too.
+  private def groupQuantiles(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = Tables(spark, dir)
+    val c = t.customer.join(broadcast(t.nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_acctbal"), col("c_custkey"))
+    val wr = Window.partitionBy("n_name")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val wn = Window.partitionBy("n_name")
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(col("n") * q).cast(LongType), col("c_acctbal")))
+    c.withColumn("rn", row_number().over(wr).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("n_name")
+      .agg(max(col("n")).as("n_customers"),
+        pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
+  }
+
+  private val groupQuantilesSql: String = """
+    WITH c AS (
+      SELECT n_name, c_acctbal, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT n_name, MAX(n) AS n_customers,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN c_acctbal END) AS p25,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN c_acctbal END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN c_acctbal END) AS p75
+    FROM c GROUP BY n_name""".trim
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
     GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
@@ -312,5 +435,8 @@ object AnalyticsOps {
     GraftQuery("q93_cohort_retention", Some(cohortRetentionSql), cohortRetention),
     GraftQuery("q96_hourly_anomaly", Some(hourlyAnomalySql), hourlyAnomaly),
     GraftQuery("q97_scd2_history", Some(scd2HistorySql), scd2History),
-    GraftQuery("q98_pit_enrich", Some(pitEnrichSql), pitEnrich))
+    GraftQuery("q98_pit_enrich", Some(pitEnrichSql), pitEnrich),
+    GraftQuery("q101_bloom_join", Some(bloomJoinSql), bloomJoin),
+    GraftQuery("q102_cdc_apply", Some(cdcApplySql), cdcApply),
+    GraftQuery("q103_group_quantiles", Some(groupQuantilesSql), groupQuantiles))
 }

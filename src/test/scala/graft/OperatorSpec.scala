@@ -212,6 +212,23 @@ class OperatorSpec extends SparkSpec {
       1L -> ("a", 1), 2L -> ("b3", 3), 3L -> ("c", 1), 4L -> ("d", 2)), merged.toString)
   }
 
+  test("applyChangelog: latest op wins — update, delete, resurrect, insert") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1), (2L, "b3", "U", 3), // superseded update: seq 3 wins
+      (3L, null: String, "D", 1),             // plain delete
+      (4L, null: String, "D", 1), (4L, "d2", "U", 2), // delete then resurrect
+      (5L, "e", "U", 1), (5L, null: String, "D", 2),  // insert then delete: net nothing
+      (6L, "f", "U", 1)                       // fresh insert
+    ).toDF("k", "v", "op", "seq")
+    val out = graft.operators.Merge.applyChangelog(base, changes, Seq("k"),
+        col("seq"), col("op"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b3", 4L -> "d2", 6L -> "f"), out.toString)
+  }
+
   test("diff joins keys null-safely: identical NULL-keyed rows are not a change") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
