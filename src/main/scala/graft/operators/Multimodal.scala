@@ -68,6 +68,42 @@ object Multimodal {
       lit("image/fake").as("media_type")).as[MediaRecord]
   }
 
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** STUB perceptual hash — decode → canonicalize → 64-bit hash, per
+    * partition. A real pHash downsamples pixels and keeps low-frequency
+    * DCT signs so that resized/re-encoded/noised copies collide; the
+    * stub "downsamples" the decoded byte stream to its sorted distinct
+    * token set (robust to reordering/duplication noise the same way)
+    * and packs the canonical form's md5 into 64 bits, low chunks first
+    * — the identical canonicalization and chunk packing the q41/q44
+    * oracles already replicate in SQL, so the q104 twin is exact. Like
+    * [[decodeStub]], only the function body changes when a real codec
+    * lands; the per-partition-init `mapPartitions` boundary and the
+    * downstream hamming-band join ([[Dedup.simhashPairs]]) are the
+    * production shape.
+    */
+  def phashStub(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init, reused across the batch
+      val md = MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val text = new String(r.payload, "UTF-8")
+        val canon = text.trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).distinct.sorted.mkString(" ")
+        val hex = md5Hex(md, canon.getBytes("UTF-8"))
+        var h = 0L
+        var j = 0
+        while (j < 4) {
+          h |= java.lang.Long.parseLong(hex.substring(4 * j, 4 * j + 4), 16) << (16 * j)
+          j += 1
+        }
+        MediaHash(r.doc_id, h)
+      }
+    }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_digest: String)
 
   private val HexChars = "0123456789abcdef".toCharArray

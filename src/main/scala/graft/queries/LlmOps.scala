@@ -518,6 +518,48 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q104: perceptual-hash media near-dup — the dedup family applied to
+    // the MULTIMODAL column: per-partition stub decode → canonicalize →
+    // 64-bit pHash (Multimodal.phashStub), then the same 4×16-bit-band
+    // pigeonhole equi-join as q44 (Dedup.simhashPairs) — a pair within
+    // hamming ≤ 3 must agree on a full band, so candidates never come
+    // from an all-pairs scan. Swapping the stub for a real DCT pHash
+    // changes one function body; the banding plan — the part that must
+    // survive 10⁹ images — is exercised for real. The oracle re-derives
+    // the hash from the decoded text (payload = UTF-8 bytes) with the
+    // per-band arithmetic the q44 twin proved out.
+    GraftQuery(
+      "q104_phash_neardup",
+      Some("""
+        WITH canon AS (
+          SELECT doc_id AS id,
+                 array_to_string(list_sort(list_distinct(
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               t -> length(t) > 0))), ' ') AS c
+          FROM documents),
+        sig AS (
+          SELECT id,
+                 CAST(('0x' || substring(md5(c), 1, 4)) AS BIGINT) AS b0,
+                 CAST(('0x' || substring(md5(c), 5, 4)) AS BIGINT) AS b1,
+                 CAST(('0x' || substring(md5(c), 9, 4)) AS BIGINT) AS b2,
+                 CAST(('0x' || substring(md5(c), 13, 4)) AS BIGINT) AS b3
+          FROM canon)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+      """.trim),
+      (spark, dir) => {
+        val media = Multimodal.documentsAsMedia(spark, Tables(spark, dir).documents)
+        val sig = Multimodal.phashStub(media).toDF()
+          .select(col("doc_id").as("id"), col("phash").as("simhash"))
+        Dedup.simhashPairs(sig, maxDist = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+      }),
+
+    // ------------------------------------------------------------------
     // q51: batch sessionization — 30-min inactivity gap via lag + running
     // sum (streaming twin: EventStreams.sessionize).
     GraftQuery(

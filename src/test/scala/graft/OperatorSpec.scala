@@ -212,6 +212,20 @@ class OperatorSpec extends SparkSpec {
       1L -> ("a", 1), 2L -> ("b3", 3), 3L -> ("c", 1), 4L -> ("d", 2)), merged.toString)
   }
 
+  test("phash stub: token reorder/duplication collide, content change differs") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def rec(id: Long, s: String) =
+      Multimodal.MediaRecord(id, s.getBytes("UTF-8"), "image/fake")
+    val media = Seq(
+      rec(1L, "the quick brown fox"),
+      rec(2L, "fox QUICK the brown the"), // reorder + dup + case: same canon
+      rec(3L, "an entirely different document")).toDS()
+    val h = Multimodal.phashStub(media).collect().map(m => m.doc_id -> m.phash).toMap
+    assert(h(1L) == h(2L), s"canonicalization must collapse: $h")
+    assert(h(1L) != h(3L), s"different content must differ: $h")
+  }
+
   test("applyChangelog: latest op wins — update, delete, resurrect, insert") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

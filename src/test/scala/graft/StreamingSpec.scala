@@ -352,6 +352,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: per-batch changelog folds equal one-shot apply") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Merge
+    val tmp = java.nio.file.Files.createTempDirectory("cdcstream").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(s"$tmp/cur")
+    val in = MemoryStream[(Long, String, String, Int)]
+    // binlog-tailer shape: each micro-batch folds into the stored
+    // snapshot via applyChangelog; seq is monotone ACROSS batches (the
+    // operator's contract — a later batch supersedes an earlier one)
+    val q = in.toDF().toDF("k", "v", "op", "seq").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = spark.read.parquet(s"$tmp/cur").localCheckpoint()
+        Merge.applyChangelog(cur, batch, Seq("k"), col("seq"), col("op"))
+          .write.mode("overwrite").parquet(s"$tmp/next")
+        spark.read.parquet(s"$tmp/next").write.mode("overwrite").parquet(s"$tmp/cur")
+        ()
+      }.start()
+    val b1 = Seq((2L, "b2", "U", 1), (3L, null: String, "D", 1), (4L, "d", "U", 1))
+    val b2 = Seq((3L, "c2", "U", 2), (4L, null: String, "D", 2), (5L, "e", "U", 2))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/cur")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val oneShot = Merge.applyChangelog(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+        (b1 ++ b2).toDF("k", "v", "op", "seq"), Seq("k"), col("seq"), col("op"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+      assert(streamed == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 5L -> "e"), streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming interval-join output EQUALS the batch join on the same fixture slice") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
