@@ -44,7 +44,42 @@ object TextFunctions {
     * approximation when no vocab is available.
     */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit(SubwordRe), lit(0)))
+
+  /** BPE-ish subword pre-tokenizer pattern (see [[subwordCount]]) —
+    * shared by the hashed-feature scorer so model features and token
+    * stats can't drift apart.
+    */
+  val SubwordRe = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+  /** Hashed-feature linear model logit — the fasttext-shaped quality
+    * classifier applied the way a 100 TB curation run applies one:
+    * hashing-trick featurization (md5 → bucket) and a per-bucket weight
+    * table, evaluated as array HOFs entirely INSIDE the row — no
+    * explode, no shuffle, whole-stage codegen; scoring cost is the scan.
+    * The stand-in weight table is arithmetic
+    * (`w(h) = (h·2654435761 mod 2048) − 1024`, Knuth-multiplier spread)
+    * so the oracle replicates it verbatim; a trained model swaps in a
+    * broadcast weight array without touching the plan. All-integer →
+    * bit-exact on any engine.
+    */
+  def hashedLinearLogit(text: Column, buckets: Int = 1024): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(text, lit(SubwordRe), lit(0)),
+        t => ((conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets)
+          * 2654435761L % 2048L) - 1024L),
+      lit(0L),
+      (acc, w) => acc + w)
+
+  /** SQL twin of [[hashedLinearLogit]] for DuckDB (empty list sums to
+    * NULL there, hence the COALESCE).
+    */
+  def hashedLinearLogitSql(expr: String, buckets: Int = 1024): String =
+    s"CAST(COALESCE(list_aggregate(list_transform(" +
+      s"regexp_extract_all($expr, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'), " +
+      s"t -> ((CAST(('0x' || substring(md5(t), 1, 4)) AS BIGINT) % $buckets) " +
+      s"* 2654435761 % 2048) - 1024), 'sum'), 0) AS BIGINT)"
 
   /** Punctuation character ratio ∈ [0,1]. */
   def punctRatio(text: Column): Column =

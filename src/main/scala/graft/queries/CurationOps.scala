@@ -378,11 +378,43 @@ object CurationOps {
     WHERE fused_rank <= 10""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q105: classifier-based quality gate — every modern curation stack
+  // filters with a cheap linear model (fasttext-style) before anything
+  // expensive touches the data. Featurization is the hashing trick
+  // (md5 → 1024 buckets) and scoring is a per-bucket weight lookup,
+  // both evaluated as array HOFs INSIDE the row: no explode, no
+  // shuffle, one whole-stage-codegen pass — at 100 TB the cost is the
+  // scan, which is the floor for any per-document model. The stand-in
+  // weight table is arithmetic (Knuth-multiplier spread) so both
+  // engines derive it exactly; a trained weight vector swaps in without
+  // changing the plan. All-integer logits → hash-exact cross-engine.
+  private def modelScore(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.TextFunctions
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"),
+        TextFunctions.hashedLinearLogit(col("text")).as("logit"))
+      .withColumn("keep", col("logit") > 0)
+  }
+
+  private val modelScoreSql: String = {
+    import graft.functions.TextFunctions
+    s"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
+             AS n_subwords,
+           ${TextFunctions.hashedLinearLogitSql("text")} AS logit,
+           ${TextFunctions.hashedLinearLogitSql("text")} > 0 AS keep
+    FROM documents""".trim
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
     GraftQuery("q87_boolean_search", Some(booleanSearchSql), booleanSearch),
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
-    GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch))
+    GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
+    GraftQuery("q105_model_score", Some(modelScoreSql), modelScore))
 }

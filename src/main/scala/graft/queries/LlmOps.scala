@@ -553,8 +553,12 @@ object LlmOps {
       """.trim),
       (spark, dir) => {
         val media = Multimodal.documentsAsMedia(spark, Tables(spark, dir).documents)
+        // decode ONCE: both sides of the band self-join read the pinned
+        // signatures — with a real codec the decode dominates, and
+        // recomputing it per join side would double the pipeline's cost
         val sig = Multimodal.phashStub(media).toDF()
           .select(col("doc_id").as("id"), col("phash").as("simhash"))
+          .localCheckpoint()
         Dedup.simhashPairs(sig, maxDist = 3)
           .withColumn("hamming", col("hamming").cast("long"))
       }),
