@@ -427,6 +427,35 @@ object AnalyticsOps {
            MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN c_acctbal END) AS p75
     FROM c GROUP BY n_name""".trim
 
+  // --------------------------------------------------------------------
+  // q106: event debounce — drop an event when the SAME (user, type)
+  // fired within the preceding hour (telemetry double-fire / retry /
+  // re-send dedup; chain-suppressing: each event is judged against its
+  // immediate predecessor, kept or not, so a burst collapses to its
+  // hour-spaced survivors). One lag window over a (user, type) key
+  // shuffle, tie-totalized by event_id — per-key state never leaves
+  // its partition, the q51 sessionization discipline. The streaming
+  // twin of this shape (watermarked dropDuplicates) is in
+  // StreamingSpec; this is the batch/backfill form.
+  private def eventDebounce(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ms").asc, col("event_id").asc)
+    ev.withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_ms").isNull || col("ms") - col("prev_ms") > 3600000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+  }
+
+  private val eventDebounceSql: String = """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_ms(ts) ASC, event_id ASC) AS prev_ms
+      FROM events)
+    SELECT event_id, user_id, event_type, ms
+    FROM t WHERE prev_ms IS NULL OR ms - prev_ms > 3600000""".trim
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
     GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
@@ -438,5 +467,6 @@ object AnalyticsOps {
     GraftQuery("q98_pit_enrich", Some(pitEnrichSql), pitEnrich),
     GraftQuery("q101_bloom_join", Some(bloomJoinSql), bloomJoin),
     GraftQuery("q102_cdc_apply", Some(cdcApplySql), cdcApply),
-    GraftQuery("q103_group_quantiles", Some(groupQuantilesSql), groupQuantiles))
+    GraftQuery("q103_group_quantiles", Some(groupQuantilesSql), groupQuantiles),
+    GraftQuery("q106_event_debounce", Some(eventDebounceSql), eventDebounce))
 }
