@@ -53,6 +53,11 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
       items.map {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+        // a plain SQL literal like 0.5 parses as DecimalType, whose
+        // Literal value is Spark's internal Decimal — the shape every
+        // undecorated `array(0.25, 0.5)` call actually produces
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+          v.toDouble
         case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
           v.doubleValue()
         case other => throw new IllegalArgumentException(

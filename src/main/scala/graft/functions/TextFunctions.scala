@@ -61,23 +61,27 @@ object TextFunctions {
     * (`w(h) = (h·2654435761 mod 2048) − 1024`, Knuth-multiplier spread)
     * so the oracle replicates it verbatim; a trained model swaps in a
     * broadcast weight array without touching the plan. All-integer →
-    * bit-exact on any engine.
+    * bit-exact on any engine. NULL text scores 0 (null-coalesced on
+    * BOTH engines — a NULL-in/NULL-out Spark side against the twin's
+    * summed-NULL→0 COALESCE would diverge the moment a nullable source
+    * feeds it).
     */
   def hashedLinearLogit(text: Column, buckets: Int = 1024): Column =
     aggregate(
       transform(
-        regexp_extract_all(text, lit(SubwordRe), lit(0)),
+        regexp_extract_all(coalesce(text, lit("")), lit(SubwordRe), lit(0)),
         t => ((conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets)
           * 2654435761L % 2048L) - 1024L),
       lit(0L),
       (acc, w) => acc + w)
 
   /** SQL twin of [[hashedLinearLogit]] for DuckDB (empty list sums to
-    * NULL there, hence the COALESCE).
+    * NULL there, hence the COALESCE; the regex interpolates [[SubwordRe]]
+    * so the twin cannot drift from the Spark features).
     */
   def hashedLinearLogitSql(expr: String, buckets: Int = 1024): String =
     s"CAST(COALESCE(list_aggregate(list_transform(" +
-      s"regexp_extract_all($expr, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'), " +
+      s"regexp_extract_all(COALESCE($expr, ''), '$SubwordRe'), " +
       s"t -> ((CAST(('0x' || substring(md5(t), 1, 4)) AS BIGINT) % $buckets) " +
       s"* 2654435761 % 2048) - 1024), 'sum'), 0) AS BIGINT)"
 

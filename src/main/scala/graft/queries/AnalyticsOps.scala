@@ -430,9 +430,14 @@ object AnalyticsOps {
   // --------------------------------------------------------------------
   // q106: event debounce — drop an event when the SAME (user, type)
   // fired within the preceding hour (telemetry double-fire / retry /
-  // re-send dedup; chain-suppressing: each event is judged against its
-  // immediate predecessor, kept or not, so a burst collapses to its
-  // hour-spaced survivors). One lag window over a (user, type) key
+  // re-send dedup). Each event is judged against its immediate
+  // predecessor, kept or dropped, so a CHAIN of sub-hour gaps stays
+  // suppressed end to end: a burst collapses to its FIRST event and the
+  // key re-arms only after a full hour of silence — alert-dedup
+  // semantics (one page per incident), identical to "first event of
+  // each 1 h-gap session". NOT a rate limiter: "at most one per hour
+  // while continuously active" depends on the last KEPT event, which no
+  // window function expresses. One lag window over a (user, type) key
   // shuffle, tie-totalized by event_id — per-key state never leaves
   // its partition, the q51 sessionization discipline. The streaming
   // twin of this shape (watermarked dropDuplicates) is in

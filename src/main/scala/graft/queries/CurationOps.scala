@@ -393,19 +393,24 @@ object CurationOps {
     import graft.functions.TextFunctions
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"),
+        TextFunctions.subwordCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_subwords"),
         TextFunctions.hashedLinearLogit(col("text")).as("logit"))
       .withColumn("keep", col("logit") > 0)
   }
 
+  // n_subwords null-coalesces like the logit (NULL text counts 0, not
+  // NULL); the regex interpolates SubwordRe — the single feature
+  // definition — and `keep` references the logit ALIAS (DuckDB lateral
+  // column reference), so the gate can't diverge from the score
   private val modelScoreSql: String = {
     import graft.functions.TextFunctions
     s"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '${TextFunctions.SubwordRe}')) AS BIGINT)
              AS n_subwords,
            ${TextFunctions.hashedLinearLogitSql("text")} AS logit,
-           ${TextFunctions.hashedLinearLogitSql("text")} > 0 AS keep
+           logit > 0 AS keep
     FROM documents""".trim
   }
 

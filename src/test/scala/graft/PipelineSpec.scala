@@ -197,5 +197,11 @@ class PipelineSpec extends SparkSpec {
         |       cm_inner_product(cm, cm) AS ip FROM sk_tbl""".stripMargin).head
     assert(r4.getSeq[org.apache.spark.sql.Row](0).head.getDouble(1) == 50.0)
     assert(r4.getLong(1) >= 100L, "self inner product >= n distinct-ish mass")
+    // undecorated decimal literals (the shape users actually type) must
+    // work too: 0.25 parses as DecimalType, not Double
+    val r5 = spark.sql(
+      "SELECT kll_sketch_quantiles(sk, array(0.25, 0.75)) AS q FROM sk_tbl").head
+    val qs = r5.getSeq[org.apache.spark.sql.Row](0).map(_.getDouble(1))
+    assert(qs == Seq(25.0, 75.0), qs.toString)
   }
 }
