@@ -414,6 +414,102 @@ object CurationOps {
     FROM documents""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q107: deterministic negative sampling — contrastive-training batches
+  // need k in-corpus negatives per anchor, and at 100 TB "random" must
+  // mean HASH-derived: md5(qid:slot) mod n is reproducible across runs,
+  // engines, and partitionings (a rand() sample is none of those), needs
+  // no shuffle to draw, and re-rolls one step on anchor collision. Ids
+  // are contiguous [0, n) (fixture contract), so the draw IS the id —
+  // no rank lookup; the only shuffle is the equi-join that resolves the
+  // sampled id to its document (with-replacement across slots, the
+  // standard in-batch-negatives relaxation). n is measured once (one
+  // driver long, the BloomPrune/CollapseStats discipline).
+  private def negativeSampling(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables(spark, dir).documents
+    val n = d.count()
+    val slots = d.filter(col("doc_id") < 10).select(col("doc_id").as("qid"))
+      .select(col("qid"), explode(sequence(lit(0L), lit(4L))).as("slot"))
+    val raw = conv(substring(md5(
+        concat(col("qid").cast("string"), lit(":"), col("slot").cast("string"))),
+      1, 8), 16, 10).cast("long") % n
+    slots
+      .withColumn("neg_id", when(raw === col("qid"), (raw + 1L) % n).otherwise(raw))
+      .join(d.select(col("doc_id"), col("source")), col("neg_id") === col("doc_id"))
+      .select(col("qid"), col("slot"), col("neg_id"), col("source"))
+  }
+
+  private val negativeSamplingSql: String = """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+    s AS (
+      SELECT doc_id AS qid, i AS slot,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))
+               AS BIGINT) % n.cnt AS raw,
+             n.cnt AS cnt
+      FROM documents CROSS JOIN n, generate_series(0, 4) AS g(i)
+      WHERE doc_id < 10),
+    neg AS (
+      SELECT qid, slot,
+             CASE WHEN raw = qid THEN (raw + 1) % cnt ELSE raw END AS neg_id
+      FROM s)
+    SELECT neg.qid, neg.slot, neg.neg_id, d.source
+    FROM neg JOIN documents d ON neg.neg_id = d.doc_id""".trim
+
+  // --------------------------------------------------------------------
+  // q108: curriculum sharding — order the corpus easiest-first by the
+  // q105 classifier logit and cut the token stream into fixed-budget
+  // training shards. Composition of two proven pieces: the hashed-logit
+  // scorer (map-only) and Packing's two-pass distributed prefix sum
+  // (one long per partition to the driver — never a global window).
+  // Packing orders by ascending id, so the curriculum order is ENCODED
+  // into a composite key: (K − logit)·10⁶ + doc_id sorts exactly like
+  // (logit DESC, doc_id ASC) while staying a unique non-negative long
+  // (contract: doc_id < 10⁶ and |logit| < K = 2³¹; both hold with 10⁶
+  // headroom at any fixture scale — a larger id space just widens the
+  // multiplier). The oracle's window cumsum computes the same offsets —
+  // the funnel Packing exists to avoid is harmless at oracle scale.
+  private def curriculumShards(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.TextFunctions
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextFunctions.hashedLinearLogit(col("text")).as("logit"),
+        TextFunctions.subwordCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_subwords"))
+    val keyed = scored.select(
+      ((lit(2147483648L) - col("logit")) * 1000000L + col("doc_id")).as("id"),
+      col("n_subwords").as("wt"),
+      col("doc_id"), col("logit"))
+    graft.operators.Packing.packSequences(
+        keyed.select("id", "wt"), budget = 4096L)
+      .join(keyed.select(col("id"), col("doc_id"), col("logit")), "id")
+      .select(col("doc_id"), col("logit"), col("wt").as("n_subwords"),
+        col("off"), col("first_seq").as("shard"))
+  }
+
+  private val curriculumShardsSql: String = {
+    import graft.functions.TextFunctions
+    s"""
+    WITH scored AS (
+      SELECT doc_id,
+             ${TextFunctions.hashedLinearLogitSql("text")} AS logit,
+             CAST(len(regexp_extract_all(COALESCE(text, ''), '${TextFunctions.SubwordRe}')) AS BIGINT)
+               AS n_subwords
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, logit, n_subwords,
+             (2147483648 - logit) * 1000000 + doc_id AS id
+      FROM scored),
+    packed AS (
+      SELECT doc_id, logit, n_subwords,
+             CAST(COALESCE(SUM(n_subwords) OVER (ORDER BY id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM keyed)
+    SELECT doc_id, logit, n_subwords, off,
+           CASE WHEN n_subwords = 0 THEN NULL
+                ELSE CAST(off // 4096 AS BIGINT) END AS shard
+    FROM packed""".trim
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
@@ -421,5 +517,7 @@ object CurationOps {
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
-    GraftQuery("q105_model_score", Some(modelScoreSql), modelScore))
+    GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),
+    GraftQuery("q107_negative_sampling", Some(negativeSamplingSql), negativeSampling),
+    GraftQuery("q108_curriculum_shards", Some(curriculumShardsSql), curriculumShards))
 }
