@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Integrity, Packing}
+
+/** The full training-data curation flow, composed from the
+  * individually-verified operators — what a user of this library actually
+  * runs over a raw corpus:
+  *
+  *  1. quality gate: hashed-feature linear logit
+  *     ([[TextFunctions.hashedLinearLogit]]) — map-only, the cheapest
+  *     reduction, so it runs FIRST and everything later touches fewer
+  *     rows;
+  *  2. dedup: [[DedupPipeline.run]] (exact tier → MinHash-LSH near-dup
+  *     tier → connected-components keep-list);
+  *  3. decontamination: drop documents sharing ≥ `contamGrams` distinct
+  *     5-gram spans with the benchmark set (the q59 shape: benchmark
+  *     grams broadcast, corpus side stays partitioned);
+  *  4. packing: token-count prefix sum → fixed-budget training shards
+  *     ([[Packing.packSequences]], the two-pass distributed scan);
+  *  5. manifest: per-shard doc/token counts + order-independent content
+  *     digests ([[Integrity.rowHash]] xor/sum) — the artifact a consumer
+  *     uses to verify the shards it downloaded are the shards we wrote.
+  *
+  * Stage order is load-bearing: quality before dedup shrinks the
+  * similarity workload; dedup before decontamination means a benchmark
+  * hit kills ONE representative, not a cluster of copies rediscovered
+  * every run. Every inter-stage frame is a lazy plan; the only driver
+  * values are the operators' own documented bounded actions.
+  *
+  * Attrition accounting mirrors q82's filter-funnel discipline: each
+  * dropped doc carries the FIRST stage that rejected it, so
+  * `|docs| == |kept| + |dropped|` exactly and the funnel is additive.
+  */
+object CorpusCuration {
+
+  final case class Result(
+      /** (id, text, n_subwords, off, shard) — curated corpus, shard =
+        * fixed-budget training-sequence index of the doc's first token
+        * (null for empty docs — they occupy no sequence)
+        */
+      kept: DataFrame,
+      /** (id, stage) — stage ∈ quality | dedup | decontamination */
+      dropped: DataFrame,
+      /** per-shard (shard, n_docs, n_tokens, xor_hash, sum_hash) */
+      manifest: DataFrame,
+      /** (stage, n) attrition counts + a final `kept` row */
+      funnel: DataFrame)
+
+  /** @param docs  (id: long, text: string), ids unique
+    * @param bench benchmark/eval documents (id: long, text: string) —
+    *              the contamination reference, small enough to broadcast
+    *              as distinct 5-grams (eval suites are KBs against a
+    *              corpus of TBs; that asymmetry is the whole design)
+    */
+  def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
+      threshold: Double = 0.8, contamGrams: Long = 2L,
+      shardBudget: Long = 4096L): Result = {
+    // score once, pin once: the gate, the drop record, and the packing
+    // weights all read this frame
+    val scored = docs.select(col("id"), col("text"),
+        TextFunctions.hashedLinearLogit(col("text")).as("logit"),
+        TextFunctions.subwordCount(coalesce(col("text"), lit("")))
+          .cast("long").as("wt"))
+      .localCheckpoint()
+
+    // ---- 1. quality gate (map-only)
+    val qKeep = scored.filter(col("logit") > 0)
+    val qDrop = scored.filter(!(col("logit") > 0))
+      .select(col("id"), lit("quality").as("stage"))
+
+    // ---- 2. dedup (exact -> near-dup -> keep-list)
+    val dd = DedupPipeline.run(spark, qKeep.select(col("id"), col("text")), threshold)
+    val dedupDrop = dd.dropped.select(col("id"), lit("dedup").as("stage"))
+
+    // ---- 3. decontamination (q59 shape; representatives only, so a
+    // benchmark hit can't resurrect next run as a surviving near-dup)
+    def grams(df: DataFrame) = df.select(col("id"),
+      explode(array_distinct(TextFunctions.wordNgrams(col("text"), 5))).as("gram"))
+    val benchGrams = bench
+      .select(explode(array_distinct(TextFunctions.wordNgrams(col("text"), 5))).as("gram"))
+      .distinct()
+    val contaminated = grams(dd.keep)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= contamGrams)
+      .select("id")
+    val decontamDrop = contaminated.select(col("id"), lit("decontamination").as("stage"))
+    val clean = dd.keep.join(contaminated, Seq("id"), "left_anti")
+
+    // ---- 4. packing into fixed-budget shards (ascending-id = ingest
+    // order; easiest-first curriculum order is the q108 variant)
+    val packed = Packing.packSequences(
+      clean.join(scored.select(col("id"), col("wt")), "id").select("id", "wt"),
+      shardBudget)
+    val kept = packed
+      .join(clean.select(col("id"), col("text")), "id")
+      .select(col("id"), col("text"), col("wt").as("n_subwords"),
+        col("off"), col("first_seq").as("shard"))
+
+    // ---- 5. per-shard manifest with order-independent digests
+    val manifest = kept
+      .select(col("shard"), col("n_subwords"),
+        Integrity.rowHash(Seq(col("id"), col("text"))).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_subwords")).as("n_tokens"),
+        expr("bit_xor(h)").as("xor_hash"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(1L << 48)).cast("long").as("sum_hash"))
+
+    val dropped = qDrop.unionByName(dedupDrop).unionByName(decontamDrop)
+    val funnel = dropped.groupBy("stage").agg(count(lit(1)).as("n"))
+      .unionByName(kept.groupBy(lit("kept").as("stage")).agg(count(lit(1)).as("n")))
+    Result(kept, dropped, manifest, funnel)
+  }
+}

@@ -204,4 +204,37 @@ class PipelineSpec extends SparkSpec {
     val qs = r5.getSeq[org.apache.spark.sql.Row](0).map(_.getDouble(1))
     assert(qs == Seq(25.0, 75.0), qs.toString)
   }
+
+  test("corpus curation end-to-end: additive funnel, disjoint verdicts, stable manifest") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") >= 10).select(col("doc_id").as("id"), col("text"))
+    val bench = d.filter(col("doc_id") < 10).select(col("doc_id").as("id"), col("text"))
+    val r = graft.pipeline.CorpusCuration.run(spark, corpus, bench)
+    val nIn = corpus.count()
+    val nKept = r.kept.count()
+    val nDropped = r.dropped.count()
+    // every input doc gets exactly one verdict: kept, or dropped by ONE stage
+    assert(nIn == nKept + nDropped, s"in=$nIn kept=$nKept dropped=$nDropped")
+    assert(nKept > 0 && nDropped > 0, s"degenerate fixture: kept=$nKept dropped=$nDropped")
+    assert(r.kept.select("id").intersect(r.dropped.select("id")).count() == 0)
+    val stages = r.dropped.select("stage").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stages.subsetOf(Set("quality", "dedup", "decontamination")), stages.toString)
+    // funnel rows reproduce the same accounting
+    val funnel = r.funnel.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(funnel("kept") == nKept && funnel.values.sum == nIn, funnel.toString)
+    // offsets are the prefix sum of kept weights: last doc's off + wt ==
+    // total tokens, and the manifest's token total agrees
+    val totTok = r.kept.agg(sum(col("n_subwords"))).head.getLong(0)
+    val lastEnd = r.kept.orderBy(col("off").desc).limit(1)
+      .select(col("off") + col("n_subwords")).head.getLong(0)
+    assert(lastEnd == totTok, s"lastEnd=$lastEnd totTok=$totTok")
+    val manTok = r.manifest.agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(manTok == totTok, s"manifest tokens=$manTok kept tokens=$totTok")
+    // deterministic: a second run produces byte-identical shard digests
+    val r2 = graft.pipeline.CorpusCuration.run(spark, corpus, bench)
+    assert(r.manifest.exceptAll(r2.manifest).isEmpty
+      && r2.manifest.exceptAll(r.manifest).isEmpty)
+  }
 }
