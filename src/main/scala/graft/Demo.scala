@@ -35,4 +35,24 @@ object Demo extends App {
   println("== links =="); er.links.show(false)
   GraftExtensions.register(spark)
   spark.sql("SELECT token_sort_ratio('musk, elon','elon musk') AS sim").show()
+
+  // the LLM-curation composition: quality gate -> dedup -> benchmark
+  // decontamination -> token-budget shards + digest manifest
+  val corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (11L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup
+    (12L, "a careful survey of distributed query engines and their shuffle strategies"),
+    // contaminated: scores ABOVE the gate, then shares 4 distinct 5-gram
+    // spans with the benchmark doc — decontamination's catch, not quality's
+    (13L, "the quick brown fox near the river bank benchmark question alpha beta gamma delta epsilon zeta"),
+    (14L, "zzz qqq xxx kkk jjj vvv www"), // junk: negative logit, quality-dropped
+    (15L, "partitioned joins broadcast the small side and shuffle the large one by key"))
+    .toDF("id", "text")
+  val benchDocs = Seq(
+    (1L, "benchmark question alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    .toDF("id", "text")
+  val cur = CorpusCuration.run(spark, corpus, benchDocs, shardBudget = 24L)
+  println("== curation funnel =="); cur.funnel.orderBy("stage").show(false)
+  println("== curated shards =="); cur.kept.orderBy("off").show(false)
+  println("== shard manifest =="); cur.manifest.orderBy("shard").show(false)
 }
