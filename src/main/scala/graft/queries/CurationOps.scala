@@ -510,6 +510,50 @@ object CurationOps {
     FROM packed""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q109: train/val/test split manifest — assignment must be a pure
+  // function of the DOCUMENT (md5(id) mod 100 → 80/10/10), never of
+  // position or randomness: a doc keeps its split across reruns,
+  // repartitions, and corpus growth (new docs land in splits without
+  // moving old ones — the property shuffle-split lacks). The manifest
+  // row per split carries count, token mass, and the order-independent
+  // xor/sum content digests (Integrity.rowHash), so "did the test set
+  // drift since last release" is a 3-row comparison, not a rescan.
+  // One scan, map-side-combined agg — no shuffle beyond 3-group partials.
+  private def datasetSplits(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.Integrity
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables(spark, dir).documents
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        col("n_chars"),
+        Integrity.rowHash(Seq(col("doc_id"), col("text"))).as("h"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        expr("bit_xor(h)").as("xor_hash"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(1L << 48)).cast("long").as("sum_hash"))
+  }
+
+  private val datasetSplitsSql: String = {
+    import graft.operators.Integrity
+    s"""
+    WITH t AS (
+      SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             n_chars, h
+      FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+               n_chars,
+               ${Integrity.rowHashSql(Seq("doc_id", "text"))} AS h
+        FROM documents))
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           bit_xor(h) AS xor_hash,
+           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % ${1L << 48} AS BIGINT) AS sum_hash
+    FROM t GROUP BY split""".trim
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
@@ -519,5 +563,6 @@ object CurationOps {
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),
     GraftQuery("q107_negative_sampling", Some(negativeSamplingSql), negativeSampling),
-    GraftQuery("q108_curriculum_shards", Some(curriculumShardsSql), curriculumShards))
+    GraftQuery("q108_curriculum_shards", Some(curriculumShardsSql), curriculumShards),
+    GraftQuery("q109_dataset_splits", Some(datasetSplitsSql), datasetSplits))
 }
