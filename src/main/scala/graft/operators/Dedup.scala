@@ -111,12 +111,13 @@ object Dedup {
     * array" and "frequency-ranked shingle list" become the same thing and
     * prefix ranks are just array positions. Everything downstream
     * (collapse keys, prefix join, signatures, merge-scan verify) then
-    * moves 4-byte ints instead of shingle strings. The window runs over
-    * the vocabulary (distinct shingles), not the corpus; the dictionary
-    * is broadcast back onto the token stream. (Character-shingle vocabs
-    * are bounded in practice; if one ever outgrows a single window task,
-    * swap row_number for the sort + zipWithIndex pattern used for id
-    * assignment in ExecutiveDedupPipeline — same order, range-partitioned.)
+    * moves 4-byte ints instead of shingle strings. Id assignment is a
+    * range-partitioned sort + `zipWithIndex` — the ExecutiveDedupPipeline
+    * idiom — NOT a global row_number window: (df, shingle) is a total
+    * order, so the ids are identical, but every partition indexes in
+    * parallel and only one long per partition reaches the driver, where
+    * the window funneled the whole vocabulary through a single task. The
+    * dictionary is broadcast back onto the token stream.
     *
     * Documents whose text is shorter than k have no shingles and drop out
     * (their Jaccard is undefined; they can never pair).
@@ -124,13 +125,22 @@ object Dedup {
     * @return (id, toks: sorted array<int>)
     */
   private def encodedSets(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
     val tokens = docs
       .select(col("id"), explode(TextFunctions.shingles(col("text"), k)).as("shingle"))
       .localCheckpoint() // dict build + encode probe share ONE shingle pass
-    val dict = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .withColumn("tok", row_number().over(
-        Window.orderBy(col("df").asc, col("shingle").asc)))
-      .select("shingle", "tok")
+    val sortedVocab = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("shingle").asc)
+      .select("shingle")
+    val dict = spark.createDataFrame(
+      sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), (i + 1).toInt)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shingle",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
     tokens.join(broadcast(dict), "shingle")
       .groupBy("id").agg(array_sort(collect_list(col("tok"))).as("toks"))
   }
