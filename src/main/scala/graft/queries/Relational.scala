@@ -305,10 +305,28 @@ object Relational {
         GROUP BY decile
       """.trim),
       (spark, dir) => {
-        val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-        Tables(spark, dir).customer
+        // global deciles WITHOUT ntile's unpartitioned window (which
+        // sorts every row through ONE task): range-partitioned sort +
+        // zipWithIndex ranks in parallel (the ExecutiveDedupPipeline /
+        // Dedup-vocabulary idiom), then NTILE's bucket arithmetic —
+        // first n%k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ — applied
+        // per row. n is one measured driver long. Bit-identical to the
+        // oracle's NTILE by construction.
+        val sorted = Tables(spark, dir).customer
           .select(col("c_acctbal"), col("c_custkey"))
-          .withColumn("decile", ntile(10).over(w))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        val ranked = spark.createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+          },
+          sorted.schema.add("r", org.apache.spark.sql.types.LongType))
+        val n = ranked.count()
+        val (q, m) = (n / 10, n % 10)
+        val cut = m * (q + 1) // rows before this rank sit in the fat buckets
+        val decile = when(col("r") <= cut, (col("r") - 1) / (q + 1) + 1)
+          .otherwise(lit(m) + (col("r") - 1 - cut) / math.max(q, 1L) + 1)
+        ranked
+          .withColumn("decile", decile.cast("int"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 4).as("sum_bal"))
       }),
