@@ -321,12 +321,8 @@ object Relational {
           },
           sorted.schema.add("r", org.apache.spark.sql.types.LongType))
         val n = ranked.count()
-        val (q, m) = (n / 10, n % 10)
-        val cut = m * (q + 1) // rows before this rank sit in the fat buckets
-        val decile = when(col("r") <= cut, (col("r") - 1) / (q + 1) + 1)
-          .otherwise(lit(m) + (col("r") - 1 - cut) / math.max(q, 1L) + 1)
         ranked
-          .withColumn("decile", decile.cast("int"))
+          .withColumn("decile", graft.core.Ranks.ntileOfRank(col("r"), n, 10))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 4).as("sum_bal"))
       }),

@@ -333,4 +333,62 @@ class PropertySpec extends SparkSpec {
       assert(once.count() == 30 + inserts, s"round $round: counts")
     }
   }
+
+  test("applyChangelog equals the per-key max-seq model fold (10 rounds)") {
+    import spark.implicits._
+    for (round <- 1 to 10) {
+      val base = (0 until 30).map(k => (k.toLong, s"b$k")).toDF("k", "v")
+      // random ops over a wider key space; seq unique per key so the
+      // winner is well-defined (the operator's total-order contract)
+      val changes = scala.util.Random.shuffle(
+        (0 until 40).flatMap { k =>
+          (1 to rnd.nextInt(3)).map(s =>
+            (k.toLong, s"c$round-$s", if (rnd.nextBoolean()) "U" else "D", s))
+        }.toList)
+      val out = graft.operators.Merge.applyChangelog(
+          base, changes.toDF("k", "v", "op", "seq"), Seq("k"), col("seq"), col("op"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference model: latest change per key wins; D deletes, U upserts
+      val latest = changes.groupBy(_._1).map { case (k, cs) => k -> cs.maxBy(_._4) }
+      val expected = (0L until 30L).flatMap { k =>
+        latest.get(k) match {
+          case None => Some(k -> s"b$k")
+          case Some((_, v, "U", _)) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap ++ latest.collect {
+        case (k, (_, v, "U", _)) if k >= 30L => k -> v
+      }
+      assert(out == expected, s"round $round: $out vs $expected")
+    }
+  }
+
+  test("ntileOfRank reproduces the NTILE window on every n in 1..60, k in 1..12") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 2, 9, 10, 11, 37, 60); k <- Seq(1, 3, 10, 12)) {
+      val df = (1 to n).map(_.toLong).toDF("r")
+      val viaWindow = df
+        .withColumn("b", ntile(k).over(Window.orderBy(col("r").asc)))
+        .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+      val viaArith = df
+        .withColumn("b", graft.core.Ranks.ntileOfRank(col("r"), n, k))
+        .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+      assert(viaWindow == viaArith, s"n=$n k=$k: $viaArith vs $viaWindow")
+    }
+  }
+
+  test("bloom prune never drops a true match (5 rounds, random key sets)") {
+    import spark.implicits._
+    for (round <- 1 to 5) {
+      val build = (0 until 50).map(_ => rnd.nextLong() % 10000).distinct.toDF("bk")
+      val probe = (0 until 500).map(_ => rnd.nextLong() % 10000).toDF("pk")
+      val kept = graft.operators.BloomPrune
+        .prune(probe, col("pk"), build, col("bk"))
+        .as[Long].collect().toSet
+      val trueMatches = probe.join(build, col("pk") === col("bk"), "left_semi")
+        .as[Long].collect().toSet
+      assert(trueMatches.subsetOf(kept), s"round $round: lost ${trueMatches -- kept}")
+    }
+  }
 }
