@@ -23,11 +23,16 @@ object Ranks {
     val q = n / k
     val m = n % k
     val cut = m * (q + 1) // ranks <= cut fall in the ⌈n/k⌉-sized buckets
+    // exact long floor-division (Packing's discipline): subtract the
+    // remainder first so the double division is a whole number — the
+    // bit-identical-to-NTILE promise holds by construction, not by
+    // double-rounding luck, at any n·k
+    def fdiv(c: Column, d: Long): Column = (c - c % d) / d
     // q == 0 (fewer rows than buckets) makes the otherwise-branch
     // unreachable (cut == n bounds every rank); the max(q,1) keeps the
     // unevaluated branch free of a divide-by-zero all the same
-    when(r <= cut, (r - 1) / (q + 1) + 1)
-      .otherwise(lit(m) + (r - 1 - cut) / math.max(q, 1L) + 1)
+    when(r <= cut, fdiv(r - 1, q + 1) + 1)
+      .otherwise(lit(m) + fdiv(r - 1 - cut, math.max(q, 1L)) + 1)
       .cast("int")
   }
 }

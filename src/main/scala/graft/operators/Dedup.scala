@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -132,6 +131,10 @@ object Dedup {
     val sortedVocab = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
       .orderBy(col("df").asc, col("shingle").asc)
       .select("shingle")
+      // pin: zipWithIndex's eager partition-count job AND the dict
+      // broadcast collection both evaluate this frame — without the pin
+      // the reduce-side vocabulary sort runs twice
+      .localCheckpoint()
     val dict = spark.createDataFrame(
       sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(r.getString(0), (i + 1).toInt)

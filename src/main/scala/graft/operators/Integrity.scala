@@ -39,21 +39,31 @@ object Integrity {
 
   private val SumMod = 1L << 48
 
+  /** The commutative digest pair over a row-hash column named `h`:
+    * `xor_hash` plus `sum_hash` (decimal-exact sum of row hashes mod 2⁴⁸,
+    * catching the xor blind spot — a row duplicated an EVEN number of
+    * times xor-cancels but never sum-cancels; exact sum first, one mod
+    * after: overflow-free for any row count and identical on every
+    * engine). This is THE digest contract — every grouped manifest
+    * (per-shard, per-split) and [[fingerprint]] itself aggregates these
+    * same two columns, so digests from different reports stay comparable.
+    */
+  def digestAggs(h: String): Seq[Column] = Seq(
+    expr(s"bit_xor($h)").as("xor_hash"),
+    (sum(col(h).cast("decimal(38,0)")) % lit(SumMod)).cast(LongType).as("sum_hash"))
+
+  /** DuckDB twin of [[digestAggs]]: the two SELECT-list fragments. */
+  def digestAggsSql(h: String): String =
+    s"bit_xor($h) AS xor_hash, " +
+      s"CAST(CAST(SUM(CAST($h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % $SumMod AS BIGINT) AS sum_hash"
+
   /** Single-row digest of `df` over `cols`:
     * (dataset, n_rows, xor_hash, sum_hash, min_hash, max_hash).
-    * `sum_hash` is the decimal-exact sum of row hashes mod 2⁴⁸, catching
-    * the xor blind spot — a row duplicated an EVEN number of times
-    * xor-cancels but never sum-cancels. (Exact sum first, one mod after:
-    * overflow-free for any row count and identical on every engine.)
     */
   def fingerprint(df: DataFrame, cols: Seq[Column], label: String): DataFrame =
     df.select(rowHash(cols).as("h"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        expr("bit_xor(h)").as("xor_hash"),
-        (sum(col("h").cast("decimal(38,0)")) % lit(SumMod)).cast(LongType).as("sum_hash"),
-        min(col("h")).as("min_hash"),
-        max(col("h")).as("max_hash"))
+      .agg(count(lit(1)).as("n_rows"),
+        digestAggs("h") ++ Seq(min(col("h")).as("min_hash"), max(col("h")).as("max_hash")): _*)
       .select(lit(label).as("dataset"), col("n_rows"), col("xor_hash"),
         col("sum_hash"), col("min_hash"), col("max_hash"))
 
@@ -68,8 +78,7 @@ object Integrity {
   /** DuckDB twin of [[fingerprint]] (same output columns). */
   def fingerprintSql(table: String, exprs: Seq[String], label: String): String = s"""
     SELECT '$label' AS dataset, COUNT(*) AS n_rows,
-           bit_xor(h) AS xor_hash,
-           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % $SumMod AS BIGINT) AS sum_hash,
+           ${digestAggsSql("h")},
            MIN(h) AS min_hash, MAX(h) AS max_hash
     FROM (SELECT ${rowHashSql(exprs)} AS h FROM $table)""".trim
 }

@@ -75,6 +75,11 @@ object CorpusCuration {
     // ---- 2. dedup (exact -> near-dup -> keep-list)
     val dd = DedupPipeline.run(spark, qKeep.select(col("id"), col("text")), threshold)
     val dedupDrop = dd.dropped.select(col("id"), lit("dedup").as("stage"))
+    // keep feeds the contamination gram scan AND the left_anti below (which
+    // itself fans into two more joins); pin it once so the LSH/verify/CC
+    // dedup DAG above DedupPipeline's internal checkpoints never replays —
+    // the runIncremental:111 discipline applied to the batch composition
+    val keep = dd.keep.localCheckpoint()
 
     // ---- 3. decontamination (q59 shape; representatives only, so a
     // benchmark hit can't resurrect next run as a surviving near-dup)
@@ -83,13 +88,13 @@ object CorpusCuration {
     val benchGrams = bench
       .select(explode(array_distinct(TextFunctions.wordNgrams(col("text"), 5))).as("gram"))
       .distinct()
-    val contaminated = grams(dd.keep)
+    val contaminated = grams(keep)
       .join(broadcast(benchGrams), "gram")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= contamGrams)
       .select("id")
     val decontamDrop = contaminated.select(col("id"), lit("decontamination").as("stage"))
-    val clean = dd.keep.join(contaminated, Seq("id"), "left_anti")
+    val clean = keep.join(contaminated, Seq("id"), "left_anti")
 
     // ---- 4. packing into fixed-budget shards (ascending-id = ingest
     // order; easiest-first curriculum order is the q108 variant)
@@ -107,9 +112,7 @@ object CorpusCuration {
         Integrity.rowHash(Seq(col("id"), col("text"))).as("h"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_subwords")).as("n_tokens"),
-        expr("bit_xor(h)").as("xor_hash"),
-        (sum(col("h").cast("decimal(38,0)")) % lit(1L << 48)).cast("long").as("sum_hash"))
+        sum(col("n_subwords")).as("n_tokens") +: Integrity.digestAggs("h"): _*)
 
     val dropped = qDrop.unionByName(dedupDrop).unionByName(decontamDrop)
     val funnel = dropped.groupBy("stage").agg(count(lit(1)).as("n"))

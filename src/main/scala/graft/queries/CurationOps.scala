@@ -512,18 +512,22 @@ object CurationOps {
 
   // --------------------------------------------------------------------
   // q109: train/val/test split manifest — assignment must be a pure
-  // function of the DOCUMENT (md5(id) mod 100 → 80/10/10), never of
+  // function of the DOCUMENT (hash bucket mod 100 → 80/10/10), never of
   // position or randomness: a doc keeps its split across reruns,
   // repartitions, and corpus growth (new docs land in splits without
-  // moving old ones — the property shuffle-split lacks). The manifest
-  // row per split carries count, token mass, and the order-independent
-  // xor/sum content digests (Integrity.rowHash), so "did the test set
-  // drift since last release" is a 3-row comparison, not a rescan.
-  // One scan, map-side-combined agg — no shuffle beyond 3-group partials.
+  // moving old ones — the property shuffle-split lacks). The bucket is
+  // Sampling.hashBucket under a split-only salt, so split membership is
+  // decorrelated from every sampling gate that hashes the same ids.
+  // The manifest row per split carries count, token mass, and the
+  // order-independent xor/sum content digests (Integrity.digestAggs), so
+  // "did the test set drift since last release" is a 3-row comparison,
+  // not a rescan. One scan, map-side-combined agg — no shuffle beyond
+  // 3-group partials.
+  private val SplitSalt = "graft-split"
+
   private def datasetSplits(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    import graft.operators.Integrity
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    import graft.operators.{Integrity, Sampling}
+    val bucket = Sampling.hashBucket(col("doc_id"), SplitSalt)
     Tables(spark, dir).documents
       .select(
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
@@ -531,26 +535,23 @@ object CurationOps {
         Integrity.rowHash(Seq(col("doc_id"), col("text"))).as("h"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("long").as("n_chars"),
-        expr("bit_xor(h)").as("xor_hash"),
-        (sum(col("h").cast("decimal(38,0)")) % lit(1L << 48)).cast("long").as("sum_hash"))
+        sum(col("n_chars")).cast("long").as("n_chars") +: Integrity.digestAggs("h"): _*)
   }
 
   private val datasetSplitsSql: String = {
-    import graft.operators.Integrity
+    import graft.operators.{Integrity, Sampling}
     s"""
     WITH t AS (
       SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
              n_chars, h
       FROM (
-        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+        SELECT ${Sampling.hashBucketSql("doc_id", SplitSalt)} AS b,
                n_chars,
                ${Integrity.rowHashSql(Seq("doc_id", "text"))} AS h
         FROM documents))
     SELECT split, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           bit_xor(h) AS xor_hash,
-           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % ${1L << 48} AS BIGINT) AS sum_hash
+           ${Integrity.digestAggsSql("h")}
     FROM t GROUP BY split""".trim
   }
 

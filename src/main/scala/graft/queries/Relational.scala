@@ -320,6 +320,9 @@ object Relational {
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
           },
           sorted.schema.add("r", org.apache.spark.sql.types.LongType))
+          // pin: the count() below and the final agg would otherwise each
+          // re-run the full range sort (ExecutiveDedupPipeline discipline)
+          .localCheckpoint()
         val n = ranked.count()
         ranked
           .withColumn("decile", graft.core.Ranks.ntileOfRank(col("r"), n, 10))
