@@ -17,7 +17,12 @@ object Bench {
     // family. Runs after the first are cheap (code is compiled), so
     // min-of-3 buys the extra stability for ~a third more wall-clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query names to bench (subset iteration, mirrors
+    // Verify's contract); no args = the full suite, as the driver runs it
+    val wanted = SparkEntry.queries.filter { case (k, _) =>
+      args.isEmpty || args.contains(k)
+    }
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

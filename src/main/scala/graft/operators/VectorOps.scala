@@ -244,36 +244,53 @@ object VectorOps {
     var books: Array[Array[Array[Double]]] = // [m][nCodes][sub]
       Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
 
-    def codeOf(j: Int, subvec: Column): Column = {
-      val scored = books(j).zipWithIndex.map { case (p, i) =>
-        val d2 = lit(p.map(x => x * x).sum) -
-          lit(2.0) * doubleDot(subvec, array(p.map(lit): _*))
-        struct(d2.as("d"), lit(i).as("code"))
-      }
-      least(scored.toIndexedSeq: _*).getField("code")
-    }
     def subvec(j: Int): Column = slice(col("vec"), j * sub + 1, sub)
+
+    // (id, j, sv): the per-subspace slices — iteration-invariant, exploded
+    // and pinned ONCE. Every Lloyd pass and the final encode join this
+    // frame against the CURRENT codebook travelling as broadcast DATA, so
+    // the plan (and its generated code) is identical across iterations;
+    // centroid literals baked into the expression tree would recompile
+    // whole-stage codegen for every pass of every run
+    val sv = c.select(col("id"),
+        posexplode(array((0 until m).map(subvec): _*)).as(Seq("j", "sv")))
+      .localCheckpoint()
+
+    def bookDf = {
+      val rows = for (j <- 0 until m; code <- books(j).indices)
+        yield (j, code, books(j)(code).toSeq)
+      c.sparkSession.createDataFrame(rows.toIndexedSeq).toDF("j", "code", "cent")
+    }
+    // argmin over (d2, code): min of the struct is the same lexicographic
+    // tie-break as a least() over per-code structs; d2 = ‖cent‖² − 2⟨sv,cent⟩
+    // (‖sv‖² is constant per (id,j) and cancels from the ranking); the
+    // norm's left-fold sum matches the driver-side p.map(x*x).sum order,
+    // so assignments are bit-identical to the literal-expression form
+    def assign = sv.join(broadcast(bookDf), "j")
+      .withColumn("d2",
+        aggregate(col("cent"), lit(0.0), (acc, x) => acc + x * x)
+          - lit(2.0) * doubleDot(col("sv"), col("cent")))
+      .groupBy("id", "j")
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
 
     var it = 0
     while (it < iters) {
-      // one combined pass per iteration: every subspace's assignment and
-      // mean-update travels in a single exploded frame
-      val assigned = c.select((0 until m).map(j =>
-        struct(lit(j).as("j"), codeOf(j, subvec(j)).as("code"),
-          subvec(j).as("sv")).as(s"s$j")): _*)
-        .select(explode(array((0 until m).map(j => col(s"s$j")): _*)).as("e"))
-        .select(col("e.j"), col("e.code"), posexplode(col("e.sv")).as(Seq("pos", "x")))
+      val means = assign
+        .join(sv, Seq("id", "j"))
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("j", "code", "pos").agg(avg("x").as("mean"))
-        .collect()
+        .collect() // bounded: ≤ m·nCodes·sub rows (1024 at the defaults)
       val next = books.map(_.map(_.clone()))
-      assigned.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
       books = next
       it += 1
     }
 
-    // encode: the corpus as m small codes per id
-    val codes = c.select(col("id"),
-      array((0 until m).map(j => codeOf(j, subvec(j))): _*).as("codes"))
+    // encode: the corpus as m small codes per id, ordered by subspace
+    val codes = assign
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
 
     // ADC tables per query: lut[j][code] = <q_sub_j, centroid_{j,code}>
     val qRows = queries.select(col("qid"), col("qvec").cast("array<double>").as("qv"))
