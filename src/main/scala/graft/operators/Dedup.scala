@@ -510,17 +510,35 @@ object Dedup {
     Seq.fill(n)((1L + rnd.nextInt(1000000000), rnd.nextInt(1000000000).toLong))
   }
 
-  /** MinHash signature columns over an element-id column (array<long>,
-    * values in [0, P)): each permutation is one pass of linear arithmetic.
-    * Dictionary-encoded shingle ids feed this directly — a universal-hash
-    * permutation `(a*x + b) mod P` scatters dense ids as well as string
-    * hashes, with zero per-(element × permutation) string work.
+  /** All MinHash values of an element-id array (int or long elements;
+    * each is pmod-mapped into [0, P) first — the identity for dictionary
+    * ids) as ONE array<long> column: a single codegen'd traversal
+    * ([[graft.functions.MinHashSig]]) where the per-permutation
+    * `array_min(transform(...))` form walked the array `numHashes` times
+    * through interpreted HOFs. A universal-hash permutation
+    * `(a*x + b) mod P` scatters dense ids as well as string hashes, with
+    * zero per-(element × permutation) string work.
     */
-  def minhashSignature(elems: Column, numHashes: Int = 32, seed: Long = 42L): Seq[Column] =
-    perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(elems, h => (lit(a) * h + lit(b)) % lit(P)))
-        .as(s"mh_$i")
-    }
+  def minhashSignature(elems: Column, numHashes: Int = 32, seed: Long = 42L): Column = {
+    val ps = perms(numHashes, seed)
+    graft.functions.MinHashExpression.minhashSig(
+      elems, ps.map(_._1).toArray, ps.map(_._2).toArray, P)
+  }
+
+  /** One row per (id, band) with the band's concatenated-minhash key —
+    * the shared explode both the in-corpus LSH and the persisted-index
+    * writer/probe derive their candidate buckets from.
+    */
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("id"),
+      explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("_",
+            (0 until rows).map(r => col("mh").getItem(bnd * rows + r)): _*).as("key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
 
   /** LSH candidate pairs + exact-Jaccard verification. Identical shingle
     * sets collapse to one representative before signatures (same
@@ -543,27 +561,18 @@ object Dedup {
 
   private def minhashRepPairs(enc0: DataFrame, threshold: Double,
       numHashes: Int, bands: Int, st: CollapseStats): DataFrame = {
-    val rows = numHashes / bands
     val enc = enc0.localCheckpoint() // reused by signatures + both verify join-backs
     val bcastOk = st.bcastOk
 
-    // materialize the long-cast element ids in their own projection so the
-    // 32 signature aggregates share ONE pass-ready attribute (inlining the
-    // cast into each would recompute it 32×)
-    val sig = enc
-      .select(col("id"), transform(col("toks"), t => t.cast(LongType)).as("hs"))
-      .select(col("id") +: minhashSignature(col("hs"), numHashes): _*)
+    // dictionary ids feed the signature kernel directly (int elements,
+    // already in [0, P) — the kernel's pmod is the identity)
+    val sig = enc.select(col("id"), minhashSignature(col("toks"), numHashes).as("mh"))
 
     // band key: one row per (doc, band) — candidates share any full band.
     // Only (id, band, key) travels through the shuffle; the encoded sets
     // are joined back for the few verified candidates.
-    val banded = sig.select(col("id"),
-      explode(array((0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws("_", (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*).as("key"))
-      }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-      .localCheckpoint() // 32 minhash aggregates run once, not per join side
+    val banded = bandKeys(sig, numHashes, bands)
+      .localCheckpoint() // the signature pass runs once, not per join side
 
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("id_b"))
@@ -596,18 +605,10 @@ object Dedup {
     * Signatures permute `pmod(digest, P)` (the permutation arithmetic
     * needs [0, P)); the full 64-bit digests still do the exact verify.
     */
-  private def stableBandKeys(enc: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val sig = enc
-      .select(col("id"), transform(col("toks"), t => pmod(t, lit(P))).as("hs"))
-      .select(col("id") +: minhashSignature(col("hs"), numHashes): _*)
-    sig.select(col("id"),
-      explode(array((0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws("_", (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*).as("key"))
-      }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-  }
+  private def stableBandKeys(enc: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandKeys(
+      enc.select(col("id"), minhashSignature(col("toks"), numHashes).as("mh")),
+      numHashes, bands)
 
   /** Persist a near-dup index over a document corpus — the MinHash-LSH
     * sibling of the exact digest history behind [[incremental]]: "hash the

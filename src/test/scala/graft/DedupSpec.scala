@@ -27,6 +27,33 @@ class DedupSpec extends SparkSpec {
     assert(out(2).getSeq[String](0).isEmpty)
   }
 
+  test("minhash_sig kernel matches the per-permutation HOF formulation bit-for-bit") {
+    // the persisted near-dup index stores band keys derived from these
+    // values — any arithmetic drift silently misses every historical
+    // bucket, so the kernel is pinned against the formulation it replaced
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val longRows = Seq.fill(40)(Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong())) :+ Seq.empty[Long]
+    val intRows = Seq.fill(40)(Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(1 << 24) + 1)) :+ Seq.empty[Int]
+    val p = 1000000007L
+    val ps = {
+      val r = new scala.util.Random(42L)
+      Seq.fill(32)((1L + r.nextInt(1000000000), r.nextInt(1000000000).toLong))
+    }
+    def hof(elems: org.apache.spark.sql.Column) = array(ps.map { case (a, b) =>
+      array_min(transform(elems, h => (lit(a) * pmod(h, lit(p)) + lit(b)) % lit(p)))
+    }: _*)
+    for ((df, label) <- Seq(longRows.toDF("e") -> "long", intRows.toDF("e") -> "int")) {
+      val rows = df
+        .select(Dedup.minhashSignature(col("e")).as("kernel"), hof(col("e")).as("hof"))
+        .collect()
+      rows.dropRight(1).foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"$label-element mismatch")
+      }
+      assert(rows.last.isNullAt(0), s"$label: empty input must yield NULL (array_min parity)")
+    }
+  }
+
   test("repetitive texts of different lengths with identical shingle sets pair up") {
     import spark.implicits._
     // shingle sets identical despite a 10:7 length ratio — the old length
