@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction as iterative DataFrame
+  * aggregation — the subword-tokenizer trainer of the LLM-pipeline
+  * suite (Sennrich et al. 2016's word-internal BPE, the scheme the
+  * mainstream tokenizer trainers implement).
+  *
+  * The scale shape is the same collapse the dedup family leans on: the
+  * corpus is reduced ONCE to its distinct-word table with frequencies
+  * (one shuffle — token-count scale, map-side combined; Zipf keeps the
+  * distinct table orders of magnitude smaller than the corpus), and
+  * every merge iteration then runs over that weighted word table alone.
+  * Per iteration: adjacent-pair explode → grouped weighted count →
+  * global argmax via sort+limit(1) (the q76 rule — never a global
+  * window), and a one-row collect. Driver state is the merge table
+  * itself (`nMerges` rows) — nothing else ever leaves the cluster, so
+  * the trainer survives a 100 TB corpus exactly as well as its word
+  * count does.
+  *
+  * Determinism: pair counts are exact long sums; argmax ties break on
+  * (freq DESC, left ASC, right ASC). Same corpus → same merge table,
+  * bit for bit, regardless of partitioning — pinned by the
+  * naive-local-parity property test.
+  */
+object BpeTrainer {
+
+  /** End-of-word marker symbol (a distinct sentinel token, not a
+    * character that can appear inside a word after whitespace split).
+    */
+  val EndOfWord = "</w>"
+
+  /** (rank, left, right, freq) merge table learned from `docs(textCol)`.
+    *
+    * @param nMerges     maximum merges to learn
+    * @param minPairFreq stop early once the best pair's weighted count
+    *                    falls below this (rare-tail merges are noise)
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+      minPairFreq: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+
+    // corpus -> distinct weighted words, ONCE; iterations only see this
+    val words = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+    // initial symbol sequence: characters + the end-of-word sentinel
+    var cur = words
+      .select(col("freq"), charSyms(col("word")).as("syms"))
+      .localCheckpoint() // iterations re-read this frame, never the corpus
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val best = cur
+        // a fully-merged word (one symbol left) has no adjacent pairs —
+        // and sequence(0, -1) would count DOWN, so filter, don't clamp
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect() // bounded: one row per iteration
+      if (best.isEmpty || best(0).getLong(2) < minPairFreq) done = true
+      else {
+        val (l, r, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rank += 1
+        merges += ((rank, l, r, pf))
+        // apply the merge and truncate lineage: the word table is small
+        // (and shrinks), so the per-iteration pin is cheap insurance
+        // against an nMerges-deep HOF chain
+        cur = cur.select(col("freq"), mergeAdjacent(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
+  /** One greedy left-to-right, non-overlapping pass replacing adjacent
+    * (a, b) with their concatenation — BPE's merge-application step, as
+    * a single `aggregate` HOF scan carrying (emitted, pending) state.
+    * Non-overlap falls out of the carry: merging consumes both symbols,
+    * so "l l l" under (l, l) yields ["ll", "l"], and "l l l l" yields
+    * ["ll", "ll"] — the reference implementations' semantics.
+    */
+  def mergeAdjacent(syms: Column, a: String, b: String): Column = {
+    val zero = struct(
+      typedLit(Seq.empty[String]).as("out"),
+      lit(null).cast("string").as("carry"))
+    val step = (acc: Column, x: Column) => {
+      val out = acc.getField("out")
+      val carry = acc.getField("carry")
+      when(carry.isNull, struct(out.as("out"), x.as("carry")))
+        .when(carry === lit(a) && x === lit(b),
+          struct(concat(out, array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("carry")))
+        .otherwise(struct(concat(out, array(carry)).as("out"), x.as("carry")))
+    }
+    val finish = (acc: Column) => {
+      val out = acc.getField("out")
+      val carry = acc.getField("carry")
+      when(carry.isNull, out).otherwise(concat(out, array(carry)))
+    }
+    aggregate(syms, zero, step, finish)
+  }
+
+  /** Tokenize a symbol sequence with a learned merge table: fold the
+    * merges in rank order, each a [[mergeAdjacent]] pass — how the
+    * trainer's output becomes a tokenizer. `merges` is driver-side rows
+    * (rank, left, right, *) — the merge table IS bounded by contract.
+    */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => mergeAdjacent(c, l, r) }
+
+  /** Initial character+sentinel symbols of one word column. */
+  def charSyms(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+}

@@ -565,5 +565,13 @@ object CurationOps {
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),
     GraftQuery("q107_negative_sampling", Some(negativeSamplingSql), negativeSampling),
     GraftQuery("q108_curriculum_shards", Some(curriculumShardsSql), curriculumShards),
-    GraftQuery("q109_dataset_splits", Some(datasetSplitsSql), datasetSplits))
+    GraftQuery("q109_dataset_splits", Some(datasetSplitsSql), datasetSplits),
+    // q110: BPE vocabulary induction (operators.BpeTrainer) — iterative
+    // global-argmax training, the q46b/k-means class with no
+    // single-statement ANSI twin, so the driver records the rows-only
+    // check; BpeSpec pins the distributed trainer against a naive local
+    // implementation merge-for-merge and across partitionings.
+    GraftQuery("q110_bpe_vocab", None,
+      (spark, dir) => graft.operators.BpeTrainer.train(
+        Tables(spark, dir).documents.select(col("text")), "text", nMerges = 10)))
 }
