@@ -18,7 +18,11 @@ object Bench {
     // min-of-3 buys the extra stability for ~a third more wall-clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // optional args = query names to bench (subset iteration, mirrors
-    // Verify's contract); no args = the full suite, as the driver runs it
+    // Verify's contract); no args = the full suite, as the driver runs it.
+    // Unknown names fail fast — a typo'd subset would otherwise overwrite
+    // target/bench.json with a plausible-looking empty artifact
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val wanted = SparkEntry.queries.filter { case (k, _) =>
       args.isEmpty || args.contains(k)
     }

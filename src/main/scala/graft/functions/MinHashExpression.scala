@@ -27,14 +27,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * product stays below 2^61: no overflow, same values as the SQL
   * `pmod`/`%` pipeline this replaces, bit-identical DuckDB twins.
   *
-  * Empty input yields NULL (mirroring `array_min`'s null-on-empty), so
-  * downstream `concat_ws` band keys behave exactly as the per-column
-  * form did. Int and long element arrays are both accepted without an
-  * inserted cast projection.
+  * Null handling mirrors the HOF form element-for-element: `transform`
+  * maps a NULL element to NULL and `array_min` skips NULLs, so the
+  * kernel skips NULL slots; an empty array — or one that is ALL nulls —
+  * yields NULL output (`array_min`'s null-on-empty), keeping downstream
+  * `concat_ws` band keys byte-identical. Int and long element arrays
+  * are both accepted without an inserted cast projection.
+  *
+  * Coefficients are `Seq` fields (not `Array`) so the case class keeps
+  * structural equality — Catalyst subexpression elimination and plan
+  * reuse can match two identically-built signature expressions.
   */
-case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
     extends UnaryExpression {
   require(as.length == bs.length && as.nonEmpty, "coefficient arrays must align")
+
+  private lazy val aArr = as.toArray
+  private lazy val bArr = bs.toArray
 
   // lazy: child types resolve after construction; cached so the
   // interpreted path doesn't re-match per row
@@ -53,28 +62,31 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
-    val m = as.length
+    val m = aArr.length
     val out = new Array[Long](m)
     java.util.Arrays.fill(out, Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < n) {
-      val raw = if (elemIsLong) arr.getLong(i) else arr.getInt(i).toLong
-      val x = ((raw % p) + p) % p
-      var j = 0
-      while (j < m) {
-        val h = (as(j) * x + bs(j)) % p
-        if (h < out(j)) out(j) = h
-        j += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val raw = if (elemIsLong) arr.getLong(i) else arr.getInt(i).toLong
+        val x = ((raw % p) + p) % p
+        var j = 0
+        while (j < m) {
+          val h = (aArr(j) * x + bArr(j)) % p
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(out)
+    if (!seen) null else new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
-    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    val asRef = ctx.addReferenceObj("minhashAs", aArr, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bArr, "long[]")
     val getter = if (elemIsLong) "getLong" else "getInt"
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
@@ -83,21 +95,26 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
       val x = ctx.freshName("x")
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
+      val seen = ctx.freshName("seen")
       s"""
         int $n = $a.numElements();
-        if ($n == 0) {
-          ${ev.isNull} = true;
-        } else {
-          long[] $out = new long[${as.length}];
-          java.util.Arrays.fill($out, Long.MAX_VALUE);
-          for (int $i = 0; $i < $n; $i++) {
+        long[] $out = new long[${aArr.length}];
+        java.util.Arrays.fill($out, Long.MAX_VALUE);
+        boolean $seen = false;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            $seen = true;
             long $x = (long) $a.$getter($i);
             $x = (($x % ${p}L) + ${p}L) % ${p}L;
-            for (int $j = 0; $j < ${as.length}; $j++) {
+            for (int $j = 0; $j < ${aArr.length}; $j++) {
               long $h = ($asRef[$j] * $x + $bsRef[$j]) % ${p}L;
               if ($h < $out[$j]) $out[$j] = $h;
             }
           }
+        }
+        if (!$seen) {
+          ${ev.isNull} = true;
+        } else {
           ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
         }
       """
@@ -113,5 +130,6 @@ object MinHashExpression {
     * column; see [[MinHashSig]] for the arithmetic contract.
     */
   def minhashSig(elems: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
-    ColumnBridge.column(MinHashSig(ColumnBridge.expression(elems), as, bs, p))
+    ColumnBridge.column(
+      MinHashSig(ColumnBridge.expression(elems), as.toSeq, bs.toSeq, p))
 }

@@ -49,10 +49,27 @@ object BpeTrainer {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-    // initial symbol sequence: characters + the end-of-word sentinel
-    var cur = words
-      .select(col("freq"), charSyms(col("word")).as("syms"))
-      .localCheckpoint() // iterations re-read this frame, never the corpus
+    // each iteration pins a fresh checkpoint of the (shrinking) word
+    // table; the previous iterations' copies are dead weight the moment
+    // the new one materializes, so release them instead of letting
+    // nMerges pinned block sets pile up (tokenizer vocabs run to 10k+
+    // merges). Ownership is tracked by diffing the persistent-RDD set
+    // around each eager checkpoint — other frames are never touched.
+    val sc = spark.sparkContext
+    var owned: scala.collection.Set[Int] = Set.empty[Int]
+    def checkpointOwned(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val pinned = df.localCheckpoint() // eager: materialized on return
+      val created = sc.getPersistentRDDs.keySet -- before
+      owned.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      owned = created
+      pinned
+    }
+
+    // initial symbol sequence: characters + the end-of-word sentinel;
+    // iterations re-read this frame, never the corpus
+    var cur = checkpointOwned(
+      words.select(col("freq"), charSyms(col("word")).as("syms")))
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
@@ -79,8 +96,8 @@ object BpeTrainer {
         // apply the merge and truncate lineage: the word table is small
         // (and shrinks), so the per-iteration pin is cheap insurance
         // against an nMerges-deep HOF chain
-        cur = cur.select(col("freq"), mergeAdjacent(col("syms"), l, r).as("syms"))
-          .localCheckpoint()
+        cur = checkpointOwned(
+          cur.select(col("freq"), mergeAdjacent(col("syms"), l, r).as("syms")))
       }
     }
     import spark.implicits._
@@ -123,9 +140,14 @@ object BpeTrainer {
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (l, r)) => mergeAdjacent(c, l, r) }
 
-  /** Initial character+sentinel symbols of one word column. */
+  /** Initial character+sentinel symbols of one word column. The empty
+    * word is guarded explicitly: `sequence(1, 0)` counts DOWN (the same
+    * descending-sequence trap the trainer's pair generation filters
+    * against), which would fabricate two empty-string symbols.
+    */
   def charSyms(word: Column): Column =
-    concat(
-      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
-      array(lit(EndOfWord)))
+    when(length(word) === 0, array(lit(EndOfWord)))
+      .otherwise(concat(
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+        array(lit(EndOfWord))))
 }

@@ -10,10 +10,24 @@ class BpeSpec extends SparkSpec {
     * table, all in local Scala — the distributed trainer must reproduce
     * its merge table exactly.
     */
+  // code-POINT symbols, matching Spark's substr/length semantics — a
+  // UTF-16 code-unit split (w.map(_.toString)) would halve
+  // supplementary-plane characters into surrogate fragments
+  private def codePoints(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   private def naiveBpe(wordFreq: Map[String, Long], nMerges: Int,
       minPairFreq: Long = 2L): Seq[(Int, String, String, Long)] = {
     var table: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
-      (w.map(_.toString).toVector :+ BpeTrainer.EndOfWord) -> f
+      (codePoints(w) :+ BpeTrainer.EndOfWord) -> f
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
@@ -56,7 +70,10 @@ class BpeSpec extends SparkSpec {
     "lower lower newest newest",
     "newest newest newest newest",
     "widest widest widest",
-    "the newest gadget is the widest one")
+    "the newest gadget is the widest one",
+    // supplementary-plane characters: one emoji = ONE symbol on both
+    // engines (code points, not UTF-16 halves)
+    "😀😀ha 😀😀ha naïve naïve")
 
   test("distributed merge table equals the naive local trainer exactly") {
     import spark.implicits._
@@ -91,6 +108,14 @@ class BpeSpec extends SparkSpec {
     assert(out(3) == List("l", "x", "l"))
     assert(out(4) == List("ll", "l"))
     assert(out(5) == Nil)
+  }
+
+  test("charSyms of the empty word is just the sentinel (descending-sequence guard)") {
+    import spark.implicits._
+    val out = Seq("", "a").toDF("w")
+      .select(BpeTrainer.charSyms(col("w")).as("s")).collect()
+    assert(out(0).getSeq[String](0) == Seq(BpeTrainer.EndOfWord))
+    assert(out(1).getSeq[String](0) == Seq("a", BpeTrainer.EndOfWord))
   }
 
   test("applyMerges tokenizes unseen words with the learned table") {

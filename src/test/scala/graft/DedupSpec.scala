@@ -52,6 +52,14 @@ class DedupSpec extends SparkSpec {
       }
       assert(rows.last.isNullAt(0), s"$label: empty input must yield NULL (array_min parity)")
     }
+    // null elements: transform maps null->null, array_min skips them —
+    // the kernel must skip too, and an ALL-null array acts like empty
+    val nr = Seq(Seq(Some(5L), None, Some(-3L)), Seq[Option[Long]](None, None))
+      .toDF("e")
+      .select(Dedup.minhashSignature(col("e")).as("kernel"), hof(col("e")).as("hof"))
+      .collect()
+    assert(nr(0).getSeq[Long](0) == nr(0).getSeq[Long](1), "null element must be skipped, not hashed as 0")
+    assert(nr(1).isNullAt(0), "all-null input must yield NULL")
   }
 
   test("repetitive texts of different lengths with identical shingle sets pair up") {
