@@ -1688,17 +1688,20 @@ object LlmOps {
         GROUP BY w.doc_id
       """.trim),
       (spark, dir) => {
-        // windows travel as md5 digests (the engine's standard exactness
-        // assumption, as in the fingerprint/incremental dedup keys) so the
-        // window-keyed shuffle moves 32-byte keys, not 50-byte text. The
-        // duplicated-window SET is usually a small fraction of the corpus
-        // (∝ duplication, not size), so it is measured and broadcast: the
-        // per-doc shared count is then a map-side semi join — the corpus
-        // windows shuffle ONCE (for the doc-count agg), never twice.
+        // windows travel as xxhash64 digests — the digest is INTERNAL
+        // (the oracle joins raw windows), so the key only needs enough
+        // width for the fixture's ~10⁶ windows (64-bit birthday ≈ 4e-7)
+        // and an 8-byte long shuffles and groups far cheaper than a
+        // 32-char md5 hex string. The duplicated-window SET is usually a
+        // small fraction of the corpus (∝ duplication, not size), so it
+        // is measured and broadcast: the per-doc shared count is then a
+        // map-side semi join — the corpus windows shuffle ONCE (for the
+        // doc-count agg), never twice. At true corpus scale the window
+        // digest would be a wider rolling hash; same plan shape.
         val w = Tables(spark, dir).documents
           .select(col("doc_id"),
             explode(TextFunctions.shingles(col("text"), 50)).as("win"))
-          .select(col("doc_id"), md5(col("win")).as("wd"))
+          .select(col("doc_id"), xxhash64(col("win")).as("wd"))
           .localCheckpoint() // feeds the dup-set agg + the semi join + per-doc count
         val perDoc = w.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
         val shared = w.groupBy("wd").agg(countDistinct(col("doc_id")).as("nd"))
