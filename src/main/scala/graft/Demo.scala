@@ -55,4 +55,17 @@ object Demo extends App {
   println("== curation funnel =="); cur.funnel.orderBy("stage").show(false)
   println("== curated shards =="); cur.kept.orderBy("off").show(false)
   println("== shard manifest =="); cur.manifest.orderBy("shard").show(false)
+
+  // tokenizer induction on what SURVIVED curation (train on the data you
+  // ship, not the data you dropped), then tokenize an unseen word
+  val merges = graft.operators.BpeTrainer.train(cur.kept, "text", nMerges = 8)
+  println("== BPE merges =="); merges.orderBy("rank").show(false)
+  val learned = merges.orderBy("rank").collect()
+    .map(r => (r.getString(1), r.getString(2))).toSeq
+  Seq("quickest").toDF("w")
+    .select(org.apache.spark.sql.functions.col("w"),
+      graft.operators.BpeTrainer.applyMerges(
+        graft.operators.BpeTrainer.charSyms(
+          org.apache.spark.sql.functions.col("w")), learned).as("tokens"))
+    .show(false)
 }
