@@ -479,6 +479,9 @@ object CurationOps {
       ((lit(2147483648L) - col("logit")) * 1000000L + col("doc_id")).as("id"),
       col("n_subwords").as("wt"),
       col("doc_id"), col("logit"))
+      // pin: consumed by the packing pass AND the join-back — without it
+      // the regex-heavy logit featurization runs twice
+      .localCheckpoint()
     graft.operators.Packing.packSequences(
         keyed.select("id", "wt"), budget = 4096L)
       .join(keyed.select(col("id"), col("doc_id"), col("logit")), "id")
