@@ -271,7 +271,9 @@ object CurationOps {
     // q87/q88's posting list IS the (doc, token) universe: rows are
     // already distinct per (doc_id, term), so doc frequency is a plain
     // row count — one tokenization rule shared by the whole retrieval family
-    val p = postings(docs)
+    // pin: the top-F agg AND the dt join both read the posting list —
+    // unpinned, the corpus tokenizes twice
+    val p = postings(docs).localCheckpoint()
     val topf = p.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term").asc).limit(liftTopTokens)
     // materialized once: both sides of the pair self-join read it, and it
