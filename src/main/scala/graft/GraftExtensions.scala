@@ -3,15 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BitsetAndCount, CharShingles, CmInnerProduct, DoubleDot, IndelRatio, KllSketchQuantiles, SortedIntersectCount, SortedIntersectCountInt, SortedIntersectCountLong, ToBitset, TokenSortRatio}
+import graft.functions.{BitsetAndCount, CharShingles, CmInnerProduct, DoubleDot, IndelRatio, KllSketchQuantiles, MinHashExpression, SortedIntersectCount, SortedIntersectCountInt, SortedIntersectCountLong, ToBitset, TokenSortRatio}
 
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `indel_ratio(a, b)`, `token_sort_ratio(a, b)`, `char_shingles(text, k)`,
   * `sorted_intersect_count[_int](a, b)`, `double_dot(a, b)`,
   * `to_bitset(toks, nWords)`, `bitset_and_count(a, b)`,
-  * `cm_inner_product(sketch_a, sketch_b)` and
-  * `kll_sketch_quantiles(sketch, array(q, ...))` so `spark.sql` users get
-  * the same kernels as the Column API. (The sketch BUILDERS stay
+  * `cm_inner_product(sketch_a, sketch_b)`,
+  * `kll_sketch_quantiles(sketch, array(q, ...))` and
+  * `minhash_sig(elems, numHashes)` (engine-default seed — the persisted
+  * band keys are pinned to that coefficient stream) so `spark.sql` users
+  * get the same kernels as the Column API. (The sketch BUILDERS stay
   * Column-API-only — aggregates with config parameters don't fit the
   * 2-arg scalar registration shape.)
   *
@@ -79,7 +81,9 @@ object GraftExtensions {
     "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))),
     "cm_inner_product" -> (args => CmInnerProduct(args(0), args(1))),
     "kll_sketch_quantiles" -> (args =>
-      KllSketchQuantiles(args(0), doubleSeqLit("kll_sketch_quantiles", args(1)))))
+      KllSketchQuantiles(args(0), doubleSeqLit("kll_sketch_quantiles", args(1)))),
+    "minhash_sig" -> (args =>
+      MinHashExpression.sigExpr(args(0), intLit("minhash_sig", args(1)), seed = 42L)))
 
   private[graft] val descs = builders.map { case (name, build) =>
     binary(name, build)

@@ -126,10 +126,36 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
 }
 
 object MinHashExpression {
+  /** The permutation modulus — prime, > any dictionary id or pmod-mapped
+    * digest, small enough that `a·x + b` stays under 2⁶¹.
+    */
+  val P = 1000000007L
+
+  /** Deterministic MinHash permutation coefficients — THE generator for
+    * the whole engine (the persisted near-dup index's band keys depend
+    * on this exact stream; see [[MinHashSig]]'s contract note).
+    */
+  def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((1L + rnd.nextInt(1000000000), rnd.nextInt(1000000000).toLong))
+  }
+
   /** All minhash values for one permutation family as an array<long>
     * column; see [[MinHashSig]] for the arithmetic contract.
     */
   def minhashSig(elems: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     ColumnBridge.column(
       MinHashSig(ColumnBridge.expression(elems), as.toSeq, bs.toSeq, p))
+
+  /** [[minhashSig]] with the engine's standard coefficient family. */
+  def minhashSigDefault(elems: Column, numHashes: Int = 32, seed: Long = 42L): Column = {
+    val ps = perms(numHashes, seed)
+    minhashSig(elems, ps.map(_._1).toArray, ps.map(_._2).toArray, P)
+  }
+
+  /** Expression-level builder for the SQL registration. */
+  def sigExpr(elems: Expression, numHashes: Int, seed: Long): Expression = {
+    val ps = perms(numHashes, seed)
+    MinHashSig(elems, ps.map(_._1), ps.map(_._2), P)
+  }
 }

@@ -502,14 +502,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  private val P = 1000000007L
-
-  /** Deterministic MinHash permutation coefficients. */
-  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(n)((1L + rnd.nextInt(1000000000), rnd.nextInt(1000000000).toLong))
-  }
-
   /** All MinHash values of an element-id array (int or long elements;
     * each is pmod-mapped into [0, P) first — the identity for dictionary
     * ids) as ONE array<long> column: a single codegen'd traversal
@@ -517,13 +509,13 @@ object Dedup {
     * `array_min(transform(...))` form walked the array `numHashes` times
     * through interpreted HOFs. A universal-hash permutation
     * `(a*x + b) mod P` scatters dense ids as well as string hashes, with
-    * zero per-(element × permutation) string work.
+    * zero per-(element × permutation) string work. Coefficients come
+    * from [[graft.functions.MinHashExpression.perms]] — the one
+    * generator the persisted band keys (and the SQL-surface
+    * `minhash_sig`) are pinned to.
     */
-  def minhashSignature(elems: Column, numHashes: Int = 32, seed: Long = 42L): Column = {
-    val ps = perms(numHashes, seed)
-    graft.functions.MinHashExpression.minhashSig(
-      elems, ps.map(_._1).toArray, ps.map(_._2).toArray, P)
-  }
+  def minhashSignature(elems: Column, numHashes: Int = 32, seed: Long = 42L): Column =
+    graft.functions.MinHashExpression.minhashSigDefault(elems, numHashes, seed)
 
   /** One row per (id, band) with the band's concatenated-minhash key —
     * the shared explode both the in-corpus LSH and the persisted-index

@@ -203,6 +203,12 @@ class PipelineSpec extends SparkSpec {
       "SELECT kll_sketch_quantiles(sk, array(0.25, 0.75)) AS q FROM sk_tbl").head
     val qs = r5.getSeq[org.apache.spark.sql.Row](0).map(_.getDouble(1))
     assert(qs == Seq(25.0, 75.0), qs.toString)
+    // minhash_sig: SQL surface == Column API (engine-default coefficients)
+    val r6 = spark.sql("SELECT minhash_sig(array(7, 11, 42), 8) AS mh").head
+    val viaCol = Seq(Seq(7, 11, 42)).toDF("e")
+      .select(graft.operators.Dedup.minhashSignature(col("e"), numHashes = 8).as("mh"))
+      .head
+    assert(r6.getSeq[Long](0) == viaCol.getSeq[Long](0))
   }
 
   test("corpus curation end-to-end: additive funnel, disjoint verdicts, stable manifest") {
