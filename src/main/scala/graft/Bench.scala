@@ -21,9 +21,10 @@ object Bench {
     // Verify's contract); no args = the full suite, as the driver runs it.
     // Unknown names fail fast — a typo'd subset would otherwise overwrite
     // target/bench.json with a plausible-looking empty artifact
-    val unknown = args.filterNot(SparkEntry.queries.contains)
+    val allQueries = SparkEntry.queries
+    val unknown = args.filterNot(allQueries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    val wanted = SparkEntry.queries.filter { case (k, _) =>
+    val wanted = allQueries.filter { case (k, _) =>
       args.isEmpty || args.contains(k)
     }
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -53,17 +53,18 @@ object BpeTrainer {
     // table; the previous iterations' copies are dead weight the moment
     // the new one materializes, so release them instead of letting
     // nMerges pinned block sets pile up (tokenizer vocabs run to 10k+
-    // merges). Ownership is tracked by diffing the persistent-RDD set
-    // around each eager checkpoint — other frames are never touched.
-    val sc = spark.sparkContext
-    var owned: scala.collection.Set[Int] = Set.empty[Int]
+    // merges). Ownership is the checkpointed RDD reference ITSELF —
+    // diffing the context's persistent-RDD set would race with any
+    // concurrent checkpoint on a shared session and unpersist a foreign
+    // frame, which for truncated-lineage localCheckpoints is fatal.
+    var owned: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     def checkpointOwned(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
-      val pinned = df.localCheckpoint() // eager: materialized on return
-      val created = sc.getPersistentRDDs.keySet -- before
-      owned.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      owned = created
-      pinned
+      val r = df.rdd
+      r.localCheckpoint()
+      r.count() // eager: materialized before the predecessor is released
+      owned.foreach(_.unpersist(blocking = false))
+      owned = Some(r)
+      spark.createDataFrame(r, df.schema)
     }
 
     // initial symbol sequence: characters + the end-of-word sentinel;
@@ -100,6 +101,9 @@ object BpeTrainer {
           cur.select(col("freq"), mergeAdjacent(col("syms"), l, r).as("syms")))
       }
     }
+    // the merge table lives on the driver — the last word-table
+    // checkpoint is dead weight the moment the loop ends
+    owned.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
