@@ -671,6 +671,59 @@ object Dedup {
     enc.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_sets")
   }
 
+  /** Bipartite near-dup — "fuzzy decontamination": which corpus documents
+    * are near-copies of a held-out reference set (eval benchmarks, license
+    * blocklists)? Exact n-gram decontamination (shared-gram joins) misses
+    * lightly-edited contamination; this is the MinHash answer. Both sides
+    * use the batch-stable [[hashedSets]] encoding (the reference set is
+    * fixed while corpora churn — content hashes keep the keys comparable
+    * across batches), band keys equi-join for candidates, and the full
+    * 64-bit digest sets verify exact Jaccard, killing every banding false
+    * positive.
+    *
+    * 100 TB shape: the reference side is small by definition (an eval
+    * suite, not a corpus), so its band keys and digest sets broadcast —
+    * measured first, not assumed ([[maybeBroadcast]] gates) — and the
+    * corpus is scanned once, map-side hashed, and never shuffled except
+    * for the few candidates. Cost ∝ corpus scan + |candidates|.
+    *
+    * @return (id, ref_id, jaccard) for verified pairs ≥ threshold
+    */
+  def crossNearDup(corpus: DataFrame, reference: DataFrame, threshold: Double,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val corpEnc = hashedSets(corpus, k).localCheckpoint() // band keys + verify
+    val refEnc = hashedSets(reference, k).localCheckpoint()
+    // measured broadcast gate for the reference side (rows AND total digest
+    // elements — digests are 8-byte longs, so the element bound halves)
+    val st = refEnc.agg(count(lit(1)), sum(size(col("toks")))).head()
+    val refOk = st.getLong(0) <= MaxBroadcastRows &&
+      (if (st.isNullAt(1)) 0L else st.getLong(1)) <= MaxBroadcastElems / 2
+
+    val candidates = stableBandKeys(corpEnc, numHashes, bands)
+      .join(maybeBroadcast(
+        stableBandKeys(refEnc, numHashes, bands).withColumnRenamed("id", "ref_id"), refOk),
+        Seq("band", "key"))
+      .select("id", "ref_id")
+      .dropDuplicates("id", "ref_id")
+      .localCheckpoint() // pin: the measured count below + the verify read it
+    // candidates ≈ contaminated docs — a sliver of the corpus. Broadcasting
+    // them keeps the corpus-sets join map-side (corpus streamed, never
+    // shuffled); measured, with the shuffle join as the oversize fallback.
+    val candOk = candidates.count() <= MaxBroadcastRows
+
+    maybeBroadcast(candidates, candOk)
+      .join(corpEnc.select(col("id"), col("toks").as("t_a"),
+        size(col("toks")).cast(DoubleType).as("sz_a")), "id")
+      .join(maybeBroadcast(refEnc.select(col("id").as("ref_id"), col("toks").as("t_b"),
+        size(col("toks")).cast(DoubleType).as("sz_b")), refOk), "ref_id")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
+          .cast(DoubleType))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("ref_id"), col("jaccard"))
+  }
+
   /** Cross-engine 64-bit token hash: four 16-bit chunks of the md5 hex
     * digest packed little-endian (chunk j = hex chars [4j, 4j+4) at bits
     * [16j, 16j+16)). Unlike xxhash64's internal bit mixing, md5-hex +

@@ -1770,6 +1770,36 @@ object LlmOps {
             > lit(9.0) * col("variance"))
           .filter(col("duration_s") > col("mean"))
           .select("user_id", "session_idx", "duration_s", "n_events")
+      }),
+
+    // ------------------------------------------------------------------
+    // q111: fuzzy decontamination — corpus documents that are NEAR-copies
+    // of the held-out benchmark set (doc_id < 50), the failure mode q59's
+    // exact shared-gram join can't see once contamination is lightly
+    // edited. Bipartite MinHash: benchmark band keys broadcast (measured),
+    // corpus scanned once and never shuffled, candidates exact-verified on
+    // the full 64-bit digest sets. This fixture's bipartite near-dups all
+    // sit ≥ 0.93, where 8-band recall is 1 − 2e-5 — the LSH output equals
+    // the brute-force oracle (same argument as q43).
+    GraftQuery(
+      "q111_fuzzy_decontam",
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, ${TextFunctions.shinglesSql("text")} AS s
+          FROM documents)
+        SELECT b.doc_id AS doc_id, a.doc_id AS bench_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < 50 AND b.doc_id >= 50
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        val corpus = d.filter(col("doc_id") >= 50).select(col("doc_id").as("id"), col("text"))
+        val bench = d.filter(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
+        Dedup.crossNearDup(corpus, bench, threshold = 0.8)
+          .select(col("id").as("doc_id"), col("ref_id").as("bench_id"), col("jaccard"))
       })
   )
 }

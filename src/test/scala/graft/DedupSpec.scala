@@ -175,6 +175,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossNearDup equals brute-force bipartite jaccard, and is bipartite only") {
+    import spark.implicits._
+    val reference = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (901L, "held out benchmark prompt that the corpus never paraphrases at all"))
+      .toDF("id", "text")
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), graft.functions.TextFunctions.shingles(col("text"), 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val got = Dedup.crossNearDup(docs.select("id", "text"), reference, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = (for {
+      (c, sc) <- sets(docs.select("id", "text")); (f, sf) <- sets(reference)
+      j = sc.intersect(sf).size.toDouble / sc.union(sf).size
+      if j >= 0.8
+    } yield ((c, f), j)).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.get((0L, 900L)).contains(1.0) && got.get((3L, 900L)).contains(1.0),
+      "exact copies of the benchmark doc must be flagged")
+    assert(got.contains((1L, 900L)), "one-char-off near-copy must be flagged")
+    assert(!got.keys.exists(_._2 == 901L), "unmatched benchmark doc flags nothing")
+    // corpus-internal dup pair (0,3) must NOT appear: the join is bipartite
+    assert(got.keys.forall { case (c, f) => Set(0L,1L,2L,3L,4L)(c) && Set(900L,901L)(f) })
+  }
+
   test("duplicated-span coverage: exact dups fully shared, unique docs zero") {
     val df = SparkEntry.queries("q73_dup_spans")(spark, sfDir)
     val rows = df.collect().map(r =>
