@@ -19,9 +19,16 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long behind the legacy flag; normalize it back to TimestampType
-    * (microsecond precision) so downstream code sees a regular timestamp.
+  /** `events.ts` arrives as either a regular timestamp column (parquet
+    * TIMESTAMP(MICROS), the current fixture encoding — Spark reads it as
+    * TIMESTAMP_NTZ) or a raw nanosecond long (parquet TIMESTAMP(NANOS)
+    * read behind the legacy `nanosAsLong` flag, the older fixture
+    * encoding). Branch on the dtype actually observed after the read so
+    * the same accessor handles both, and normalize BOTH branches to
+    * TimestampType: NTZ→TZ is value-identical under the engine's pinned
+    * UTC session timezone, keeps every downstream query seeing the exact
+    * dtype rounds 1–3 were verified against, and streaming watermarks
+    * (`withWatermark`) reject TIMESTAMP_NTZ outright.
     *
     * The flag is only consulted during schema resolution, which
     * `spark.read.parquet` performs eagerly, so it is set just for this
@@ -35,13 +42,24 @@ final class Tables(val spark: SparkSession, val dir: String) {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    val raw =
+      try t("events")
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
     }
   }
   def documents: DataFrame  = t("documents")

@@ -507,6 +507,58 @@ object ReferenceOps {
           .filter(col("id_l") < col("id_r"))
           .select(col("id_l").as("src"), col("id_r").as("dst"), lit(100.0).as("sim"))
         crossKey.unionByName(intra)
+      }),
+
+    // ------------------------------------------------------------------
+    // q33b: the SQL-expressible tier of the q33 family — token-sorted
+    // LEVENSHTEIN ratio pairs (Similarity.levRatioFast over tokenSortKey),
+    // the exact lower bound of the indel score (lev >= indel/2 on the same
+    // strings ⇒ levRatio <= indelRatio), with a DuckDB twin so the driver
+    // gets a full rows+schema+hash row for this family instead of q33's
+    // rows-only check. Same collapse scheme as q33: identical (brand, tsk)
+    // rows reduce to one representative before the DP join, id pairs
+    // expand afterwards (cross-group pairs inherit the rep score,
+    // intra-group pairs are exact token-sort duplicates → lev = 0 →
+    // sim = 100 on both engines).
+    GraftQuery(
+      "q33b_token_sort_lev_pairs",
+      Some("""
+        WITH keyed AS (
+          SELECT p_partkey, p_brand,
+                 array_to_string(list_sort(string_split_regex(trim(p_name), '\s+')), ' ') AS tsk
+          FROM part)
+        SELECT least(a.p_partkey, b.p_partkey) AS src,
+               greatest(a.p_partkey, b.p_partkey) AS dst,
+               100.0 * (1.0 - CAST(levenshtein(a.tsk, b.tsk) AS DOUBLE)
+                        / CAST(greatest(length(a.tsk), length(b.tsk), 1) AS DOUBLE)) AS sim
+        FROM keyed a JOIN keyed b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE 100.0 * (1.0 - CAST(levenshtein(a.tsk, b.tsk) AS DOUBLE)
+                       / CAST(greatest(length(a.tsk), length(b.tsk), 1) AS DOUBLE)) >= 85.0
+      """.trim),
+      (spark, dir) => {
+        val p = Tables(spark, dir).part
+          .select(col("p_partkey"), col("p_brand"),
+            Similarity.tokenSortKey(col("p_name")).as("tsk"))
+        val groups0 = p.groupBy("p_brand", "tsk")
+          .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
+        val groups = dropOversizedBrands(groups0).localCheckpoint()
+        val l = groups.select(col("p_brand"), col("tsk").as("tsk_l"), col("ids").as("ids_l"))
+        val r = groups.select(col("p_brand").as("brand_r"), col("tsk").as("tsk_r"), col("ids").as("ids_r"))
+        val crossKey = l.join(r,
+            col("p_brand") === col("brand_r") && col("tsk_l") < col("tsk_r"))
+          .withColumn("sim", Similarity.levRatioFast(col("tsk_l"), col("tsk_r"), 85.0))
+          .filter(col("sim") >= 85.0)
+          .select(explode(col("ids_l")).as("id_l"), col("ids_r"), col("sim"))
+          .select(col("id_l"), explode(col("ids_r")).as("id_r"), col("sim"))
+          .select(least(col("id_l"), col("id_r")).as("src"),
+            greatest(col("id_l"), col("id_r")).as("dst"), col("sim"))
+        val intra = groups.filter(col("n") > 1)
+          .select(explode(col("ids")).as("id_l"), col("ids"))
+          .select(col("id_l"), explode(col("ids")).as("id_r"))
+          .filter(col("id_l") < col("id_r"))
+          .select(col("id_l").as("src"), col("id_r").as("dst"), lit(100.0).as("sim"))
+        crossKey.unionByName(intra)
       })
   )
 }

@@ -116,10 +116,19 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val fixtureSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fixtureSchema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // mirror Tables.events' dtype branch: a raw-nanos long fixture is
+    // normalized ns→µs; a native TIMESTAMP(MICROS) fixture (read as NTZ)
+    // is cast to TimestampType — watermarks reject TIMESTAMP_NTZ
+    val stream = fixtureSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("file_hourly").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
