@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-drift preflight: a regenerated fixture should fail with a
+    // diagnosis up front, not as -1.0 sentinels scattered through the run
+    graft.core.Tables.preflight(spark, sfDir)
+      .foreach(m => System.err.println(s"[bench] $m"))
     // Per-query best-of-N (default 3): the first run pays janino codegen +
     // JIT warmup + GC luck — single-shot timings swung ±30-68% between
     // otherwise-identical rounds, masking real regressions, and even

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-drift preflight: a regenerated fixture should fail with a
+    // diagnosis up front, not as per-query analysis errors mid-run
+    graft.core.Tables.preflight(spark, sfDir)
+      .foreach(m => System.err.println(s"[verify] $m"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

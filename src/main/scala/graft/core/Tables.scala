@@ -68,4 +68,50 @@ final class Tables(val spark: SparkSession, val dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Loud fixture-drift preflight for the driver mains (Verify/Bench):
+    * compare each load-bearing fixture column against the dtypes the
+    * engine's queries were written against and return one message per
+    * divergence. The callers PRINT the messages and keep going — a
+    * drifted fixture then fails with an observed-vs-expected diagnosis
+    * up front instead of a pile of opaque mid-run analysis errors (the
+    * round-4 failure mode, when `events.ts` silently changed encoding
+    * and 15 queries died on `pmod(ts, 1000)`). `TablesSpec` pins the
+    * same contract as a test; this is the runtime twin the driver
+    * actually executes.
+    */
+  def preflight(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val expected: Seq[(String, String, Set[DataType])] = Seq(
+      ("events", "ts", Set(TimestampType, TimestampNTZType, LongType)),
+      ("events", "user_id", Set(LongType, IntegerType)),
+      ("events", "event_type", Set[DataType](StringType)),
+      ("documents", "text", Set[DataType](StringType)),
+      ("documents", "source", Set[DataType](StringType)),
+      ("embeddings", "embedding",
+        Set[DataType](ArrayType(FloatType, true), ArrayType(FloatType, false),
+          ArrayType(DoubleType, true), ArrayType(DoubleType, false))),
+      ("lineitem", "l_quantity", Set[DataType](DoubleType)),
+      ("orders", "o_orderdate", Set(DateType, TimestampType, TimestampNTZType)))
+    expected.groupBy(_._1).toSeq.flatMap { case (table, cols) =>
+      try {
+        val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+        cols.flatMap { case (_, name, ok) =>
+          schema.find(_.name == name) match {
+            case None =>
+              Some(s"fixture drift: $dir/$table.parquet lacks column '$name' " +
+                s"(observed: ${schema.simpleString})")
+            case Some(f) if !ok.contains(f.dataType) =>
+              Some(s"fixture drift: $dir/$table.parquet '$name' is " +
+                s"${f.dataType.simpleString}, engine expects one of " +
+                ok.map(_.simpleString).mkString("{", ", ", "}"))
+            case _ => None
+          }
+        }
+      } catch {
+        case e: Exception =>
+          Seq(s"fixture preflight: cannot read $dir/$table.parquet: ${e.getMessage}")
+      }
+    }
+  }
 }

@@ -164,9 +164,16 @@ object VectorOps {
 
     var it = 0
     while (it < iters) {
+      // decimal-exact mean (Num discipline): a plain avg() is an
+      // order-dependent double sum, which would make the trained
+      // centroids partitioning-dependent AND unreproducible by the
+      // oracle's unrolled-Lloyd twin — the decimal sum is exact, so both
+      // engines derive bit-identical centroids from the same members
       val means = c.withColumn("cell", cellOf(col("vec")))
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))

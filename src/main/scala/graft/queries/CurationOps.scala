@@ -560,8 +560,55 @@ object CurationOps {
     FROM t GROUP BY split""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q112: per-source contribution cap — keep only the top K documents per
+  // source by token count (the "per-domain cap" of web-scale curation: no
+  // single domain may flood the training mix, however large its crawl).
+  //
+  // Scale shape: a single per-source rank window, BECAUSE Catalyst's
+  // rank-limit pushdown (SPARK-37099) compiles `row_number <= K` into an
+  // exact two-phase top-K on its own: the physical plan carries
+  // `WindowGroupLimit ... Partial` BEFORE the exchange — every map task
+  // emits at most K rows per source pre-shuffle — and `... Final` after
+  // it, so the reduce side ranks at most mapTasks×K rows per source
+  // instead of a pathological source's full document count. A hand-rolled
+  // salted two-window variant was built first and measured: it produced
+  // the identical bounded shape with one extra shuffle and sort — the
+  // declarative form wins, and PlanSpec pins the Partial-before-Exchange
+  // plan so an optimizer regression can't silently restore the skew.
+  //
+  // Ordering is a total order (token count desc, doc_id asc tiebreak), so
+  // ranks are deterministic on both engines.
+  private val capPerSource = 10
+
+  private def sourceCap(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.TextFunctions
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= capPerSource)
+      .select("source", "doc_id", "n_tokens", "rnk")
+  }
+
+  private val sourceCapSql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)) AS n_tokens
+      FROM documents)
+    SELECT source, doc_id, n_tokens, rnk FROM (
+      SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= $capPerSource""".trim
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
+    GraftQuery("q112_source_cap", Some(sourceCapSql), sourceCap),
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
     GraftQuery("q87_boolean_search", Some(booleanSearchSql), booleanSearch),
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),

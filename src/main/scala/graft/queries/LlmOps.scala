@@ -105,6 +105,69 @@ object LlmOps {
     SELECT qid, neighbor, cos, rank FROM ranked WHERE rank <= $k""".trim
   }
 
+  /** DuckDB twin of the IVF ANN tier: k-means training unrolled as chained
+    * CTEs, the [[graft.operators.PageRank.unrolledSql]] move applied to
+    * Lloyd's algorithm. Each iteration is (assignment under the previous
+    * centroids → per-cell decimal-exact coordinate means → centroid
+    * rebuild with empty cells keeping their previous vector), mirroring
+    * [[graft.operators.VectorOps.ivfTopK]] EXACTLY: same first-nCells-by-id
+    * init, same argmin d² = ‖c‖² − 2⟨v,c⟩ with (d², cell) tie order, same
+    * decimal(38,18) mean sums, same nProbe probing and rounded-cosine
+    * ranking. Every dot product is the `list_reduce` left-to-right form —
+    * bit-identical to the codegen'd `DoubleDot` loop — so the two engines
+    * train the SAME quantizer and must agree row-for-row, which is what
+    * lets an "approximate" index be hash-checked: approximate w.r.t. exact
+    * top-k, deterministic w.r.t. its own contract.
+    */
+  private def annIvfOracleSql(nCells: Int, nProbe: Int, k: Int, iters: Int,
+      dim: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce([$a[i] * $b[i] for i in generate_series(1, $dim)], (x, y) -> x + y)"
+    def d2(v: String, c: String): String =
+      s"(${dot(c, c)} - 2.0 * ${dot(v, c)})"
+    def assign(name: String, cents: String): String = s"""
+    $name AS (
+      SELECT vec_id, vec, cell FROM (
+        SELECT e.vec_id, e.vec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${d2("e.vec", "c.cvec")} ASC, c.cell ASC) AS rk
+        FROM emb e CROSS JOIN $cents c)
+      WHERE rk = 1)"""
+    val meanList = (1 to dim)
+      .map(p => s"CAST(SUM(CAST(vec[$p] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)")
+      .mkString("[", ", ", "]")
+    val steps = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+    m$i AS (SELECT cell, $meanList AS ms FROM a$i GROUP BY cell),
+    c$i AS (
+      SELECT p.cell, COALESCE(m.ms, p.cvec) AS cvec
+      FROM c${i - 1} p LEFT JOIN m$i m ON m.cell = p.cell)"""
+    }.mkString(",\n")
+    s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, vec AS cvec
+      FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id LIMIT $nCells)),
+    $steps,
+    ${assign("af", s"c$iters")},
+    pr AS (
+      SELECT qid, qvec, cell FROM (
+        SELECT q.vec_id AS qid, q.vec AS qvec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${d2("q.vec", "c.cvec")} ASC, c.cell ASC) AS rk
+        FROM emb q CROSS JOIN c$iters c
+        WHERE q.vec_id < 10)
+      WHERE rk <= $nProbe)
+    SELECT qid, neighbor, cos, rank FROM (
+      SELECT p.qid, a.vec_id AS neighbor,
+             round(list_cosine_similarity(a.vec, p.qvec), 4) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY round(list_cosine_similarity(a.vec, p.qvec), 4) DESC,
+                        a.vec_id ASC) AS rank
+      FROM pr p JOIN af a ON a.cell = p.cell AND a.vec_id != p.qid)
+    WHERE rank <= $k""".trim
+  }
+
   /** DuckDB twin of the flat-SQ ANN tier (oracle for q68; reused as a CTE
     * by q72's fusion oracle). Re-derives the int8 codes, dequantizes, and
     * ranks by cosine exactly as [[graft.operators.VectorOps.sqTopK]].
@@ -367,10 +430,14 @@ object LlmOps {
     // ------------------------------------------------------------------
     // q46b: IVF approximate ANN — k-means coarse quantizer, nProbe-cell
     // probing (the inverted-file scale path alongside q46's LSH).
-    // Approximate by design → rows-only check; recall in VectorSpec.
+    // Approximate w.r.t. exact top-k, but DETERMINISTIC w.r.t. its own
+    // contract: deterministic init + decimal-exact means make the trained
+    // quantizer reproducible, so the oracle unrolls the same 3 Lloyd
+    // iterations as CTEs (annIvfOracleSql) and checks rows+schema+hash —
+    // formerly a rows-only entry. Recall vs exact q45 stays in VectorSpec.
     GraftQuery(
       "q46b_ann_ivf",
-      None,
+      Some(annIvfOracleSql(nCells = 16, nProbe = 8, k = 5, iters = 3, dim = 64)),
       (spark, dir) => {
         val e = Tables(spark, dir).embeddings
         val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -255,4 +255,28 @@ class CurationSpec extends SparkSpec {
       .head()
     assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((2L, 1L, 1L)))
   }
+
+  // ------------------------------------------------------------- source cap
+
+  test("q112 per-source cap equals a driver-side reference ranking") {
+    val got = SparkEntry.queries("q112_source_cap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // independent reference: collect the scored fixture and rank locally
+    // with plain Scala (sortBy + take), no Spark window involved
+    val scored = graft.core.Tables(spark, sfDir).documents
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (_, id, n) => (-n, id) }.take(10).zipWithIndex
+        .map { case ((s, id, n), i) => (s, id, n, i + 1) }
+    }.toSet
+    assert(got == want,
+      s"cap diverges from local reference: only-got=${(got -- want).take(5)} only-want=${(want -- got).take(5)}")
+    // every source contributes exactly K rows on this fixture (each
+    // source has >= K docs), ranks are 1..K
+    val bySource = got.groupBy(_._1)
+    assert(bySource.values.forall(_.size == 10), bySource.view.mapValues(_.size).toMap.toString)
+    assert(bySource.values.forall(_.map(_._4) == (1 to 10).toSet))
+  }
 }

@@ -126,6 +126,26 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected a single-pass profile, saw $scans scans:\n$p")
   }
 
+  test("q112 source cap gets the partial rank-limit pushed below the shuffle") {
+    // the skew story rests on Catalyst's rank-limit pushdown: a Partial
+    // WindowGroupLimit must bound every map task at K rows per source
+    // BEFORE the exchange, and the Final one re-bounds after — if an
+    // optimizer change drops either, a skewed source would again ship its
+    // full document list to one reduce task
+    val df = SparkEntry.queries("q112_source_cap")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Partial") && p.contains("Final"),
+      "expected both Partial and Final WindowGroupLimit:\n" + p)
+    // anchor on the window's own hash-partitioned shuffle, NOT the outer
+    // range exchange the canonical-order wrapper adds; the plan prints
+    // top-down, so Final sits before the shuffle and Partial after it
+    val ex = p.indexOf("Exchange hashpartitioning")
+    val finalIdx = p.indexOf("WindowGroupLimit")
+    val partialIdx = p.lastIndexOf("WindowGroupLimit")
+    assert(ex >= 0 && finalIdx >= 0 && finalIdx < ex && partialIdx > ex,
+      s"expected Final above / Partial below the window shuffle (final=$finalIdx ex=$ex partial=$partialIdx):\n" + p)
+  }
+
   test("q55 stratified sample is shuffle-free (pure filter over the scan)") {
     // the whole point of the hash gate: membership must not require data
     // movement, so the plan has no Exchange at all (the canonical-order

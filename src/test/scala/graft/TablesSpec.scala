@@ -39,6 +39,24 @@ class TablesSpec extends SparkSpec {
         "did the driver regenerate events.parquet with a new encoding?")
   }
 
+  test("driver-main preflight is clean on the current fixtures") {
+    // Verify/Bench print these at startup; a non-empty result here means
+    // the driver would see drift warnings on every run
+    val msgs = Tables.preflight(spark, sfDir)
+    assert(msgs.isEmpty, msgs.mkString("\n"))
+  }
+
+  test("preflight diagnoses a drifted fixture with observed vs expected") {
+    // point it at a directory whose "events" table has the wrong shape
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    spark.range(3).selectExpr("CAST(id AS STRING) AS ts", "id AS user_id",
+        "'x' AS event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val msgs = Tables.preflight(spark, dir)
+    assert(msgs.exists(m => m.contains("events") && m.contains("'ts' is string")),
+      msgs.mkString("\n"))
+  }
+
   test("raw fixture schemas match the dtypes the queries were written against") {
     assertDtype("events", spark.read.parquet(s"$sfDir/events.parquet"), Map(
       "ts"         -> Set[DataType](TimestampType, TimestampNTZType, LongType),
