@@ -154,4 +154,76 @@ object BpeTrainer {
       .otherwise(concat(
         transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
         array(lit(EndOfWord))))
+
+  /** DuckDB twin: the same `nMerges` training iterations unrolled as
+    * chained CTEs over a `documents(text)` relation — the
+    * [[PageRank.unrolledSql]] move applied to BPE. Each iteration is one
+    * argmax CTE (pair explode → weighted count → ORDER BY pf DESC, l, r
+    * LIMIT 1 — [[train]]'s exact tie order) and one merge-application
+    * CTE. The sequential greedy merge ([[mergeAdjacent]]'s (out, carry)
+    * fold) maps onto `list_reduce` directly: DuckDB's fold is
+    * left-to-right with the first element as the seed, so symbols are
+    * first lifted to (out := [], carry := sym) structs — the lifted first
+    * element IS [[mergeAdjacent]]'s zero after its first step, and the
+    * lambda is the same three-way carry logic, with the finish step
+    * flushing the trailing carry.
+    *
+    * Caveat (documented, spec-covered): [[train]]'s `minPairFreq` early
+    * stop is not expressed — on a corpus where the best pair's count
+    * drops below the floor inside `nMerges` iterations the twin would
+    * emit low-frequency merges the trainer refuses. The fixture corpora
+    * never trigger it at 10 merges (every emitted pf ≫ 2); BpeSpec pins
+    * the stop behavior locally.
+    */
+  def unrolledSql(nMerges: Int): String = {
+    // lift: syms -> [{o: '', c: sym}]; reduce: mergeAdjacent.step; the
+    // CASE arms mirror the Column `when` chain one-for-one. The emitted
+    // prefix `o` is a chr(31)-joined VARCHAR, NOT a list: DuckDB 1.0's
+    // list_reduce drops the accumulated value between steps when the
+    // struct carries a LIST field (scalar fields fold correctly —
+    // verified empirically), so the out-list is string-encoded through
+    // the fold and split back after the finish step. Safe because
+    // symbols come from whitespace-split words and can never contain
+    // the 0x1F separator or be empty.
+    def mergeApply: String = s"""
+      list_filter(string_split(
+        CASE WHEN st.c IS NULL THEN st.o ELSE st.o || chr(31) || st.c END,
+        chr(31)), x -> x <> '')"""
+    def lifted = s"[struct_pack(o := '', c := s) for s in syms]"
+    def step(l: String, r: String): String = s"""(a, b) ->
+        CASE WHEN a.c IS NULL THEN struct_pack(o := a.o, c := b.c)
+             WHEN a.c = $l AND b.c = $r
+               THEN struct_pack(o := a.o || chr(31) || $l || $r, c := CAST(NULL AS VARCHAR))
+             ELSE struct_pack(o := a.o || chr(31) || a.c, c := b.c) END"""
+    val steps = (1 to nMerges).map { i =>
+      s"""b$i AS (
+      SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS pf FROM (
+        SELECT freq,
+               unnest([struct_pack(l := syms[p], r := syms[p + 1])
+                       for p in generate_series(1, len(syms) - 1)]) AS pr
+        FROM w${i - 1})
+      GROUP BY pr.l, pr.r
+      ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+    w$i AS (
+      SELECT freq, $mergeApply AS syms FROM (
+        SELECT w.freq,
+               list_reduce($lifted, ${step("bi.l", "bi.r")}) AS st
+        FROM w${i - 1} w CROSS JOIN b$i bi))"""
+    }.mkString(",\n    ")
+    val out = (1 to nMerges)
+      .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", pf AS freq FROM b$i""")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(COALESCE(text, ''), '\\s+')) AS word
+        FROM documents)
+      WHERE length(word) > 0 GROUP BY word),
+    w0 AS (
+      SELECT freq,
+             [word[p] for p in generate_series(1, length(word))] || ['$EndOfWord'] AS syms
+      FROM words),
+    $steps
+    $out""".trim
+  }
 }

@@ -282,10 +282,14 @@ object VectorOps {
 
     var it = 0
     while (it < iters) {
+      // decimal-exact mean, same rationale as ivfTopK: reproducible
+      // codebooks are what let the q99 oracle unroll this training
       val means = assign
         .join(sv, Seq("id", "j"))
         .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("j", "code", "pos").agg(avg("x").as("mean"))
+        .groupBy("j", "code", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("mean"))
         .collect() // bounded: ≤ m·nCodes·sub rows (1024 at the defaults)
       val next = books.map(_.map(_.clone()))
       means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))

@@ -618,12 +618,17 @@ object CurationOps {
     GraftQuery("q107_negative_sampling", Some(negativeSamplingSql), negativeSampling),
     GraftQuery("q108_curriculum_shards", Some(curriculumShardsSql), curriculumShards),
     GraftQuery("q109_dataset_splits", Some(datasetSplitsSql), datasetSplits),
-    // q110: BPE vocabulary induction (operators.BpeTrainer) — iterative
-    // global-argmax training, the q46b/k-means class with no
-    // single-statement ANSI twin, so the driver records the rows-only
-    // check; BpeSpec pins the distributed trainer against a naive local
-    // implementation merge-for-merge and across partitionings.
-    GraftQuery("q110_bpe_vocab", None,
+    // q110: BPE vocabulary induction (operators.BpeTrainer) — formerly a
+    // rows-only entry (iterative global-argmax training); the oracle now
+    // unrolls the same 10 merge iterations as chained CTEs with the
+    // greedy merge application as a struct-state list_reduce fold
+    // (BpeTrainer.unrolledSql — the PageRank/q46b move applied to BPE),
+    // so the driver checks rows+schema+hash. BpeSpec still pins the
+    // distributed trainer against a naive local implementation
+    // merge-for-merge, across partitionings, and the minPairFreq early
+    // stop the SQL twin does not express.
+    GraftQuery("q110_bpe_vocab",
+      Some(graft.operators.BpeTrainer.unrolledSql(nMerges = 10)),
       (spark, dir) => graft.operators.BpeTrainer.train(
         Tables(spark, dir).documents.select(col("text")), "text", nMerges = 10)))
 }

@@ -168,6 +168,86 @@ object LlmOps {
     WHERE rank <= $k""".trim
   }
 
+  /** DuckDB twin of the PQ ANN tier: per-subspace k-means unrolled as
+    * CTEs (the annIvfOracleSql move, once per subspace via a subspace
+    * dimension in every frame), then ADC scoring and the exact-cosine
+    * re-rank, mirroring [[graft.operators.VectorOps.pqTopK]] EXACTLY.
+    * The ADC sum is order-sensitive (8 double terms), so it is built as
+    * `list_reduce` over the per-subspace partials LISTED IN j ORDER —
+    * the same left-associated reduce the Spark side compiles — rather
+    * than a SUM() aggregate whose order the engine chooses.
+    */
+  private def annPqOracleSql(m: Int, nCodes: Int, iters: Int, rerank: Int,
+      k: Int, dim: Int): String = {
+    val sub = dim / m
+    def dot(a: String, b: String): String =
+      s"list_reduce([$a[i] * $b[i] for i in generate_series(1, $sub)], (x, y) -> x + y)"
+    def d2(v: String, c: String): String =
+      s"(${dot(c, c)} - 2.0 * ${dot(v, c)})"
+    def assign(name: String, cb: String): String = s"""
+    $name AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY ${d2("s.sv", "c.cent")} ASC, c.code ASC) AS rk
+        FROM sv s JOIN $cb c ON c.j = s.j)
+      WHERE rk = 1)"""
+    val meanList = (1 to sub)
+      .map(p => s"CAST(SUM(CAST(s.sv[$p] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)")
+      .mkString("[", ", ", "]")
+    val steps = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"cb${i - 1}")},
+    m$i AS (
+      SELECT a.j, a.code, $meanList AS ms
+      FROM a$i a JOIN sv s ON s.vec_id = a.vec_id AND s.j = a.j
+      GROUP BY a.j, a.code),
+    cb$i AS (
+      SELECT p.j, p.code, COALESCE(m.ms, p.cent) AS cent
+      FROM cb${i - 1} p LEFT JOIN m$i m ON m.j = p.j AND m.code = p.code)"""
+    }.mkString(",\n")
+    s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+    sv AS (
+      SELECT e.vec_id, g.j, list_slice(e.vec, g.j * $sub + 1, g.j * $sub + $sub) AS sv
+      FROM emb e CROSS JOIN js g),
+    cb0 AS (
+      SELECT g.j, s.code, list_slice(s.vec, g.j * $sub + 1, g.j * $sub + $sub) AS cent
+      FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, vec
+            FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id LIMIT $nCodes)) s
+      CROSS JOIN js g),
+    $steps,
+    ${assign("af", s"cb$iters")},
+    sc AS (
+      SELECT q.vec_id AS qid, a.vec_id AS id, a.j,
+             ${dot(s"list_slice(q.vec, a.j * $sub + 1, a.j * $sub + $sub)", "c.cent")} AS dj
+      FROM af a
+      JOIN cb$iters c ON c.j = a.j AND c.code = a.code
+      CROSS JOIN emb q
+      WHERE q.vec_id < 10 AND a.vec_id != q.vec_id),
+    adcs AS (
+      SELECT qid, id,
+             list_reduce(list(dj ORDER BY j), (x, y) -> x + y) AS adc
+      FROM sc GROUP BY qid, id),
+    cand AS (
+      SELECT qid, id FROM (
+        SELECT qid, id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY adc DESC, id ASC) AS crk
+        FROM adcs)
+      WHERE crk <= ${rerank * k})
+    SELECT qid, neighbor, cos, rank FROM (
+      SELECT cand.qid, cand.id AS neighbor,
+             round(list_cosine_similarity(e.vec, q.vec), 4) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY cand.qid
+               ORDER BY round(list_cosine_similarity(e.vec, q.vec), 4) DESC,
+                        cand.id ASC) AS rank
+      FROM cand
+      JOIN emb e ON e.vec_id = cand.id
+      JOIN emb q ON q.vec_id = cand.qid)
+    WHERE rank <= $k""".trim
+  }
+
   /** DuckDB twin of the flat-SQ ANN tier (oracle for q68; reused as a CTE
     * by q72's fusion oracle). Re-derives the int8 codes, dequantizes, and
     * ranks by cosine exactly as [[graft.operators.VectorOps.sqTopK]].
@@ -450,11 +530,14 @@ object LlmOps {
     // q99: PQ approximate ANN — per-subspace codebooks compress the
     // corpus 32× (64 floats → 8 byte codes); queries score by ADC table
     // lookups, then exact-cosine re-rank the short candidate list.
-    // Approximate by design (iterative k-means) → rows-only; recall and
-    // the compression invariant in VectorSpec.
+    // Approximate w.r.t. exact top-k but deterministic w.r.t. its own
+    // contract (deterministic init + decimal-exact means, j-ordered ADC
+    // reduce), so the oracle unrolls the per-subspace k-means and the
+    // ADC/re-rank pipeline (annPqOracleSql) and checks rows+schema+hash —
+    // formerly rows-only. Recall + compression invariant in VectorSpec.
     GraftQuery(
       "q99_ann_pq",
-      None,
+      Some(annPqOracleSql(m = 8, nCodes = 16, iters = 2, rerank = 3, k = 5, dim = 64)),
       (spark, dir) => {
         val e = Tables(spark, dir).embeddings
         val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
