@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same pinned timezone as Verify: Tables.events' NTZ→timestamp cast
+      // is session-timezone-dependent, so without this a non-UTC host
+      // would bench different event instants than the ones oracle-checked
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -91,11 +91,26 @@ object Tables {
       ("embeddings", "embedding",
         Set[DataType](ArrayType(FloatType, true), ArrayType(FloatType, false),
           ArrayType(DoubleType, true), ArrayType(DoubleType, false))),
-      ("lineitem", "l_quantity", Set[DataType](DoubleType)),
+      ("lineitem", "l_quantity",
+        Set[DataType](DoubleType, DecimalType(12, 2), DecimalType(15, 2))),
       ("orders", "o_orderdate", Set(DateType, TimestampType, TimestampNTZType)))
     expected.groupBy(_._1).toSeq.flatMap { case (table, cols) =>
       try {
-        val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+        // events needs the same legacy-flag scope as Tables.events: a
+        // TIMESTAMP(NANOS) fixture throws at schema resolution without it,
+        // which would misreport a SUPPORTED legacy encoding as unreadable
+        // (and make the LongType branch of the expected set unreachable)
+        val schema =
+          if (table == "events") {
+            val key = "spark.sql.legacy.parquet.nanosAsLong"
+            val prior = spark.conf.getOption(key)
+            spark.conf.set(key, "true")
+            try spark.read.parquet(s"$dir/$table.parquet").schema
+            finally prior match {
+              case Some(v) => spark.conf.set(key, v)
+              case None    => spark.conf.unset(key)
+            }
+          } else spark.read.parquet(s"$dir/$table.parquet").schema
         cols.flatMap { case (_, name, ok) =>
           schema.find(_.name == name) match {
             case None =>

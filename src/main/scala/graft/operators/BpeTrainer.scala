@@ -182,9 +182,12 @@ object BpeTrainer {
     // list_reduce drops the accumulated value between steps when the
     // struct carries a LIST field (scalar fields fold correctly —
     // verified empirically), so the out-list is string-encoded through
-    // the fold and split back after the finish step. Safe because
-    // symbols come from whitespace-split words and can never contain
-    // the 0x1F separator or be empty.
+    // the fold and split back after the finish step. ASSUMPTION, not a
+    // guarantee: symbols are never empty (chars + merges of non-empties),
+    // but 0x1F is NOT whitespace, so a corpus with a literal 0x1F inside
+    // a word would carry the separator into a symbol and corrupt the
+    // round-trip — the fixtures contain none; pick a different separator
+    // before pointing this twin at a corpus that might.
     def mergeApply: String = s"""
       list_filter(string_split(
         CASE WHEN st.c IS NULL THEN st.o ELSE st.o || chr(31) || st.c END,

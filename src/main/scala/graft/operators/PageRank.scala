@@ -35,20 +35,22 @@ object PageRank {
   def run(spark: SparkSession, edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    // degree rides on the edge row, joined ONCE before the loop — the
-    // iteration then pays a single join over the checkpointed edge table.
-    // (A count-over-src window — "one shuffle, no join" — was tried here
-    // and measured ~2× slower end-to-end: the window's global sort+buffer
-    // of the full edge set costs more than the partial-agg shuffle of
-    // distinct keys plus the join it replaces.)
-    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count() // bounded: one long
     if (n == 0) return nodes.withColumn("pr", lit(0.0)) // empty graph: no 1/0
+    // degree rides on the edge row, joined ONCE before the loop (after the
+    // empty-graph return — an eager checkpoint before it would do wasted
+    // jobs on degenerate input) — the iteration then pays a single join
+    // over the checkpointed edge table. (A count-over-src window — "one
+    // shuffle, no join" — was tried here and measured ~2× slower
+    // end-to-end: the window's global sort+buffer of the full edge set
+    // costs more than the partial-agg shuffle of distinct keys plus the
+    // join it replaces.)
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
     // ranks are node-sized; checkpointed frames carry no stats, so hint
     // the build side from the measured node count. 6M rows ≈ 100 MB as a
     // built hash relation — the same byte budget as the other measured

@@ -101,6 +101,42 @@ object ReferenceOps {
   private def componentsSql(threshold: Double) =
     GraftQuery.componentsOverSql(pairsSql(threshold), "src", "dst")
 
+  /** Shared by q33/q33b: token-sort-keyed part-name pairs at threshold 85.
+    * Token-sort keys computed once per row, identical (brand, key) rows
+    * collapse to a representative before the O(nm)-DP pair join (same
+    * exact expansion scheme as partPairs: cross-group pairs inherit the
+    * representative score, intra-group pairs are exact duplicates at
+    * sim = 100), parameterized by the scorer so the indel tier (q33) and
+    * its SQL-expressible Levenshtein twin (q33b) can never drift apart
+    * structurally.
+    */
+  private def tokenSortKeyPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {
+    val p = Tables(spark, dir).part
+      .select(col("p_partkey"), col("p_brand"),
+        Similarity.tokenSortKey(col("p_name")).as("tsk"))
+    val groups0 = p.groupBy("p_brand", "tsk")
+      .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
+    val groups = dropOversizedBrands(groups0).localCheckpoint()
+    val l = groups.select(col("p_brand"), col("tsk").as("tsk_l"), col("ids").as("ids_l"))
+    val r = groups.select(col("p_brand").as("brand_r"), col("tsk").as("tsk_r"), col("ids").as("ids_r"))
+    val crossKey = l.join(r,
+        col("p_brand") === col("brand_r") && col("tsk_l") < col("tsk_r"))
+      .withColumn("sim", score(col("tsk_l"), col("tsk_r")))
+      .filter(col("sim") >= 85.0)
+      .select(explode(col("ids_l")).as("id_l"), col("ids_r"), col("sim"))
+      .select(col("id_l"), explode(col("ids_r")).as("id_r"), col("sim"))
+      .select(least(col("id_l"), col("id_r")).as("src"),
+        greatest(col("id_l"), col("id_r")).as("dst"), col("sim"))
+    val intra = groups.filter(col("n") > 1)
+      .select(explode(col("ids")).as("id_l"), col("ids"))
+      .select(col("id_l"), explode(col("ids")).as("id_r"))
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l").as("src"), col("id_r").as("dst"), lit(100.0).as("sim"))
+    crossKey.unionByName(intra)
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------------
@@ -481,33 +517,8 @@ object ReferenceOps {
     GraftQuery(
       "q33_indel_pairs",
       None,
-      (spark, dir) => {
-        // token-sort keys computed once per row, then identical (brand,
-        // key) rows collapse to a representative before the indel-DP pair
-        // join (same exact expansion scheme as partPairs)
-        val p = Tables(spark, dir).part
-          .select(col("p_partkey"), col("p_brand"),
-            Similarity.tokenSortKey(col("p_name")).as("tsk"))
-        val groups0 = p.groupBy("p_brand", "tsk")
-          .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
-        val groups = dropOversizedBrands(groups0).localCheckpoint()
-        val l = groups.select(col("p_brand"), col("tsk").as("tsk_l"), col("ids").as("ids_l"))
-        val r = groups.select(col("p_brand").as("brand_r"), col("tsk").as("tsk_r"), col("ids").as("ids_r"))
-        val crossKey = l.join(r,
-            col("p_brand") === col("brand_r") && col("tsk_l") < col("tsk_r"))
-          .withColumn("sim", Similarity.indelRatioFast(col("tsk_l"), col("tsk_r"), 85.0))
-          .filter(col("sim") >= 85.0)
-          .select(explode(col("ids_l")).as("id_l"), col("ids_r"), col("sim"))
-          .select(col("id_l"), explode(col("ids_r")).as("id_r"), col("sim"))
-          .select(least(col("id_l"), col("id_r")).as("src"),
-            greatest(col("id_l"), col("id_r")).as("dst"), col("sim"))
-        val intra = groups.filter(col("n") > 1)
-          .select(explode(col("ids")).as("id_l"), col("ids"))
-          .select(col("id_l"), explode(col("ids")).as("id_r"))
-          .filter(col("id_l") < col("id_r"))
-          .select(col("id_l").as("src"), col("id_r").as("dst"), lit(100.0).as("sim"))
-        crossKey.unionByName(intra)
-      }),
+      (spark, dir) => tokenSortKeyPairs(spark, dir,
+        (a, b) => Similarity.indelRatioFast(a, b, 85.0))),
 
     // ------------------------------------------------------------------
     // q33b: the SQL-expressible tier of the q33 family — token-sorted
@@ -536,29 +547,7 @@ object ReferenceOps {
         WHERE 100.0 * (1.0 - CAST(levenshtein(a.tsk, b.tsk) AS DOUBLE)
                        / CAST(greatest(length(a.tsk), length(b.tsk), 1) AS DOUBLE)) >= 85.0
       """.trim),
-      (spark, dir) => {
-        val p = Tables(spark, dir).part
-          .select(col("p_partkey"), col("p_brand"),
-            Similarity.tokenSortKey(col("p_name")).as("tsk"))
-        val groups0 = p.groupBy("p_brand", "tsk")
-          .agg(collect_list(col("p_partkey")).as("ids"), count(lit(1)).as("n"))
-        val groups = dropOversizedBrands(groups0).localCheckpoint()
-        val l = groups.select(col("p_brand"), col("tsk").as("tsk_l"), col("ids").as("ids_l"))
-        val r = groups.select(col("p_brand").as("brand_r"), col("tsk").as("tsk_r"), col("ids").as("ids_r"))
-        val crossKey = l.join(r,
-            col("p_brand") === col("brand_r") && col("tsk_l") < col("tsk_r"))
-          .withColumn("sim", Similarity.levRatioFast(col("tsk_l"), col("tsk_r"), 85.0))
-          .filter(col("sim") >= 85.0)
-          .select(explode(col("ids_l")).as("id_l"), col("ids_r"), col("sim"))
-          .select(col("id_l"), explode(col("ids_r")).as("id_r"), col("sim"))
-          .select(least(col("id_l"), col("id_r")).as("src"),
-            greatest(col("id_l"), col("id_r")).as("dst"), col("sim"))
-        val intra = groups.filter(col("n") > 1)
-          .select(explode(col("ids")).as("id_l"), col("ids"))
-          .select(col("id_l"), explode(col("ids")).as("id_r"))
-          .filter(col("id_l") < col("id_r"))
-          .select(col("id_l").as("src"), col("id_r").as("dst"), lit(100.0).as("sim"))
-        crossKey.unionByName(intra)
-      })
+      (spark, dir) => tokenSortKeyPairs(spark, dir,
+        (a, b) => Similarity.levRatioFast(a, b, 85.0)))
   )
 }
