@@ -45,10 +45,11 @@ object PageRank {
     // empty-graph return — an eager checkpoint before it would do wasted
     // jobs on degenerate input) — the iteration then pays a single join
     // over the checkpointed edge table. (A count-over-src window — "one
-    // shuffle, no join" — was tried here and measured ~2× slower
-    // end-to-end: the window's global sort+buffer of the full edge set
-    // costs more than the partial-agg shuffle of distinct keys plus the
-    // join it replaces.)
+    // shuffle, no join" — was tried here and showed no improvement; its
+    // reading sat inside q80's large cross-process spread, see
+    // docs/BENCH_NOTES.md, and the window's full-edge-set sort+buffer has
+    // no scale advantage over the partial-agg shuffle + join, so the
+    // simpler original shape is kept.)
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
     // ranks are node-sized; checkpointed frames carry no stats, so hint
