@@ -19,6 +19,8 @@ import graft.operators.{Integrity, Packing}
   *  3. decontamination: drop documents sharing ≥ `contamGrams` distinct
   *     5-gram spans with the benchmark set (the q59 shape: benchmark
   *     grams broadcast, corpus side stays partitioned);
+  *     (3b, optional) per-source cap — the q112 stage, bounding any one
+  *     domain's contribution to `maxPerSource` surviving docs;
   *  4. packing: token-count prefix sum → fixed-budget training shards
   *     ([[Packing.packSequences]], the two-pass distributed scan);
   *  5. manifest: per-shard doc/token counts + order-independent content
@@ -43,22 +45,32 @@ object CorpusCuration {
         * (null for empty docs — they occupy no sequence)
         */
       kept: DataFrame,
-      /** (id, stage) — stage ∈ quality | dedup | decontamination */
+      /** (id, stage) — stage ∈ quality | dedup | decontamination |
+        * source_cap (last only when `maxPerSource` is set)
+        */
       dropped: DataFrame,
       /** per-shard (shard, n_docs, n_tokens, xor_hash, sum_hash) */
       manifest: DataFrame,
       /** (stage, n) attrition counts + a final `kept` row */
       funnel: DataFrame)
 
-  /** @param docs  (id: long, text: string), ids unique
+  /** @param docs  (id: long, text: string), ids unique; must also carry
+    *              `sourceCol` when `maxPerSource` is set
     * @param bench benchmark/eval documents (id: long, text: string) —
     *              the contamination reference, small enough to broadcast
     *              as distinct 5-grams (eval suites are KBs against a
     *              corpus of TBs; that asymmetry is the whole design)
+    * @param maxPerSource optional per-domain cap (the q112 stage): after
+    *              decontamination, keep only the top-`maxPerSource`
+    *              surviving docs per `sourceCol` by token count (id asc
+    *              tiebreak — the q112 total order), so one over-crawled
+    *              domain cannot flood the shard mix. None = stage off,
+    *              contract unchanged.
     */
   def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
       threshold: Double = 0.8, contamGrams: Long = 2L,
-      shardBudget: Long = 4096L): Result = {
+      shardBudget: Long = 4096L, maxPerSource: Option[Int] = None,
+      sourceCol: String = "source"): Result = {
     // score once, pin once: the gate, the drop record, and the packing
     // weights all read this frame
     val scored = docs.select(col("id"), col("text"),
@@ -94,7 +106,29 @@ object CorpusCuration {
       .filter(col("n_shared") >= contamGrams)
       .select("id")
     val decontamDrop = contaminated.select(col("id"), lit("decontamination").as("stage"))
-    val clean = keep.join(contaminated, Seq("id"), "left_anti")
+    val clean0 = keep.join(contaminated, Seq("id"), "left_anti")
+
+    // ---- 3b. optional per-source cap (the q112 stage, same rank-limit-
+    // pushdown plan: Partial WindowGroupLimit bounds every map task at
+    // maxPerSource rows per source before the shuffle). Runs AFTER dedup
+    // and decontamination so the cap's budget is spent on unique, clean
+    // documents, not on copies about to be dropped anyway.
+    val (clean, capDrop) = maxPerSource match {
+      case None => (clean0, None)
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol))
+          .orderBy(col("wt").desc, col("id").asc)
+        val ranked = clean0
+          .join(docs.select(col("id"), col(sourceCol)), "id")
+          .join(scored.select(col("id"), col("wt")), "id")
+          .withColumn("__rnk", row_number().over(w))
+        val kept = ranked.filter(col("__rnk") <= cap)
+          .select(clean0.columns.map(col): _*)
+        val drop = ranked.filter(col("__rnk") > cap)
+          .select(col("id"), lit("source_cap").as("stage"))
+        (kept, Some(drop))
+    }
 
     // ---- 4. packing into fixed-budget shards (ascending-id = ingest
     // order; easiest-first curriculum order is the q108 variant)
@@ -114,7 +148,8 @@ object CorpusCuration {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_subwords")).as("n_tokens") +: Integrity.digestAggs("h"): _*)
 
-    val dropped = qDrop.unionByName(dedupDrop).unionByName(decontamDrop)
+    val dropped = capDrop.foldLeft(
+      qDrop.unionByName(dedupDrop).unionByName(decontamDrop))(_ unionByName _)
     val funnel = dropped.groupBy("stage").agg(count(lit(1)).as("n"))
       .unionByName(kept.groupBy(lit("kept").as("stage")).agg(count(lit(1)).as("n")))
     Result(kept, dropped, manifest, funnel)

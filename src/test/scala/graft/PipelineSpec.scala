@@ -243,4 +243,28 @@ class PipelineSpec extends SparkSpec {
     assert(r.manifest.exceptAll(r2.manifest).isEmpty
       && r2.manifest.exceptAll(r.manifest).isEmpty)
   }
+
+  test("corpus curation per-source cap bounds every domain and stays additive") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables(spark, sfDir).documents
+    val corpus = d.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("id"), col("text"), col("source"))
+    val bench = d.filter(col("doc_id") < 10).select(col("doc_id").as("id"), col("text"))
+    val cap = 3
+    val r = graft.pipeline.CorpusCuration.run(spark, corpus, bench,
+      maxPerSource = Some(cap))
+    // additive funnel still holds with the extra stage
+    assert(corpus.count() == r.kept.count() + r.dropped.count())
+    val stages = r.dropped.select("stage").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stages.contains("source_cap"), stages.toString)
+    // no source exceeds the cap among kept docs
+    val over = r.kept.join(corpus.select("id", "source"), "id")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).collect()
+    assert(over.isEmpty, over.mkString(", "))
+    // capped run keeps a subset of the uncapped run's documents
+    val uncapped = graft.pipeline.CorpusCuration.run(spark, corpus.drop("source"), bench)
+    assert(r.kept.select("id").exceptAll(uncapped.kept.select("id")).isEmpty)
+  }
 }
