@@ -61,9 +61,19 @@ object Bench {
     // the stdout line is one giant JSON object and a tail-capture can
     // truncate it (round 3 lost q01-q14 + the total that way) — persist
     // the artifact losslessly as well
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, line + "\n")
+    // two copies: target/ for tooling, docs/ because target/ is gitignored —
+    // committing docs/bench_latest.json makes the full per-query map part of
+    // the durable record even when the driver's tail-capture truncates.
+    // Subset runs skip the docs copy: a partial map must not masquerade as
+    // the full-suite record.
+    val dests =
+      if (args.isEmpty) Seq("target/bench.json", "docs/bench_latest.json")
+      else Seq("target/bench.json")
+    dests.foreach { p =>
+      val out = java.nio.file.Paths.get(p)
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    }
     spark.stop()
   }
 }

