@@ -229,4 +229,68 @@ object BpeTrainer {
     $steps
     $out""".trim
   }
+
+  /** DuckDB twin of the ENCODE path: the same `nMerges` unrolled training
+    * iterations, but the word chain carries the word itself so the final
+    * `w$nMerges` doubles as the distinct-word tokenization table —
+    * train-then-apply in one statement. The per-document scoring joins
+    * the document word stream against that table, mirroring the engine's
+    * tokenize-each-distinct-word-once shape (the oracle cannot collect a
+    * merge table out of band, so it re-derives it inline; q110 already
+    * proves the two derivations agree rank-for-rank).
+    */
+  def encodeSql(nMerges: Int): String = {
+    def mergeApply: String = s"""
+      list_filter(string_split(
+        CASE WHEN st.c IS NULL THEN st.o ELSE st.o || chr(31) || st.c END,
+        chr(31)), x -> x <> '')"""
+    def lifted = s"[struct_pack(o := '', c := s) for s in syms]"
+    def step(l: String, r: String): String = s"""(a, b) ->
+        CASE WHEN a.c IS NULL THEN struct_pack(o := a.o, c := b.c)
+             WHEN a.c = $l AND b.c = $r
+               THEN struct_pack(o := a.o || chr(31) || $l || $r, c := CAST(NULL AS VARCHAR))
+             ELSE struct_pack(o := a.o || chr(31) || a.c, c := b.c) END"""
+    val steps = (1 to nMerges).map { i =>
+      s"""b$i AS (
+      SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS pf FROM (
+        SELECT freq,
+               unnest([struct_pack(l := syms[p], r := syms[p + 1])
+                       for p in generate_series(1, len(syms) - 1)]) AS pr
+        FROM w${i - 1})
+      GROUP BY pr.l, pr.r
+      ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+    w$i AS (
+      SELECT word, freq, $mergeApply AS syms FROM (
+        SELECT w.word, w.freq,
+               list_reduce($lifted, ${step("bi.l", "bi.r")}) AS st
+        FROM w${i - 1} w CROSS JOIN b$i bi))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(COALESCE(text, ''), '\\s+')) AS word
+        FROM documents)
+      WHERE length(word) > 0 GROUP BY word),
+    w0 AS (
+      SELECT word, freq,
+             [word[p] for p in generate_series(1, length(word))] || ['$EndOfWord'] AS syms
+      FROM words),
+    $steps,
+    enc AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_toks,
+             CAST(length(word) + 1 AS BIGINT) AS raw_syms
+      FROM w$nMerges),
+    docw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(COALESCE(text, ''), '\\s+')) AS word
+        FROM documents)
+      WHERE length(word) > 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(raw_syms) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 6)
+             AS compression
+    FROM docw JOIN enc USING (word)
+    GROUP BY doc_id""".trim
+  }
 }

@@ -630,5 +630,40 @@ object CurationOps {
     GraftQuery("q110_bpe_vocab",
       Some(graft.operators.BpeTrainer.unrolledSql(nMerges = 10)),
       (spark, dir) => graft.operators.BpeTrainer.train(
-        Tables(spark, dir).documents.select(col("text")), "text", nMerges = 10)))
+        Tables(spark, dir).documents.select(col("text")), "text", nMerges = 10)),
+    // q117: BPE ENCODE — the trained tokenizer applied back to the
+    // corpus, per-document token counts + compression vs the raw
+    // char+sentinel symbol stream (the number curation actually budgets
+    // on: post-merge tokens, not whitespace words). Scale shape:
+    // tokenization runs ONCE PER DISTINCT WORD (the Zipf collapse the
+    // trainer itself uses) and the results join back to the doc→word
+    // stream — tokenize cost ∝ |vocab|, never ∝ corpus; the merge table
+    // is a bounded driver-side collect (10 rows, by contract). Counts
+    // are exact long sums, the ratio one deterministic double division,
+    // so the oracle (which re-derives the same merge table inline —
+    // q110 proves rank-for-rank agreement) hash-matches bit-for-bit.
+    GraftQuery("q117_bpe_encode",
+      Some(graft.operators.BpeTrainer.encodeSql(nMerges = 10)),
+      (spark, dir) => {
+        import graft.operators.BpeTrainer
+        val docs = Tables(spark, dir).documents
+        val merges = BpeTrainer.train(docs.select(col("text")), "text", nMerges = 10)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val words = docs
+          .select(col("doc_id"),
+            explode(split(coalesce(col("text"), lit("")), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        val dw = words.select("word").distinct()
+          .withColumn("syms",
+            BpeTrainer.applyMerges(BpeTrainer.charSyms(col("word")), merges))
+          .select(col("word"), size(col("syms")).cast("long").as("n_toks"),
+            (length(col("word")) + 1).cast("long").as("raw_syms"))
+        words.join(dw, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_toks")).as("n_bpe_tokens"),
+            round(sum(col("raw_syms")).cast(DoubleType)
+              / sum(col("n_toks")).cast(DoubleType), 6).as("compression"))
+      }))
 }

@@ -141,4 +141,22 @@ class BpeSpec extends SparkSpec {
       .orderBy("rank").collect().toSeq
     assert(a == b)
   }
+
+  test("q117 encode: covers every wordful doc; tokens bounded by raw symbols") {
+    val rows = SparkEntry.queries("q117_bpe_encode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nToks, comp) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // each word yields between 1 and len+1 symbols; 10 merges can only shrink
+      assert(nToks >= nWords, s"each word is at least one token: $r")
+      assert(comp >= 1.0, s"merges cannot expand the symbol stream: $r")
+    }
+    // coverage: exactly the docs with >= 1 whitespace word
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(size(org.apache.spark.sql.functions.filter(
+        split(coalesce(col("text"), lit("")), "\\s+"),
+        x => length(x) > 0)).as("n"))
+      .filter(col("n") >= 1).count()
+    assert(rows.length.toLong == expected)
+  }
 }
