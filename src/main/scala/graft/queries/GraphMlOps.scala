@@ -41,21 +41,39 @@ object GraphMlOps {
   // stream is never materialized as rows. The DuckDB twin keeps the
   // equivalent wedge-join formulation (same count by construction;
   // GraphMlSpec pins both against the naive count).
-  private def triangleCount(spark: SparkSession, dir: String) = {
+  /** Distinct undirected co-purchase edges (u < v) among parts sharing a
+    * basket, baskets > 100 items excluded by the q80 contract. Checkpoint
+    * PINNED — every caller fans it into 3+ consumers (degrees, orientation,
+    * counts), and unpinned re-execution of the basket self-join was the
+    * bulk of q113's original 15.6 s.
+    */
+  private def basketEdges(spark: SparkSession, dir: String) = {
     val li0 = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
     val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= 100).select("l_orderkey")
     val li = li0.join(ok, "l_orderkey").distinct()
-    // ed feeds four consumers (deg, oe, the edge count) and oe three
-    // (both wedge sides + the closure probe) — pin each once or the
-    // basket self-join + distinct re-executes per consumer (this was
-    // 15.6 s unpinned at sf0.1, ~3x the single-pass cost)
-    val ed = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey")
           && col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** SQL twin of [[basketEdges]]: CTE bodies `ok`, `li`, `ed`. */
+  private val basketEdgesCte: String = """ok AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) <= 100),
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM ok)),
+    ed AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)"""
+
+  private def triangleCount(spark: SparkSession, dir: String) = {
+    val ed = basketEdges(spark, dir)
     val deg = ed.select(col("u").as("id")).unionAll(ed.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val keyU = struct(col("du.d"), col("u"))
@@ -104,17 +122,8 @@ object GraphMlOps {
       .crossJoin(tri)
   }
 
-  private val triangleCountSql: String = """
-    WITH ok AS (
-      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) <= 100),
-    li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey IN (SELECT l_orderkey FROM ok)),
-    ed AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2),
+  private val triangleCountSql: String = s"""
+    WITH $basketEdgesCte,
     deg AS (
       SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
         SELECT u AS id FROM ed UNION ALL SELECT v FROM ed) GROUP BY id),
@@ -307,9 +316,208 @@ object GraphMlOps {
            round(2.0 * (mean_nsq - mu_nsq), 6) AS diversity
     FROM m2 JOIN munorm USING (label)""".trim
 
+  // --------------------------------------------------------------------
+  // q118: label-propagation communities over the STRONG co-purchase
+  // graph — pairs co-bought in >= 2 distinct orders (the w>=2 cut drops
+  // the 1.2M-edge hairball to ~3.5k statistically-meaningful edges at
+  // sf0.1; one-off co-occurrence is noise at every scale). Four
+  // synchronous, deterministic rounds (operators.LabelPropagation: mode
+  // label, min-label ties), then community sizes. Unlike connected
+  // components, a bridge edge does not merge two dense clusters. The
+  // DuckDB twin unrolls the same rounds as chained CTEs.
+  private def lpaCommunities(spark: SparkSession, dir: String) = {
+    val li0 = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    val strong = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("src", "dst")
+    graft.operators.LabelPropagation.run(strong, iters = 4)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .filter(col("n_nodes") >= 2)
+  }
+
+  private val lpaCommunitiesSql: String = s"""
+    WITH ok AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) <= 100),
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM ok)),
+    sed AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    ${graft.operators.LabelPropagation.unrolledSql(4)}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l4 GROUP BY lbl HAVING COUNT(*) >= 2""".trim
+
+  // --------------------------------------------------------------------
+  // q119: local clustering coefficient — 2T(v)/(d(v)·(d(v)−1)), the
+  // per-node "how clique-like is my neighborhood" score, top-20. Reuses
+  // q113's oriented adjacency-intersection machinery, but keeps the
+  // WITNESS SETS: each oriented edge (a, b) contributes |adj(a)∩adj(b)|
+  // to a and b and one count to every witness — per-node totals are one
+  // union + keyed sum over rows ∝ 3·#triangles (the irreducible output
+  // of per-node counting; the wedge stream still never materializes).
+  // Top-20 follows the q76 rule: distributed sort+limit BEFORE the rank
+  // window.
+  private def clusteringCoeff(spark: SparkSession, dir: String) = {
+    val ed = basketEdges(spark, dir)
+    val deg = ed.select(col("u").as("id")).unionAll(ed.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val keyU = struct(col("du.d"), col("u"))
+    val keyV = struct(col("dv.d"), col("v"))
+    val oe = ed
+      .join(deg.as("du"), col("u") === col("du.id"))
+      .join(deg.as("dv"), col("v") === col("dv.id"))
+      .select(
+        when(keyU < keyV, col("u")).otherwise(col("v")).as("a"),
+        when(keyU < keyV, col("v")).otherwise(col("u")).as("b"),
+        when(keyU < keyV, shiftleft(col("dv.d"), 40) + col("v"))
+          .otherwise(shiftleft(col("du.d"), 40) + col("u")).as("brank"))
+      .localCheckpoint()
+    val edgeCount = ed.count()
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      if (edgeCount <= 6000000L) broadcast(df) else df
+    val adj = oe.groupBy(col("a").as("id")).agg(collect_list(col("brank")).as("nbr"))
+      .localCheckpoint() // built once, broadcast twice
+    // one pass, no materialized witness frame: each edge emits its a- and
+    // b-side totals AND one row per witness from a single explode (an
+    // intermediate checkpoint + 3-way union re-read of the witness arrays
+    // benched 12.5 s; this shape removes both)
+    val incr = oe
+      .join(hinted(adj.toDF("a", "na")), Seq("a"))
+      .join(hinted(adj.toDF("b", "nb")), Seq("b"))
+      .select(col("a"), col("b"), array_intersect(col("na"), col("nb")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(explode(concat(
+        array(
+          struct(col("a").as("id"), size(col("ws")).cast("long").as("t")),
+          struct(col("b").as("id"), size(col("ws")).cast("long").as("t"))),
+        transform(col("ws"), w => struct((w % lit(1L << 40)).as("id"), lit(1L).as("t")))))
+        .as("e"))
+      .select(col("e.id"), col("e.t"))
+    val tpn = incr.groupBy("id").agg(sum(col("t")).as("tri"))
+    deg.filter(col("d") >= 2)
+      .join(tpn, Seq("id"), "left")
+      .select(col("id").as("part"), col("d"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round(coalesce(col("tri"), lit(0L)).cast(DoubleType) * lit(2.0)
+          / (col("d") * (col("d") - 1)).cast(DoubleType), 6).as("coeff"))
+      .orderBy(col("coeff").desc, col("part").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("coeff").desc, col("part").asc)))
+  }
+
+  private val clusteringCoeffSql: String = s"""
+    WITH $basketEdgesCte,
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM ed UNION ALL SELECT v FROM ed) GROUP BY id),
+    oe AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS a,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS b,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS bdeg
+      FROM ed JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM oe e1
+      JOIN oe e2 ON e1.a = e2.a AND (e1.bdeg, e1.b) < (e2.bdeg, e2.b)
+      JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b),
+    incr AS (
+      SELECT x AS id FROM tris UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris),
+    tpn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM incr GROUP BY id)
+    SELECT part, d, tri, coeff, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT deg.id AS part, d, COALESCE(tri, 0) AS tri,
+             round(CAST(COALESCE(tri, 0) AS DOUBLE) * 2.0
+                   / CAST(d * (d - 1) AS DOUBLE), 6) AS coeff,
+             ROW_NUMBER() OVER (
+               ORDER BY round(CAST(COALESCE(tri, 0) AS DOUBLE) * 2.0
+                              / CAST(d * (d - 1) AS DOUBLE), 6) DESC,
+                        deg.id ASC) AS rn
+      FROM deg LEFT JOIN tpn ON tpn.id = deg.id
+      WHERE d >= 2)
+    WHERE rn <= 20""".trim
+
+  // --------------------------------------------------------------------
+  // q120: Zipf-law fit of the token frequency distribution — the
+  // log-log least-squares slope over the top-1000 ranks, plus how much
+  // of the corpus those ranks cover. The canonical sanity check on any
+  // new text source (natural language sits near slope −1; templated or
+  // machine-generated text doesn't). Token counts are one map-side-
+  // combined aggregate; the top-1000 is a distributed sort+limit (q76
+  // rule); the regression sums are decimal-exact so the closed-form
+  // slope/intercept arithmetic — written as the same expression tree on
+  // both engines — is bit-identical.
+  private def zipfFit(spark: SparkSession, dir: String) = {
+    val tok = Tables(spark, dir).documents
+      .select(explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)).as("token"))
+    val ct = tok.groupBy("token").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val totals = ct.agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n_total"))
+    val top = ct.orderBy(col("cnt").desc, col("token").asc).limit(1000)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+      .withColumn("x", log(col("r").cast(DoubleType)))
+      .withColumn("y", log(col("cnt").cast(DoubleType)))
+    val stats = top.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("x"), 12).as("sx"), dsum(col("y"), 12).as("sy"),
+      dsum(col("x") * col("y"), 12).as("sxy"),
+      dsum(col("x") * col("x"), 12).as("sxx"),
+      sum(col("cnt")).as("top_cnt"))
+    val t1 = stats.withColumn("slope",
+      (col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")))
+    t1.crossJoin(broadcast(totals))
+      .select(col("n_distinct"),
+        round(col("slope"), 6).as("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 6).as("intercept"),
+        round(col("top_cnt").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
+          .as("top1000_share"))
+  }
+
+  private val zipfFitSql: String = s"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents),
+    ct AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(cnt) AS BIGINT) AS n_total
+      FROM ct),
+    top AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y, cnt FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r FROM ct)
+      WHERE r <= 1000),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             ${dsumSql("x", 12)} AS sx, ${dsumSql("y", 12)} AS sy,
+             ${dsumSql("x * y", 12)} AS sxy, ${dsumSql("x * x", 12)} AS sxx,
+             CAST(SUM(cnt) AS BIGINT) AS top_cnt
+      FROM top),
+    t1 AS (
+      SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM stats)
+    SELECT n_distinct, round(slope, 6) AS slope,
+           round((sy - slope * sx) / n, 6) AS intercept,
+           round(CAST(top_cnt AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS top1000_share
+    FROM t1 CROSS JOIN totals""".trim
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q113_triangle_count", Some(triangleCountSql), triangleCount),
     GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
     GraftQuery("q115_centroid_classify", Some(centroidClassifySql), centroidClassify),
-    GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity))
+    GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity),
+    GraftQuery("q118_lpa_communities", Some(lpaCommunitiesSql), lpaCommunities),
+    GraftQuery("q119_clustering_coeff", Some(clusteringCoeffSql), clusteringCoeff),
+    GraftQuery("q120_zipf_fit", Some(zipfFitSql), zipfFit))
 }

@@ -80,6 +80,85 @@ class GraphMlSpec extends SparkSpec {
       "centroids must broadcast")
   }
 
+  // --------------------------------------------------------------- q118
+  test("q118 LPA: deterministic communities; disjoint nodes; density-respecting") {
+    val rows = q("q118_lpa_communities").collect()
+    assert(rows.nonEmpty, "strong graph must yield at least one community")
+    rows.foreach(r => assert(r.getLong(1) >= 2))
+    // rerun → identical (synchronous rounds + min-label ties are pure)
+    assert(q("q118_lpa_communities").collect().toSeq == rows.toSeq)
+    // communities partition a subset of nodes: sizes sum to <= node count
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    val nodes = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= nodes)
+  }
+
+  // --------------------------------------------------------------- q119
+  test("q119 clustering coefficient: in [0,1]; per-node counts match brute force") {
+    val rows = q("q119_clustering_coeff").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (d, tri, coeff) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(coeff >= 0.0 && coeff <= 1.0, s"coeff out of range: $r")
+      assert(tri <= d * (d - 1) / 2, s"more triangles than wedges: $r")
+    }
+    // brute-force per-node triangle membership for the reported nodes
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+      .createOrReplaceTempView("cc_ed")
+    val perNode = spark.sql("""
+      SELECT id, COUNT(*) AS tri FROM (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM cc_ed e1
+        JOIN cc_ed e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN cc_ed e3 ON e3.u = e1.v AND e3.v = e2.v)
+      LATERAL VIEW explode(array(x, y, z)) t AS id GROUP BY id""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(perNode.getOrElse(r.getLong(0), 0L) == r.getLong(2),
+        s"per-node triangle mismatch for part ${r.getLong(0)}")
+    }
+  }
+
+  // --------------------------------------------------------------- q120
+  test("q120 Zipf fit: negative slope; matches a local double-precision fit") {
+    val row = q("q120_zipf_fit").collect().head
+    val (nd, slope, intercept, share) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(nd > 0 && share > 0.0 && share <= 1.0)
+    assert(slope < 0.0, s"token frequencies must decay with rank: $slope")
+    // independent local fit (plain double sums — tolerance, not equality)
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(org.apache.spark.sql.functions.filter(
+        split(lower(trim(col("text"))), "\\s+"), x => length(x) > 0)).as("t"))
+      .groupBy("t").count().collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(1000).zipWithIndex
+    val xs = top.map { case (_, i) => math.log(i + 1.0) }
+    val ys = top.map { case ((_, c), _) => math.log(c.toDouble) }
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val lSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - lSlope) < 1e-6, s"$slope vs local $lSlope")
+    assert(math.abs(intercept - (sy - lSlope * sx) / n) < 1e-6)
+  }
+
   // --------------------------------------------------------------- q116
   test("q116 shard diversity: matches the O(n^2) pairwise mean on one label") {
     val rows = q("q116_shard_diversity").collect()
