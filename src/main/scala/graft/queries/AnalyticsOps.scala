@@ -461,7 +461,48 @@ object AnalyticsOps {
     SELECT event_id, user_id, event_type, ms
     FROM t WHERE prev_ms IS NULL OR ms - prev_ms > 3600000""".trim
 
+  // --------------------------------------------------------------------
+  // q121: per-user EWMA of event values — the sequential recurrence
+  // s_t = α·x_t + (1−α)·s_{t−1} (s_1 = x_1, α = 0.2) that windows and
+  // joins cannot express but a per-key ordered fold can: one shuffle
+  // gathers each user's (ms, event_id, value) timeline into a sorted
+  // in-row array, then `aggregate` folds it left-to-right. The DuckDB
+  // twin's `list_reduce` seeds with the FIRST element — exactly s_1 —
+  // and both folds are strict left-to-right over the identically-sorted
+  // list with the identical two-multiply-one-add step, so the doubles
+  // agree bit-for-bit (multiplications and additions are individually
+  // exactly-rounded; only REASSOCIATED sums diverge, and a fold fixes
+  // the association). State is bounded by per-key history — at 100 TB a
+  // production run would pre-filter the timeline to the decay horizon
+  // (after ~40 terms the α = 0.2 weight is < 1e-4) before the gather;
+  // the recurrence itself never leaves the row.
+  private def ewmaValue(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val a = lit(0.2); val b = lit(0.8)
+    Tables(spark, dir).events
+      .select(col("user_id"),
+        struct(unix_millis(col("ts").cast("timestamp")).as("ms"),
+          col("event_id"), col("value")).as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(col("es"), lit(null).cast(DoubleType),
+          (acc, x) => when(acc.isNull, x.getField("value"))
+            .otherwise(a * x.getField("value") + b * acc)), 6).as("ewma"))
+  }
+
+  private val ewmaValueSql: String = """
+    WITH ordered AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(value ORDER BY epoch_ms(ts) ASC, event_id ASC) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           round(list_reduce(vals,
+             (a, b) -> CAST(0.2 AS DOUBLE) * b + CAST(0.8 AS DOUBLE) * a), 6) AS ewma
+    FROM ordered""".trim
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
     GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
     GraftQuery("q91_rolling_activity", Some(rollingActivitySql), rollingActivity),

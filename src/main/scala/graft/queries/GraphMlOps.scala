@@ -512,6 +512,130 @@ object GraphMlOps {
              AS top1000_share
     FROM t1 CROSS JOIN totals""".trim
 
+  // --------------------------------------------------------------------
+  // q122: degree assortativity (Newman 2002) of the co-purchase graph —
+  // do high-degree parts co-occur with other high-degree parts? One
+  // edges⋈degrees⋈degrees join and ONE aggregate row: every sum term
+  // (j·k, j+k, j²+k²) is an exact LONG, so no decimal casts are needed
+  // anywhere — the only doubles are the final closed-form divisions,
+  // written as the identical expression tree on both engines. The
+  // cheapest global graph statistic in the suite: cost = one scan of the
+  // edge list.
+  private def degreeAssortativity(spark: SparkSession, dir: String) = {
+    val ed = basketEdges(spark, dir)
+    val deg = ed.select(col("u").as("id")).unionAll(ed.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val terms = ed
+      .join(deg.as("du"), col("u") === col("du.id"))
+      .join(deg.as("dv"), col("v") === col("dv.id"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("du.d") * col("dv.d")).as("sjk"),
+        sum(col("du.d") + col("dv.d")).as("sj"),
+        sum(col("du.d") * col("du.d") + col("dv.d") * col("dv.d")).as("ssq"))
+    val mD = col("m").cast(DoubleType)
+    val half = col("sj").cast(DoubleType) / (lit(2.0) * mD)
+    terms.select(col("m").as("n_edges"),
+      round((col("sjk").cast(DoubleType) / mD - half * half)
+        / (col("ssq").cast(DoubleType) / (lit(2.0) * mD) - half * half), 6)
+        .as("assortativity"))
+  }
+
+  private val degreeAssortativitySql: String = s"""
+    WITH $basketEdgesCte,
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM ed UNION ALL SELECT v FROM ed) GROUP BY id),
+    terms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(du.d * dv.d) AS BIGINT) AS sjk,
+             CAST(SUM(du.d + dv.d) AS BIGINT) AS sj,
+             CAST(SUM(du.d * du.d + dv.d * dv.d) AS BIGINT) AS ssq
+      FROM ed JOIN deg du ON du.id = ed.u JOIN deg dv ON dv.id = ed.v)
+    SELECT m AS n_edges,
+           round((CAST(sjk AS DOUBLE) / CAST(m AS DOUBLE)
+                  - (CAST(sj AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                    * (CAST(sj AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+                 / (CAST(ssq AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))
+                  - (CAST(sj AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                    * (CAST(sj AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))), 6)
+             AS assortativity
+    FROM terms""".trim
+
+  // --------------------------------------------------------------------
+  // q123: first principal component of the embedding table by THREE
+  // unrolled power iterations over the mean-centered scatter operator —
+  // PCA without ever materializing the 64×64 covariance (v ← Xᵀ(Xv),
+  // normalize), which at 100 TB is the only shape that exists: each
+  // iteration is two keyed aggregations over the exploded (vec_id, dim,
+  // xc) frame, with the 64-row v vector broadcast into a map-side join.
+  // Every reassociated sum (projections s, back-projections w, the norm)
+  // is decimal-exact, the centering means are decimal-exact, and the
+  // iteration count is fixed — so the "approximate numerical method" is
+  // bit-reproducible and the DuckDB twin (same 3 iterations as chained
+  // CTEs — the PageRank/IVF/BPE unroll move) hash-matches the loadings
+  // exactly. Sign follows the deterministic 0.125-constant init on both
+  // engines. eigval = ‖w₃‖/n estimates the top covariance eigenvalue.
+  private def pcaPower(spark: SparkSession, dir: String) = {
+    val dec = DecimalType(38, 12)
+    val emb = Tables(spark, dir).embeddings
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        col("x").cast(DoubleType).as("xd"))
+    val mu = ex.groupBy("dim")
+      .agg((dsum(col("xd"), 8) / count(lit(1)).cast(DoubleType)).as("m"))
+    val xc = ex.join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"), (col("xd") - col("m")).as("xc"))
+      .localCheckpoint() // 3 iterations × 2 consumers each
+    var v = mu.select(col("dim"), lit(0.125).cast(DoubleType).as("v"))
+    var nrm: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 3) {
+      val s = xc.join(broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(sum((col("xc") * col("v")).cast(dec)).cast(DoubleType).as("s"))
+      val w = xc.join(s, "vec_id")
+        .groupBy("dim")
+        .agg(sum((col("xc") * col("s")).cast(dec)).cast(DoubleType).as("w"))
+        .localCheckpoint() // feeds the norm and the next v
+      nrm = w.agg(sqrt(sum((col("w") * col("w")).cast(dec)).cast(DoubleType)).as("nrm"))
+      v = w.crossJoin(broadcast(nrm)).select(col("dim"), (col("w") / col("nrm")).as("v"))
+    }
+    val n = emb.count() // bounded: one long
+    v.crossJoin(broadcast(nrm))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v"), 6).as("loading"),
+        round(col("nrm") / lit(n.toDouble), 6).as("eigval"))
+  }
+
+  private val pcaPowerSql: String = {
+    def it(i: Int): String = s"""s$i AS (
+      SELECT vec_id, CAST(SUM(CAST(xc * v AS DECIMAL(38,12))) AS DOUBLE) AS s
+      FROM xc JOIN v${i - 1} USING (dim) GROUP BY vec_id),
+    w$i AS (
+      SELECT dim, CAST(SUM(CAST(xc * s AS DECIMAL(38,12))) AS DOUBLE) AS w
+      FROM xc JOIN s$i USING (vec_id) GROUP BY dim),
+    n$i AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$i),
+    v$i AS (SELECT dim, w / nrm AS v FROM w$i CROSS JOIN n$i)"""
+    s"""
+    WITH ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xd,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    mu AS (
+      SELECT dim, CAST(SUM(CAST(xd AS DECIMAL(38,8))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM ex GROUP BY dim),
+    xc AS (SELECT vec_id, ex.dim, xd - m AS xc FROM ex JOIN mu USING (dim)),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    v0 AS (SELECT DISTINCT dim, CAST(0.125 AS DOUBLE) AS v FROM ex),
+    ${it(1)},
+    ${it(2)},
+    ${it(3)}
+    SELECT CAST(dim AS BIGINT) AS dim, round(v, 6) AS loading,
+           round(nrm / CAST(n AS DOUBLE), 6) AS eigval
+    FROM v3 CROSS JOIN n3 CROSS JOIN cnt""".trim
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q113_triangle_count", Some(triangleCountSql), triangleCount),
     GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
@@ -519,5 +643,7 @@ object GraphMlOps {
     GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity),
     GraftQuery("q118_lpa_communities", Some(lpaCommunitiesSql), lpaCommunities),
     GraftQuery("q119_clustering_coeff", Some(clusteringCoeffSql), clusteringCoeff),
-    GraftQuery("q120_zipf_fit", Some(zipfFitSql), zipfFit))
+    GraftQuery("q120_zipf_fit", Some(zipfFitSql), zipfFit),
+    GraftQuery("q122_degree_assortativity", Some(degreeAssortativitySql), degreeAssortativity),
+    GraftQuery("q123_pca_power", Some(pcaPowerSql), pcaPower))
 }

@@ -254,4 +254,26 @@ class CurationAnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
   }
+
+  // --------------------------------------------------------------- q121
+  test("q121 EWMA: matches a local sequential recurrence per user") {
+    val rows = q("q121_ewma_value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    // recompute locally: sort each user's timeline, fold s = 0.2x + 0.8s
+    val ev = graft.core.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(1 - 1), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val local = ev.groupBy(_._1).map { case (u, es) =>
+      val vals = es.sortBy(e => (e._2, e._3)).map(_._4)
+      u -> (es.length.toLong,
+        math.rint(vals.reduceLeft((s, x) => 0.2 * x + 0.8 * s) * 1e6) / 1e6)
+    }
+    assert(rows.keySet == local.keySet)
+    local.foreach { case (u, (n, e)) =>
+      assert(rows(u)._1 == n, s"user $u count")
+      assert(math.abs(rows(u)._2 - e) < 1e-9, s"user $u ewma ${rows(u)._2} vs $e")
+    }
+  }
 }

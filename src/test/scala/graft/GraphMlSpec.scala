@@ -35,6 +35,12 @@ class GraphMlSpec extends SparkSpec {
       JOIN tri_ed e2 ON e2.u = e1.u AND e2.v > e1.v
       JOIN tri_ed e3 ON e3.u = e1.v AND e3.v = e2.v""").collect().head.getLong(0)
     assert(nTri == naive, s"oriented $nTri != naive $naive")
+    // the scale shape: adjacency arrays broadcast (measured gate), and no
+    // cartesian anywhere — every hop is an equi-join or an in-row intersect
+    val plan = q("q113_triangle_count").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastExchange"), "adjacency must broadcast under the gate")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in the census")
   }
 
   // --------------------------------------------------------------- q114
@@ -157,6 +163,63 @@ class GraphMlSpec extends SparkSpec {
     val lSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert(math.abs(slope - lSlope) < 1e-6, s"$slope vs local $lSlope")
     assert(math.abs(intercept - (sy - lSlope * sx) / n) < 1e-6)
+  }
+
+  // --------------------------------------------------------------- q122
+  test("q122 assortativity: in [-1,1]; matches the local Newman formula") {
+    val row = q("q122_degree_assortativity").collect().head
+    val (m, r) = (row.getLong(0), row.getDouble(1))
+    assert(m > 0 && r >= -1.0 && r <= 1.0)
+    // local recomputation from collected edges
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+    val d = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(m == edges.length.toLong)
+    val (sjk, sj, ssq) = edges.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (u, v)) =>
+      (a + d(u) * d(v), b + d(u) + d(v), c + d(u) * d(u) + d(v) * d(v))
+    }
+    val mD = m.toDouble
+    val half = sj.toDouble / (2.0 * mD)
+    val local = (sjk.toDouble / mD - half * half) / (ssq.toDouble / (2.0 * mD) - half * half)
+    assert(math.abs(r - local) < 1e-6, s"$r vs local $local")
+  }
+
+  // --------------------------------------------------------------- q123
+  test("q123 PCA: unit-norm loadings; matches a local power iteration") {
+    val rows = q("q123_pca_power").collect().sortBy(_.getLong(0))
+    assert(rows.length == 64)
+    val loadings = rows.map(_.getDouble(1))
+    val eig = rows.head.getDouble(2)
+    assert(eig > 0.0)
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-3, "v must be unit norm")
+    // local dense power iteration: same centering, same 3 iterations
+    val x = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = x.length
+    val dims = x.head.length
+    val mu = Array.tabulate(dims)(j => x.map(_(j)).sum / n)
+    val xcM = x.map(row => Array.tabulate(dims)(j => row(j) - mu(j)))
+    var v = Array.fill(dims)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to 3) {
+      val s = xcM.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val w = Array.tabulate(dims)(j => xcM.zip(s).map { case (row, si) => row(j) * si }.sum)
+      nrm = math.sqrt(w.map(t => t * t).sum)
+      v = w.map(_ / nrm)
+    }
+    rows.zip(v).foreach { case (r0, lv) =>
+      assert(math.abs(r0.getDouble(1) - lv) < 1e-4,
+        s"dim ${r0.getLong(0)}: ${r0.getDouble(1)} vs local $lv")
+    }
+    assert(math.abs(eig - nrm / n) < 1e-4, s"$eig vs local ${nrm / n}")
   }
 
   // --------------------------------------------------------------- q116
