@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[GraftQuery] =
     graft.queries.Relational.all ++ graft.queries.ReferenceOps.all ++
       graft.queries.LlmOps.all ++ graft.queries.CurationOps.all ++
-      graft.queries.AnalyticsOps.all ++ graft.queries.GraphMlOps.all
+      graft.queries.AnalyticsOps.all ++ graft.queries.GraphMlOps.all ++
+      graft.queries.StatsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -119,4 +119,44 @@ object Sampling {
     */
   def rankHashSql(keyExpr: String, salt: String = "graft-k"): String =
     hexPrefixHashSql(keyExpr, salt, 15)
+
+  /** Deterministic weighted sample WITHOUT replacement, top-k by the
+    * exponential race (Efraimidis–Spirakis 2006): each row draws
+    * t = −ln(u)/w from its salted-hash uniform u and the k smallest t win
+    * — inclusion probability proportional to weight, membership a pure
+    * function of (key, weight, salt). u = (h60 + 1)/2⁶⁰ ∈ (0, 1], so ln
+    * is finite; rows with weight <= 0 or NULL keys are excluded (no
+    * stable membership). One narrow projection + one distributed
+    * sort-limit — no window over the full input (q76 rule), no shuffle
+    * beyond the top-k reduction, which is exactly how the 100 TB variant
+    * runs (per-partition top-k then merge).
+    *
+    * @return the k winners + `race_t` (the sort key) + `sample_rank`
+    */
+  def weightedTopK(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      k: Int,
+      salt: String = "graft-w"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hexPrefixHash(key, salt, 15).cast("double") + lit(1.0)) /
+      lit(1152921504606846976.0) // 2^60
+    val t = -log(u) / weight.cast("double")
+    val ranked = df
+      .where(key.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("race_t", t)
+      .orderBy(col("race_t").asc, key.asc)
+      .limit(k)
+    ranked.withColumn("sample_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("race_t").asc, key.asc)))
+  }
+
+  /** SQL twin of [[weightedTopK]]'s race key (same u construction; add
+    * the weight > 0 / key NOT NULL guards and the (race_t, key) order).
+    */
+  def raceKeySql(keyExpr: String, weightExpr: String, salt: String = "graft-w"): String =
+    s"-ln((CAST(${hexPrefixHashSql(keyExpr, salt, 15)} AS DOUBLE) + 1.0) " +
+      s"/ 1152921504606846976.0) / CAST($weightExpr AS DOUBLE)"
 }

@@ -636,6 +636,181 @@ object GraphMlOps {
     FROM v3 CROSS JOIN n3 CROSS JOIN cnt""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q124: Adamic–Adar link prediction over the co-purchase graph — for
+  // every non-adjacent pair sharing at least one neighbor, score
+  // Σ_w 1/ln(deg(w)) over the common neighbors w ("which parts are
+  // likely to be co-bought next"). Wedges are generated per CENTER
+  // (shuffle key = w), and centers are capped at degree ≤ 50 by
+  // contract: a degree-10⁶ hub contributes 1/ln(10⁶) ≈ 0.07 to a
+  // QUADRATIC number of pairs — production link predictors drop hub
+  // wedges because they are simultaneously the entire cost and almost
+  // none of the signal. The cap bounds per-key fan-out at C(50,2) rows,
+  // so no wedge task is ever pathological at any corpus size. Candidate
+  // pairs anti-join the edge set (existing links excluded), scores are
+  // decimal-exact sums of identical per-wedge doubles, so the top-20
+  // ranking agrees bit-for-bit across engines; ties break on (u, v).
+  // Top-20 follows the q76 rule: distributed sort+limit BEFORE the rank
+  // window.
+  private def adamicAdar(spark: SparkSession, dir: String) = {
+    val ed = basketEdges(spark, dir)
+    val deg = ed.select(col("u").as("id")).unionAll(ed.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val dirE = ed.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(ed.select(col("v").as("w"), col("u").as("x")))
+      .join(deg.filter(col("d") <= 50).withColumnRenamed("id", "w"), "w")
+      .withColumn("invlog", lit(1.0) / log(col("d").cast(DoubleType)))
+    val wedges = dirE.as("e1").join(dirE.as("e2"),
+        col("e1.w") === col("e2.w") && col("e1.x") < col("e2.x"))
+      .select(col("e1.x").as("u"), col("e2.x").as("v"), col("e1.invlog").as("invlog"))
+    val cand = wedges.join(ed, Seq("u", "v"), "left_anti")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_nbrs"), dsum(col("invlog"), 12).as("score0"))
+    cand.orderBy(col("score0").desc, col("u").asc, col("v").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score0").desc, col("u").asc, col("v").asc)))
+      .select(col("u"), col("v"), col("common_nbrs"),
+        round(col("score0"), 6).as("score"), col("rank"))
+  }
+
+  private val adamicAdarSql: String = s"""
+    WITH $basketEdgesCte,
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM ed UNION ALL SELECT v FROM ed) GROUP BY id),
+    dirE AS (
+      SELECT w, x, 1.0 / ln(CAST(d AS DOUBLE)) AS invlog
+      FROM (SELECT u AS w, v AS x FROM ed UNION ALL SELECT v, u FROM ed)
+      JOIN deg ON deg.id = w WHERE d <= 50),
+    wed AS (
+      SELECT e1.x AS u, e2.x AS v, e1.invlog
+      FROM dirE e1 JOIN dirE e2 ON e1.w = e2.w AND e1.x < e2.x),
+    cand AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_nbrs,
+             ${dsumSql("invlog", 12)} AS score0
+      FROM wed w
+      WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = w.u AND ed.v = w.v)
+      GROUP BY u, v)
+    SELECT u, v, common_nbrs, round(score0, 6) AS score, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score0 DESC, u ASC, v ASC) AS rn
+      FROM cand)
+    WHERE rn <= 20""".trim
+
+  // --------------------------------------------------------------------
+  // q125: 3-core of the co-purchase graph by EIGHT synchronous peeling
+  // rounds — iteratively delete nodes with degree < 3 until (at fixture
+  // scale) the survivor set is stable; the classic "dense part of the
+  // graph" extraction that seeds community mining and spam/bot
+  // filtering. Each round is one degree aggregate + two semi-joins on a
+  // strictly-shrinking edge set with lineage truncated per round (the
+  // PageRank move) — the bounded-round formulation IS the distributed
+  // k-core algorithm (Montresor et al.); a data-dependent
+  // loop-to-fixpoint would not be expressible as one oracle-checkable
+  // plan. Both engines compute the identical 8-round peel, so the
+  // result hash-matches even if some adversarial graph needed a 9th
+  // round; GraphMlSpec pins that 8 rounds reach the true fixpoint on
+  // the fixtures. Integer-only arithmetic — nothing to stabilize.
+  private def kcore(spark: SparkSession, dir: String) = {
+    var e = basketEdges(spark, dir)
+    for (_ <- 1 to 8) {
+      val keep = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select("id")
+      e = e.join(keep.withColumnRenamed("id", "u"), "u")
+        .join(keep.withColumnRenamed("id", "v"), "v")
+        .select("u", "v").localCheckpoint()
+    }
+    val nodes = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id"))).distinct()
+    nodes.agg(count(lit(1)).as("core_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("core_edges")))
+      .select(lit(3).as("k"), lit(8).as("rounds"), col("core_nodes"), col("core_edges"))
+  }
+
+  private val kcoreSql: String = {
+    // MATERIALIZED is load-bearing: each peel references its predecessor
+    // 3× (degree count + two membership probes), so DuckDB's default CTE
+    // inlining would expand e0 into 3^8 scans of lineitem — the oracle
+    // ran out of file handles before it ran out of time. Forcing
+    // materialization makes the oracle evaluate each round once, exactly
+    // like the Spark side's per-round localCheckpoint.
+    def peel(i: Int): String = s"""k$i AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY id)
+      WHERE d >= 3),
+    e$i AS MATERIALIZED (
+      SELECT u, v FROM e${i - 1}
+      WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))"""
+    s"""
+    WITH $basketEdgesCte,
+    e0 AS MATERIALIZED (SELECT u, v FROM ed),
+    ${(1 to 8).map(peel).mkString(",\n    ")}
+    SELECT CAST(3 AS INTEGER) AS k, CAST(8 AS INTEGER) AS rounds,
+           CAST((SELECT COUNT(*) FROM (
+             SELECT DISTINCT id FROM (
+               SELECT u AS id FROM e8 UNION ALL SELECT v FROM e8))) AS BIGINT)
+             AS core_nodes,
+           CAST((SELECT COUNT(*) FROM e8) AS BIGINT) AS core_edges""".trim
+  }
+
+  // --------------------------------------------------------------------
+  // q126: HITS hubs-and-authorities over the bipartite customer→part
+  // purchase graph, three unrolled power iterations — parts bought by
+  // well-connected customers score as authorities, the
+  // mutually-reinforcing ranking (Kleinberg 1999) that a naive
+  // popularity count misses. Per iteration: authority = edge-join + sum
+  // of hub scores, L2-normalize (one broadcast scalar), hub = the
+  // transpose pass — two keyed aggregations over the checkpointed edge
+  // list, the exact shape PageRank/q123 already bench as scale-safe.
+  // All reassociated sums are decimal-exact and the iteration count is
+  // fixed, so the DuckDB twin (same 3 iterations as chained CTEs)
+  // hash-matches the top-10 authority ranking bit-for-bit.
+  private def hitsAuthorities(spark: SparkSession, dir: String) = {
+    val t = Tables(spark, dir)
+    val e = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // 6 consumers (2 joins × 3 iterations)
+    var h = e.select(col("c")).distinct().withColumn("h", lit(1.0))
+    var a: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 3) {
+      val ar = e.join(h, "c").groupBy("p").agg(dsum(col("h"), 12).as("a0"))
+      val an = ar.agg(sqrt(dsum(col("a0") * col("a0"), 12)).as("nrm"))
+      a = ar.crossJoin(broadcast(an)).select(col("p"), (col("a0") / col("nrm")).as("a"))
+      val hr = e.join(a, "p").groupBy("c").agg(dsum(col("a"), 12).as("h0"))
+      val hn = hr.agg(sqrt(dsum(col("h0") * col("h0"), 12)).as("nrm"))
+      h = hr.crossJoin(broadcast(hn)).select(col("c"), (col("h0") / col("nrm")).as("h"))
+    }
+    a.orderBy(col("a").desc, col("p").asc).limit(10)
+      .withColumn("rank", row_number().over(Window.orderBy(col("a").desc, col("p").asc)))
+      .select(col("p").as("part"), round(col("a"), 6).as("authority"), col("rank"))
+  }
+
+  private val hitsAuthoritiesSql: String = {
+    def it(i: Int): String = s"""ar$i AS (
+      SELECT p, ${dsumSql("h", 12)} AS a0 FROM e JOIN h${i - 1} USING (c) GROUP BY p),
+    an$i AS (SELECT sqrt(${dsumSql("a0 * a0", 12)}) AS nrm FROM ar$i),
+    a$i AS (SELECT p, a0 / nrm AS a FROM ar$i CROSS JOIN an$i),
+    hr$i AS (
+      SELECT c, ${dsumSql("a", 12)} AS h0 FROM e JOIN a$i USING (p) GROUP BY c),
+    hn$i AS (SELECT sqrt(${dsumSql("h0 * h0", 12)}) AS nrm FROM hr$i),
+    h$i AS (SELECT c, h0 / nrm AS h FROM hr$i CROSS JOIN hn$i)"""
+    s"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM e),
+    ${it(1)},
+    ${it(2)},
+    ${it(3)}
+    SELECT p AS part, round(a, 6) AS authority, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT p, a, ROW_NUMBER() OVER (ORDER BY a DESC, p ASC) AS rn FROM a3)
+    WHERE rn <= 10""".trim
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q113_triangle_count", Some(triangleCountSql), triangleCount),
     GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
@@ -645,5 +820,8 @@ object GraphMlOps {
     GraftQuery("q119_clustering_coeff", Some(clusteringCoeffSql), clusteringCoeff),
     GraftQuery("q120_zipf_fit", Some(zipfFitSql), zipfFit),
     GraftQuery("q122_degree_assortativity", Some(degreeAssortativitySql), degreeAssortativity),
-    GraftQuery("q123_pca_power", Some(pcaPowerSql), pcaPower))
+    GraftQuery("q123_pca_power", Some(pcaPowerSql), pcaPower),
+    GraftQuery("q124_adamic_adar", Some(adamicAdarSql), adamicAdar),
+    GraftQuery("q125_kcore", Some(kcoreSql), kcore),
+    GraftQuery("q126_hits_authorities", Some(hitsAuthoritiesSql), hitsAuthorities))
 }
