@@ -713,13 +713,23 @@ object GraphMlOps {
   // the fixtures. Integer-only arithmetic — nothing to stabilize.
   private def kcore(spark: SparkSession, dir: String) = {
     var e = basketEdges(spark, dir)
-    for (_ <- 1 to 8) {
+    // early exit once a round removes nothing: a removed NODE always
+    // removes its incident EDGES, so an unchanged edge count proves the
+    // fixpoint and the remaining rounds are identity maps — skipping
+    // them changes cost only, never the result (the oracle still unrolls
+    // all 8; counts on checkpointed frames are free of recompute)
+    var prev = e.count()
+    var stable = false
+    for (_ <- 1 to 8 if !stable) {
       val keep = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("d"))
         .filter(col("d") >= 3).select("id")
       e = e.join(keep.withColumnRenamed("id", "u"), "u")
         .join(keep.withColumnRenamed("id", "v"), "v")
         .select("u", "v").localCheckpoint()
+      val cur = e.count()
+      stable = cur == prev
+      prev = cur
     }
     val nodes = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id"))).distinct()
     nodes.agg(count(lit(1)).as("core_nodes"))
@@ -777,10 +787,15 @@ object GraphMlOps {
     var h = e.select(col("c")).distinct().withColumn("h", lit(1.0))
     var a: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to 3) {
+      // ar/hr each feed TWO consumers (the norm and the next pass) —
+      // without the checkpoint Spark re-derives them per consumer and the
+      // recompute compounds 2× per half-iteration (benched 6.6 s vs 2.4 s)
       val ar = e.join(h, "c").groupBy("p").agg(dsum(col("h"), 12).as("a0"))
+        .localCheckpoint()
       val an = ar.agg(sqrt(dsum(col("a0") * col("a0"), 12)).as("nrm"))
       a = ar.crossJoin(broadcast(an)).select(col("p"), (col("a0") / col("nrm")).as("a"))
       val hr = e.join(a, "p").groupBy("c").agg(dsum(col("a"), 12).as("h0"))
+        .localCheckpoint()
       val hn = hr.agg(sqrt(dsum(col("h0") * col("h0"), 12)).as("nrm"))
       h = hr.crossJoin(broadcast(hn)).select(col("c"), (col("h0") / col("nrm")).as("h"))
     }
