@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.core.{Num, Tables}
+
+/** Corpus-mining and skew-hardening queries: a salted two-phase
+  * aggregation whose result is bit-identical to the plain GROUP BY it
+  * protects, asymmetric set-containment pairs (the subsumption case
+  * Jaccard under-scores), pairwise Jensen-Shannon divergence between the
+  * per-source unigram distributions, and duplicated-span coverage (the
+  * exact-substring memorization-risk metric span-level dedup acts on).
+  * House rules: decimal-exact reassociated sums ([[graft.core.Num]]),
+  * candidate pairs always bounded by a documented blocking contract,
+  * rank outputs carry explicit (metric, id...) tie orders.
+  */
+object MiningOps {
+  import Num._
+
+  // --------------------------------------------------------------------
+  // q133: per-user event stats through the SALTED two-phase aggregate
+  // (operators.Salt.saltedAgg). AQE splits skewed JOIN partitions but
+  // cannot split a single aggregation GROUP — one viral user_id still
+  // funnels through one reduce task. The salted shape pre-aggregates on
+  // (user, salt) so a hot key fans across `salts` reduce groups, then
+  // merges the bounded partials. The oracle is the PLAIN GROUP BY: the
+  // query's contract is exactly "salting changes the schedule, never the
+  // answer" — counts merge as longs, sums as decimals (associative-exact,
+  // so the nondeterministic salt assignment can't leak into the result),
+  // max as max.
+  private def saltedUserStats(spark: SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+    graft.operators.Salt
+      .saltedAgg(ev, col("user_id"), salts = 16, Seq(
+        ("n_events", count(lit(1)), (c: String) => sum(col(c))),
+        ("sum_value", sum(col("value").cast(DecimalType(38, 6))),
+          (c: String) => sum(col(c)).cast(DoubleType)),
+        ("max_value", max(col("value")), (c: String) => max(col(c)))))
+      .select(col("key").cast(LongType).as("user_id"),
+        col("n_events"), round(col("sum_value"), 6).as("sum_value"),
+        col("max_value"))
+  }
+
+  private val saltedUserStatsSql: String = s"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(${dsumSql("value", 6)}, 6) AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id""".trim
+
+  // --------------------------------------------------------------------
+  // q134: asymmetric containment pairs — |T(a) ∩ T(b)| / |T(a)| over the
+  // df-pruned distinct-token space. Jaccard (q42) misses subsumption: a
+  // 100-token doc fully embedded in a 10,000-token doc scores J ≈ 0.01
+  // but containment 1.0 — exactly the quote/aggregation case span dedup
+  // must catch. Candidates come ONLY from the posting-list equi-join on
+  // tokens with df ∈ [2, 100] (Σ df² ≤ 100·|postings|, never all-pairs;
+  // the same cut as q130, and both sides of the ratio are measured over
+  // the SAME pruned space so the metric is self-consistent). Docs with
+  // < 20 pruned tokens are excluded — tiny pruned sets make containment
+  // degenerate. Top-20 by (containment, d_sub, d_super).
+  private def containmentPairs(spark: SparkSession, dir: String) = {
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0))).as("token"))
+    val dfc = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 100)
+    val w = tok.join(dfc, "token").select(col("doc_id"), col("token"))
+      .localCheckpoint() // sizes + both join sides read it
+    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = w.as("a").join(w.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d_sub"), col("b.doc_id").as("d_super"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = inter
+      .join(sz.withColumnRenamed("doc_id", "d_sub"), "d_sub")
+      .filter(col("sz") >= 20)
+      .select(col("d_sub"), col("d_super"), col("sz").as("n_sub_tokens"),
+        col("n_common"),
+        (col("n_common").cast(DoubleType) / col("sz").cast(DoubleType)).as("c0"))
+    scored
+      .orderBy(col("c0").desc, col("d_sub").asc, col("d_super").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c0").desc, col("d_sub").asc, col("d_super").asc)))
+      .select(col("d_sub"), col("d_super"), col("n_sub_tokens"), col("n_common"),
+        round(col("c0"), 6).as("containment"), col("rank"))
+  }
+
+  private val containmentPairsSql: String = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> length(x) > 0)) AS token
+        FROM documents)),
+    dfc AS (
+      SELECT token FROM tok GROUP BY token
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 100),
+    w AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT token FROM dfc)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d_sub, b.doc_id AS d_super,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT d_sub, d_super, sz AS n_sub_tokens, n_common,
+             CAST(n_common AS DOUBLE) / CAST(sz AS DOUBLE) AS c0
+      FROM inter JOIN sz ON sz.doc_id = d_sub
+      WHERE sz >= 20)
+    SELECT d_sub, d_super, n_sub_tokens, n_common,
+           round(c0, 6) AS containment, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c0 DESC, d_sub ASC, d_super ASC) AS rn
+          FROM scored)
+    WHERE rn <= 20""".trim
+
+  // --------------------------------------------------------------------
+  // q135: pairwise Jensen-Shannon divergence between per-source unigram
+  // distributions — the mixture dashboard's "how different are my
+  // shards" matrix (symmetric, bounded by ln 2, defined even where the
+  // vocabularies don't overlap — KL is infinite there). Tokens only in
+  // one source contribute p·ln2 to the sum, so the whole divergence
+  // reduces to SHARED-token terms plus ln2·(1 − shared probability
+  // mass): the plan is one token equi-join between the two distribution
+  // tables (bounded by vocabulary, not corpus) and never materializes
+  // the union of vocabularies per pair. The source-pair spine is a
+  // dimension-sized cross join, so pairs with zero shared tokens still
+  // appear (js = ln 2).
+  private def jsDivergence(spark: SparkSession, dir: String) = {
+    val cnt = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0)).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("source").agg(sum(col("cnt")).as("n"))
+    val dist = cnt.join(broadcast(tot), "source")
+      .select(col("source"), col("token"),
+        (col("cnt").cast(DoubleType) / col("n").cast(DoubleType)).as("p"))
+      .localCheckpoint() // both sides of the pair join read it
+    val srcs = tot.select(col("source"))
+    val spine = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("s1"), col("y.source").as("s2"))
+    val pq = col("a.p") + col("b.p")
+    val shared = dist.as("a").join(dist.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_shared"),
+        dsum(col("a.p") * log(lit(2.0) * col("a.p") / pq), 12).as("t1"),
+        dsum(col("b.p") * log(lit(2.0) * col("b.p") / pq), 12).as("t2"),
+        dsum(col("a.p"), 12).as("sh1"),
+        dsum(col("b.p"), 12).as("sh2"))
+    val ln2 = lit(math.log(2.0))
+    spine.join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(
+          lit(0.5) * (coalesce(col("t1"), lit(0.0))
+            + (lit(1.0) - coalesce(col("sh1"), lit(0.0))) * ln2)
+            + lit(0.5) * (coalesce(col("t2"), lit(0.0))
+              + (lit(1.0) - coalesce(col("sh2"), lit(0.0))) * ln2),
+          6).as("js_divergence"))
+  }
+
+  private val jsDivergenceSql: String = s"""
+    WITH cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> length(x) > 0)) AS token
+        FROM documents)
+      GROUP BY source, token),
+    tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM cnt GROUP BY source),
+    dist AS (
+      SELECT cnt.source, token, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      FROM cnt JOIN tot ON cnt.source = tot.source),
+    spine AS (
+      SELECT x.source AS s1, y.source AS s2
+      FROM tot x JOIN tot y ON x.source < y.source),
+    shared AS (
+      SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared,
+             ${dsumSql("a.p * ln(2.0 * a.p / (a.p + b.p))", 12)} AS t1,
+             ${dsumSql("b.p * ln(2.0 * b.p / (a.p + b.p))", 12)} AS t2,
+             ${dsumSql("a.p", 12)} AS sh1, ${dsumSql("b.p", 12)} AS sh2
+      FROM dist a JOIN dist b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT spine.s1, spine.s2,
+           COALESCE(n_shared, 0) AS n_shared,
+           round(0.5 * (COALESCE(t1, 0.0) + (1.0 - COALESCE(sh1, 0.0)) * ln(2.0))
+                 + 0.5 * (COALESCE(t2, 0.0) + (1.0 - COALESCE(sh2, 0.0)) * ln(2.0)),
+                 6) AS js_divergence
+    FROM spine LEFT JOIN shared ON spine.s1 = shared.s1 AND spine.s2 = shared.s2""".trim
+
+  // --------------------------------------------------------------------
+  // q138: duplicated-span coverage — per source, the fraction of 8-token
+  // sliding windows whose exact text also occurs in at least one OTHER
+  // document. This is the signal exact-substring dedup acts on (long
+  // verbatim repeats across documents are what models memorize; doc-level
+  // fingerprints q41 and set-level Jaccard q42 both miss a copied
+  // paragraph inside otherwise-distinct pages). Span generation is a
+  // per-row array transform (no shuffle); the span-keyed distinct-doc
+  // count is one token-scale aggregate. Spans join back by their exact
+  // text here (oracle-expressible); the 100 TB variant keys the postings
+  // by a 128-bit digest of the span — q41's digest contract — which
+  // changes key width, not plan shape.
+  private def spanDupCoverage(spark: SparkSession, dir: String) = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0).as("tk"))
+      .filter(size(col("tk")) >= 8)
+    val spans = toks.select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(1), size(col("tk")) - 7),
+        i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("span"))
+      .localCheckpoint() // span-doc counts + the per-source rollup read it
+    val sd = spans.groupBy("span").agg(countDistinct(col("doc_id")).as("nd"))
+    spans.join(sd, "span")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("source"), col("n_docs"), col("total_spans"), col("dup_spans"),
+        round(col("dup_spans").cast(DoubleType)
+          / col("total_spans").cast(DoubleType), 6).as("dup_ratio"))
+  }
+
+  private val spanDupCoverageSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> length(x) > 0) AS tk
+      FROM documents),
+    ok AS (SELECT * FROM toks WHERE len(tk) >= 8),
+    spans AS (
+      SELECT doc_id, source, array_to_string(list_slice(tk, i, i + 7), ' ') AS span
+      FROM (SELECT doc_id, source, tk,
+                   unnest(generate_series(1, len(tk) - 7)) AS i
+            FROM ok)),
+    sd AS (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY span)
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           round(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM spans JOIN sd USING (span)
+    GROUP BY source""".trim
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q133_salted_user_stats", Some(saltedUserStatsSql), saltedUserStats),
+    GraftQuery("q134_containment_pairs", Some(containmentPairsSql), containmentPairs),
+    GraftQuery("q135_js_divergence", Some(jsDivergenceSql), jsDivergence),
+    GraftQuery("q138_span_dedup", Some(spanDupCoverageSql), spanDupCoverage))
+}
