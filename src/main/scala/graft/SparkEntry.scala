@@ -15,7 +15,7 @@ object SparkEntry {
     graft.queries.Relational.all ++ graft.queries.ReferenceOps.all ++
       graft.queries.LlmOps.all ++ graft.queries.CurationOps.all ++
       graft.queries.AnalyticsOps.all ++ graft.queries.GraphMlOps.all ++
-      graft.queries.StatsOps.all
+      graft.queries.StatsOps.all ++ graft.queries.MiningOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
