@@ -51,67 +51,82 @@ object MiningOps {
     FROM events GROUP BY user_id""".trim
 
   // --------------------------------------------------------------------
-  // q134: asymmetric containment pairs — |T(a) ∩ T(b)| / |T(a)| over the
-  // df-pruned distinct-token space. Jaccard (q42) misses subsumption: a
+  // q134: asymmetric containment pairs — |S(a) ∩ S(b)| / |S(a)| over
+  // distinct 5-gram shingle sets. Jaccard (q42) misses subsumption: a
   // 100-token doc fully embedded in a 10,000-token doc scores J ≈ 0.01
-  // but containment 1.0 — exactly the quote/aggregation case span dedup
-  // must catch. Candidates come ONLY from the posting-list equi-join on
-  // tokens with df ∈ [2, 100] (Σ df² ≤ 100·|postings|, never all-pairs;
-  // the same cut as q130, and both sides of the ratio are measured over
-  // the SAME pruned space so the metric is self-consistent). Docs with
-  // < 20 pruned tokens are excluded — tiny pruned sets make containment
-  // degenerate. Top-20 by (containment, d_sub, d_super).
+  // but containment 1.0 — exactly the quote/aggregation case span-level
+  // dedup must catch. Shingles, not tokens: this fixture's (and any
+  // template-heavy corpus's) raw vocabulary is tiny and near-universal
+  // per doc, so token sets carry no containment signal, while 5-gram
+  // shingles explode the effective vocabulary and make sharing mean
+  // verbatim overlap. Candidates come ONLY from the posting-list
+  // equi-join on shingles with df ∈ [2, 50] (Σ df² ≤ 50·|postings|,
+  // never all-pairs). A shingle present in BOTH docs of a pair has
+  // df ≥ 2 by construction, so the lower cut loses nothing; the upper
+  // cut excludes boilerplate shingles from the numerator by documented
+  // contract (they'd otherwise be the entire quadratic cost). The
+  // denominator is the FULL distinct-shingle count of the contained
+  // side. Docs with < 10 shingles are excluded — tiny sets make the
+  // ratio degenerate. Top-20 by (containment, d_sub, d_super).
   private def containmentPairs(spark: SparkSession, dir: String) = {
-    val tok = Tables(spark, dir).documents
+    val sh = Tables(spark, dir).documents
       .select(col("doc_id"),
-        explode(array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
-          x => length(x) > 0))).as("token"))
-    val dfc = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 100)
-    val w = tok.join(dfc, "token").select(col("doc_id"), col("token"))
-      .localCheckpoint() // sizes + both join sides read it
-    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", slice(col("tk"), i, lit(5)))))).as("s"))
+      .localCheckpoint() // df counts + sizes + both join sides read it
+    val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+    val w = sh.join(dfc.select("s"), "s")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 10)
     val inter = w.as("a").join(w.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d_sub"), col("b.doc_id").as("d_super"))
       .agg(count(lit(1)).as("n_common"))
     val scored = inter
       .join(sz.withColumnRenamed("doc_id", "d_sub"), "d_sub")
-      .filter(col("sz") >= 20)
-      .select(col("d_sub"), col("d_super"), col("sz").as("n_sub_tokens"),
+      .select(col("d_sub"), col("d_super"), col("sz").as("n_sub_shingles"),
         col("n_common"),
         (col("n_common").cast(DoubleType) / col("sz").cast(DoubleType)).as("c0"))
     scored
       .orderBy(col("c0").desc, col("d_sub").asc, col("d_super").asc).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("c0").desc, col("d_sub").asc, col("d_super").asc)))
-      .select(col("d_sub"), col("d_super"), col("n_sub_tokens"), col("n_common"),
+      .select(col("d_sub"), col("d_super"), col("n_sub_shingles"), col("n_common"),
         round(col("c0"), 6).as("containment"), col("rank"))
   }
 
   private val containmentPairsSql: String = """
-    WITH tok AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                  x -> length(x) > 0)) AS token
-        FROM documents)),
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> length(x) > 0) AS tk
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 4), ' ') AS s
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+            FROM toks WHERE len(tk) >= 5)),
     dfc AS (
-      SELECT token FROM tok GROUP BY token
-      HAVING COUNT(*) >= 2 AND COUNT(*) <= 100),
-    w AS (SELECT doc_id, token FROM tok WHERE token IN (SELECT token FROM dfc)),
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+      SELECT s FROM sh GROUP BY s
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+    w AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM dfc)),
+    sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+      HAVING COUNT(*) >= 10),
     inter AS (
       SELECT a.doc_id AS d_sub, b.doc_id AS d_super,
              CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+      FROM w a JOIN w b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     scored AS (
-      SELECT d_sub, d_super, sz AS n_sub_tokens, n_common,
+      SELECT d_sub, d_super, sz AS n_sub_shingles, n_common,
              CAST(n_common AS DOUBLE) / CAST(sz AS DOUBLE) AS c0
-      FROM inter JOIN sz ON sz.doc_id = d_sub
-      WHERE sz >= 20)
-    SELECT d_sub, d_super, n_sub_tokens, n_common,
+      FROM inter JOIN sz ON sz.doc_id = d_sub)
+    SELECT d_sub, d_super, n_sub_shingles, n_common,
            round(c0, 6) AS containment, CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c0 DESC, d_sub ASC, d_super ASC) AS rn
           FROM scored)
@@ -194,6 +209,118 @@ object MiningOps {
     FROM spine LEFT JOIN shared ON spine.s1 = shared.s1 AND spine.s2 = shared.s2""".trim
 
   // --------------------------------------------------------------------
+  // q136: declarative data-quality audit over `orders` through
+  // [[graft.operators.QualityAudit]] — the Deequ-style constraint gate
+  // every ingest runs. One row per constraint with its violation count
+  // and verdict; the runner compiles all row-local + uniqueness
+  // constraints into ONE aggregate over one scan (adding a constraint
+  // adds an expression, not a pass) and the referential check into one
+  // distinct-key anti-join against the dimension. Violation-catching
+  // (injected nulls/dupes/orphans produce exact counts) is pinned in
+  // MiningSpec on a doctored table; on the healthy fixture every
+  // constraint passes — which is itself the assertion.
+  private def qualityAudit(spark: SparkSession, dir: String) = {
+    import graft.operators.QualityAudit._
+    val t = Tables(spark, dir)
+    run(t.orders, Seq(
+      NotNull("o_orderkey"),
+      NotNull("o_custkey"),
+      Expect("range_o_totalprice_pos", !(col("o_totalprice") > 0.0)),
+      Expect("set_o_orderstatus", !col("o_orderstatus").isin("O", "F", "P")),
+      Expect("range_o_orderdate",
+        !col("o_orderdate").between(lit("1992-01-01"), lit("2005-12-31"))),
+      Unique(Seq("o_orderkey")),
+      ForeignKey("o_custkey", t.customer, "c_custkey")))
+  }
+
+  private val qualityAuditSql: String = """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ck,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_cu,
+             CAST(SUM(CASE WHEN NOT (o_totalprice > 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_tp,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+             CAST(SUM(CASE WHEN o_orderdate NOT BETWEEN '1992-01-01' AND '2005-12-31'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_dt,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uq
+      FROM orders),
+    fkv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+      LEFT JOIN customer ON o_custkey = c_custkey
+      WHERE c_custkey IS NULL)
+    SELECT 'complete_o_orderkey' AS constraint, n_rows, v_ck AS n_violations, v_ck = 0 AS passed FROM base
+    UNION ALL SELECT 'complete_o_custkey', n_rows, v_cu, v_cu = 0 FROM base
+    UNION ALL SELECT 'range_o_totalprice_pos', n_rows, v_tp, v_tp = 0 FROM base
+    UNION ALL SELECT 'set_o_orderstatus', n_rows, v_st, v_st = 0 FROM base
+    UNION ALL SELECT 'range_o_orderdate', n_rows, v_dt, v_dt = 0 FROM base
+    UNION ALL SELECT 'unique_o_orderkey', n_rows, v_uq, v_uq = 0 FROM base
+    UNION ALL SELECT 'fk_o_custkey', n_rows, v, v = 0 FROM base CROSS JOIN fkv""".trim
+
+  // --------------------------------------------------------------------
+  // q137: top-20 adjacent-bigram collocations by PMI — the phrase-mining
+  // probe ("new york", "machine learning") that feeds tokenizer vocab
+  // and boilerplate detection. All statistics derive from ONE bigram
+  // count table: c12 from a per-row array transform (no shuffle until
+  // the count), the w1/w2 marginals from two vocab-sized re-aggregations
+  // of that table, N = Σc12. Self-consistent by construction — no
+  // separate unigram pass to drift against. PMI is the identical IEEE
+  // expression tree ln(c12·N/(c1·c2)) on both engines over integer
+  // counts, so the ranking is bit-exact. Noise floor: c12 ≥ 5 (a PMI on
+  // a count of 1 is an artifact). Rank ties break (pmi, w1, w2); top-20
+  // is a distributed sort+limit before the rank window (q76 rule).
+  private def pmiCollocations(spark: SparkSession, dir: String) = {
+    val tk = Tables(spark, dir).documents
+      .select(filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val big = tk.select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // marginals + the scored frame all read it
+    val m1 = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val m2 = big.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val n = big.agg(sum(col("c12")).as("n"))
+    val pmi = log(col("c12").cast(DoubleType) * col("n").cast(DoubleType)
+      / (col("c1").cast(DoubleType) * col("c2").cast(DoubleType)))
+    big.filter(col("c12") >= 5)
+      .join(m1, "w1").join(m2, "w2").crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        pmi.as("p0"))
+      .orderBy(col("p0").desc, col("w1").asc, col("w2").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p0").desc, col("w1").asc, col("w2").asc)))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(col("p0"), 6).as("pmi"), col("rank"))
+  }
+
+  private val pmiCollocationsSql: String = """
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> length(x) > 0) AS tk
+      FROM documents),
+    big AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM tk WHERE len(tk) >= 2)
+      GROUP BY tk[i], tk[i + 1]),
+    m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM big GROUP BY w2),
+    n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM big),
+    scored AS (
+      SELECT w1, w2, c12, c1, c2,
+             ln(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS p0
+      FROM big JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+      WHERE c12 >= 5)
+    SELECT w1, w2, c12, c1, c2, round(p0, 6) AS pmi, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY p0 DESC, w1 ASC, w2 ASC) AS rn
+          FROM scored)
+    WHERE rn <= 20""".trim
+
+  // --------------------------------------------------------------------
   // q138: duplicated-span coverage — per source, the fraction of 8-token
   // sliding windows whose exact text also occurs in at least one OTHER
   // document. This is the signal exact-substring dedup acts on (long
@@ -251,5 +378,7 @@ object MiningOps {
     GraftQuery("q133_salted_user_stats", Some(saltedUserStatsSql), saltedUserStats),
     GraftQuery("q134_containment_pairs", Some(containmentPairsSql), containmentPairs),
     GraftQuery("q135_js_divergence", Some(jsDivergenceSql), jsDivergence),
+    GraftQuery("q136_quality_audit", Some(qualityAuditSql), qualityAudit),
+    GraftQuery("q137_pmi_collocations", Some(pmiCollocationsSql), pmiCollocations),
     GraftQuery("q138_span_dedup", Some(spanDupCoverageSql), spanDupCoverage))
 }
