@@ -826,6 +826,65 @@ object GraphMlOps {
     WHERE rn <= 10""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q139: multi-source BFS reach profile — from the 5 highest-degree
+  // hub parts, how many parts sit at co-purchase distance 0/1/2/3?
+  // The "blast radius" probe behind recommendation fan-out and
+  // contamination-spread estimates. Classic synchronous frontier BFS as
+  // 3 bounded rounds of (frontier ⋈ edges → min-hop re-aggregate), each
+  // round lineage-truncated (the q125 move); ONLY the newest frontier
+  // (hop = round − 1 after the min-agg) expands, so a node reached at
+  // hop 1 is never re-expanded at hop 2 — per-round join cost is
+  // frontier-size × avg-degree, not visited-set × degree. The distance
+  // table is (seed, node, hop) — 5× node-sized at worst — and the
+  // output collapses it to ≤ 5 × 4 histogram rows. Bounded rounds, not
+  // loop-to-fixpoint, keep the plan oracle-expressible; integer-only
+  // arithmetic — nothing to stabilize. Seeds tie-break (degree, id).
+  private def bfsHops(spark: SparkSession, dir: String) = {
+    val ed = basketEdges(spark, dir)
+    val se = ed.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(ed.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint() // probed once per BFS round
+    val deg = se.groupBy(col("s").as("id")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("id").asc).limit(5)
+      .select(col("id").as("seed"))
+    var dist = seeds.select(col("seed"), col("seed").as("id"),
+      lit(0).as("hop")).localCheckpoint()
+    for (h <- 1 to 3) {
+      val next = dist.filter(col("hop") === h - 1)
+        .join(se, col("id") === col("s"))
+        .select(col("seed"), col("t").as("id"), lit(h).as("hop"))
+      dist = dist.unionAll(next)
+        .groupBy("seed", "id").agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+    }
+    dist.groupBy("seed", "hop").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private val bfsHopsSql: String = {
+    // MATERIALIZED for the same reason as q125: every round reads its
+    // predecessor twice (carry-forward + frontier expansion)
+    def round(i: Int): String = s"""d$i AS MATERIALIZED (
+      SELECT seed, id, MIN(hop) AS hop FROM (
+        SELECT seed, id, hop FROM d${i - 1}
+        UNION ALL
+        SELECT p.seed, se.t AS id, $i AS hop
+        FROM d${i - 1} p JOIN se ON p.id = se.s WHERE p.hop = ${i - 1})
+      GROUP BY seed, id)"""
+    s"""
+    WITH $basketEdgesCte,
+    se AS MATERIALIZED (
+      SELECT u AS s, v AS t FROM ed UNION ALL SELECT v, u FROM ed),
+    deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY s),
+    seeds AS (SELECT id AS seed FROM deg ORDER BY d DESC, id ASC LIMIT 5),
+    d0 AS MATERIALIZED (SELECT seed, seed AS id, 0 AS hop FROM seeds),
+    ${round(1)},
+    ${round(2)},
+    ${round(3)}
+    SELECT seed, CAST(hop AS INTEGER) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d3 GROUP BY seed, hop""".trim
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q113_triangle_count", Some(triangleCountSql), triangleCount),
     GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
@@ -838,5 +897,6 @@ object GraphMlOps {
     GraftQuery("q123_pca_power", Some(pcaPowerSql), pcaPower),
     GraftQuery("q124_adamic_adar", Some(adamicAdarSql), adamicAdar),
     GraftQuery("q125_kcore", Some(kcoreSql), kcore),
-    GraftQuery("q126_hits_authorities", Some(hitsAuthoritiesSql), hitsAuthorities))
+    GraftQuery("q126_hits_authorities", Some(hitsAuthoritiesSql), hitsAuthorities),
+    GraftQuery("q139_bfs_hops", Some(bfsHopsSql), bfsHops))
 }

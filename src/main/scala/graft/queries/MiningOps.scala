@@ -374,11 +374,104 @@ object MiningOps {
     FROM spans JOIN sd USING (span)
     GROUP BY source""".trim
 
+  // --------------------------------------------------------------------
+  // q140: frequent 3-step behavior paths — top-10 event-type trigrams
+  // over each user's time-ordered stream, the sequential-pattern sequel
+  // to q89's 2-step transition matrix (a Markov chain can't distinguish
+  // view→cart→buy from view→cart→abandon; the trigram table can). One
+  // shuffle orders each user's timeline (two lag windows over the SAME
+  // (user, ts, event_id) sort — Spark computes both in one Window
+  // operator), then one agg over ≤ |types|³ groups. Per-user state never
+  // leaves its partition; top-10 is a distributed sort+limit before the
+  // rank window (q76 rule).
+  private def pathTrigrams(spark: SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_id").asc)
+    ev.withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .groupBy(col("p2").as("s1"), col("p1").as("s2"),
+        col("event_type").as("s3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("n_paths").desc, col("s1").asc, col("s2").asc, col("s3").asc)))
+  }
+
+  private val pathTrigramsSql: String = """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts) ASC, event_id ASC) AS p1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts) ASC, event_id ASC) AS p2
+      FROM events),
+    c AS (
+      SELECT p2 AS s1, p1 AS s2, event_type AS s3,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM t WHERE p2 IS NOT NULL
+      GROUP BY p2, p1, event_type)
+    SELECT s1, s2, s3, n_paths, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_paths DESC, s1 ASC, s2 ASC, s3 ASC) AS rn
+          FROM c)
+    WHERE rn <= 10""".trim
+
+  // --------------------------------------------------------------------
+  // q141: per-source Gini of document lengths — the inequality scalar a
+  // mixture dashboard tracks per shard (0 = uniform lengths, → 1 = a few
+  // giant docs own the shard; a drift here means the source's scraping
+  // or chunking changed). Exact rank formula G = (2·Σ i·xᵢ)/(n·Σx) −
+  // (n+1)/n over the (n_chars, doc_id)-sorted ranks: ALL sums are
+  // integer (rank × chars fits a long at any realistic shard size), so
+  // only the final division is IEEE — the same expression tree on both
+  // engines, bit-exact. The rank windows shuffle on the source key and
+  // parallelize across sources; a single 100 TB-scale source would use
+  // the two-pass range-partitioned prefix-scan (operators.Packing's
+  // shape) instead of one source-keyed window task — documented scale
+  // path, same numbers.
+  private def giniLengths(spark: SparkSession, dir: String) = {
+    val docs = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val nD = col("n").cast(DoubleType)
+    docs.withColumn("i", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("tot"),
+        sum(col("i").cast(LongType) * col("n_chars")).as("six"))
+      .select(col("source"), col("n").as("n_docs"), col("tot").as("total_chars"),
+        round(lit(2.0) * col("six").cast(DoubleType)
+          / (nD * col("tot").cast(DoubleType))
+          - (nD + lit(1.0)) / nD, 6).as("gini"))
+  }
+
+  private val giniLengthsSql: String = """
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS i
+      FROM documents),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS tot,
+             CAST(SUM(i * n_chars) AS BIGINT) AS six
+      FROM r GROUP BY source)
+    SELECT source, n AS n_docs, tot AS total_chars,
+           round(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM s""".trim
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q133_salted_user_stats", Some(saltedUserStatsSql), saltedUserStats),
     GraftQuery("q134_containment_pairs", Some(containmentPairsSql), containmentPairs),
     GraftQuery("q135_js_divergence", Some(jsDivergenceSql), jsDivergence),
     GraftQuery("q136_quality_audit", Some(qualityAuditSql), qualityAudit),
     GraftQuery("q137_pmi_collocations", Some(pmiCollocationsSql), pmiCollocations),
-    GraftQuery("q138_span_dedup", Some(spanDupCoverageSql), spanDupCoverage))
+    GraftQuery("q138_span_dedup", Some(spanDupCoverageSql), spanDupCoverage),
+    GraftQuery("q140_path_trigrams", Some(pathTrigramsSql), pathTrigrams),
+    GraftQuery("q141_gini_lengths", Some(giniLengthsSql), giniLengths))
 }

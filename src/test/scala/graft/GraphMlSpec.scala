@@ -246,4 +246,45 @@ class GraphMlSpec extends SparkSpec {
     val got = rows.find(_.getLong(0) == 0L).get.getDouble(2)
     assert(math.abs(got - brute) < 1e-4, s"identity $got vs brute $brute")
   }
+
+  // --------------------------------------------------------------- q139
+  test("q139 BFS hops: matches a driver-side BFS from the same seeds") {
+    val rows = q("q139_bfs_hops").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+
+    // independent BFS over the collected basket graph
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey"), col("b.l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val deg = adj.map { case (k, vs) =>
+      k -> (edges ++ edges.map(_.swap)).count(_._1 == k).toLong
+    }
+    val seeds = deg.toSeq.sortBy { case (id, d) => (-d, id) }.take(5).map(_._1)
+    seeds.foreach { seed =>
+      var dist = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (h <- 1 to 3) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      val hist = dist.groupBy(_._2).map { case (h, xs) => h -> xs.size.toLong }
+      hist.foreach { case (h, n) =>
+        assert(rows((seed, h)) == n, s"seed $seed hop $h: ${rows.get((seed, h))} vs $n")
+      }
+      assert(rows.keys.count(_._1 == seed) == hist.size,
+        s"seed $seed: extra hop rows in query output")
+    }
+    assert(rows.keys.map(_._1).toSet == seeds.toSet, "seed set mismatch")
+  }
 }

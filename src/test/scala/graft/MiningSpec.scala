@@ -169,6 +169,50 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------- q140
+  test("q140 path trigrams: matches a driver-side brute force") {
+    val rows = q("q140_path_trigrams").collect().sortBy(_.getInt(4))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val paths = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+      .values.flatMap { evs =>
+        evs.sortBy(e => (e._4, e._2)).map(_._3).sliding(3).filter(_.length == 3)
+          .map(p => (p(0), p(1), p(2))) // tuple: Array equality is by reference
+      }.toSeq
+    val expected = paths.groupBy(identity)
+      .map { case ((a, b, c), xs) => (a, b, c, xs.length.toLong) }
+      .toSeq.sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(rows.length)
+    rows.zip(expected).foreach { case (r, (a, b, c, n)) =>
+      assert((r.getString(0), r.getString(1), r.getString(2)) == ((a, b, c)),
+        s"path mismatch at rank ${r.getInt(4)}: $r vs ($a,$b,$c)")
+      assert(r.getLong(3) == n, s"count mismatch: $r vs $n")
+    }
+  }
+
+  // --------------------------------------------------------------- q141
+  test("q141 Gini: matches a driver-side exact computation; bounded") {
+    val rows = q("q141_gini_lengths").collect()
+    assert(rows.nonEmpty)
+    val bySrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = bySrc(r.getString(0)).sortBy(x => (x._3, x._2)).map(_._3)
+      val n = xs.length
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == xs.sum)
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val g = 2.0 * six / (n.toDouble * xs.sum) - (n + 1.0) / n
+      assert(math.abs(r.getDouble(3) - g) < 1e-6, s"gini mismatch: $r vs $g")
+      assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0, s"gini bound: $r")
+    }
+  }
+
   // --------------------------------------------------------------- q138
   test("q138 span coverage: matches a driver-side brute force") {
     val rows = q("q138_span_dedup").collect()
