@@ -255,4 +255,33 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("q137 computes both lag columns in ONE window operator") {
+    val p = plan("q140_path_trigrams")
+    val windows = "(?m)^.*\\bWindow\\b.*$".r.findAllIn(p)
+      .filterNot(_.contains("WindowGroupLimit")).size
+    // one window for the two lags + one for the rank over the top-10
+    assert(windows <= 2, s"expected <= 2 Window operators, plan:\n${p.take(3000)}")
+  }
+
+  test("q136 audit folds all row-local constraints into one scan of orders") {
+    val p = plan("q136_quality_audit")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    // one scan feeds the single-pass constraint block (checkpointed), one
+    // the FK distinct-key probe, one the customer dimension
+    assert(scans <= 3, s"expected <= 3 parquet scans, got $scans:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q134 shingle-containment candidates come from the posting equi join") {
+    val p = plan("q134_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q139 BFS rounds are equi joins only (no nested loop, no cartesian)") {
+    val p = plan("q139_bfs_hops")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
