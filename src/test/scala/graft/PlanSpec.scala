@@ -256,20 +256,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q137 computes both lag columns in ONE window operator") {
+  test("q140 computes both lag columns in ONE window operator") {
+    // count tree nodes ("Window (n)"), not the detail sections that repeat
+    // each operator's name a second time
     val p = plan("q140_path_trigrams")
-    val windows = "(?m)^.*\\bWindow\\b.*$".r.findAllIn(p)
-      .filterNot(_.contains("WindowGroupLimit")).size
+    val windows = "Window \\(\\d+\\)".r.findAllIn(p).size
     // one window for the two lags + one for the rank over the top-10
     assert(windows <= 2, s"expected <= 2 Window operators, plan:\n${p.take(3000)}")
   }
 
-  test("q136 audit folds all row-local constraints into one scan of orders") {
+  test("q136 audit reads orders for FK keys + customer only (base is checkpointed)") {
     val p = plan("q136_quality_audit")
-    val scans = "Scan parquet".r.findAllIn(p).size
-    // one scan feeds the single-pass constraint block (checkpointed), one
-    // the FK distinct-key probe, one the customer dimension
-    assert(scans <= 3, s"expected <= 3 parquet scans, got $scans:\n${p.take(3000)}")
+    // the single-pass constraint block is materialized by localCheckpoint
+    // (Scan ExistingRDD), so the live plan scans parquet only for the FK
+    // distinct-key probe and the customer dimension — one Location each
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <= 2 parquet scans, got $scans:\n${p.take(3000)}")
+    // and the FK probe must be column-pruned to the key
+    assert(p.contains("struct<o_custkey:bigint>"), "FK probe should read only o_custkey")
     assert(!p.contains("CartesianProduct"), p)
   }
 
