@@ -203,26 +203,35 @@ object StatsOps {
 
   // --------------------------------------------------------------------
   // q130: sparse TF-IDF cosine near-duplicate pairs — the lexical twin
-  // of q53's embedding cosine: weight each (doc, token) by
-  // cnt·ln(N/df), drop tokens with df > 100 (the stopword cut — a
-  // term in every document carries no discrimination AND is the entire
-  // quadratic cost; with the cut, candidate pairs are bounded by
-  // Σ_{df≤100} df² ≤ 100·postings, never all-pairs) and df < 2 (a
-  // singleton term can't link a pair), then score candidates from the
-  // posting-list equi-join. Norms are over the SAME pruned space on
-  // both sides, dot products and norms are decimal-exact, so the
-  // top-20 ranking is bit-identical cross-engine. N (corpus size) is
-  // one bounded driver scalar, the house-sanctioned collect shape.
+  // of q53's embedding cosine, over 5-GRAM SHINGLES: weight each
+  // (doc, shingle) by cnt·ln(N/df), drop shingles with df > 50 (the
+  // boilerplate cut — a shingle in many documents carries no
+  // discrimination AND is the entire quadratic cost; with the cut,
+  // candidate pairs are bounded by Σ_{df≤50} df² ≤ 50·postings, never
+  // all-pairs) and df < 2 (a singleton shingle can't link a pair), then
+  // score candidates from the posting-list equi-join. Shingles, not
+  // tokens, deliberately: this fixture's (and any template-heavy
+  // corpus's) raw vocabulary is ~31 near-universal words, so EVERY
+  // token fails any df cap at scale and the token-space query returns
+  // an empty — hence trivially "correct" — result at sf0.1; the shingle
+  // space stays Zipf-shaped at every scale factor. Norms are over the
+  // SAME pruned space on both sides, dot products and norms are
+  // decimal-exact, so the top-20 ranking is bit-identical cross-engine.
+  // N (corpus size) is one bounded driver scalar, the house-sanctioned
+  // collect shape.
   private def tfidfCosinePairs(spark: SparkSession, dir: String) = {
     val docs = Tables(spark, dir).documents
     val nDocs = docs.count() // bounded: one long
     val tok = docs
       .select(col("doc_id"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          x => length(x) > 0)).as("token"))
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("tk")) - 4),
+        i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
     val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 100)
+      .filter(col("df") >= 2 && col("df") <= 50)
     val w = tok.join(df, "token")
       .select(col("doc_id"), col("token"),
         (col("cnt").cast(DoubleType)
@@ -244,17 +253,21 @@ object StatsOps {
   }
 
   private val tfidfCosinePairsSql: String = s"""
-    WITH tok AS (
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0) AS tk
+      FROM documents),
+    tok AS (
       SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-        SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                  x -> length(x) > 0)) AS token
-        FROM documents)
+        SELECT doc_id, array_to_string(list_slice(tk, i, i + 4), ' ') AS token
+        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+              FROM toks WHERE len(tk) >= 5))
       GROUP BY doc_id, token),
     ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
     df AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
-      HAVING COUNT(*) >= 2 AND COUNT(*) <= 100),
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
     w AS (
       SELECT doc_id, tok.token,
              CAST(cnt AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) AS w

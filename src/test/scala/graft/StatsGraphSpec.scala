@@ -191,16 +191,19 @@ class StatsGraphSpec extends SparkSpec {
         s"cosine out of range: $r")
     }
 
-    // brute force in the same pruned space (df in [2, 100])
+    // brute force in the same pruned 5-gram shingle space (df in [2, 50])
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count().toDouble
-    val tok = docs.select(col("doc_id"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          x => length(x) > 0)).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tok = docs.select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val tk = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        if (tk.length < 5) Array.empty[(Long, String)]
+        else tk.sliding(5).map(w => (r.getLong(0), w.mkString(" "))).toArray
+      }
+      .groupBy(identity).map { case ((d, s), xs) => (d, s, xs.length.toLong) }
+      .toArray
     val df = tok.groupBy(_._2).map { case (t, xs) => t -> xs.length }
-      .filter { case (_, d) => d >= 2 && d <= 100 }
+      .filter { case (_, d) => d >= 2 && d <= 50 }
     val w = tok.filter(x => df.contains(x._2))
       .map { case (d, t, c) => (d, t, c.toDouble * math.log(n / df(t))) }
     val byDoc = w.groupBy(_._1).map { case (d, xs) =>
