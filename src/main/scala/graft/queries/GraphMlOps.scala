@@ -885,6 +885,70 @@ object GraphMlOps {
     FROM d3 GROUP BY seed, hop""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q142: deterministic hash-driven graph walks — 3-step walks from the
+  // 20 highest-degree hubs, where each step moves to the neighbor with
+  // the SMALLEST md5(start:step:cur:neighbor) digest. This is the
+  // node2vec-shaped walk corpus a graph-embedding trainer consumes,
+  // made reproducible the same way the engine's samplers are (q55/q107/
+  // q131): the "random" choice is a pure function of (walk, step, edge),
+  // so reruns, retries, partitioning, and cluster size never change a
+  // walk, and the whole walk table is oracle-checkable. Each step is one
+  // frontier⋈edges equi-join + an argmin-by-digest aggregate (min over
+  // a (digest, neighbor) struct — total order, no window needed); walk
+  // state is (start, cur), 20 rows. Walks may revisit nodes, as real
+  // random walks do. Output is the tall (start, step, node) table.
+  private def hashWalks(spark: SparkSession, dir: String) = {
+    val ed = basketEdges(spark, dir)
+    val se = ed.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(ed.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint() // probed once per step
+    val deg = se.groupBy(col("s").as("id")).agg(count(lit(1)).as("d"))
+    val starts = deg.orderBy(col("d").desc, col("id").asc).limit(20)
+      .select(col("id").as("start"))
+    var frontier = starts.select(col("start"), col("start").as("cur"))
+      .localCheckpoint()
+    var walk = frontier.select(col("start"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (k <- 1 to 3) {
+      frontier = frontier.join(se, col("cur") === col("s"))
+        .select(col("start"),
+          struct(md5(concat_ws(":", col("start"), lit(k), col("cur"), col("t")))
+            .as("h"), col("t")).as("pick"))
+        .groupBy("start").agg(min(col("pick")).as("pick"))
+        .select(col("start"), col("pick.t").as("cur"))
+        .localCheckpoint()
+      walk = walk.unionAll(frontier.select(col("start"), lit(k).as("step"),
+        col("cur").as("node")))
+    }
+    walk
+  }
+
+  private val hashWalksSql: String = {
+    def step(k: Int): String = s"""f$k AS MATERIALIZED (
+      SELECT start, t AS cur FROM (
+        SELECT f.start, se.t,
+               ROW_NUMBER() OVER (PARTITION BY f.start
+                 ORDER BY md5(f.start || ':' || $k || ':' || f.cur || ':' || se.t) ASC,
+                          se.t ASC) AS rn
+        FROM f${k - 1} f JOIN se ON f.cur = se.s)
+      WHERE rn = 1)"""
+    s"""
+    WITH $basketEdgesCte,
+    se AS MATERIALIZED (
+      SELECT u AS s, v AS t FROM ed UNION ALL SELECT v, u FROM ed),
+    deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY s),
+    f0 AS MATERIALIZED (
+      SELECT id AS start, id AS cur FROM deg ORDER BY d DESC, id ASC LIMIT 20),
+    ${step(1)},
+    ${step(2)},
+    ${step(3)}
+    SELECT start, CAST(0 AS INTEGER) AS step, cur AS node FROM f0
+    UNION ALL SELECT start, 1, cur FROM f1
+    UNION ALL SELECT start, 2, cur FROM f2
+    UNION ALL SELECT start, 3, cur FROM f3""".trim
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q113_triangle_count", Some(triangleCountSql), triangleCount),
     GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
@@ -898,5 +962,6 @@ object GraphMlOps {
     GraftQuery("q124_adamic_adar", Some(adamicAdarSql), adamicAdar),
     GraftQuery("q125_kcore", Some(kcoreSql), kcore),
     GraftQuery("q126_hits_authorities", Some(hitsAuthoritiesSql), hitsAuthorities),
-    GraftQuery("q139_bfs_hops", Some(bfsHopsSql), bfsHops))
+    GraftQuery("q139_bfs_hops", Some(bfsHopsSql), bfsHops),
+    GraftQuery("q142_hash_walks", Some(hashWalksSql), hashWalks))
 }

@@ -465,6 +465,62 @@ object MiningOps {
                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
     FROM s""".trim
 
+  // --------------------------------------------------------------------
+  // q143: last-touch attribution — each purchase is credited to the SAME
+  // user's most recent preceding engagement event (click or view) within
+  // 1 hour, the canonical conversion-attribution rule. One window per
+  // user timeline (the q89/q140 sort) carrying the last engagement
+  // forward as a (ms, event_id, type) struct with IGNORE NULLS — the
+  // struct keeps the three fields from the SAME row even under
+  // same-millisecond ties, where three independent carry columns could
+  // mix rows. Purchases outside the hour (or with no prior engagement)
+  // land in the 'none' bucket, so the rollup partitions ALL purchases:
+  // Σ n_purchases is an invariant the spec pins. Mean gap is
+  // decimal-exact; the rollup is ≤ 3 rows.
+  private def lastTouch(spark: SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val eng = when(col("event_type").isin("click", "view"),
+      struct(col("ms"), col("event_id"), col("event_type")))
+    ev.withColumn("prev", last(eng, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("ms"), col("prev"),
+        (col("ms") - col("prev.ms")).as("gap_ms"))
+      .select(when(col("prev").isNotNull && col("gap_ms") <= 3600000L,
+        col("prev.event_type")).otherwise(lit("none")).as("attributed_type"),
+        col("gap_ms"))
+      .groupBy("attributed_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(when(col("attributed_type") =!= "none",
+          dsum(col("gap_ms").cast(DoubleType), 2)
+            / count(lit(1)).cast(DoubleType)), 2).as("avg_gap_ms"))
+  }
+
+  private val lastTouchSql: String = """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN struct_pack(pms := epoch_ms(ts),
+                                              pid := event_id,
+                                              pty := event_type)
+                        END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM events),
+    p AS (
+      SELECT CASE WHEN prev IS NOT NULL AND ms - prev['pms'] <= 3600000
+                  THEN prev['pty'] ELSE 'none' END AS attributed_type,
+             ms - prev['pms'] AS gap_ms
+      FROM t WHERE event_type = 'purchase')
+    SELECT attributed_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CASE WHEN attributed_type <> 'none'
+                      THEN CAST(SUM(CAST(gap_ms AS DECIMAL(38,2))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) END, 2) AS avg_gap_ms
+    FROM p GROUP BY attributed_type""".trim
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q133_salted_user_stats", Some(saltedUserStatsSql), saltedUserStats),
     GraftQuery("q134_containment_pairs", Some(containmentPairsSql), containmentPairs),
@@ -473,5 +529,6 @@ object MiningOps {
     GraftQuery("q137_pmi_collocations", Some(pmiCollocationsSql), pmiCollocations),
     GraftQuery("q138_span_dedup", Some(spanDupCoverageSql), spanDupCoverage),
     GraftQuery("q140_path_trigrams", Some(pathTrigramsSql), pathTrigrams),
-    GraftQuery("q141_gini_lengths", Some(giniLengthsSql), giniLengths))
+    GraftQuery("q141_gini_lengths", Some(giniLengthsSql), giniLengths),
+    GraftQuery("q143_last_touch", Some(lastTouchSql), lastTouch))
 }

@@ -287,4 +287,39 @@ class GraphMlSpec extends SparkSpec {
     }
     assert(rows.keys.map(_._1).toSet == seeds.toSet, "seed set mismatch")
   }
+
+  // --------------------------------------------------------------- q142
+  test("q142 hash walks: deterministic argmin-digest walks match a local replay") {
+    val rows = q("q142_hash_walks").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    val starts = rows.keys.filter(_._2 == 0).map(_._1).toSet
+    assert(starts.size == 20)
+    starts.foreach(s => assert(rows((s, 0)) == s, "step 0 must be the start node"))
+
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ok = li0.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 100).select("l_orderkey")
+    val li = li0.join(ok, "l_orderkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey"), col("b.l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    starts.foreach { start =>
+      var cur = start
+      for (k <- 1 to 3) {
+        val next = adj(cur).map(t => (md5hex(s"$start:$k:$cur:$t"), t)).min._2
+        assert(rows((start, k)) == next,
+          s"walk $start step $k: got ${rows((start, k))}, want $next")
+        cur = next
+      }
+    }
+  }
 }

@@ -213,6 +213,44 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------- q143
+  test("q143 last-touch: partitions all purchases; matches a local replay") {
+    val rows = q("q143_last_touch").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = collection.mutable.Map[String, (Long, Double)]()
+      .withDefaultValue((0L, 0.0))
+    ev.groupBy(_._1).values.foreach { evs =>
+      var prev: Option[(Long, String)] = None // (ms, type) of last engagement
+      evs.sortBy(e => (e._4, e._2)).foreach { case (_, _, ty, ms) =>
+        if (ty == "purchase") {
+          val attributed = prev match {
+            case Some((pms, pty)) if ms - pms <= 3600000L => (pty, (ms - pms).toDouble)
+            case _ => ("none", 0.0)
+          }
+          val (n, s) = expected(attributed._1)
+          expected(attributed._1) = (n + 1, s + attributed._2)
+        }
+        if (ty == "click" || ty == "view") prev = Some((ms, ty))
+      }
+    }
+    val totalPurchases = ev.count(_._3 == "purchase").toLong
+    assert(rows.values.map(_._1).sum == totalPurchases,
+      "attribution must partition ALL purchases")
+    expected.foreach { case (ty, (n, gapSum)) =>
+      val (gotN, gotAvg) = rows(ty)
+      assert(gotN == n, s"$ty count: $gotN vs $n")
+      if (ty != "none")
+        assert(math.abs(gotAvg.get - gapSum / n) < 0.01, s"$ty avg gap: $gotAvg")
+      else assert(gotAvg.isEmpty, "none bucket must have NULL avg gap")
+    }
+  }
+
   // --------------------------------------------------------------- q138
   test("q138 span coverage: matches a driver-side brute force") {
     val rows = q("q138_span_dedup").collect()
