@@ -40,6 +40,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("astral (non-BMP) inputs measure in code points, not UTF-16 units") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val clef = "𝄞" // 𝄞 U+1D11E — one code point, two UTF-16 chars
+    // [𝄞, x] vs [x, 𝄞, x]: LCS = 2 code points, dist = 1, total = 5 → 80.0.
+    // A UTF-16-unit DP would say 100 * (1 - 1/7) ≈ 85.71 (rapidfuzz
+    // disagrees: Python strings are code-point sequences).
+    assert(math.abs(
+      SimKernel.indelRatio100(u(clef + "x"), u("x" + clef + "x")) - 80.0) < 1e-9)
+    assert(SimKernel.indelRatio100(u(clef), u(clef)) == 100.0)
+    assert(SimKernel.tokenSortRatio100(u("b " + clef), u(clef + " b")) == 100.0)
+    // the Fast variants' length-gap prebound (Spark length() = code
+    // points) must never prune a pair the exact kernel keeps
+    import spark.implicits._
+    val df = Seq((clef + "x", "x" + clef + "x")).toDF("a", "b")
+    val both = df.select(
+      Similarity.indelRatio(col("a"), col("b")).as("exact"),
+      Similarity.indelRatioFast(col("a"), col("b"), minKeep = 75.0).as("fast")).head
+    assert(both.getDouble(0) == both.getDouble(1))
+  }
+
   test("null inputs yield null, not crash") {
     import spark.implicits._
     val df = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
