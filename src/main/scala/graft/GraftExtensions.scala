@@ -22,8 +22,12 @@ import graft.functions.{BitsetAndCount, CharShingles, CmInnerProduct, DoubleDot,
   *  - `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descs.foreach(ext.injectFunction)
+    // joins the operator-optimization fixpoint batch: length-gap prebounds
+    // for indel_ratio / levenshtein threshold predicates (idempotent)
+    ext.injectOptimizerRule(_ => graft.plans.SimilarityPrefilter)
+  }
 }
 
 object GraftExtensions {
@@ -89,10 +93,19 @@ object GraftExtensions {
     binary(name, build)
   }
 
-  /** Register on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (idempotent): the SQL functions plus
+    * the [[graft.plans.SimilarityPrefilter]] optimizer rule (live sessions
+    * can't extend the injected rule sets, so the rule rides
+    * `experimental.extraOptimizations` instead — same rule object, later
+    * batch, identical rewrites).
+    */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, build) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, build, "scala_udf")
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.SimilarityPrefilter))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.SimilarityPrefilter
+  }
 }

@@ -521,6 +521,37 @@ object MiningOps {
                            / CAST(COUNT(*) AS DOUBLE) END, 2) AS avg_gap_ms
     FROM p GROUP BY attributed_type""".trim
 
+  // --------------------------------------------------------------------
+  // q144: edit-distance pair mining through the ENGINE'S SQL SURFACE —
+  // the query text is plain SQL (`levenshtein(a, b) BETWEEN 1 AND 3`
+  // over adjective-blocked part-name pairs) executed on a session with
+  // `GraftExtensions.register` applied, so the SimilarityPrefilter
+  // optimizer rule injects the |len(a)-len(b)| <= 3 prebound
+  // automatically (PrefilterRuleSpec asserts the guard in this exact
+  // plan). Candidates come only from the first-word blocking equi-join
+  // (p_name is "<adjective> <noun>"; pairs sharing the adjective differ
+  // only in the noun — never all-pairs), keyed a.p_partkey < b.p_partkey
+  // to emit each unordered pair once. dist >= 1 drops the identical-name
+  // pairs (exact dedup's job, q40's family). Top-100 by the total order
+  // (dist, id_a, id_b) so the LIMIT is deterministic. The DuckDB twin is
+  // the IDENTICAL query text — the point of staying in ANSI SQL.
+  private def levBandPairs(spark: SparkSession, dir: String) = {
+    graft.GraftExtensions.register(spark)
+    Tables(spark, dir).part.createOrReplaceTempView("graft_q144_part")
+    spark.sql(levBandPairsBody("graft_q144_part"))
+  }
+
+  private def levBandPairsBody(table: String): String = s"""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM $table a JOIN $table b
+      ON substring(a.p_name, 1, instr(a.p_name, ' ')) =
+         substring(b.p_name, 1, instr(b.p_name, ' '))
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    ORDER BY dist, id_a, id_b
+    LIMIT 100""".trim
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q133_salted_user_stats", Some(saltedUserStatsSql), saltedUserStats),
     GraftQuery("q134_containment_pairs", Some(containmentPairsSql), containmentPairs),
@@ -530,5 +561,6 @@ object MiningOps {
     GraftQuery("q138_span_dedup", Some(spanDupCoverageSql), spanDupCoverage),
     GraftQuery("q140_path_trigrams", Some(pathTrigramsSql), pathTrigrams),
     GraftQuery("q141_gini_lengths", Some(giniLengthsSql), giniLengths),
-    GraftQuery("q143_last_touch", Some(lastTouchSql), lastTouch))
+    GraftQuery("q143_last_touch", Some(lastTouchSql), lastTouch),
+    GraftQuery("q144_lev_band_pairs", Some(levBandPairsBody("part")), levBandPairs))
 }
