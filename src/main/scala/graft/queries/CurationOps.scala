@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -252,6 +253,116 @@ object CurationOps {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
       FROM s)
     WHERE rank <= 10""".trim
+
+  // --------------------------------------------------------------------
+  // q145: retrieval-quality evaluation — nDCG@10 and MRR of the q88
+  // ranker (integer tf·idf) against raw term-coverage ground truth
+  // (rel = Σ tf over the query's terms; the idf weighting is exactly
+  // what separates ranker order from relevance order, so the metric is
+  // informative, not trivially 1.0). The eval harness IS a data
+  // pipeline: ranking quality per query set, computed corpus-wide.
+  //
+  // Determinism contract (the q88/q95 move applied to DCG): the per-
+  // position discounts 1/log2(rank+1) are PRE-SCALED INTEGER LITERALS
+  // (round(10⁶/log2(i+1)), one Scala list emits both the Column fold
+  // and the SQL CASE), so DCG@10 and IDCG@10 are exact BIGINT sums —
+  // no cross-engine log/pow in any accumulated term. nDCG is then ONE
+  // IEEE division of identical longs; MRR is the exact rational
+  // 10⁶ div first-relevant-rank (rel ≥ 6 counts as relevant; 0 if the
+  // top-10 has none). Scale: everything rides q88's plan — postings ⋈
+  // broadcast query terms, per-qid windows over ≤|matched| rows; the
+  // only additions are one more bounded agg (rel) and a ≤10-row-per-qid
+  // ideal window.
+  private val dcgWeights: Seq[(Int, Long)] = Seq(
+    1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L, 5 -> 386853L,
+    6 -> 356207L, 7 -> 333333L, 8 -> 315465L, 9 -> 301030L, 10 -> 289065L)
+  private val mrrRelMin = 6L
+
+  private def dcgWeightOf(rank: Column): Column =
+    dcgWeights.foldLeft(lit(0L)) { case (acc, (r, wt)) =>
+      when(rank === r, lit(wt)).otherwise(acc)
+    }
+
+  private def dcgWeightSql(rankCol: String): String =
+    dcgWeights.map { case (r, wt) => s"WHEN $r THEN $wt" }
+      .mkString(s"CASE $rankCol ", " ", " ELSE 0 END")
+
+  private def retrievalNdcg(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(spark, dir).documents
+    val n = docs.count() // corpus cardinality: one scalar (q88's N)
+    val p = postings(docs)
+    val q = broadcast(queryTermsDf(spark, rankQueries))
+    // feeds df agg + scoring join + relevance agg — pin once (q88 move)
+    val matched = p.join(q, "term").localCheckpoint()
+    val dfT = matched.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf_scaled",
+        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
+    // graded ground truth; read by the top-10 join AND the ideal window
+    val rel = matched.groupBy("qid", "doc_id")
+      .agg(sum(col("tf")).as("rel")).localCheckpoint()
+    val scored = matched.join(broadcast(dfT.select("term", "idf_scaled")), "term")
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .join(rel, Seq("qid", "doc_id"))
+    val dcg = top.groupBy("qid").agg(
+      sum(col("rel") * dcgWeightOf(col("rank"))).as("dcg_scaled"),
+      min(when(col("rel") >= mrrRelMin, col("rank"))).as("frr"))
+    val iw = Window.partitionBy("qid").orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = rel.withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= 10)
+      .groupBy("qid")
+      .agg(sum(col("rel") * dcgWeightOf(col("irank"))).as("idcg_scaled"))
+    val cand = rel.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
+    dcg.join(idcg, "qid").join(cand, "qid")
+      .select(col("qid"),
+        (col("dcg_scaled").cast(DoubleType) / col("idcg_scaled").cast(DoubleType))
+          .as("ndcg"),
+        coalesce(expr("1000000L div frr"), lit(0L)).as("mrr_scaled"),
+        col("n_candidates"))
+  }
+
+  private val retrievalNdcgSql: String = s"""
+    WITH p AS ($postingsSql),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    m AS (SELECT q.qid, p.doc_id, p.term, p.tf
+          FROM p JOIN ${queryTermsSql(rankQueries)} ON p.term = q.term),
+    d AS (SELECT term,
+                 ((2 * (n.n - COUNT(DISTINCT doc_id)) + 1) * $idfScale)
+                   // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_scaled
+          FROM m, n GROUP BY term, n.n),
+    rel AS (SELECT qid, doc_id, CAST(SUM(tf) AS BIGINT) AS rel
+            FROM m GROUP BY qid, doc_id),
+    s AS (SELECT m.qid, m.doc_id, SUM(m.tf * d.idf_scaled) AS score
+          FROM m JOIN d USING (term) GROUP BY m.qid, m.doc_id),
+    r AS (SELECT qid, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id ASC) AS rank
+          FROM s),
+    top AS (SELECT r.qid, r.rank, rel.rel
+            FROM r JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+            WHERE r.rank <= 10),
+    dcg AS (SELECT qid,
+                   CAST(SUM(rel * ${dcgWeightSql("rank")}) AS BIGINT) AS dcg_scaled,
+                   MIN(CASE WHEN rel >= $mrrRelMin THEN rank END) AS frr
+            FROM top GROUP BY qid),
+    ir AS (SELECT qid, rel,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, doc_id ASC) AS irank
+           FROM rel),
+    idcg AS (SELECT qid,
+                    CAST(SUM(rel * ${dcgWeightSql("irank")}) AS BIGINT) AS idcg_scaled
+             FROM ir WHERE irank <= 10 GROUP BY qid),
+    c AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+          FROM rel GROUP BY qid)
+    SELECT dcg.qid,
+           CAST(dcg_scaled AS DOUBLE) / CAST(idcg_scaled AS DOUBLE) AS ndcg,
+           CAST(COALESCE(1000000 // frr, 0) AS BIGINT) AS mrr_scaled,
+           n_candidates
+    FROM dcg JOIN idcg USING (qid) JOIN c USING (qid)""".trim
 
   // --------------------------------------------------------------------
   // q95: token co-occurrence lift — for the corpus's frequent tokens,
@@ -612,6 +723,7 @@ object CurationOps {
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
     GraftQuery("q87_boolean_search", Some(booleanSearchSql), booleanSearch),
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),
+    GraftQuery("q145_retrieval_ndcg", Some(retrievalNdcgSql), retrievalNdcg),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),

@@ -522,19 +522,27 @@ object MiningOps {
     FROM p GROUP BY attributed_type""".trim
 
   // --------------------------------------------------------------------
-  // q144: edit-distance pair mining through the ENGINE'S SQL SURFACE —
-  // the query text is plain SQL (`levenshtein(a, b) BETWEEN 1 AND 3`
-  // over adjective-blocked part-name pairs) executed on a session with
+  // q144: edit-distance variant mining through the ENGINE'S SQL SURFACE
+  // — the query text is plain SQL (`levenshtein(a, b) BETWEEN 1 AND 3`
+  // over adjective-blocked name pairs) executed on a session with
   // `GraftExtensions.register` applied, so the SimilarityPrefilter
   // optimizer rule injects the |len(a)-len(b)| <= 3 prebound
   // automatically (PrefilterRuleSpec asserts the guard in this exact
-  // plan). Candidates come only from the first-word blocking equi-join
-  // (p_name is "<adjective> <noun>"; pairs sharing the adjective differ
-  // only in the noun — never all-pairs), keyed a.p_partkey < b.p_partkey
-  // to emit each unordered pair once. dist >= 1 drops the identical-name
-  // pairs (exact dedup's job, q40's family). Top-100 by the total order
-  // (dist, id_a, id_b) so the LIMIT is deterministic. The DuckDB twin is
-  // the IDENTICAL query text — the point of staying in ANSI SQL.
+  // plan). Two scale moves, both in the SQL itself:
+  //  - DISTINCT-COLLAPSE FIRST (q42's identical-set move): p_name is
+  //    Zipf-heavy (20k rows, 64 distinct names at sf0.1), so the DP
+  //    runs on distinct names with a MIN-partkey representative and a
+  //    per-name support count — kernel cost ∝ vocabulary², never
+  //    corpus rows (a raw-key formulation of this query measured 88 s
+  //    at sf0.1; this one is sub-second).
+  //  - candidates only from the first-word blocking equi-join (names
+  //    are "<adjective> <noun>"), keyed rep_a < rep_b — never
+  //    all-pairs.
+  // dist >= 1 drops identical names (exact dedup's job, q40's family);
+  // pair_support = n_parts(a)·n_parts(b) is how many raw pairs each
+  // variant pair stands for. Top-100 under the (dist, name_a, name_b)
+  // total order so the LIMIT is deterministic. The DuckDB twin is the
+  // IDENTICAL query text — the point of staying in ANSI SQL.
   private def levBandPairs(spark: SparkSession, dir: String) = {
     graft.GraftExtensions.register(spark)
     Tables(spark, dir).part.createOrReplaceTempView("graft_q144_part")
@@ -542,14 +550,18 @@ object MiningOps {
   }
 
   private def levBandPairsBody(table: String): String = s"""
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           levenshtein(a.p_name, b.p_name) AS dist
-    FROM $table a JOIN $table b
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS rep_id, COUNT(*) AS n_parts
+      FROM $table GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts * b.n_parts AS pair_support
+    FROM names a JOIN names b
       ON substring(a.p_name, 1, instr(a.p_name, ' ')) =
          substring(b.p_name, 1, instr(b.p_name, ' '))
-     AND a.p_partkey < b.p_partkey
+     AND a.rep_id < b.rep_id
     WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
-    ORDER BY dist, id_a, id_b
+    ORDER BY dist, name_a, name_b
     LIMIT 100""".trim
 
   def all: Seq[GraftQuery] = Seq(

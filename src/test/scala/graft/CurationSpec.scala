@@ -136,6 +136,33 @@ class CurationSpec extends SparkSpec {
   private def runQuery(name: String, dir: String) =
     queries.LlmOps.all.find(_.name == name).get.run(spark, dir)
 
+  test("q145 nDCG/MRR match hand-computed integer DCG sums") {
+    // qid 1 terms {spark, shuffle}; hash/merge/window/stream absent so
+    // only qid 1 emits. N=5, df(spark)=1, df(shuffle)=3:
+    //   idf(spark)  = (9·10⁶) div 3 = 3,000,000
+    //   idf(shuffle)= (5·10⁶) div 7 =   714,285
+    // scores: d2=7·714285=4,999,995 > d1=3,000,000 > d3=1,428,570 >
+    //         d4=714,285 → ranker order d2,d1,d3,d4; rel = 7,1,2,1.
+    //   DCG  = 7·W1 + 1·W2 + 2·W3 + 1·W4 = 9,061,607
+    //   IDCG (rel order d2,d3,d1,d4) = 7·W1 + 2·W2 + 1·W3 + 1·W4
+    //        = 9,192,537
+    // MRR: rel ≥ 6 first at rank 1 → 10⁶.
+    val dir = docsFixture(
+      (1L, "spark aa bb", "en"),
+      (2L, "shuffle shuffle shuffle shuffle shuffle shuffle shuffle", "en"),
+      (3L, "shuffle shuffle cc", "en"),
+      (4L, "shuffle dd", "en"),
+      (5L, "nothing here", "en"))
+    val rows = queries.CurationOps.all.find(_.name == "q145_retrieval_ndcg").get
+      .run(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(0) == 1)
+    assert(r.getDouble(1) == 9061607.0 / 9192537.0)
+    assert(r.getLong(2) == 1000000L)
+    assert(r.getLong(3) == 4L)
+  }
+
   test("q59 counts distinct shared grams, not occurrences") {
     val dir = docsFixture(
       (0L, "a b c d e f", "en"),        // bench: grams "a b c d e", "b c d e f"
