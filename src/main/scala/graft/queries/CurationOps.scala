@@ -167,7 +167,7 @@ object CurationOps {
   // inverted-index AND every search engine runs, as two key-parallel
   // shuffles. Terms within a posting row are already distinct, so
   // count(*) counts distinct matched terms.
-  private val boolQueries = Seq(
+  private[graft] val boolQueries = Seq(
     1 -> Seq("spark", "hash", "merge"),
     2 -> Seq("window", "sort", "batch"),
     3 -> Seq("table", "scan", "row", "fast"))
@@ -209,7 +209,7 @@ object CurationOps {
   // semi-join keeps the agg ∝ query vocabulary); the per-query ranking
   // window partitions by qid over ≤ |matched docs| rows. The corpus-wide
   // N is one count(). Top-k per query, never a global sort.
-  private val rankQueries = Seq(
+  private[graft] val rankQueries = Seq(
     1 -> Seq("spark", "shuffle"),
     2 -> Seq("hash", "merge"),
     3 -> Seq("window", "stream"))

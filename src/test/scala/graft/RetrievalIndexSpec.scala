@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.RetrievalIndex
+import graft.queries.CurationOps
+
+/** The persisted inverted index serves the scan-time retrieval
+  * contracts exactly: index-built topK/boolean equal q88/q87 run
+  * directly against the corpus, increments equal from-scratch builds,
+  * and the term probe actually bucket-prunes the postings scan.
+  */
+class RetrievalIndexSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sfDir).documents
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"rix_$tag").toString
+
+  private def drop(table: String): Unit =
+    Seq("postings", "meta").foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("index topK equals q88 run directly against the corpus") {
+    drop("rix_full")
+    RetrievalIndex.build(docs, "rix_full", freshPath("full"))
+    val fromIndex = RetrievalIndex.topK(spark, "rix_full", CurationOps.rankQueries)
+    val direct = CurationOps.all.find(_.name == "q88_keyword_topk").get.run(spark, sfDir)
+    assert(asSet(fromIndex) == asSet(direct))
+  }
+
+  test("index boolean equals q87 run directly against the corpus") {
+    drop("rix_b")
+    RetrievalIndex.build(docs, "rix_b", freshPath("b"))
+    val fromIndex = RetrievalIndex.boolean(spark, "rix_b", CurationOps.boolQueries)
+    val direct = CurationOps.all.find(_.name == "q87_boolean_search").get.run(spark, sfDir)
+    assert(asSet(fromIndex) == asSet(direct))
+  }
+
+  test("build(half) + extend(half) equals build(all) — increments cost a batch, not history") {
+    drop("rix_all"); drop("rix_inc")
+    RetrievalIndex.build(docs, "rix_all", freshPath("all"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), "rix_inc", freshPath("inc"))
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), "rix_inc")
+    val a = RetrievalIndex.topK(spark, "rix_all", CurationOps.rankQueries)
+    val b = RetrievalIndex.topK(spark, "rix_inc", CurationOps.rankQueries)
+    assert(asSet(a) == asSet(b))
+    // meta N must see both batches
+    val n = spark.table("rix_inc_meta").agg(sum("n_docs")).head.getLong(0)
+    assert(n == docs.count())
+  }
+
+  test("the term probe bucket-prunes the postings scan") {
+    drop("rix_p")
+    RetrievalIndex.build(docs, "rix_p", freshPath("p"), nBuckets = 16)
+    // topK pins the matched probe (localCheckpoint), so the scan lives in
+    // the checkpoint job's plan — assert pruning on the probe shape
+    // itself, under the same bucketed-scan scope the operator uses
+    val plan = RetrievalIndex.withBucketedScan(spark) {
+      spark.table("rix_p_postings").filter(col("term").isin("spark"))
+        .queryExecution.executedPlan.toString
+    }
+    // a single-term probe must select a strict subset of the 16 buckets
+    val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan.take(2000))
+    assert(m.get.group(1).toInt < 16, plan.take(2000))
+  }
+}
