@@ -564,6 +564,105 @@ object MiningOps {
     ORDER BY dist, name_a, name_b
     LIMIT 100""".trim
 
+  // --------------------------------------------------------------------
+  // q146: blocking-scheme evaluation — the entity-resolution
+  // meta-metric pair for q25's brand blocking: REDUCTION RATIO
+  // (1 − candidates/all-pairs: how much of the quadratic pair space the
+  // blocking discards) and PAIRS COMPLETENESS (captured/all true
+  // matches at levRatio ≥ 70: how many real matches survive the
+  // discard). This is the harness that justifies — or indicts — a
+  // blocking key before a 100 TB linkage run; on this fixture it
+  // reports RR ≈ 0.96, PC ≈ 0.04: brand blocking is cheap and captures
+  // only same-brand duplicates, which IS q25's reference contract
+  // (same-brand dedup), but would be the wrong key for brand-blind
+  // matching — exactly the trade the metric exists to expose.
+  //
+  // Scale shape: every count is computed in COLLAPSED space — name
+  // counts (64 distinct), (brand, name) counts (≤ 8·64), brand sizes
+  // (8) — so "all pairs" is pure integer arithmetic (Σ n·(n−1)/2,
+  // n·m supports), and the only pair JOIN is the bounded 64×64
+  // distinct-name triangle (the q53 ≤-bounded-triangular rule; at
+  // larger vocabularies the true-match side would switch to the q42
+  // PPJoin candidates). One corpus scan feeds all three aggregates
+  // (pinned projection); the two ratios are the only IEEE divisions,
+  // over identical BIGINTs on both engines.
+  private val pcThreshold = 70.0
+
+  private def blockingQuality(spark: SparkSession, dir: String) = {
+    val p = Tables(spark, dir).part
+      .select(col("p_brand"), col("p_name")).localCheckpoint()
+    val nRows = p.count()
+    val names = p.groupBy("p_name").agg(count(lit(1)).as("n")).localCheckpoint()
+    val bn = p.groupBy("p_brand", "p_name").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def levOk(a: Column, b: Column): Column =
+      lit(100.0) * (lit(1.0) -
+        levenshtein(a, b).cast(DoubleType) /
+          greatest(length(a), length(b)).cast(DoubleType)) >= pcThreshold
+    // true matches: identical-name pairs (sim 100 by definition) plus
+    // the distinct-name triangle at the threshold, expanded by support
+    val sameName = names.agg(
+      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("s"))
+    val crossName = names.as("a").join(names.as("b"),
+        col("a.p_name") < col("b.p_name") &&
+          levOk(col("a.p_name"), col("b.p_name")))
+      .agg(coalesce(sum(col("a.n") * col("b.n")), lit(0L)).as("s"))
+    // captured: the same two terms inside a brand block
+    val sameBn = bn.agg(
+      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("s"))
+    val crossBn = bn.as("a").join(bn.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_name") < col("b.p_name") &&
+          levOk(col("a.p_name"), col("b.p_name")))
+      .agg(coalesce(sum(col("a.n") * col("b.n")), lit(0L)).as("s"))
+    val candidates = p.groupBy("p_brand").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("s"))
+    val get = (df: org.apache.spark.sql.DataFrame) => df.head.getLong(0)
+    val (truePairs, captured, cand) =
+      (get(sameName) + get(crossName), get(sameBn) + get(crossBn), get(candidates))
+    val totalPairs = nRows * (nRows - 1) / 2
+    import spark.implicits._
+    Seq((nRows, totalPairs, cand, truePairs, captured)).toDF(
+      "n_rows", "total_pairs", "candidate_pairs", "true_pairs", "captured_true")
+      .select(col("*"),
+        (lit(1.0) - col("candidate_pairs").cast(DoubleType)
+          / col("total_pairs").cast(DoubleType)).as("reduction_ratio"),
+        (col("captured_true").cast(DoubleType)
+          / col("true_pairs").cast(DoubleType)).as("pairs_completeness"))
+  }
+
+  private val blockingQualitySql: String = {
+    val lev = (a: String, b: String) => s"""
+      100.0 * (1.0 - CAST(levenshtein($a, $b) AS DOUBLE)
+               / CAST(greatest(length($a), length($b)) AS DOUBLE)) >= $pcThreshold"""
+    s"""
+    WITH src AS (SELECT p_brand, p_name FROM part),
+    tot AS (SELECT COUNT(*) AS n_rows FROM src),
+    names AS (SELECT p_name, COUNT(*) AS n FROM src GROUP BY p_name),
+    bn AS (SELECT p_brand, p_name, COUNT(*) AS n FROM src GROUP BY p_brand, p_name),
+    same_name AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS s FROM names),
+    cross_name AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS s
+                   FROM names a JOIN names b
+                     ON a.p_name < b.p_name AND ${lev("a.p_name", "b.p_name")}),
+    same_bn AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS s FROM bn),
+    cross_bn AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS s
+                 FROM bn a JOIN bn b
+                   ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+                  AND ${lev("a.p_name", "b.p_name")}),
+    cand AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS s
+             FROM (SELECT COUNT(*) AS c FROM src GROUP BY p_brand))
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows * (n_rows - 1) // 2 AS BIGINT) AS total_pairs,
+           CAST(cand.s AS BIGINT) AS candidate_pairs,
+           CAST(same_name.s + cross_name.s AS BIGINT) AS true_pairs,
+           CAST(same_bn.s + cross_bn.s AS BIGINT) AS captured_true,
+           1.0 - CAST(cand.s AS DOUBLE)
+             / CAST(n_rows * (n_rows - 1) // 2 AS DOUBLE) AS reduction_ratio,
+           CAST(same_bn.s + cross_bn.s AS DOUBLE)
+             / CAST(same_name.s + cross_name.s AS DOUBLE) AS pairs_completeness
+    FROM tot, same_name, cross_name, same_bn, cross_bn, cand""".trim
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q133_salted_user_stats", Some(saltedUserStatsSql), saltedUserStats),
     GraftQuery("q134_containment_pairs", Some(containmentPairsSql), containmentPairs),
@@ -574,5 +673,6 @@ object MiningOps {
     GraftQuery("q140_path_trigrams", Some(pathTrigramsSql), pathTrigrams),
     GraftQuery("q141_gini_lengths", Some(giniLengthsSql), giniLengths),
     GraftQuery("q143_last_touch", Some(lastTouchSql), lastTouch),
-    GraftQuery("q144_lev_band_pairs", Some(levBandPairsBody("part")), levBandPairs))
+    GraftQuery("q144_lev_band_pairs", Some(levBandPairsBody("part")), levBandPairs),
+    GraftQuery("q146_blocking_quality", Some(blockingQualitySql), blockingQuality))
 }

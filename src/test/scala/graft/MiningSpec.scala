@@ -252,6 +252,45 @@ class MiningSpec extends SparkSpec {
   }
 
   // --------------------------------------------------------------- q138
+  test("q146 blocking quality: matches a driver-side brute force over all raw pairs") {
+    val r = q("q146_blocking_quality").collect() match {
+      case Array(only) => only
+      case other       => fail(s"expected 1 row, got ${other.length}")
+    }
+    val parts = graft.core.Tables(spark, sfDir).part
+      .select("p_brand", "p_name").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def isMatch(a: String, b: String): Boolean =
+      100.0 * (1.0 - lev(a, b).toDouble / math.max(a.length, b.length).toDouble) >= 70.0
+    val memo = collection.mutable.Map.empty[(String, String), Boolean]
+    var total = 0L; var cand = 0L; var truep = 0L; var cap = 0L
+    for (i <- parts.indices; j <- i + 1 until parts.length) {
+      total += 1
+      val sameBrand = parts(i)._1 == parts(j)._1
+      if (sameBrand) cand += 1
+      val (na, nb) = (parts(i)._2, parts(j)._2)
+      val m = na == nb ||
+        memo.getOrElseUpdate(if (na < nb) (na, nb) else (nb, na), isMatch(na, nb))
+      if (m) { truep += 1; if (sameBrand) cap += 1 }
+    }
+    assert(r.getLong(0) == parts.length.toLong)
+    assert(r.getLong(1) == total)
+    assert(r.getLong(2) == cand)
+    assert(r.getLong(3) == truep)
+    assert(r.getLong(4) == cap)
+    assert(r.getDouble(5) == 1.0 - cand.toDouble / total.toDouble)
+    assert(r.getDouble(6) == cap.toDouble / truep.toDouble)
+  }
+
   test("q138 span coverage: matches a driver-side brute force") {
     val rows = q("q138_span_dedup").collect()
     assert(rows.nonEmpty)
