@@ -322,6 +322,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming retrieval ingest: cold-start build + extends equal a from-scratch index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("rixstream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.RetrievalStream.start(
+      in.toDF().toDF("doc_id", "text"), "rix_stream", s"$tmp/idx")
+    val batch1 = Seq(
+      (1L, "spark shuffle spark join"),
+      (2L, "hash merge hash hash"),
+      (3L, "window stream window"))
+    val batch2 = Seq(
+      (4L, "spark spark spark shuffle shuffle"),
+      (5L, "merge merge hash window"))
+    val queries = Seq(1 -> Seq("spark", "shuffle"), 2 -> Seq("hash", "merge"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      spark.sql("DROP TABLE IF EXISTS rix_scratch_postings")
+      spark.sql("DROP TABLE IF EXISTS rix_scratch_meta")
+      graft.operators.RetrievalIndex.build(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "rix_scratch", s"$tmp/scratch")
+      val streamed = graft.operators.RetrievalIndex
+        .topK(spark, "rix_stream", queries).collect().map(_.toSeq).toSet
+      val scratch = graft.operators.RetrievalIndex
+        .topK(spark, "rix_scratch", queries).collect().map(_.toSeq).toSet
+      assert(streamed == scratch)
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      Seq("rix_stream", "rix_scratch").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_postings")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      }
+    }
+  }
+
   test("streaming stats rollup: foreachBatch-maintained rows equal from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
