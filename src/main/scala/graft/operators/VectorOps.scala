@@ -54,6 +54,68 @@ object VectorOps {
       .select(col("qid"), col("id").as("neighbor"), col("cos"), col("rank"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking of brute-force candidates —
+    * diversified retrieval: greedily pick `kOut` of each query's `kCand`
+    * nearest neighbors, each step taking the candidate maximizing
+    * `0.7·cos(q,d) − 0.3·max_{s∈selected} cos(d,s)` (λ = 0.7, the
+    * classic relevance/diversity trade; Carbonell & Goldstein 1998).
+    * Near-duplicate neighbors — which embedding corpora are full of —
+    * stop crowding out distinct results.
+    *
+    * Engine shape: the greedy loop is `kOut − 1` unrolled tiny-frame
+    * steps (the PageRank/Lloyd move): anti-join remaining vs selected,
+    * one (remaining × selected-per-qid) penalty join bounded by
+    * kCand·kOut rows per query, an argmax window per qid. The candidate
+    * pool (with its vectors) is pinned once; every per-step frame is
+    * ∝ |queries|·kCand, never corpus-sized — the corpus is touched only
+    * by the initial [[bruteForceTopK]] scan (or any ANN tier swapped in
+    * for it).
+    *
+    * Determinism contract: all cosines AND the MMR score are rounded to
+    * `scale` decimals with neighbor-id tie-breaks (the ANN family's
+    * rule), and λ enters as the literal pair 0.7/0.3 — never `1 − λ`,
+    * whose double value 0.30000000000000004 would diverge from an
+    * external engine's 0.3 literal — so the greedy path is reproducible
+    * cross-engine and the oracle unrolls the same steps as CTEs.
+    *
+    * @return (qid, neighbor, cos, mmr_rank) — mmr_rank 1..kOut in
+    *         selection order
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      kCand: Int = 20, kOut: Int = 5, scale: Int = 4): DataFrame = {
+    val vecs = corpus.select(col("id").as("neighbor"),
+      col("vec").cast("array<double>").as("nvec"))
+    // candidate pool + vectors: re-read by every greedy step — pin once
+    val cand = bruteForceTopK(corpus, queries, kCand, scale)
+      .join(vecs, "neighbor")
+      .select("qid", "neighbor", "cos", "rank", "nvec")
+      .localCheckpoint()
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("qid"), col("neighbor"), col("cos"),
+        lit(1).as("mmr_rank"), col("nvec"))
+      .localCheckpoint()
+    for (t <- 2 to kOut) {
+      val remaining = cand.join(
+        selected.select("qid", "neighbor"), Seq("qid", "neighbor"), "left_anti")
+      val pen = remaining.select("qid", "neighbor", "nvec")
+        .join(selected.select(col("qid"), col("nvec").as("svec")), "qid")
+        .withColumn("sim", round(cosine(col("nvec"), col("svec")), scale))
+        .groupBy("qid", "neighbor")
+        .agg(max(col("sim")).as("pen"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("mmr").desc, col("neighbor").asc)
+      val pick = remaining.join(pen, Seq("qid", "neighbor"))
+        .withColumn("mmr",
+          round(lit(0.7) * col("cos") - lit(0.3) * col("pen"), scale))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("neighbor"), col("cos"),
+          lit(t).as("mmr_rank"), col("nvec"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select("qid", "neighbor", "cos", "mmr_rank")
+  }
+
   /** Per-vector int8 scalar quantization — the storage tier under every
     * large ANN index (IVF-SQ / flat-SQ): each vector is mapped to 8-bit
     * codes over its own [min, max] range, shrinking an `array<float>`

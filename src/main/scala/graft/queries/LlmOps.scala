@@ -105,6 +105,50 @@ object LlmOps {
     SELECT qid, neighbor, cos, rank FROM ranked WHERE rank <= $k""".trim
   }
 
+  /** DuckDB twin of [[graft.operators.VectorOps.mmrRerank]]: the greedy
+    * MMR selection unrolled as chained CTEs, one (rem, pen, pick, sel)
+    * block per step. Identical rounding (4 decimals on every cosine and
+    * on the MMR score), identical tie order (neighbor id ASC), identical
+    * λ literals (0.7 / 0.3 — never `1 − λ`), so the greedy path — and
+    * therefore the selected set and its order — must match exactly.
+    */
+  private def mmrOracleSql(kCand: Int, kOut: Int, nQueries: Int): String = {
+    val steps = (2 to kOut).map { t =>
+      s"""rem$t AS (SELECT c.qid, c.neighbor, c.cos FROM cand c
+      LEFT JOIN sel${t - 1} s ON c.qid = s.qid AND c.neighbor = s.neighbor
+      WHERE s.neighbor IS NULL),
+    pen$t AS (SELECT r.qid, r.neighbor,
+                     MAX(round(list_cosine_similarity(cv.v, sv.v), 4)) AS pen
+              FROM rem$t r JOIN sel${t - 1} s ON r.qid = s.qid
+              JOIN e cv ON cv.vec_id = r.neighbor
+              JOIN e sv ON sv.vec_id = s.neighbor
+              GROUP BY r.qid, r.neighbor),
+    pick$t AS (SELECT qid, neighbor, cos, $t AS mmr_rank FROM (
+        SELECT r.qid, r.neighbor, r.cos,
+               ROW_NUMBER() OVER (PARTITION BY r.qid
+                 ORDER BY round(0.7 * r.cos - 0.3 * p.pen, 4) DESC,
+                          r.neighbor ASC) AS rn
+        FROM rem$t r JOIN pen$t p
+          ON r.qid = p.qid AND r.neighbor = p.neighbor)
+      WHERE rn = 1),
+    sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (
+      SELECT qid, neighbor, cos, rank FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS neighbor,
+               round(list_cosine_similarity(c.v, q.v), 4) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, q.v), 4) DESC,
+                          c.vec_id ASC) AS rank
+        FROM e c, e q WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id)
+      WHERE rank <= $kCand),
+    sel1 AS (SELECT qid, neighbor, cos, 1 AS mmr_rank FROM cand WHERE rank = 1),
+    $steps
+    SELECT qid, neighbor, cos, mmr_rank FROM sel$kOut""".trim
+  }
+
   /** DuckDB twin of the IVF ANN tier: k-means training unrolled as chained
     * CTEs, the [[graft.operators.PageRank.unrolledSql]] move applied to
     * Lloyd's algorithm. Each iteration is (assignment under the previous
@@ -505,6 +549,24 @@ object LlmOps {
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         VectorOps.lshTopK(corpus, queries, k = 5, bits = 4, dim = 64)
+      }),
+
+    // ------------------------------------------------------------------
+    // q147: MMR diversified retrieval — greedy λ=0.7 re-rank of q45's
+    // brute candidates (VectorOps.mmrRerank; kCand=20 → kOut=5 per
+    // query). Every cosine and the MMR score round to 4 decimals with
+    // neighbor-id tie-breaks, and λ ships as the literal pair 0.7/0.3,
+    // so the greedy path is engine-reproducible: the oracle unrolls the
+    // same 4 steps as CTEs (the Lloyd/PageRank move).
+    GraftQuery(
+      "q147_mmr_rerank",
+      Some(mmrOracleSql(kCand = 20, kOut = 5, nQueries = 5)),
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        VectorOps.mmrRerank(corpus, queries, kCand = 20, kOut = 5)
       }),
 
     // ------------------------------------------------------------------

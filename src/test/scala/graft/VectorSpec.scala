@@ -33,6 +33,52 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("MMR re-rank: driver replay of the greedy control flow matches exactly") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = VectorOps.mmrRerank(corpus, queries, kCand = 20, kOut = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    // replay the greedy selection in the driver, taking every rounded
+    // cosine FROM the engine (the float contract is the oracle's job;
+    // this pins the unrolled-loop orchestration: anti-join bookkeeping,
+    // penalty maxes, argmax tie order)
+    val cand = VectorOps.bruteForceTopK(corpus, queries, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val candIds = cand.map(_._2).distinct
+    val vecs = emb.filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id").as("a_id"), col("embedding").cast("array<double>").as("av"))
+    val pairSim = vecs.crossJoin(
+        vecs.select(col("a_id").as("b_id"), col("av").as("bv")))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorOps.cosine(col("av"), col("bv")), 4).as("sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def sim(a: Long, b: Long): Double =
+      if (a < b) pairSim((a, b)) else pairSim((b, a))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = scala.collection.mutable.Set[(Long, Long, Int)]()
+    for ((qid, qc) <- cand.groupBy(_._1)) {
+      val pool = qc.map(c => (c._2, c._3)).toBuffer // (neighbor, cos)
+      val sel = scala.collection.mutable.ArrayBuffer[Long]()
+      for (t <- 1 to 5) {
+        val best =
+          if (t == 1) pool.maxBy { case (id, cos) => (cos, -id) }
+          else pool.maxBy { case (id, cos) =>
+            (round4(0.7 * cos - 0.3 * sel.map(s => sim(id, s)).max), -id)
+          }
+        want += ((qid, best._1, t))
+        sel += best._1
+        pool -= best
+      }
+    }
+    assert(got == want.toSet)
+    // 5 distinct picks per query; rank 1 is the plain nearest neighbor
+    assert(got.size == 25)
+  }
+
   test("IVF top-k: k rows per query; recall tracks probe fraction") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.filter(col("vec_id") < 20)
