@@ -53,6 +53,28 @@ object Sampling {
   def hashBucketSql(keyExpr: String, salt: String = "graft"): String =
     s"${hexPrefixHashSql(keyExpr, salt, 8)} % 100"
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-hashing answer to "we need more shards": each key goes
+    * to the shard with the highest 48-bit md5 weight over (salt, shard,
+    * key). Growing n → n+k reassigns ONLY the keys whose new argmax
+    * lands in a new shard (expected k/(n+k) of them, the information-
+    * theoretic minimum), because shards [0, n) keep their exact weights:
+    * a key whose winner is still < n provably does not move. A plain
+    * `hash % n` resize moves (n−1)/n of the corpus — at 100 TB the
+    * difference is rewriting an eighth of the lake vs almost all of it.
+    *
+    * Pure per-row expression work (n md5 evaluations folded in-row via
+    * `greatest` over (weight, shard) structs — no explode, no shuffle,
+    * no state), deterministic across reruns/partitionings like every
+    * engine sampler, and SQL-expressible, so rebalance plans are
+    * oracle-checkable. Ties (2⁻⁴⁸ per pair) break to the higher shard
+    * id on both engines.
+    */
+  def rendezvousShard(key: Column, nShards: Int, salt: String = "hrw"): Column =
+    greatest((0 until nShards).map { s =>
+      struct(hexPrefixHash(key, s"$salt:$s", 12).as("w"), lit(s).as("s"))
+    }: _*).getField("s")
+
   /** Stratified deterministic sample: keep a row iff its hash bucket is
     * below the sampling percentage of its stratum (`rates` in percent,
     * missing strata fall back to `defaultPct`). Appends the bucket as

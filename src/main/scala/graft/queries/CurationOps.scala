@@ -131,6 +131,51 @@ object CurationOps {
     GROUP BY shard""".trim
 
   // --------------------------------------------------------------------
+  // q148: shard-rebalance plan — what actually moves when the training
+  // lake grows from 16 to 24 shards. Assignment is rendezvous hashing
+  // (Sampling.rendezvousShard): shards [0,16) keep their exact weights
+  // under the grow, so a key moves IFF its 24-way argmax lands in a new
+  // shard — expected 8/24 = 1/3 of the corpus, the minimum any resize
+  // can move (mod-16 → mod-24 would move ~11/12). Output is the
+  // (old_shard, new_shard) movement matrix with doc and char volumes —
+  // the thing a migration scheduler consumes. In-row expression work
+  // (40 md5 weights per row, no explode) + ONE bounded agg (≤ 384
+  // groups); the oracle re-derives both argmaxes from the identical md5
+  // weight strings via windows. Subset stability is spec-asserted
+  // exactly: every output row with new_shard < 16 has old == new.
+  private def rebalancePlan(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(spark, dir).documents
+    docs.select(col("n_chars"),
+        Sampling.rendezvousShard(col("doc_id"), 16).as("old_shard"),
+        Sampling.rendezvousShard(col("doc_id"), 24).as("new_shard"))
+      .groupBy("old_shard", "new_shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
+
+  private val rebalancePlanSql: String = """
+    WITH w AS (
+      SELECT d.doc_id, d.n_chars, s.s,
+             CAST(('0x' || substring(md5('hrw:' || CAST(s.s AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS wt
+      FROM documents d CROSS JOIN (SELECT unnest(range(24)) AS s) s),
+    olds AS (SELECT doc_id, s AS old_shard FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, s DESC) AS rn
+        FROM w WHERE s < 16) WHERE rn = 1),
+    news AS (SELECT doc_id, n_chars, s AS new_shard FROM (
+        SELECT doc_id, n_chars, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, s DESC) AS rn
+        FROM w) WHERE rn = 1)
+    SELECT CAST(o.old_shard AS INT) AS old_shard,
+           CAST(n.new_shard AS INT) AS new_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n.n_chars) AS BIGINT) AS n_chars
+    FROM olds o JOIN news n USING (doc_id)
+    GROUP BY o.old_shard, n.new_shard""".trim
+
+  // --------------------------------------------------------------------
   // Shared retrieval plumbing: the corpus as a posting list (doc_id,
   // term, tf). One explode + one agg; every downstream retrieval query
   // joins it against a tiny broadcast query-term table, so no plan ever
@@ -721,6 +766,7 @@ object CurationOps {
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
     GraftQuery("q112_source_cap", Some(sourceCapSql), sourceCap),
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
+    GraftQuery("q148_rebalance_plan", Some(rebalancePlanSql), rebalancePlan),
     GraftQuery("q87_boolean_search", Some(booleanSearchSql), booleanSearch),
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),
     GraftQuery("q145_retrieval_ndcg", Some(retrievalNdcgSql), retrievalNdcg),

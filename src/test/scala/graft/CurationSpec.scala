@@ -136,6 +136,20 @@ class CurationSpec extends SparkSpec {
   private def runQuery(name: String, dir: String) =
     queries.LlmOps.all.find(_.name == name).get.run(spark, dir)
 
+  test("q148 rebalance: shards [0,16) are stable under the grow; movement ~ 1/3") {
+    val rows = queries.CurationOps.all.find(_.name == "q148_rebalance_plan").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // rendezvous subset stability, exactly: a key whose 24-way winner is
+    // an old shard cannot have had a different 16-way winner
+    assert(rows.forall { case (o, n, _) => n >= 16 || o == n })
+    val total = rows.map(_._3).sum
+    val moved = rows.filter { case (o, n, _) => o != n }.map(_._3).sum
+    assert(total > 0)
+    val frac = moved.toDouble / total
+    assert(frac > 0.1 && frac < 0.6, s"moved fraction $frac") // E = 1/3
+  }
+
   test("q145 nDCG/MRR match hand-computed integer DCG sums") {
     // qid 1 terms {spark, shuffle}; hash/merge/window/stream absent so
     // only qid 1 emits. N=5, df(spark)=1, df(shuffle)=3:
