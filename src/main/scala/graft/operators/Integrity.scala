@@ -67,6 +67,44 @@ object Integrity {
       .select(lit(label).as("dataset"), col("n_rows"), col("xor_hash"),
         col("sum_hash"), col("min_hash"), col("max_hash"))
 
+  /** Bucket-digest reconciliation (anti-entropy): compare two snapshots
+    * as `nBuckets` per-bucket digest rows — count + [[digestAggs]] over
+    * full-row hashes, bucketed by the key columns' hash — and return
+    * only the buckets whose triple disagrees. No row-level join at any
+    * scale: two column-pruned scans, two map-side-combined `nBuckets`-
+    * group aggs, one `nBuckets`-row full-outer join. The dirty buckets
+    * are the worklist for a row-level diff ([[Merge.diff]]) — at 100 TB
+    * that means diffing the divergent fraction, not the lake.
+    *
+    * Caller contract: both frames share the same column names in the
+    * same order (row hashes canonicalize VALUES, not names; a reordered
+    * schema would make every bucket dirty).
+    *
+    * @return (bucket, n_a, n_b, xor_a, xor_b, sum_a, sum_b) for
+    *         mismatched buckets; a bucket absent on one side reports
+    *         n = 0 and NULL digests for that side
+    */
+  def bucketReconcile(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      nBuckets: Int = 256): DataFrame = {
+    def buckets(df: DataFrame) = df
+      .select(
+        pmod(rowHash(keyCols.map(col)), lit(nBuckets.toLong)).as("bucket"),
+        rowHash(df.columns.toSeq.map(col)).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), digestAggs("h"): _*)
+    val ga = buckets(a).select(col("bucket"), col("n").as("n_a"),
+      col("xor_hash").as("xor_a"), col("sum_hash").as("sum_a"))
+    val gb = buckets(b).select(col("bucket").as("bucket_b"), col("n").as("n_b"),
+      col("xor_hash").as("xor_b"), col("sum_hash").as("sum_b"))
+    ga.join(gb, col("bucket") === col("bucket_b"), "full")
+      .filter(!(col("n_a") <=> col("n_b")) ||
+        !(col("xor_a") <=> col("xor_b")) || !(col("sum_a") <=> col("sum_b")))
+      .select(coalesce(col("bucket"), col("bucket_b")).as("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("xor_a"), col("xor_b"), col("sum_a"), col("sum_b"))
+  }
+
   /** DuckDB twin of [[rowHash]] over SQL expressions. */
   def rowHashSql(exprs: Seq[String]): String = {
     val canon = exprs

@@ -1719,6 +1719,66 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q149: bucket-digest reconciliation — the anti-entropy step BEFORE
+    // q81's row diff: two snapshots are compared as 256 per-bucket
+    // digest rows (count + xor_hash + sum_hash over 48-bit row hashes,
+    // Integrity's commutative digest contract), and only buckets whose
+    // triple disagrees surface. At 100 TB that's two column-pruned
+    // scans, two 256-group map-side-combined aggs, and a 256-row join —
+    // no row-level key join anywhere — after which q81's full diff runs
+    // on the dirty buckets only (here ~90% are dirty because the q81
+    // mutation sprays keys mod 97/101/103 uniformly; real drift is
+    // bucket-local and leaves most digests untouched). Snapshot B is
+    // q81's exact deterministic mutation, so both engines derive it
+    // identically; the hashes, buckets, and digests are the
+    // Integrity/q86 idioms with their proven SQL twins.
+    GraftQuery(
+      "q149_bucket_reconcile",
+      Some({
+        val hk = graft.operators.Integrity.rowHashSql(Seq("k"))
+        val hr = graft.operators.Integrity.rowHashSql(Seq("k", "s", "p"))
+        val dig = graft.operators.Integrity.digestAggsSql("h")
+        s"""
+        WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_orderpriority AS p
+                   FROM orders),
+        b AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_orderstatus || 'X'
+                      ELSE o_orderstatus END AS s,
+                 o_orderpriority AS p
+          FROM orders WHERE o_orderkey % 101 != 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+          FROM orders WHERE o_orderkey % 103 = 0),
+        ga AS (SELECT bucket, COUNT(*) AS n, $dig
+               FROM (SELECT $hk % 256 AS bucket, $hr AS h FROM a) GROUP BY bucket),
+        gb AS (SELECT bucket, COUNT(*) AS n, $dig
+               FROM (SELECT $hk % 256 AS bucket, $hr AS h FROM b) GROUP BY bucket)
+        SELECT COALESCE(ga.bucket, gb.bucket) AS bucket,
+               CAST(COALESCE(ga.n, 0) AS BIGINT) AS n_a,
+               CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_b,
+               ga.xor_hash AS xor_a, gb.xor_hash AS xor_b,
+               ga.sum_hash AS sum_a, gb.sum_hash AS sum_b
+        FROM ga FULL JOIN gb ON ga.bucket = gb.bucket
+        WHERE ga.n IS DISTINCT FROM gb.n
+           OR ga.xor_hash IS DISTINCT FROM gb.xor_hash
+           OR ga.sum_hash IS DISTINCT FROM gb.sum_hash""".trim
+      }),
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders
+        val a = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        val b = o.filter(col("o_orderkey") % 101 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 97 === 0, concat(col("o_orderstatus"), lit("X")))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            col("o_orderpriority"))
+          .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_orderstatus"), col("o_orderpriority")))
+        graft.operators.Integrity.bucketReconcile(a, b, Seq("o_orderkey"))
+      }),
+
+    // ------------------------------------------------------------------
     // q82: filter-funnel attribution — every curation pipeline needs to
     // answer "WHY was each document dropped", not just "how many
     // survived": rules apply in a fixed order and the FIRST failure is

@@ -312,6 +312,27 @@ class OperatorSpec extends SparkSpec {
     assert(d.getLong(3) != base.getLong(3), "sum_hash must catch it")
   }
 
+  test("bucket reconcile: identical snapshots are clean; one mutation dirties exactly one bucket") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Integrity
+    val c = graft.core.Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    // same rows, any layout → zero dirty buckets
+    assert(Integrity.bucketReconcile(c, c.repartition(7), Seq("c_custkey")).isEmpty)
+    // one changed value → exactly the victim key's bucket, equal counts
+    val mutated = c.withColumn("c_name",
+      when(col("c_custkey") === 5L, concat(col("c_name"), lit("x")))
+        .otherwise(col("c_name")))
+    val dirty = Integrity.bucketReconcile(c, mutated, Seq("c_custkey")).collect()
+    assert(dirty.length == 1)
+    assert(dirty.head.getLong(1) == dirty.head.getLong(2)) // n_a == n_b
+    // one deleted row → that bucket's counts differ by one
+    val deleted = c.filter(col("c_custkey") =!= 5L)
+    val gone = Integrity.bucketReconcile(c, deleted, Seq("c_custkey")).collect()
+    assert(gone.length == 1)
+    assert(gone.head.getLong(1) == gone.head.getLong(2) + 1)
+  }
+
   test("jsonl quarantine: every line is either parsed or preserved raw") {
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory("jsonl")
