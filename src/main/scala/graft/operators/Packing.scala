@@ -101,6 +101,60 @@ object Packing {
       .withColumn("n_seqs", when(col("wt") > 0, last - first + 1).otherwise(0L))
   }
 
+  /** Running (inclusive) maximum of `v` in ascending `id` order — the
+    * second member of the sequential-scan family: the same two-pass
+    * range-partitioned shape as [[packSequences]] (pass 1: one
+    * per-partition max to the driver, bounded metadata; pass 2:
+    * partition-local scan seeded with the prefix max), so an inherently
+    * ordered computation never funnels through a single-task global
+    * window. Same layout-pinning rule: the sorted frame is
+    * localCheckpointed so both passes see identical partition
+    * boundaries, loudly.
+    *
+    * NULLs in either column fail loudly (the packSequences wt rule):
+    * a NULL id has no position in the order and a NULL value would
+    * NPE mid-scan.
+    *
+    * @return (id, v, run_max) with run_max = max of v over all rows
+    *         with id' <= id
+    */
+  def runningMax(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val checked = df.select(
+      when(col(idCol).isNull,
+        raise_error(lit("runningMax: id must be non-null")))
+        .otherwise(col(idCol).cast(LongType)).as("id"),
+      when(col(valueCol).isNull,
+        raise_error(lit("runningMax: value must be non-null")))
+        .otherwise(col(valueCol).cast(LongType)).as("v"))
+    val sorted = checked
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+      .localCheckpoint()
+    val rdd = sorted.rdd
+    val partMax = rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var m = Long.MinValue
+        it.foreach(r => m = math.max(m, r.getLong(1)))
+        Iterator((pid, m))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = sorted.sparkSession.sparkContext.broadcast(
+      partMax.scanLeft(Long.MinValue)(math.max))
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var m = bases.value(pid)
+      it.map { r =>
+        m = math.max(m, r.getLong(1))
+        Row(r.getLong(0), r.getLong(1), m)
+      }
+    }
+    sorted.sparkSession.createDataFrame(
+      out,
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", LongType, nullable = false),
+        StructField("run_max", LongType, nullable = false))))
+  }
+
   /** DuckDB twin of [[packSequences]] over a (id, wt) relation named
     * `rel` — the window cumsum formulation (fine at oracle scale).
     */

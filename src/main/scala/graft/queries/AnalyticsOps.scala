@@ -501,6 +501,76 @@ object AnalyticsOps {
              (a, b) -> CAST(0.2 AS DOUBLE) * b + CAST(0.8 AS DOUBLE) * a), 6) AS ewma
     FROM ordered""".trim
 
+  // --------------------------------------------------------------------
+  // q150: watermark-lateness audit — the measurement that SIZES
+  // `withWatermark` instead of guessing it: replay the event stream in
+  // arrival order against its running event-time high-watermark and
+  // histogram how late each event arrives. A watermark below the
+  // observed tail silently drops those events from every streaming
+  // aggregate (EventStreams uses 2 h — this query is where such a
+  // number should come from). The fixture carries no arrival column and
+  // its event_id sequence is exactly time-ordered (verified: the naive
+  // replay puts 100% of events in 'on_time', auditing nothing), so
+  // arrival simulates bounded ingestion delay DETERMINISTICALLY:
+  // arrival_ms = ms + md5(event_id) % 10 min (the engine's stable-hash
+  // idiom — rerun/partitioning-invariant and reproducible in the
+  // oracle), with (arrival_ms, event_id) packed into one unique long so
+  // the replay order is total (run_max over tied order keys would be
+  // order-sensitive). The running max is Packing.runningMax — the
+  // two-pass range-partitioned scan, one long per partition to the
+  // driver — NEVER a single-task global window; the rest is one
+  // ≤5-group agg. Counts are exact longs; the oracle's running max is
+  // the same scan expressed as a window (DuckDB is single-node — it can
+  // afford what the engine must not).
+  private val lateJitterMs = 600000L // 10 min of simulated ingestion delay
+  // unique arrival key: ms * 2^20 + (event_id % 2^20) — collision-free
+  // while no two events share BOTH an arrival ms and an id residue
+  // (fixture ids are unique and < 2^20; ms * 2^20 ~ 2^61 fits a long)
+  private val lateIdPack = 1048576L
+
+  private def latenessAudit(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("arrival_ms",
+        col("ms") + pmod(graft.operators.Integrity.rowHash(Seq(col("event_id"))),
+          lit(lateJitterMs)))
+      .withColumn("arrival_key",
+        col("arrival_ms") * lateIdPack + pmod(col("event_id"), lit(lateIdPack)))
+    graft.operators.Packing.runningMax(ev, "arrival_key", "ms")
+      .withColumn("late_ms", col("run_max") - col("v"))
+      .withColumn("bucket",
+        when(col("late_ms") === 0, "on_time")
+          .when(col("late_ms") < 60000L, "lt_1m")
+          .when(col("late_ms") < 300000L, "lt_5m")
+          .when(col("late_ms") < 600000L, "lt_10m")
+          .otherwise("ge_10m"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max(col("late_ms")).as("max_late_ms"))
+  }
+
+  private val latenessAuditSql: String = {
+    val h = graft.operators.Integrity.rowHashSql(Seq("event_id"))
+    s"""
+    WITH t AS (SELECT event_id, epoch_ms(ts) AS ms,
+                      epoch_ms(ts) + ($h % $lateJitterMs) AS arrival_ms
+               FROM events),
+    r AS (SELECT ms,
+                 MAX(ms) OVER (ORDER BY arrival_ms * $lateIdPack
+                                        + (event_id % $lateIdPack) ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS run_max
+          FROM t),
+    l AS (SELECT run_max - ms AS late_ms FROM r)
+    SELECT CASE WHEN late_ms = 0 THEN 'on_time'
+                WHEN late_ms < 60000 THEN 'lt_1m'
+                WHEN late_ms < 300000 THEN 'lt_5m'
+                WHEN late_ms < 600000 THEN 'lt_10m'
+                ELSE 'ge_10m' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+    FROM l GROUP BY 1""".trim
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
@@ -514,5 +584,7 @@ object AnalyticsOps {
     GraftQuery("q101_bloom_join", Some(bloomJoinSql), bloomJoin),
     GraftQuery("q102_cdc_apply", Some(cdcApplySql), cdcApply),
     GraftQuery("q103_group_quantiles", Some(groupQuantilesSql), groupQuantiles),
-    GraftQuery("q106_event_debounce", Some(eventDebounceSql), eventDebounce))
+    GraftQuery("q106_event_debounce", Some(eventDebounceSql), eventDebounce),
+    GraftQuery("q150_lateness_audit", Some(latenessAuditSql), latenessAudit))
+
 }

@@ -333,6 +333,23 @@ class OperatorSpec extends SparkSpec {
     assert(gone.head.getLong(1) == gone.head.getLong(2) + 1)
   }
 
+  test("runningMax: equals the window formulation across partitionings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i.toLong * 3, rng.nextInt(1000).toLong))
+    for (nPart <- Seq(1, 4, 13)) {
+      val df = rows.toDF("id", "v").repartition(nPart)
+      val got = graft.operators.Packing.runningMax(df, "id", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      var m = Long.MinValue
+      for ((id, v) <- rows) {
+        m = math.max(m, v)
+        assert(got(id) == m, s"id=$id nPart=$nPart")
+      }
+    }
+  }
+
   test("jsonl quarantine: every line is either parsed or preserved raw") {
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory("jsonl")
