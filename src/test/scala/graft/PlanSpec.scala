@@ -288,4 +288,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q148 rendezvous rebalance is in-row work: no join, no explode") {
+    val p = plan("q148_rebalance_plan")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), "shard weights must fold in-row, not explode")
+  }
+
+  test("q144/q145 candidate generation has no cartesian product") {
+    for (q <- Seq("q144_lev_band_pairs", "q145_retrieval_ndcg")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q150's replay plan contains no single-task global Window") {
+    // the running max is the two-pass Packing scan; a `Window` operator
+    // here would mean the plan regressed to the ORDER-BY-all funnel
+    val p = plan("q150_lateness_audit")
+    assert(!p.contains("Window"), p)
+  }
 }
