@@ -571,7 +571,59 @@ object AnalyticsOps {
     FROM l GROUP BY 1""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q151: deletion blast radius — the plan a right-to-be-forgotten job
+  // consumes: given a deletion list (customers with c_custkey % 211 = 0,
+  // the q81-style deterministic stand-in for an uploaded list), resolve
+  // the referential cascade (customer → orders → lineitem) and report,
+  // per table, WHICH 16-way storage buckets hold rows to rewrite and
+  // how many. With the engine's bucketed layouts (TableWriter), rewrite
+  // cost is the dirty buckets, not the table — this query is the
+  // difference between "compact 3 buckets" and "rewrite 100 TB".
+  // Shape: the deletion list is broadcast by definition of the use case
+  // (a legal request, not a corpus); each hop is one equi-join + one
+  // ≤16-group agg; the order-key frontier is pinned once (it feeds its
+  // own agg AND the lineitem hop). Buckets use the q86/q148 stable-hash
+  // idiom so the plan is rerun-invariant and oracle-checkable.
+  private def deletionPlan(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.Integrity
+    val t = Tables(spark, dir)
+    def bucket(c: org.apache.spark.sql.Column) =
+      pmod(Integrity.rowHash(Seq(c)), lit(16L)).as("bucket")
+    val delC = t.customer.filter(col("c_custkey") % 211 === 0)
+      .select(col("c_custkey"))
+    val delO = t.orders
+      .join(broadcast(delC), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey")).localCheckpoint() // own agg + lineitem hop
+    val cRows = delC.select(lit("customer").as("tbl"), bucket(col("c_custkey")))
+    val oRows = delO.select(lit("orders").as("tbl"), bucket(col("o_orderkey")))
+    val lRows = t.lineitem
+      .join(broadcast(delO), col("l_orderkey") === col("o_orderkey"))
+      .select(lit("lineitem").as("tbl"), bucket(col("l_orderkey")))
+    cRows.unionByName(oRows).unionByName(lRows)
+      .groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val deletionPlanSql: String = {
+    def h(e: String) = s"${graft.operators.Integrity.rowHashSql(Seq(e))} % 16"
+    s"""
+    WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 211 = 0),
+    delo AS (SELECT o_orderkey FROM orders
+             JOIN delc ON o_custkey = c_custkey)
+    SELECT tbl, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n_rows
+    FROM (
+      SELECT 'customer' AS tbl, ${h("c_custkey")} AS bucket, COUNT(*) AS n
+      FROM delc GROUP BY 2
+      UNION ALL
+      SELECT 'orders', ${h("o_orderkey")}, COUNT(*) FROM delo GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem', ${h("l_orderkey")}, COUNT(*)
+      FROM lineitem JOIN delo ON l_orderkey = o_orderkey GROUP BY 2)""".trim
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
     GraftQuery("q90_cube_orders", Some(cubeOrdersSql), cubeOrders),
