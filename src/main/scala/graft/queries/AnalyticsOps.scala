@@ -622,7 +622,66 @@ object AnalyticsOps {
       FROM lineitem JOIN delo ON l_orderkey = o_orderkey GROUP BY 2)""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q152: incremental aggregate maintenance (IVM) — maintain the
+  // per-customer (n_orders, revenue) rollup under a changelog WITHOUT
+  // recomputing it. The engine side computes
+  //   maintained = base_agg ⊕ delta_agg
+  // where base is the rollup of snapshot A, and the delta aggregates
+  // the q81 deterministic changelog (added → +new, removed → −old,
+  // changed → +new −old; counts as signed longs, revenue as signed
+  // decimal sums — both associative-exact, so the fold order can't
+  // leak). The ORACLE recomputes the same rollup FROM SCRATCH on
+  // snapshot B — so the driver's hash compare IS the theorem
+  // "incremental == recompute", checked cross-engine. Fully-deleted
+  // customers drop out (n = 0 guard). Cost model: base is maintained
+  // state (here derived once from A); the per-batch work is
+  // agg(changelog) + one outer join against the rollup — ∝ change,
+  // never ∝ history. q81's mutation only changes o_orderstatus (not
+  // revenue-bearing columns) and inserts shifted keys, so deltas hit
+  // all three paths: inserts add customers, deletes remove orders,
+  // updates cancel to ±0 revenue.
+  private def ivmAgg(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // snapshot B = q81's deterministic mutation (deletes %101, status
+    // updates %97 — revenue-neutral, key-shifted inserts %103)
+    val deleted = o.filter(col("o_orderkey") % 101 === 0)
+    val inserted = o.filter(col("o_orderkey") % 103 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+    val base = o.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast(DecimalType(38, 2))).as("revenue"))
+    val delta = deleted
+      .select(col("o_custkey"), lit(-1L).as("dn"),
+        (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr"))
+      .unionByName(inserted.select(col("o_custkey"), lit(1L).as("dn"),
+        col("o_totalprice").cast(DecimalType(38, 2)).as("dr")))
+      .groupBy("o_custkey")
+      .agg(sum(col("dn")).as("dn"), sum(col("dr")).as("dr"))
+    base.join(delta, Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("revenue"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2)))
+          + coalesce(col("dr"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))))
+          .cast(DecimalType(38, 2)).as("revenue"))
+      .filter(col("n_orders") > 0)
+  }
+
+  private val ivmAggSql: String = """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS revenue
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0)
+    GROUP BY o_custkey""".trim
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q152_ivm_agg", Some(ivmAggSql), ivmAgg),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
