@@ -684,7 +684,7 @@ object CurationOps {
   // "did the test set drift since last release" is a 3-row comparison,
   // not a rescan. One scan, map-side-combined agg — no shuffle beyond
   // 3-group partials.
-  private val SplitSalt = "graft-split"
+  private[graft] val SplitSalt = "graft-split"
 
   private def datasetSplits(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import graft.operators.{Integrity, Sampling}

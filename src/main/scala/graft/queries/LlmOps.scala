@@ -508,6 +508,54 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q154: split-leakage audit — do any near-duplicate pairs straddle
+    // the train/val/test boundary? Eval-set leakage is the silent killer
+    // of benchmark numbers: a test doc whose near-copy sits in train is
+    // measured as generalization but is memorization. Composes two
+    // proven surfaces verbatim: q42's exact-Jaccard pair generation
+    // (PPJoin-blocked, never all-pairs) and q109's deterministic split
+    // assignment (hash bucket mod 100 under the split salt). Pairs
+    // normalize to an unordered (least, greatest) split combo, so
+    // (train,test) and (test,train) are one row; output ≤ 6 rows. The
+    // on-diagonal rows are the denominator context (within-split dup
+    // mass); the OFF-diagonal rows are the leakage. Mitigation is
+    // q70's keep-list or split-by-cluster (assign q44b components, not
+    // docs) — this query is the detector.
+    GraftQuery(
+      "q154_split_leakage",
+      Some(s"""
+        WITH p AS ($jaccardPairsSql),
+        s AS (SELECT doc_id,
+                     CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ${graft.operators.Sampling.hashBucketSql("doc_id", CurationOps.SplitSalt)} AS b
+                    FROM documents))
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM p JOIN s sa ON p.id_a = sa.doc_id
+               JOIN s sb ON p.id_b = sb.doc_id
+        GROUP BY 1, 2
+      """.trim),
+      (spark, dir) => {
+        import graft.operators.Sampling
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+        val pairs = Dedup.jaccardPairs(d, threshold = 0.8)
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = Sampling.hashBucket(c, CurationOps.SplitSalt)
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        pairs
+          .select(splitOf(col("id_a")).as("sa"), splitOf(col("id_b")).as("sb"))
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // ------------------------------------------------------------------
     // q45: brute-force cosine top-k ANN — broadcast query set × corpus
     // scan, deterministic ranking (cosine rounded, id tie-break).
     GraftQuery(

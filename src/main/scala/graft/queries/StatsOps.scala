@@ -352,7 +352,67 @@ object StatsOps {
                  * CAST(total AS DOUBLE) / CAST(n AS DOUBLE), 6) AS eff_epochs
     FROM c CROSS JOIN t""".trim
 
+  // --------------------------------------------------------------------
+  // q153: population-stability drift (PSI) — the model-monitoring
+  // metric for "did this feature's distribution move between windows":
+  // events.value binned over fixed literal edges (0,5,10,20,40,80,160,
+  // 320,∞ — chosen for the fixture's right-skewed range), compared
+  // between the first and second half of the stream's time range, with
+  // per-bin PSI terms (pA − pB)·ln(pA/pB). Rules of the house: the
+  // midpoint is exact integer arithmetic over epoch-ms min/max (one
+  // 1-row agg cross-joined back — no driver round trip), counts are
+  // exact longs, the smoothed probabilities (+1 Laplace, so empty bins
+  // stay finite) are IEEE divisions of identical longs, and each ln
+  // term is rounded to 8 decimals — past any libm-vs-JVM ulp
+  // divergence (the q135 discipline). One scan, one ≤8-group agg.
+  private val psiEdges = Seq(5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0)
+  private val psiBins = psiEdges.size + 1
+
+  private def psiDrift(spark: SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .select(unix_millis(col("ts")).as("ms"), col("value"))
+    val mid = ev.agg(((min(col("ms")) + max(col("ms"))) / 2).cast("long").as("mid"))
+    val bin = psiEdges.zipWithIndex.foldRight(lit(s"b${psiBins - 1}"): Column) {
+      case ((edge, i), acc) => when(col("value") < edge, s"b$i").otherwise(acc)
+    }
+    val c = ev.crossJoin(broadcast(mid))
+      .select(bin.as("bin"), (col("ms") < col("mid")).as("in_a"))
+      .groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = c.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    c.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"), {
+        val pa = (col("n_a") + 1L).cast(DoubleType) / (col("ta") + psiBins).cast(DoubleType)
+        val pb = (col("n_b") + 1L).cast(DoubleType) / (col("tb") + psiBins).cast(DoubleType)
+        round((pa - pb) * log(pa / pb), 8).as("psi_term")
+      })
+  }
+
+  private val psiDriftSql: String = {
+    val binCase = psiEdges.zipWithIndex
+      .map { case (e, i) => s"WHEN value < $e THEN 'b$i'" }
+      .mkString("CASE ", " ", s" ELSE 'b${psiBins - 1}' END")
+    s"""
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+    mid AS (SELECT (MIN(ms) + MAX(ms)) // 2 AS mid FROM ev),
+    c AS (SELECT $binCase AS bin,
+                 CAST(COUNT(*) FILTER (WHERE ms < mid) AS BIGINT) AS n_a,
+                 CAST(COUNT(*) FILTER (WHERE ms >= mid) AS BIGINT) AS n_b
+          FROM ev, mid GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                   CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
+    SELECT bin, n_a, n_b,
+           round((CAST(n_a + 1 AS DOUBLE) / CAST(ta + $psiBins AS DOUBLE)
+                  - CAST(n_b + 1 AS DOUBLE) / CAST(tb + $psiBins AS DOUBLE))
+                 * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + $psiBins AS DOUBLE))
+                      / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + $psiBins AS DOUBLE))),
+                 8) AS psi_term
+    FROM c, tot""".trim
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q153_psi_drift", Some(psiDriftSql), psiDrift),
     GraftQuery("q127_sales_trend", Some(salesTrendSql), salesTrend),
     GraftQuery("q128_token_entropy", Some(tokenEntropySql), tokenEntropy),
     GraftQuery("q129_mad_outliers", Some(madOutliersSql), madOutliers),
