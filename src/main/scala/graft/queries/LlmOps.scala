@@ -556,6 +556,62 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q155: cluster-aware splits — q154's mitigation, closed-loop: hash
+    // the near-dup COMPONENT (q44b's min-id label; singletons are their
+    // own cluster), not the document, so every near-copy family lands
+    // in one split by construction, then re-run the q154 detector on
+    // the new assignment. The result is the proof: every surviving row
+    // is on-diagonal (split_a = split_b — structurally guaranteed,
+    // since both ends of any near-dup pair share a component and
+    // therefore a split), and the off-diagonal leakage q154 found is
+    // gone. Plan adds one CC run + one label join over q154's shape;
+    // the label keys cross engines because min-id components are
+    // deterministic on both (the q44b contract).
+    GraftQuery(
+      "q155_cluster_splits",
+      Some(s"""
+        WITH p AS ($jaccardPairsSql),
+        comp AS (${GraftQuery.componentsOverSql(jaccardPairsSql, "id_a", "id_b")}),
+        r AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        s AS (SELECT doc_id,
+                     CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ${graft.operators.Sampling.hashBucketSql("cluster", CurationOps.SplitSalt)} AS b
+                    FROM r))
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM p JOIN s sa ON p.id_a = sa.doc_id
+               JOIN s sb ON p.id_b = sb.doc_id
+        GROUP BY 1, 2
+      """.trim),
+      (spark, dir) => {
+        import graft.operators.{ConnectedComponents, Dedup, Sampling}
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+        // pairs feed BOTH the CC edges and the leakage re-check — pin once
+        val pairs = Dedup.jaccardPairs(d, threshold = 0.8).localCheckpoint()
+        val comp = ConnectedComponents.run(spark,
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        val cluster = d.select(col("id"))
+          .join(comp, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+        val split = cluster.select(col("id"), {
+          val b = Sampling.hashBucket(col("cluster"), CurationOps.SplitSalt)
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split")
+        })
+        pairs
+          .join(split.select(col("id").as("id_a"), col("split").as("sa")), "id_a")
+          .join(split.select(col("id").as("id_b"), col("split").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // ------------------------------------------------------------------
     // q45: brute-force cosine top-k ANN — broadcast query set × corpus
     // scan, deterministic ranking (cosine rounded, id tie-break).
     GraftQuery(
