@@ -114,10 +114,33 @@ object SimKernel {
     else 100.0 * (1.0 - indelDistance(sa, sb).toDouble / total)
   }
 
-  /** Whitespace-tokenize, sort tokens, rejoin with single spaces. */
+  /** Compare two strings by CODE POINT, not UTF-16 unit — Python's
+    * string order, which rapidfuzz's token_sort inherits. The orders
+    * differ exactly when one side has an astral character and the other
+    * a BMP character above U+D800 (surrogate units sort astral strings
+    * low in UTF-16 order; code points sort them high).
+    */
+  private def compareCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Whitespace-tokenize, sort tokens (code-point order), rejoin with
+    * single spaces.
+    */
   def tokenSortKey(s: String): String = {
     val toks = s.trim.split("\\s+").filter(_.nonEmpty)
-    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    java.util.Arrays.sort(toks, new java.util.Comparator[String] {
+      override def compare(a: String, b: String): Int = compareCodePoints(a, b)
+    })
     toks.mkString(" ")
   }
 

@@ -119,13 +119,20 @@ object Packing {
     *         with id' <= id
     */
   def runningMax(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    // guard AFTER the cast: a non-null value the cast nulls out (junk
+    // string, out-of-range decimal) must hit the same loud error as an
+    // original NULL, not a bare executor NPE mid-scan
+    def longOrDie(c: String, what: String) = {
+      val casted = col(c).cast(LongType)
+      when(casted.isNull,
+        raise_error(concat_ws(" ",
+          lit(s"runningMax: $what must be a non-null long; got"),
+          coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(casted)
+    }
     val checked = df.select(
-      when(col(idCol).isNull,
-        raise_error(lit("runningMax: id must be non-null")))
-        .otherwise(col(idCol).cast(LongType)).as("id"),
-      when(col(valueCol).isNull,
-        raise_error(lit("runningMax: value must be non-null")))
-        .otherwise(col(valueCol).cast(LongType)).as("v"))
+      longOrDie(idCol, "id").as("id"),
+      longOrDie(valueCol, "value").as("v"))
     val sorted = checked
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")

@@ -35,7 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalIndex {
 
-  private val idfScale = 1000000L
+  // tokenization, query-term frame, and idf scale are SHARED with the
+  // scan-time queries (CurationOps q87/q88) — one definition, so the
+  // "index-served == scan-time, row for row" contract cannot drift
+  private def postings(docs: DataFrame): DataFrame =
+    graft.queries.CurationOps.postings(docs)
+  private def queryTermsDf(spark: SparkSession, qs: Seq[(Int, Seq[String])]): DataFrame =
+    graft.queries.CurationOps.queryTermsDf(spark, qs)
+  private def idfScale: Long = graft.queries.CurationOps.idfScale
+
+  private val bucketedScanLock = new Object
 
   /** Run `f` with auto-bucketed-scan selection off (scoped set/restore,
     * the Tables.events idiom). Spark's `DisableUnnecessaryBucketedScan`
@@ -46,51 +55,64 @@ object RetrievalIndex {
     * happens on the bucketed read path. The probe jobs here are exactly
     * that shape, so they opt out of the auto-disable for their own
     * planning; the session value is restored for everyone else.
+    *
+    * The read/set/restore runs under a JVM-wide lock: two interleaved
+    * scopes would otherwise capture each other's transient `false` as
+    * "prior" and leave the session flag off permanently. (A query
+    * planned by an UNRELATED thread during the scope still sees the
+    * transient value — the inherent blast radius of session-scoped
+    * conf; probes hold the scope only across their own tiny-plan
+    * materialization.)
     */
-  private[graft] def withBucketedScan[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  private[graft] def withBucketedScan[T](spark: SparkSession)(f: => T): T =
+    bucketedScanLock.synchronized {
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try f
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
 
-  /** The retrieval family's tokenization (CurationOps.postings). */
-  private def postings(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-
+  /** Write order is the crash contract: postings first, `_meta` LAST as
+    * the commit marker — [[RetrievalStream]] (and any caller probing for
+    * an existing index) checks `_meta`, so a crash between the two
+    * writes reads as "no index yet" and the next build safely overwrites
+    * the orphaned postings instead of extending a half-built pair.
+    *
+    * `docs` is pinned once: postings and the cardinality row must see
+    * the same snapshot, and the corpus scan is paid once, not twice.
+    */
   def build(docs: DataFrame, table: String, path: String, nBuckets: Int = 16): Unit = {
+    val d = docs.localCheckpoint()
     graft.sources.TableWriter.writeBucketed(
-      postings(docs), s"${table}_postings", s"$path/postings", "term", nBuckets)
-    val spark = docs.sparkSession
+      postings(d), s"${table}_postings", s"$path/postings", "term", nBuckets)
+    val spark = d.sparkSession
     import spark.implicits._
-    Seq(docs.count()).toDF("n_docs")
+    Seq(d.count()).toDF("n_docs")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/meta").format("parquet")
       .saveAsTable(s"${table}_meta")
   }
 
+  /** Same ordering contract as [[build]]: postings append first, meta
+    * append last. A crash between them under-counts N until the batch
+    * replays; a replayed batch appends both again — the documented
+    * foreachBatch idempotence caveat (stamp appends with the batch id
+    * in production).
+    */
   def extend(docs: DataFrame, table: String): Unit = {
-    postings(docs)
+    val d = docs.localCheckpoint()
+    postings(d)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_postings")
-    val spark = docs.sparkSession
+    val spark = d.sparkSession
     import spark.implicits._
-    Seq(docs.count()).toDF("n_docs")
+    Seq(d.count()).toDF("n_docs")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_meta")
-  }
-
-  private def queryTermsDf(spark: SparkSession, qs: Seq[(Int, Seq[String])]): DataFrame = {
-    import spark.implicits._
-    qs.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }.toDF("qid", "term")
   }
 
   /** q88 from the index: top-k docs per query by Σ tf·idf_scaled, ranked

@@ -180,7 +180,7 @@ object CurationOps {
   // term, tf). One explode + one agg; every downstream retrieval query
   // joins it against a tiny broadcast query-term table, so no plan ever
   // touches docs × queries.
-  private def postings(docs: org.apache.spark.sql.DataFrame) =
+  private[graft] def postings(docs: org.apache.spark.sql.DataFrame) =
     docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
@@ -194,7 +194,7 @@ object CurationOps {
     WHERE length(term) > 0
     GROUP BY doc_id, term""".trim
 
-  private def queryTermsDf(
+  private[graft] def queryTermsDf(
       spark: org.apache.spark.sql.SparkSession,
       qs: Seq[(Int, Seq[String])]) = {
     import spark.implicits._
@@ -258,7 +258,7 @@ object CurationOps {
     1 -> Seq("spark", "shuffle"),
     2 -> Seq("hash", "merge"),
     3 -> Seq("window", "stream"))
-  private val idfScale = 1000000L
+  private[graft] val idfScale = 1000000L
 
   private def keywordTopK(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables(spark, dir).documents

@@ -375,11 +375,22 @@ object StatsOps {
     val bin = psiEdges.zipWithIndex.foldRight(lit(s"b${psiBins - 1}"): Column) {
       case ((edge, i), acc) => when(col("value") < edge, s"b$i").otherwise(acc)
     }
-    val c = ev.crossJoin(broadcast(mid))
+    val counts = ev.crossJoin(broadcast(mid))
       .select(bin.as("bin"), (col("ms") < col("mid")).as("in_a"))
       .groupBy("bin")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    // full bin spine: a bin empty in BOTH halves still owns a nonzero
+    // smoothed term whenever the half sizes differ — dropping its row
+    // would under-report the summed PSI and break Σp = 1
+    val spine = {
+      import spark.implicits._
+      (0 until psiBins).map(i => s"b$i").toDF("bin")
+    }
+    val c = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
     val tot = c.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
     c.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_a"), col("n_b"), {
@@ -393,13 +404,16 @@ object StatsOps {
     val binCase = psiEdges.zipWithIndex
       .map { case (e, i) => s"WHEN value < $e THEN 'b$i'" }
       .mkString("CASE ", " ", s" ELSE 'b${psiBins - 1}' END")
+    val spineValues = (0 until psiBins).map(i => s"('b$i')").mkString(", ")
     s"""
     WITH ev AS (SELECT epoch_ms(ts) AS ms, value FROM events),
     mid AS (SELECT (MIN(ms) + MAX(ms)) // 2 AS mid FROM ev),
-    c AS (SELECT $binCase AS bin,
+    counts AS (SELECT $binCase AS bin,
                  CAST(COUNT(*) FILTER (WHERE ms < mid) AS BIGINT) AS n_a,
                  CAST(COUNT(*) FILTER (WHERE ms >= mid) AS BIGINT) AS n_b
           FROM ev, mid GROUP BY 1),
+    c AS (SELECT s.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM (VALUES $spineValues) s(bin) LEFT JOIN counts ON s.bin = counts.bin),
     tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
                    CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
     SELECT bin, n_a, n_b,

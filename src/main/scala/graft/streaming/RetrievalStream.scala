@@ -16,9 +16,13 @@ import graft.operators.RetrievalIndex
   * index rather than inside the stream.
   *
   * Cold start: the first non-empty batch builds the table pair
-  * ([[RetrievalIndex.build]]); later batches extend it. Same
-  * exactly-once caveat as CurationStream, same mitigation (stamp
-  * appended files with the batch id in production).
+  * ([[RetrievalIndex.build]]); later batches extend it. The existence
+  * probe checks `_meta` — build's LAST write, its commit marker — so a
+  * crash mid-build reads as "no index yet" on replay and the rebuild
+  * overwrites the orphaned postings instead of extending a half-built
+  * pair. Same exactly-once caveat as CurationStream for replayed
+  * EXTENDS, same mitigation (stamp appended files with the batch id in
+  * production).
   */
 object RetrievalStream {
 
@@ -29,7 +33,7 @@ object RetrievalStream {
         val sp = batch.sparkSession
         val b = batch.localCheckpoint() // existence probe + postings share it
         if (!b.isEmpty) {
-          if (sp.catalog.tableExists(s"${table}_postings"))
+          if (sp.catalog.tableExists(s"${table}_meta"))
             RetrievalIndex.extend(b, table)
           else
             RetrievalIndex.build(b, table, path, nBuckets)

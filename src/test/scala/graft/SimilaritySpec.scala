@@ -50,6 +50,10 @@ class SimilaritySpec extends SparkSpec {
       SimKernel.indelRatio100(u(clef + "x"), u("x" + clef + "x")) - 80.0) < 1e-9)
     assert(SimKernel.indelRatio100(u(clef), u(clef)) == 100.0)
     assert(SimKernel.tokenSortRatio100(u("b " + clef), u(clef + " b")) == 100.0)
+    // token SORT ORDER is code-point order (Python's), not UTF-16 unit
+    // order: U+FFFD (65533) sorts BEFORE U+1D11E (119070), though its
+    // UTF-16 unit 0xFFFD sorts after the clef's lead surrogate 0xD834
+    assert(SimKernel.tokenSortKey(clef + " �") == "� " + clef)
     // the Fast variants' length-gap prebound (Spark length() = code
     // points) must never prune a pair the exact kernel keeps
     import spark.implicits._
