@@ -663,6 +663,69 @@ object MiningOps {
     FROM tot, same_name, cross_name, same_bn, cross_bn, cand""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q156: multi-touch LINEAR attribution — q143's last-touch sibling:
+  // each purchase splits its credit equally across ALL the same user's
+  // click/view touches in the strictly-preceding 24 h (same-ms touches
+  // excluded by the RANGE frame's -1 upper bound), purchases with no
+  // touch credit 'none' in full. Touch counts come from ONE
+  // user-partitioned RANGE window (two conditional sums — the q91
+  // frame); the per-purchase shares n_t/n are IEEE divisions of
+  // identical longs, and the cross-purchase credit sum takes the q135
+  // discipline (round each share to 12, decimal-sum, round the total
+  // to 6) because rationals with varying denominators have no exact
+  // decimal representation. One shuffle + one ≤3-group agg.
+  private def linearTouch(spark: SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ms", unix_millis(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-86400000L, -1L)
+    // an EMPTY frame (no same-user event in the preceding 24 h) makes
+    // SUM OVER return NULL, not 0 — uncoalesced, such purchases would
+    // fall through ALL three branches and silently vanish from the
+    // attribution (caught by the conservation check below, not by the
+    // oracle: both engines would drop the same rows)
+    val p = ev
+      .withColumn("cl", coalesce(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("vw", coalesce(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("cl"), col("vw"), (col("cl") + col("vw")).as("n"))
+      .localCheckpoint() // three UNION branches read it
+    def branch(t: String, c: Column) = p.filter(c > 0)
+      .select(lit(t).as("attributed_type"),
+        (c.cast(DoubleType) / col("n").cast(DoubleType)).as("share"))
+    branch("click", col("cl"))
+      .unionByName(branch("view", col("vw")))
+      .unionByName(p.filter(col("n") === 0)
+        .select(lit("none").as("attributed_type"), lit(1.0).as("share")))
+      .groupBy("attributed_type")
+      .agg(count(lit(1)).as("n_terms"), round(dsum(col("share"), 12), 6).as("credit"))
+  }
+
+  private val linearTouchSql: String = s"""
+    WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+    p AS (
+      SELECT cl, vw, cl + vw AS n FROM (
+        SELECT event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w, 0) AS cl,
+               COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w, 0) AS vw
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms
+                     RANGE BETWEEN 86400000 PRECEDING AND 1 PRECEDING))
+      WHERE event_type = 'purchase'),
+    terms AS (
+      SELECT 'click' AS attributed_type,
+             CAST(cl AS DOUBLE) / CAST(n AS DOUBLE) AS share FROM p WHERE cl > 0
+      UNION ALL
+      SELECT 'view', CAST(vw AS DOUBLE) / CAST(n AS DOUBLE) FROM p WHERE vw > 0
+      UNION ALL
+      SELECT 'none', 1.0 FROM p WHERE n = 0)
+    SELECT attributed_type, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(${dsumSql("share", 12)}, 6) AS credit
+    FROM terms GROUP BY attributed_type""".trim
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q133_salted_user_stats", Some(saltedUserStatsSql), saltedUserStats),
     GraftQuery("q134_containment_pairs", Some(containmentPairsSql), containmentPairs),
@@ -674,5 +737,6 @@ object MiningOps {
     GraftQuery("q141_gini_lengths", Some(giniLengthsSql), giniLengths),
     GraftQuery("q143_last_touch", Some(lastTouchSql), lastTouch),
     GraftQuery("q144_lev_band_pairs", Some(levBandPairsBody("part")), levBandPairs),
-    GraftQuery("q146_blocking_quality", Some(blockingQualitySql), blockingQuality))
+    GraftQuery("q146_blocking_quality", Some(blockingQualitySql), blockingQuality),
+    GraftQuery("q156_linear_touch", Some(linearTouchSql), linearTouch))
 }

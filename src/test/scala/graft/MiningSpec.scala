@@ -291,6 +291,20 @@ class MiningSpec extends SparkSpec {
     assert(r.getDouble(6) == cap.toDouble / truep.toDouble)
   }
 
+  test("q156 linear attribution conserves credit: shares sum to the purchase count") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q156_linear_touch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val purchases = graft.core.Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase").count()
+    // every purchase credits exactly 1.0 somewhere — including those
+    // with an EMPTY 24 h frame (the coalesce-to-zero path → 'none')
+    val credit = rows.map(_._3).sum
+    assert(math.abs(credit - purchases.toDouble) < 1e-3,
+      s"credit $credit vs purchases $purchases (${rows.mkString(", ")})")
+    assert(rows.map(_._1).toSet.subsetOf(Set("click", "view", "none")))
+  }
+
   test("q138 span coverage: matches a driver-side brute force") {
     val rows = q("q138_span_dedup").collect()
     assert(rows.nonEmpty)
