@@ -191,6 +191,109 @@ object GraphMlOps {
     GROUP BY doc_id""".trim
 
   // --------------------------------------------------------------------
+  // q157: exact AUC of the binary centroid discriminant — the ranking
+  // metric q115's confusion matrix can't see (accuracy ignores score
+  // ORDER; AUC is what a threshold sweep would earn). Task: label 0 vs
+  // rest; score = d²(neg centroid) − d²(pos centroid) over the q115
+  // train/test split, both distances the same decimal-exact fold as
+  // q115 (identical doubles both engines). AUC is the Mann-Whitney
+  // rank-sum form — (Σ_pos rank − P(P+1)/2) / (P·N) — with the rank a
+  // ROW_NUMBER under the (score, vec_id) total order: ranks are unique
+  // integers, the sums are exact longs, and the one IEEE division is
+  // the last op. (Tie-broken-by-id is a deterministic AUC estimator;
+  // exact-tie mass would need midranks, and scores here are continuous
+  // doubles.) The global rank window is the oracle-checkable twin (the
+  // q129 precedent); the 100 TB variant ranks by range partition +
+  // Packing-style prefix offsets — same integers, no single task.
+  // On this fixture the embeddings barely separate labels (q115 is
+  // 13/93 vs 9.3/93 chance), so the reported AUC sits near the 0.5
+  // null (0.375 at sf0.01, within ~1.2 null-σ of 0.5 at P=8) — the
+  // harness faithfully reports "no signal", which is the answer.
+  private def aucEval(spark: SparkSession, dir: String) = {
+    val base = Tables(spark, dir).embeddings
+      .withColumn("bkt", Sampling.hashBucket(col("vec_id"), splitSalt))
+    val trainX = base.filter(col("bkt") < 80)
+      .select(when(col("label") === 0, 1).otherwise(0).as("cls"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+    val cent = trainX.groupBy("cls", "dim")
+      .agg((dsum(col("x").cast(DoubleType), 8)
+        / count(lit(1)).cast(DoubleType)).as("c"))
+    val centArr = cent.groupBy(col("cls"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val dec = DecimalType(38, 12)
+    val test = base.filter(col("bkt") >= 80)
+      .select(col("vec_id"), (col("label") === 0).as("is_pos"), col("embedding"))
+    val d2 = test.crossJoin(broadcast(centArr))
+      .withColumn("dd",
+        aggregate(
+          zip_with(col("embedding"), col("cvec"), (x: Column, c: Column) => {
+            val r = x.cast(DoubleType) - c
+            (r * r).cast(dec)
+          }),
+          lit(0).cast(dec),
+          (acc: Column, t: Column) => (acc + t).cast(dec)).cast(DoubleType))
+      .groupBy("vec_id", "is_pos")
+      .agg(sum(when(col("cls") === 0, col("dd"))).as("d2_neg"),
+        sum(when(col("cls") === 1, col("dd"))).as("d2_pos"))
+      .select(col("vec_id"), col("is_pos"),
+        (col("d2_neg") - col("d2_pos")).as("score"))
+    val w = Window.orderBy(col("score").asc, col("vec_id").asc)
+    d2.withColumn("rank", row_number().over(w).cast("long"))
+      .agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("is_pos"), col("rank")).otherwise(0L)).as("rank_sum_pos"))
+      .select(col("n_pos"), col("n_neg"), col("rank_sum_pos"),
+        (expr("rank_sum_pos - (n_pos * (n_pos + 1)) div 2").cast(DoubleType)
+          / (col("n_pos") * col("n_neg")).cast(DoubleType)).as("auc"))
+  }
+
+  private val aucEvalSql: String = s"""
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             ${Sampling.hashBucketSql("vec_id", splitSalt)} AS bkt
+      FROM embeddings),
+    trainX AS (
+      SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS cls,
+             unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim
+      FROM base WHERE bkt < 80),
+    cent AS (
+      SELECT cls, dim,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM trainX GROUP BY cls, dim),
+    testX AS (
+      SELECT vec_id, label = 0 AS is_pos,
+             unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim
+      FROM base WHERE bkt >= 80),
+    dist AS (
+      SELECT vec_id, is_pos, cls,
+             CAST(SUM(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dd
+      FROM testX t JOIN cent ON cent.dim = t.dim
+      GROUP BY vec_id, is_pos, cls),
+    scored AS (
+      SELECT vec_id, is_pos,
+             SUM(CASE WHEN cls = 0 THEN dd END)
+               - SUM(CASE WHEN cls = 1 THEN dd END) AS score
+      FROM dist GROUP BY vec_id, is_pos),
+    ranked AS (
+      SELECT is_pos,
+             CAST(ROW_NUMBER() OVER (ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank
+      FROM scored)
+    SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(SUM(CASE WHEN is_pos THEN rank ELSE 0 END) AS BIGINT) AS rank_sum_pos,
+           CAST(SUM(CASE WHEN is_pos THEN rank ELSE 0 END)
+                - SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1) // 2 AS DOUBLE)
+             / CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
+                    * SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS auc
+    FROM ranked""".trim
+
+  // --------------------------------------------------------------------
   // q115: nearest-centroid classification of the embedding table — the
   // cheapest vector classifier there is, and the standard probe for "do
   // these embeddings separate the labels at all". Deterministic 80/20
@@ -953,6 +1056,7 @@ object GraphMlOps {
     GraftQuery("q113_triangle_count", Some(triangleCountSql), triangleCount),
     GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
     GraftQuery("q115_centroid_classify", Some(centroidClassifySql), centroidClassify),
+    GraftQuery("q157_auc_eval", Some(aucEvalSql), aucEval),
     GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity),
     GraftQuery("q118_lpa_communities", Some(lpaCommunitiesSql), lpaCommunities),
     GraftQuery("q119_clustering_coeff", Some(clusteringCoeffSql), clusteringCoeff),
