@@ -410,6 +410,94 @@ object CurationOps {
     FROM dcg JOIN idcg USING (qid) JOIN c USING (qid)""".trim
 
   // --------------------------------------------------------------------
+  // q158: pseudo-relevance query expansion (Rocchio-lite) — the
+  // retrieval family's feedback loop: per query, the top-10 docs from
+  // q88's ranking vote on EXPANSION terms (every term they contain
+  // except the original query's), each candidate scored by its summed
+  // integer tf·idf mass across the feedback set; top-5 per query under
+  // the (score desc, term asc) total order. All arithmetic stays in
+  // q88's scaled-BIGINT idf form — ln/pow idf is not cross-engine
+  // bit-stable, the exact rational is — so ranking ties out exactly.
+  //
+  // Scale shape: feedback docs are ≤ 10·|queries| ids (broadcast); the
+  // candidate-term vocabulary is what those ≤ 30 docs contain (small by
+  // construction — this is feedback, not the corpus); its df counts
+  // come from one semi-joined agg over the postings. Nothing outside
+  // q88's plan family ever materializes.
+  private def queryExpansion(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(spark, dir).documents
+    val n = docs.count()
+    val p = postings(docs).localCheckpoint() // feeds ranking, votes, df
+    val q = broadcast(queryTermsDf(spark, rankQueries))
+    val matched = p.join(q, "term")
+    val dfq = matched.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf_scaled",
+        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
+    val scored = matched.join(broadcast(dfq.select("term", "idf_scaled")), "term")
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    val fb = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10).select("qid", "doc_id")
+    // candidate votes: feedback docs' terms minus the query's own
+    val votes = p.join(broadcast(fb), "doc_id")
+      .join(broadcast(queryTermsDf(spark, rankQueries)), Seq("qid", "term"), "left_anti")
+    val candTerms = votes.select("term").distinct()
+    val dfc = p.join(broadcast(candTerms), "term")
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf_scaled",
+        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
+    val ranked = votes
+      .join(broadcast(dfc.select("term", "idf_scaled")), "term")
+      .groupBy("qid", "term")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf") * col("idf_scaled")).as("score"))
+    val w2 = Window.partitionBy("qid").orderBy(col("score").desc, col("term").asc)
+    ranked.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select("qid", "term", "n_docs", "score", "rank")
+  }
+
+  private val queryExpansionSql: String = s"""
+    WITH p AS ($postingsSql),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    m AS (SELECT q.qid, p.doc_id, p.term, p.tf
+          FROM p JOIN ${queryTermsSql(rankQueries)} ON p.term = q.term),
+    d AS (SELECT term,
+                 ((2 * (n.n - COUNT(DISTINCT doc_id)) + 1) * $idfScale)
+                   // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_scaled
+          FROM m, n GROUP BY term, n.n),
+    s AS (SELECT m.qid, m.doc_id, SUM(m.tf * d.idf_scaled) AS score
+          FROM m JOIN d USING (term) GROUP BY m.qid, m.doc_id),
+    fb AS (SELECT qid, doc_id FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM s) WHERE rank <= 10),
+    votes AS (
+      SELECT fb.qid, p.term, p.tf
+      FROM p JOIN fb ON p.doc_id = fb.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM ${queryTermsSql(rankQueries)}
+                        WHERE q.qid = fb.qid AND q.term = p.term)),
+    dc AS (SELECT term,
+                  ((2 * (n.n - COUNT(DISTINCT doc_id)) + 1) * $idfScale)
+                    // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_scaled
+           FROM p, n
+           WHERE term IN (SELECT DISTINCT term FROM votes)
+           GROUP BY term, n.n),
+    r AS (SELECT v.qid, v.term,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(v.tf * dc.idf_scaled) AS BIGINT) AS score
+          FROM votes v JOIN dc USING (term)
+          GROUP BY v.qid, v.term)
+    SELECT qid, term, n_docs, score, rank FROM (
+      SELECT qid, term, n_docs, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM r)
+    WHERE rank <= 5""".trim
+
+  // --------------------------------------------------------------------
   // q95: token co-occurrence lift — for the corpus's frequent tokens,
   // which PAIRS appear in the same document more than independence
   // predicts: lift = P(a,b)/(P(a)·P(b)) as floored parts-per-million —
@@ -770,6 +858,7 @@ object CurationOps {
     GraftQuery("q87_boolean_search", Some(booleanSearchSql), booleanSearch),
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),
     GraftQuery("q145_retrieval_ndcg", Some(retrievalNdcgSql), retrievalNdcg),
+    GraftQuery("q158_query_expansion", Some(queryExpansionSql), queryExpansion),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),
