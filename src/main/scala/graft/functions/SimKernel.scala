@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.Arrays
-
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels for fuzzy string similarity, shared by interpreted eval and
@@ -57,13 +55,17 @@ object SimKernel {
     if (bmpOnly(a) && bmpOnly(b)) indelDistanceChars(a, b)
     else indelDistanceInts(codePoints(a), codePoints(b))
 
+  // Both DP loops swap the two row buffers by reference between rows —
+  // no per-row arraycopy/fill: index 0 of both buffers stays 0 forever
+  // (LCS row/column zero), and every j >= 1 slot of the incoming row is
+  // overwritten before it is read.
   private def indelDistanceChars(a: String, b: String): Int = {
     val n = a.length
     val m = b.length
     if (n == 0) return m
     if (m == 0) return n
-    val prev = new Array[Int](m + 1)
-    val cur = new Array[Int](m + 1)
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
     var i = 1
     while (i <= n) {
       val ca = a.charAt(i - 1)
@@ -74,8 +76,7 @@ object SimKernel {
           else math.max(prev(j), cur(j - 1))
         j += 1
       }
-      System.arraycopy(cur, 0, prev, 0, m + 1)
-      Arrays.fill(cur, 0)
+      val t = prev; prev = cur; cur = t
       i += 1
     }
     n + m - 2 * prev(m)
@@ -86,8 +87,8 @@ object SimKernel {
     val m = b.length
     if (n == 0) return m
     if (m == 0) return n
-    val prev = new Array[Int](m + 1)
-    val cur = new Array[Int](m + 1)
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
     var i = 1
     while (i <= n) {
       val ca = a(i - 1)
@@ -98,8 +99,7 @@ object SimKernel {
           else math.max(prev(j), cur(j - 1))
         j += 1
       }
-      System.arraycopy(cur, 0, prev, 0, m + 1)
-      Arrays.fill(cur, 0)
+      val t = prev; prev = cur; cur = t
       i += 1
     }
     n + m - 2 * prev(m)
@@ -133,14 +133,19 @@ object SimKernel {
     Integer.compare(a.length - i, b.length - j)
   }
 
+  // hoisted: tokenSortKey runs twice per row from codegen — no per-call
+  // comparator allocation
+  private val codePointComparator: java.util.Comparator[String] =
+    new java.util.Comparator[String] {
+      override def compare(a: String, b: String): Int = compareCodePoints(a, b)
+    }
+
   /** Whitespace-tokenize, sort tokens (code-point order), rejoin with
     * single spaces.
     */
   def tokenSortKey(s: String): String = {
     val toks = s.trim.split("\\s+").filter(_.nonEmpty)
-    java.util.Arrays.sort(toks, new java.util.Comparator[String] {
-      override def compare(a: String, b: String): Int = compareCodePoints(a, b)
-    })
+    java.util.Arrays.sort(toks, codePointComparator)
     toks.mkString(" ")
   }
 

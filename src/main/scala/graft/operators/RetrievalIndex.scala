@@ -42,39 +42,27 @@ object RetrievalIndex {
     graft.queries.CurationOps.postings(docs)
   private def queryTermsDf(spark: SparkSession, qs: Seq[(Int, Seq[String])]): DataFrame =
     graft.queries.CurationOps.queryTermsDf(spark, qs)
-  private def idfScale: Long = graft.queries.CurationOps.idfScale
 
-  private val bucketedScanLock = new Object
-
-  /** Run `f` with auto-bucketed-scan selection off (scoped set/restore,
-    * the Tables.events idiom). Spark's `DisableUnnecessaryBucketedScan`
-    * reverts to a plain file scan when no downstream operator needs the
-    * bucket distribution — but a SELECTIVE probe's win is bucket
-    * PRUNING on the filter itself (`SelectedBucketsCount: k out of n`,
-    * skipping every file of every non-matching bucket), which only
-    * happens on the bucketed read path. The probe jobs here are exactly
-    * that shape, so they opt out of the auto-disable for their own
-    * planning; the session value is restored for everyone else.
-    *
-    * The read/set/restore runs under a JVM-wide lock: two interleaved
-    * scopes would otherwise capture each other's transient `false` as
-    * "prior" and leave the session flag off permanently. (A query
-    * planned by an UNRELATED thread during the scope still sees the
-    * transient value — the inherent blast radius of session-scoped
-    * conf; probes hold the scope only across their own tiny-plan
-    * materialization.)
+  /** A cloned session with auto-bucketed-scan selection off — the probe
+    * plans on the clone, everyone else keeps their conf. Spark's
+    * `DisableUnnecessaryBucketedScan` reverts to a plain file scan when
+    * no downstream operator needs the bucket distribution — but a
+    * SELECTIVE probe's win is bucket PRUNING on the filter itself
+    * (`SelectedBucketsCount: k out of n`, skipping every file of every
+    * non-matching bucket), which only happens on the bucketed read
+    * path. `newSession` shares the SparkContext, cached data, and the
+    * persistent catalog but owns an isolated SQL conf, so there is no
+    * session-global mutation, no lock, and no window in which an
+    * unrelated concurrent query plans under the probe's setting (the
+    * flaw of the scoped set/restore idiom this replaces). Builder-time
+    * conf (shuffle partitions, session timezone) lives in the shared
+    * SparkConf and carries over.
     */
-  private[graft] def withBucketedScan[T](spark: SparkSession)(f: => T): T =
-    bucketedScanLock.synchronized {
-      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "false")
-      try f
-      finally prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+  private[graft] def probeSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s
+  }
 
   /** Write order is the crash contract: postings first, `_meta` LAST as
     * the commit marker — [[RetrievalStream]] (and any caller probing for
@@ -125,19 +113,14 @@ object RetrievalIndex {
     val n = spark.table(s"${table}_meta")
       .agg(sum(col("n_docs"))).head.getLong(0)
     val terms = queries.flatMap(_._2).distinct
-    val p = spark.table(s"${table}_postings")
+    // plan + materialize the probe on the bucket-pruning clone; once
+    // pinned, downstream stages run on the caller's session as usual
+    val ps = probeSession(spark)
+    val p = ps.table(s"${table}_postings")
       .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
-    val q = broadcast(queryTermsDf(spark, queries))
-    // feeds df agg + scoring; materialized UNDER the bucketed-scan scope
-    // so the probe job actually prunes to the query terms' buckets
-    val matched = withBucketedScan(spark) { p.join(q, "term").localCheckpoint() }
-    val dfT = matched.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .withColumn("idf_scaled",
-        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
-    val scored = matched.join(broadcast(dfT.select("term", "idf_scaled")), "term")
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+    val q = broadcast(queryTermsDf(ps, queries))
+    val matched = p.join(q, "term").localCheckpoint()
+    val scored = graft.queries.CurationOps.scoreMatched(matched, n)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -148,13 +131,14 @@ object RetrievalIndex {
   def boolean(spark: SparkSession, table: String,
       queries: Seq[(Int, Seq[String])]): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
-    val p = spark.table(s"${table}_postings")
+    val ps = probeSession(spark)
+    val p = ps.table(s"${table}_postings")
       .filter(col("term").isin(terms: _*))
-    val q = broadcast(queryTermsDf(spark, queries))
+    val q = broadcast(queryTermsDf(ps, queries))
     val arity = queries.foldLeft(lit(-1)) { case (acc, (qid, ts)) =>
       when(col("qid") === qid, lit(ts.size)).otherwise(acc)
     }
-    val matched = withBucketedScan(spark) { p.join(q, "term").localCheckpoint() }
+    val matched = p.join(q, "term").localCheckpoint()
     matched
       .groupBy("qid", "doc_id")
       .agg(count(lit(1)).as("n_matched"))

@@ -534,8 +534,17 @@ object AnalyticsOps {
       .withColumn("arrival_ms",
         col("ms") + pmod(graft.operators.Integrity.rowHash(Seq(col("event_id"))),
           lit(lateJitterMs)))
+      // the packing precondition is CHECKED, not assumed (the
+      // runningMax raise_error rule): an id outside [0, 2^20) could
+      // collide with another same-arrival-ms event's residue, making
+      // the replay order non-total and run_max order-sensitive
       .withColumn("arrival_key",
-        col("arrival_ms") * lateIdPack + pmod(col("event_id"), lit(lateIdPack)))
+        when(col("event_id") < 0 || col("event_id") >= lateIdPack,
+          raise_error(concat_ws(" ",
+            lit(s"latenessAudit: event_id must be in [0, $lateIdPack) for a"),
+            lit("collision-free arrival key; got"), col("event_id").cast("string"))))
+          .otherwise(col("arrival_ms") * lateIdPack
+            + pmod(col("event_id"), lit(lateIdPack))))
     graft.operators.Packing.runningMax(ev, "arrival_key", "ms")
       .withColumn("late_ms", col("run_max") - col("v"))
       .withColumn("bucket",

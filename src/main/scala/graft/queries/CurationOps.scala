@@ -201,6 +201,29 @@ object CurationOps {
     qs.flatMap { case (qid, terms) => terms.map(t => (qid, t)) }.toDF("qid", "term")
   }
 
+  /** The BM25-shaped rational idf as a scaled BIGINT over a frame with a
+    * `df` column — ONE definition for every scorer (q88, q145, q158, the
+    * persisted index): ln/pow idf is not cross-engine bit-stable, the
+    * exact rational is, and a single expression keeps the
+    * "index-served == scan-time, row for row" contract from drifting.
+    */
+  private[graft] def idfScaledCol(n: Long): Column =
+    expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)")
+
+  /** Shared ranking core: matched (qid, doc_id, term, tf) → per-(qid,
+    * doc) integer tf·idf scores. Callers own pinning `matched` (it
+    * feeds the df agg AND the scoring join).
+    */
+  private[graft] def scoreMatched(
+      matched: org.apache.spark.sql.DataFrame, n: Long): org.apache.spark.sql.DataFrame = {
+    val dfT = matched.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf_scaled", idfScaledCol(n))
+    matched.join(broadcast(dfT.select("term", "idf_scaled")), "term")
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+  }
+
   private def queryTermsSql(qs: Seq[(Int, Seq[String])]): String =
     qs.flatMap { case (qid, terms) => terms.map(t => s"($qid, '$t')") }
       .mkString("(VALUES ", ", ", ") AS q(qid, term)")
@@ -269,13 +292,7 @@ object CurationOps {
     // aggregate and the scoring join, and is tiny (∝ query vocabulary);
     // without this the whole postings subtree (scan+explode+agg) runs twice
     val matched = p.join(q, "term").localCheckpoint()
-    val df = matched.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .withColumn("idf_scaled",
-        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
-    val scored = matched.join(broadcast(df.select("term", "idf_scaled")), "term")
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+    val scored = scoreMatched(matched, n)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
@@ -339,16 +356,10 @@ object CurationOps {
     val q = broadcast(queryTermsDf(spark, rankQueries))
     // feeds df agg + scoring join + relevance agg — pin once (q88 move)
     val matched = p.join(q, "term").localCheckpoint()
-    val dfT = matched.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .withColumn("idf_scaled",
-        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
     // graded ground truth; read by the top-10 join AND the ideal window
     val rel = matched.groupBy("qid", "doc_id")
       .agg(sum(col("tf")).as("rel")).localCheckpoint()
-    val scored = matched.join(broadcast(dfT.select("term", "idf_scaled")), "term")
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+    val scored = scoreMatched(matched, n)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
@@ -429,14 +440,8 @@ object CurationOps {
     val n = docs.count()
     val p = postings(docs).localCheckpoint() // feeds ranking, votes, df
     val q = broadcast(queryTermsDf(spark, rankQueries))
-    val matched = p.join(q, "term")
-    val dfq = matched.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .withColumn("idf_scaled",
-        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
-    val scored = matched.join(broadcast(dfq.select("term", "idf_scaled")), "term")
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+    val matched = p.join(q, "term").localCheckpoint() // df agg + scoring
+    val scored = scoreMatched(matched, n)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     val fb = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10).select("qid", "doc_id")
@@ -446,8 +451,7 @@ object CurationOps {
     val candTerms = votes.select("term").distinct()
     val dfc = p.join(broadcast(candTerms), "term")
       .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      .withColumn("idf_scaled",
-        expr(s"((2 * (${n}L - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
+      .withColumn("idf_scaled", idfScaledCol(n))
     val ranked = votes
       .join(broadcast(dfc.select("term", "idf_scaled")), "term")
       .groupBy("qid", "term")

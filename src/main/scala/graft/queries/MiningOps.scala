@@ -620,7 +620,14 @@ object MiningOps {
     val get = (df: org.apache.spark.sql.DataFrame) => df.head.getLong(0)
     val (truePairs, captured, cand) =
       (get(sameName) + get(crossName), get(sameBn) + get(crossBn), get(candidates))
-    val totalPairs = nRows * (nRows - 1) / 2
+    // guard, don't wrap: past ~4.29e9 rows the pair count exceeds a
+    // signed long and plain Scala arithmetic would wrap SILENTLY into a
+    // negative total (and a reduction ratio outside [0,1]); the oracle
+    // side would widen to HUGEINT and diverge. Fail loudly instead.
+    val totalPairsBig = (BigInt(nRows) * BigInt(nRows - 1)) / 2
+    require(totalPairsBig.isValidLong,
+      s"blockingQuality: $nRows rows -> $totalPairsBig pairs overflows a long")
+    val totalPairs = totalPairsBig.toLong
     import spark.implicits._
     Seq((nRows, totalPairs, cand, truePairs, captured)).toDF(
       "n_rows", "total_pairs", "candidate_pairs", "true_pairs", "captured_true")

@@ -58,11 +58,10 @@ class RetrievalIndexSpec extends SparkSpec {
     RetrievalIndex.build(docs, "rix_p", freshPath("p"), nBuckets = 16)
     // topK pins the matched probe (localCheckpoint), so the scan lives in
     // the checkpoint job's plan — assert pruning on the probe shape
-    // itself, under the same bucketed-scan scope the operator uses
-    val plan = RetrievalIndex.withBucketedScan(spark) {
-      spark.table("rix_p_postings").filter(col("term").isin("spark"))
-        .queryExecution.executedPlan.toString
-    }
+    // itself, on the same bucket-pruning clone the operator plans on
+    val plan = RetrievalIndex.probeSession(spark)
+      .table("rix_p_postings").filter(col("term").isin("spark"))
+      .queryExecution.executedPlan.toString
     // a single-term probe must select a strict subset of the 16 buckets
     val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(plan)
     assert(m.isDefined, plan.take(2000))
