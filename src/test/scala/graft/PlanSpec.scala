@@ -308,4 +308,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("q150_lateness_audit")
     assert(!p.contains("Window"), p)
   }
+
+  test("q151's cascade hops are broadcast joins (deletion list ships, tables don't)") {
+    val p = plan("q151_deletion_plan")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "no table-sized shuffle join in the cascade")
+  }
+
+  test("q156's post-probe plan is pure union+agg (the window rode the one pinned job)") {
+    // the RANGE-frame window lives in the localCheckpoint job; the final
+    // plan must only branch/agg the pinned purchases — any Window or
+    // Join here would mean a second per-user sort crept in
+    val p = plan("q156_linear_touch")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q158 expansion candidates come from equi joins (no cartesian, no nested loop)") {
+    val p = plan("q158_query_expansion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
