@@ -863,6 +863,19 @@ object CurationOps {
     GraftQuery("q88_keyword_topk", Some(keywordTopKSql), keywordTopK),
     GraftQuery("q145_retrieval_ndcg", Some(retrievalNdcgSql), retrievalNdcg),
     GraftQuery("q158_query_expansion", Some(queryExpansionSql), queryExpansion),
+    // q159: the q88 contract SERVED FROM THE PERSISTED INDEX — build the
+    // term-bucketed posting tables (RetrievalIndex.build, overwrite mode:
+    // reruns and bench repetitions are idempotent), then answer from the
+    // index with the shared scorer. The oracle is q88's own SQL: the
+    // driver's hash compare is then the "index-served == scan-time, row
+    // for row" contract itself, checked cross-engine — the spec-level
+    // RetrievalIndexSpec equality promoted to a driver-green row.
+    GraftQuery("q159_index_topk", Some(keywordTopKSql), (spark, dir) => {
+      graft.operators.RetrievalIndex.build(
+        Tables(spark, dir).documents, "graft_q159_rix",
+        java.nio.file.Files.createTempDirectory("q159_rix").toString)
+      graft.operators.RetrievalIndex.topK(spark, "graft_q159_rix", rankQueries)
+    }),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),
