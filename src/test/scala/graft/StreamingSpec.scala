@@ -361,6 +361,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming retrieval ingest recovers from a half-built index (postings, no meta)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("rixcrash").toString
+    // simulate a crash between build's two writes: postings exists,
+    // _meta (the commit marker) does not
+    Seq("rix_crash_postings", "rix_crash_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.sources.TableWriter.writeBucketed(
+      Seq((99L, "orphaned", 1L)).toDF("doc_id", "term", "tf"),
+      "rix_crash_postings", s"$tmp/orphan", "term", 16)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.RetrievalStream.start(
+      in.toDF().toDF("doc_id", "text"), "rix_crash", s"$tmp/idx")
+    try {
+      in.addData((1L, "spark shuffle"), (2L, "spark spark"))
+      q.processAllAvailable()
+      // the replayed cold start must REBUILD (overwriting the orphan),
+      // not extend the half-built pair or crash on the missing meta
+      val n = spark.table("rix_crash_meta").agg(sum("n_docs")).head.getLong(0)
+      assert(n == 2L)
+      val got = graft.operators.RetrievalIndex
+        .topK(spark, "rix_crash", Seq(1 -> Seq("spark")))
+        .collect().map(r => (r.getLong(1), r.getInt(3))).toList.sortBy(_._2)
+      assert(got.map(_._1) == List(2L, 1L), got.toString) // tf 2 outranks tf 1
+      assert(spark.table("rix_crash_postings")
+        .filter(col("term") === "orphaned").isEmpty, "orphan postings must be gone")
+    } finally {
+      q.stop()
+      Seq("rix_crash_postings", "rix_crash_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming stats rollup: foreachBatch-maintained rows equal from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
