@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** House rule (round-5 lesson, q152): no dumped query may output a raw
+    * DecimalType column. The driver's comparator coerces decimals to float
+    * on one side only ("1234.5" vs "1234.50" → hash fail), while the local
+    * oracle gate str()s them — so a decimal output passes locally and fails
+    * the round. Decimal-exact arithmetic is for INTERNAL sums (Num.dsum);
+    * the final column must be cast to DOUBLE.
+    */
+  def assertNoDecimalOutput(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val decimals = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+    }
+    require(decimals.isEmpty,
+      s"$name outputs DecimalType column(s) ${decimals.mkString(", ")} — " +
+        "cast the final column to DOUBLE (Num.dsum rule); raw decimals " +
+        "hash-mismatch in the driver's comparator")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name subset (dev iteration)
@@ -23,8 +40,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        assertNoDecimalOutput(name, df.schema) // q152 lesson — see Scaladoc
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

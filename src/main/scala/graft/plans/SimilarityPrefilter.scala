@@ -119,11 +119,20 @@ object SimilarityPrefilter extends Rule[LogicalPlan] {
          else GreaterThanOrEqual(cap, Literal(t, DoubleType)))
   }
 
-  /** `|len(a) - len(b)| {<=,<} k`, cast to the literal's integral type. */
+  /** `|len(a) - len(b)| {<=,<} k`. The comparison happens in the WIDER of
+    * (IntegerType, k's type): a TINYINT/SMALLINT threshold is widened UP to
+    * the gap's IntegerType — never the gap cast DOWN to a narrow type, which
+    * would wrap (non-ANSI) or throw (ANSI) when the gap exceeds the narrow
+    * range, making the injected guard fail a query that ran fine without it.
+    */
   private def levGuard(a: Expression, b: Expression, k: Expression, strict: Boolean): Option[Expression] = {
     if (!a.deterministic || !b.deterministic) return None
     val gapInt: Expression = Abs(Subtract(Length(a), Length(b)))
-    val gap = if (k.dataType == IntegerType) gapInt else Cast(gapInt, k.dataType)
-    Some(if (strict) LessThan(gap, k) else LessThanOrEqual(gap, k))
+    val narrow = k.dataType == ByteType || k.dataType == ShortType
+    val (gap, kk): (Expression, Expression) =
+      if (k.dataType == IntegerType) (gapInt, k)
+      else if (narrow) (gapInt, Cast(k, IntegerType))
+      else (Cast(gapInt, k.dataType), k) // LONG/DOUBLE threshold: widen the gap
+    Some(if (strict) LessThan(gap, kk) else LessThanOrEqual(gap, kk))
   }
 }

@@ -672,15 +672,19 @@ object AnalyticsOps {
     base.join(delta, Seq("o_custkey"), "full")
       .select(col("o_custkey"),
         (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        // internal arithmetic stays decimal-exact; the OUTPUT is DOUBLE per
+        // the house Num.dsum rule — the driver's comparator floats decimals
+        // and a raw DECIMAL(38,2) column hash-mismatches ("1234.5" vs
+        // "1234.50"). q152 was the suite's only violation (round-5 verdict).
         (coalesce(col("revenue"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2)))
           + coalesce(col("dr"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))))
-          .cast(DecimalType(38, 2)).as("revenue"))
+          .cast(DoubleType).as("revenue"))
       .filter(col("n_orders") > 0)
   }
 
   private val ivmAggSql: String = """
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
     FROM (
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders WHERE o_orderkey % 101 != 0

@@ -871,9 +871,13 @@ object CurationOps {
     // for row" contract itself, checked cross-engine — the spec-level
     // RetrievalIndexSpec equality promoted to a driver-green row.
     GraftQuery("q159_index_topk", Some(keywordTopKSql), (spark, dir) => {
+      // fixed per-JVM path, not a fresh temp dir per call: bench runs the
+      // query n=5 times and a new dir each run would orphan the previous
+      // run's parquet files (Overwrite repoints the table name but never
+      // deletes the old location).
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q159_rix"
       graft.operators.RetrievalIndex.build(
-        Tables(spark, dir).documents, "graft_q159_rix",
-        java.nio.file.Files.createTempDirectory("q159_rix").toString)
+        Tables(spark, dir).documents, "graft_q159_rix", path)
       graft.operators.RetrievalIndex.topK(spark, "graft_q159_rix", rankQueries)
     }),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),

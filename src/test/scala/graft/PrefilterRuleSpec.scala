@@ -83,6 +83,22 @@ class PrefilterRuleSpec extends SparkSpec {
       ("john smith", "jon smith"), ("𝄞x", "x𝄞x"), ("abc", "abc")))
   }
 
+  test("narrow (TINYINT) threshold: guard widens the literal UP, never the gap down") {
+    // a >127 length gap downcast to TINYINT would throw under ANSI (Spark 4
+    // default) or wrap non-ANSI — on a query that ran fine without the
+    // guard. The fix compares in IntegerType by widening the literal.
+    import spark.implicits._
+    val path = "/tmp/graft_prefilter_wide_pairs"
+    Seq(("x", "x" * 300), ("abc", "abd")) // gap 299 vs gap 0
+      .toDF("a", "b").write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("wide_pairs")
+    val df = spark.sql(
+      "SELECT a, b FROM wide_pairs WHERE levenshtein(a, b) <= CAST(2 AS TINYINT)")
+    assert(levGuards(df.queryExecution.optimizedPlan).size == 1)
+    val got = df.collect().map(_.getString(0)).toSet // must not throw
+    assert(got == Set("abc"))
+  }
+
   test("token_sort_ratio predicates are left alone (no sound cheap bound)") {
     pairsView()
     val plan = spark.sql("SELECT a FROM pairs WHERE token_sort_ratio(a, b) >= 90.0")
