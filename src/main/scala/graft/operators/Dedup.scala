@@ -611,6 +611,21 @@ object Dedup {
     * buckets. Band keys/signatures use the batch-stable [[hashedSets]]
     * encoding — a NEW batch hashed tomorrow derives byte-identical keys.
     */
+  /** Persist the exact-Jaccard near-dup pair graph as a bucketed table —
+    * the materialized form of [[jaccardPairs]], and the exact-pairs
+    * sibling of [[buildNearDupIndex]] (which persists the LSH encoding
+    * for probe-by-batch; this persists the verified PAIRS for repeated
+    * whole-graph consumers). At 100 TB the pair graph is computed once
+    * at ingest and every downstream audit — clustering, split-leakage
+    * detection, keep-lists — serves from the table instead of re-running
+    * the PPJoin; the suite previously recomputed the identical graph in
+    * four queries.
+    */
+  def buildPairIndex(docs: DataFrame, table: String, path: String,
+      threshold: Double, nBuckets: Int = 8): Unit =
+    graft.sources.TableWriter.writeBucketed(
+      jaccardPairs(docs, threshold), table, path, "id_a", nBuckets)
+
   def buildNearDupIndex(docs: DataFrame, table: String, path: String,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 16): Unit = {
     val enc = hashedSets(docs, k).localCheckpoint() // one shingle pass feeds both tables
