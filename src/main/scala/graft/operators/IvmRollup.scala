@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Persisted incremental aggregate maintenance (IVM) — the maintained-
+  * state twin of the q152 in-query derivation: the per-key rollup lives
+  * ON DISK as a bucketed delta log, each changelog batch folds in with
+  * one append whose cost is ∝ batch (never ∝ history), and reads fold
+  * the log without a shuffle.
+  *
+  * State model (delta log, not merge-on-write):
+  *   (key, dn: BIGINT, dr: DECIMAL(38,2), batch_id: BIGINT)
+  * `build` writes the base aggregation as batch 0; `applyDelta` appends
+  * one aggregated row per touched key stamped with the batch id, laid
+  * out through the table's existing bucket spec (`insertInto`, the
+  * [[RetrievalIndex.extend]] move) so reads stay co-located forever.
+  *
+  * Exactly-once without a commit marker: a batch's appended rows are a
+  * DETERMINISTIC aggregate of the changelog (longs and decimals — both
+  * associative-exact, no float drift), keyed by (key, batch_id). A crash
+  * mid-append followed by a replay can only produce byte-identical
+  * duplicate rows, and [[serve]] collapses those with a per-(key,
+  * batch_id) fold before summing. Contrast [[RetrievalIndex.extend]],
+  * whose postings are not per-batch-keyed and so need the documented
+  * "stamp with batch id in production" caveat — here the stamp IS the
+  * design.
+  *
+  * Read path: the table is bucketed by key, so HashPartitioning(key)
+  * satisfies the clustering of BOTH aggregation levels ((key, batch_id)
+  * then (key)) — [[serve]] runs with zero exchanges. [[compact]] folds
+  * the log back to a single batch-0 base when it grows (cost = one
+  * table rewrite, amortized over any number of appends).
+  *
+  * Reference trigger: the reference recomputes its consolidated outputs
+  * from scratch each run (`consolidate_group`, ranked_issues rebuild) —
+  * this is the shape those pipelines need at 100 TB, where per-batch
+  * maintenance is the only affordable contract.
+  */
+object IvmRollup {
+
+  private val Dec = DecimalType(38, 2)
+
+  /** Aggregate `rows` per `key` (count + decimal-exact sum of `value`)
+    * and persist as the batch-0 base, bucketed by key. Overwrite: a
+    * rerun or a crashed-then-retried build replaces, never extends.
+    */
+  def build(rows: DataFrame, key: Column, value: Column,
+      table: String, path: String, nBuckets: Int = 16): Unit = {
+    val base = rows.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("dn"),
+        sum(value.cast(Dec)).cast(Dec).as("dr"))
+      .withColumn("batch_id", lit(0L))
+    graft.sources.TableWriter.writeBucketed(base, table, path, "key", nBuckets)
+  }
+
+  /** Fold one changelog batch into the table. `changes` carries signed
+    * rows (key, dn, dr): +1/+value for an insert, −1/−old value for a
+    * delete, a ±pair for an update. They are aggregated to one row per
+    * touched key, stamped with `batchId` (> 0; 0 is the base), and
+    * appended through the bucket spec. Write cost ∝ |touched keys|.
+    */
+  def applyDelta(spark: SparkSession, table: String,
+      changes: DataFrame, batchId: Long): Unit = {
+    require(batchId > 0L, s"batchId must be positive (0 is the base): $batchId")
+    changes.groupBy(col("key"))
+      .agg(sum(col("dn")).as("dn"),
+        sum(col("dr").cast(Dec)).cast(Dec).as("dr"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(table)
+  }
+
+  /** The maintained result: Σdn, Σdr per key, after collapsing any
+    * byte-identical replayed batch rows per (key, batch_id). Keys whose
+    * count reaches 0 (fully deleted) drop out, matching what a
+    * from-scratch recompute would produce. Zero exchanges: both
+    * aggregation levels are satisfied by the table's bucket layout.
+    */
+  def serve(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .groupBy("key", "batch_id")
+      .agg(min(col("dn")).as("dn"), min(col("dr")).as("dr"))
+      .groupBy("key")
+      .agg(sum(col("dn")).as("n"), sum(col("dr")).cast(Dec).as("total"))
+      .filter(col("n") > 0)
+
+  /** Fold the delta log back into a single batch-0 base — same table,
+    * same bucket layout, read cost back to one row per live key. The
+    * fold is pinned (localCheckpoint) before the Overwrite because the
+    * rewrite reads the table it replaces.
+    */
+  def compact(spark: SparkSession, table: String, path: String,
+      nBuckets: Int = 16): Unit = {
+    val folded = serve(spark, table)
+      .select(col("key"), col("n").as("dn"), col("total").as("dr"),
+        lit(0L).as("batch_id"))
+      .localCheckpoint()
+    graft.sources.TableWriter.writeBucketed(folded, table, path, "key", nBuckets)
+  }
+}

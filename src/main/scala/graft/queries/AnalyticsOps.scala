@@ -693,8 +693,42 @@ object AnalyticsOps {
       FROM orders WHERE o_orderkey % 103 = 0)
     GROUP BY o_custkey""".trim
 
+  // --------------------------------------------------------------------
+  // q160: q152's IVM contract with MAINTAINED STATE — the rollup lives
+  // on disk (operators.IvmRollup: bucketed delta log, batch-stamped
+  // appends, shuffle-free serve), not derived inside the query. The
+  // closure builds the base from snapshot A, folds q81's changelog in
+  // as TWO batches (deletes, then key-shifted inserts), and serves; the
+  // oracle is q152's recompute-from-snapshot-B SQL, so the driver's
+  // hash compare is "maintained-table == recompute after two batches",
+  // checked cross-engine every round. Each invocation rebuilds
+  // (Overwrite base + appends) into a fixed path — bench reps pay the
+  // full build+fold+serve honestly and never orphan directories.
+  private def ivmRollup(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmRollup
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = "graft_q160_ivm"
+    val path = s"${System.getProperty("java.io.tmpdir")}/$table"
+    IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), table, path)
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_custkey").as("key"), lit(-1L).as("dn"),
+          (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr")),
+      batchId = 1L)
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 103 === 0)
+        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+          col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+      batchId = 2L)
+    IvmRollup.serve(spark, table)
+      .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q152_ivm_agg", Some(ivmAggSql), ivmAgg),
+    GraftQuery("q160_ivm_rollup", Some(ivmAggSql), ivmRollup),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
