@@ -28,6 +28,47 @@ object Similarity {
   def indelRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(IndelRatio(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** DuckDB-dialect LCS of two string SQL expressions, as a pure scalar
+    * expression — the classic DP expressed as two nested list folds so it
+    * can run PER ROW inside a join (a recursive CTE cannot correlate per
+    * row). Outer fold: rows of the DP table, one per character of `a`,
+    * seeded with the zero row; items are precomputed equality vectors
+    * against `b`'s characters, so accumulator and item are both INT
+    * lists (DuckDB's seedless `list_reduce` requires them to share a
+    * type, and — verified empirically — folds bare-LIST accumulators
+    * correctly where struct-carrying-LIST accumulators silently drop
+    * state, the q110/BPE lesson). Inner fold: the in-row scan
+    * dp[i][j] = eq ? dp[i-1][j-1]+1 : max(dp[i-1][j], dp[i][j-1]),
+    * threading the row built so far as the carry. O(|a|·|b|) per pair —
+    * the oracle runs it on collapsed distinct keys only.
+    */
+  def lcsSql(a: String, b: String): String = s"""
+    list_reduce(
+      list_prepend(
+        list_transform(range(0, length($b) + 1), x -> 0),
+        list_transform(string_split($a, ''), c ->
+          list_transform(string_split($b, ''), bc -> CASE WHEN bc = c THEN 1 ELSE 0 END))),
+      (P, eq) -> list_reduce(
+          list_prepend([0],
+            list_transform(range(1, length($b) + 1), j -> [eq[j], P[j], P[j + 1]])),
+          (acc, t) -> list_append(acc,
+            CASE WHEN t[1] = 1 THEN t[2] + 1 ELSE greatest(t[3], acc[len(acc)]) END))
+    )[length($b) + 1]""".trim
+
+  /** DuckDB-dialect oracle twin of [[indelRatio]] — the "no ANSI twin"
+    * wall that kept q33 rows-only for five rounds, breached: indel
+    * distance is |a|+|b| − 2·LCS, and [[lcsSql]] expresses LCS as a
+    * scalar fold, so the twin computes the BIT-IDENTICAL double
+    * `100.0 * (1.0 - dist/total)` that `SimKernel.indelRatio100`
+    * computes (same operand order; both engines' `length` count code
+    * points; both-empty → 100.0 matches the kernel's guard).
+    */
+  def indelRatioSql(a: String, b: String): String = s"""
+    CASE WHEN length($a) + length($b) = 0 THEN 100.0
+         ELSE 100.0 * (1.0 -
+           CAST(length($a) + length($b) - 2 * (${lcsSql(a, b)}) AS DOUBLE)
+           / CAST(length($a) + length($b) AS DOUBLE)) END""".trim
+
   /** rapidfuzz `token_sort_ratio` ∈ [0,100] as a codegen'd Catalyst expression. */
   def tokenSortRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(TokenSortRatio(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -565,6 +565,40 @@ object MiningOps {
     LIMIT 100""".trim
 
   // --------------------------------------------------------------------
+  // q161: q144's move for the INDEL tier — the query text is plain SQL
+  // with `indel_ratio(a, b) >= 65.0` (the engine's custom codegen'd
+  // expression through the SQL surface), so the SimilarityPrefilter
+  // optimizer rule — not a hand-written guard — injects the length-gap
+  // prebound that makes the DP feasible; PrefilterRuleSpec asserts the
+  // injected conjunct in THIS query's optimized plan. One template,
+  // two renderings: the engine side renders `sim` as indel_ratio, the
+  // oracle side as Similarity.indelRatioSql's LCS-fold twin — the same
+  // bit-identical double, so ORDER BY sim cross-engine-stable (the
+  // (name_a, name_b) tie-break covers equal scores). Distinct-name
+  // collapse + first-word blocking as in q144: kernel cost ∝ vocab².
+  private def indelSqlPairsBody(table: String, sim: (String, String) => String): String = s"""
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS rep_id, COUNT(*) AS n_parts
+      FROM $table GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           ${sim("a.p_name", "b.p_name")} AS sim,
+           a.n_parts * b.n_parts AS pair_support
+    FROM names a JOIN names b
+      ON substring(a.p_name, 1, instr(a.p_name, ' ')) =
+         substring(b.p_name, 1, instr(b.p_name, ' '))
+     AND a.rep_id < b.rep_id
+    WHERE ${sim("a.p_name", "b.p_name")} >= 65.0
+    ORDER BY sim DESC, name_a, name_b
+    LIMIT 100""".trim
+
+  private def indelSqlPairs(spark: SparkSession, dir: String) = {
+    graft.GraftExtensions.register(spark)
+    Tables(spark, dir).part.createOrReplaceTempView("graft_q161_part")
+    spark.sql(indelSqlPairsBody("graft_q161_part",
+      (a, b) => s"indel_ratio($a, $b)"))
+  }
+
+  // --------------------------------------------------------------------
   // q146: blocking-scheme evaluation — the entity-resolution
   // meta-metric pair for q25's brand blocking: REDUCTION RATIO
   // (1 − candidates/all-pairs: how much of the quadratic pair space the
@@ -744,6 +778,10 @@ object MiningOps {
     GraftQuery("q141_gini_lengths", Some(giniLengthsSql), giniLengths),
     GraftQuery("q143_last_touch", Some(lastTouchSql), lastTouch),
     GraftQuery("q144_lev_band_pairs", Some(levBandPairsBody("part")), levBandPairs),
+    GraftQuery("q161_indel_sql_pairs",
+      Some(indelSqlPairsBody("part",
+        (a, b) => graft.functions.Similarity.indelRatioSql(a, b))),
+      indelSqlPairs),
     GraftQuery("q146_blocking_quality", Some(blockingQualitySql), blockingQuality),
     GraftQuery("q156_linear_touch", Some(linearTouchSql), linearTouch))
 }

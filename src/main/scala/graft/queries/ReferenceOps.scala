@@ -511,12 +511,42 @@ object ReferenceOps {
       }),
 
     // ------------------------------------------------------------------
-    // q33: native indel-ratio expression (rapidfuzz parity) — no ANSI-SQL
-    // oracle (indel ≠ Levenshtein); driver records a rows-only check, exact
-    // semantics are golden-tested in SimilaritySpec.
+    // q33: native indel-ratio expression (rapidfuzz parity). Rows-only
+    // for five rounds ("true indel has no ANSI twin") — now hash-checked:
+    // Similarity.indelRatioSql expresses the indel score through an
+    // LCS-as-nested-list-folds scalar (indel dist = la+lb−2·LCS), bit-
+    // identical to SimKernel's double formula. The oracle mirrors the
+    // engine's collapse scheme (distinct (brand, tsk) groups score once;
+    // cross-group id pairs inherit the rep score, intra-group pairs are
+    // exact token-sort duplicates → 100.0) so the O(n·m) fold runs per
+    // DISTINCT key pair, not per id pair. SimilaritySpec's goldens still
+    // pin the kernel; this adds the cross-engine row.
     GraftQuery(
       "q33_indel_pairs",
-      None,
+      Some(s"""
+        WITH keyed AS (
+          SELECT p_partkey, p_brand,
+                 array_to_string(list_sort(string_split_regex(trim(p_name), '\\s+')), ' ') AS tsk
+          FROM part),
+        g AS (
+          SELECT p_brand, tsk, list(p_partkey) AS ids, COUNT(*) AS n
+          FROM keyed GROUP BY 1, 2),
+        scored AS (
+          SELECT a.ids AS ids_a, b.ids AS ids_b,
+                 ${Similarity.indelRatioSql("a.tsk", "b.tsk")} AS sim
+          FROM g a JOIN g b ON a.p_brand = b.p_brand AND a.tsk < b.tsk),
+        crossx AS (
+          SELECT u[1] AS src, u[2] AS dst, sim
+          FROM (SELECT sim, unnest(flatten(list_transform(ids_a, x ->
+                  list_transform(ids_b, y -> [least(x, y), greatest(x, y)])))) AS u
+                FROM scored WHERE sim >= 85.0)),
+        intra AS (
+          SELECT u[1] AS src, u[2] AS dst, 100.0 AS sim
+          FROM (SELECT unnest(list_filter(flatten(list_transform(ids, x ->
+                  list_transform(ids, y -> [x, y]))), p -> p[1] < p[2])) AS u
+                FROM g WHERE n > 1))
+        SELECT src, dst, sim FROM crossx UNION ALL SELECT src, dst, sim FROM intra
+      """.trim),
       (spark, dir) => tokenSortKeyPairs(spark, dir,
         (a, b) => Similarity.indelRatioFast(a, b, 85.0))),
 

@@ -130,6 +130,18 @@ class PrefilterRuleSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 3))
   }
 
+  test("q161's SQL-surface plan carries the injected indel guard and yields rows") {
+    val q = graft.queries.MiningOps.all.find(_.name == "q161_indel_sql_pairs").get
+    val df = q.run(spark, sfDir)
+    // the rule, not a hand-written conjunct, makes the DP feasible: the
+    // optimized plan must carry the 100*(1 - gap/total) prebound
+    assert(indelGuards(df.queryExecution.optimizedPlan).nonEmpty,
+      df.queryExecution.optimizedPlan.toString)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 65.0))
+  }
+
   test("rule object is a no-op on guard-free plans") {
     pairsView()
     val plan = spark.sql("SELECT a FROM pairs WHERE length(a) > 2")
