@@ -620,11 +620,110 @@ object Dedup {
     * detection, keep-lists — serves from the table instead of re-running
     * the PPJoin; the suite previously recomputed the identical graph in
     * four queries.
+    *
+    * With `incremental = true` two side tables also persist — the
+    * batch-stable digest sets (`_sets`, id-bucketed) and the PPJoin
+    * PREFIX postings (`_postings`, token-bucketed, with (rank, setsize)
+    * for the positional prunes) — enabling [[extendPairIndex]] to fold
+    * future batches in at cost ∝ batch. The prefix order is the sorted
+    * 64-bit content-digest order, NOT the df-ranked dictionary:
+    * df-optimal prefixes need corpus-global frequencies that tomorrow's
+    * batch would shift, while the hash order is batch-stable — the
+    * trade is candidate selectivity (hash-ordered prefixes hold average
+    * tokens, not the rarest), never exactness: AllPairs/PPJoin prefix
+    * completeness holds under ANY consistent global order, and the
+    * merge-scan verify keeps the output exact either way.
     */
   def buildPairIndex(docs: DataFrame, table: String, path: String,
-      threshold: Double, nBuckets: Int = 8): Unit =
+      threshold: Double, nBuckets: Int = 8, k: Int = 5,
+      incremental: Boolean = false): Unit = {
+    val d = if (incremental) docs.localCheckpoint() else docs
     graft.sources.TableWriter.writeBucketed(
-      jaccardPairs(docs, threshold), table, path, "id_a", nBuckets)
+      jaccardPairs(d, threshold, k), table, path, "id_a", nBuckets)
+    if (incremental) {
+      val enc = hashedSets(d, k)
+        .withColumn("setsize", size(col("toks"))).localCheckpoint()
+      graft.sources.TableWriter.writeBucketed(
+        enc.select("id", "toks"), s"${table}_sets", s"$path/sets", "id", nBuckets)
+      graft.sources.TableWriter.writeBucketed(
+        prefixPostings(enc, threshold),
+        s"${table}_postings", s"$path/postings", "tok", nBuckets)
+    }
+  }
+
+  /** PPJoin prefix rows (tok, id, rn, setsize) of a sized digest-set
+    * frame: the first |X| − ⌈t·|X|⌉ + 1 tokens in the batch-stable
+    * digest order, with the same 1e-9 ceil ulp-guard as
+    * [[distinctSetPairs]]. Shared by the index writer and the probe so
+    * both sides derive identical prefixes — the formula cannot drift.
+    */
+  private def prefixPostings(enc: DataFrame, threshold: Double): DataFrame = {
+    val prefixLen = (col("setsize") -
+      ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1).cast("int")
+    enc.select(col("id"), col("setsize"),
+        posexplode(slice(col("toks"), lit(1), prefixLen)).as(Seq("pos", "tok")))
+      .select(col("tok"), col("id"), (col("pos") + 1).as("rn"), col("setsize"))
+  }
+
+  /** Fold a NEW batch of documents into an incremental
+    * [[buildPairIndex]] table: batch-internal pairs come from the
+    * standard exact PPJoin over the batch alone; batch×history pairs
+    * come from probing the batch's prefix tokens against the persisted
+    * prefix postings (equi-join with the size-ratio and positional
+    * prunes of [[distinctSetPairs]], exact by the same arguments), then
+    * exact-verifying candidates against the stored digest sets — the
+    * batch side broadcast when MEASURED small, the history side through
+    * its id-bucketed layout. All three appends go through the existing
+    * bucket specs. Cost ∝ batch × selectivity, never ∝ history² — the
+    * "hash once at ingest" contract for the EXACT tier (the LSH tier's
+    * [[extendNearDupIndex]] sibling).
+    *
+    * Batch ids must be disjoint from history ids (new documents).
+    */
+  def extendPairIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String, threshold: Double,
+      k: Int = 5): Unit = {
+    val encB = hashedSets(batch, k)
+      .withColumn("setsize", size(col("toks"))).localCheckpoint()
+    val probe = prefixPostings(encB, threshold)
+    val hist = spark.table(s"${table}_postings")
+    val needOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.setsize") + col("b.setsize")) - lit(1e-9))
+    val candidates = probe.as("a")
+      .join(hist.as("b"), col("a.tok") === col("b.tok") &&
+        least(col("a.setsize"), col("b.setsize")).cast(DoubleType) /
+          greatest(col("a.setsize"), col("b.setsize")).cast(DoubleType) >= threshold &&
+        lit(1) + least(col("a.setsize") - col("a.rn"),
+          col("b.setsize") - col("b.rn")) >= needOverlap)
+      .select(col("a.id").as("bid"), col("b.id").as("hid"))
+      .dropDuplicates("bid", "hid")
+    // measured broadcast gate for the batch side (rows AND digest
+    // elements — the crossNearDup discipline)
+    val st = encB.agg(count(lit(1)), sum(size(col("toks")))).head()
+    val bOk = st.getLong(0) <= MaxBroadcastRows &&
+      (if (st.isNullAt(1)) 0L else st.getLong(1)) <= MaxBroadcastElems / 2
+    val cross = candidates
+      .join(maybeBroadcast(encB.select(col("id").as("bid"),
+        col("toks").as("t_a"), col("setsize").cast(DoubleType).as("sz_a")), bOk), "bid")
+      .join(spark.table(s"${table}_sets")
+        .select(col("id").as("hid"), col("toks").as("t_b"),
+          size(col("toks")).cast(DoubleType).as("sz_b")), "hid")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
+          .cast(DoubleType))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("bid"), col("hid")).as("id_a"),
+        greatest(col("bid"), col("hid")).as("id_b"), col("jaccard"))
+    val internal = jaccardPairs(batch, threshold, k)
+    internal.unionByName(cross)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(table)
+    probe.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_postings")
+    encB.select("id", "toks")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_sets")
+  }
 
   def buildNearDupIndex(docs: DataFrame, table: String, path: String,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 16): Unit = {

@@ -390,6 +390,45 @@ object LlmOps {
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8"""
 
+  /** Shared oracle of q154/q162: scan-time pairs + hash-bucket splits,
+    * unordered split combos. Both queries serve the ENGINE side from a
+    * persisted pair table (memoized whole-corpus for q154, two-batch
+    * incremental for q162), so this scan-time twin makes the driver's
+    * hash compare the index == scan contract for each.
+    */
+  private def splitLeakageSql: String = s"""
+    WITH p AS ($jaccardPairsSql),
+    s AS (SELECT doc_id,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                       ${graft.operators.Sampling.hashBucketSql("doc_id", CurationOps.SplitSalt)} AS b
+                FROM documents))
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p JOIN s sa ON p.id_a = sa.doc_id
+           JOIN s sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2""".trim
+
+  /** The split-leakage rollup over a near-dup pair frame (id_a, id_b):
+    * per-end split labels as in-row hash expressions, unordered combo,
+    * ≤ 6-row count agg.
+    */
+  private def leakageRollup(pairs: org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Sampling
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = Sampling.hashBucket(c, CurationOps.SplitSalt)
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    pairs
+      .select(splitOf(col("id_a")).as("sa"), splitOf(col("id_b")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------------
@@ -524,37 +563,38 @@ object LlmOps {
     // docs) — this query is the detector.
     GraftQuery(
       "q154_split_leakage",
-      Some(s"""
-        WITH p AS ($jaccardPairsSql),
-        s AS (SELECT doc_id,
-                     CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-                          ELSE 'test' END AS split
-              FROM (SELECT doc_id,
-                           ${graft.operators.Sampling.hashBucketSql("doc_id", CurationOps.SplitSalt)} AS b
-                    FROM documents))
-        SELECT least(sa.split, sb.split) AS split_a,
-               greatest(sa.split, sb.split) AS split_b,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs
-        FROM p JOIN s sa ON p.id_a = sa.doc_id
-               JOIN s sb ON p.id_b = sb.doc_id
-        GROUP BY 1, 2
-      """.trim),
-      (spark, dir) => {
-        import graft.operators.Sampling
+      Some(splitLeakageSql),
+      (spark, dir) =>
         // leakage audits repeat (every split re-cut, every corpus batch);
         // serve the pair graph from the persisted table — the scan-time
         // SQL oracle makes the driver check index == scan
-        val pairs = PairGraph.pairs(spark, dir, threshold = 0.8)
-        def splitOf(c: org.apache.spark.sql.Column) = {
-          val b = Sampling.hashBucket(c, CurationOps.SplitSalt)
-          when(b < 80, "train").when(b < 90, "val").otherwise("test")
-        }
-        pairs
-          .select(splitOf(col("id_a")).as("sa"), splitOf(col("id_b")).as("sb"))
-          .select(least(col("sa"), col("sb")).as("split_a"),
-            greatest(col("sa"), col("sb")).as("split_b"))
-          .groupBy("split_a", "split_b")
-          .agg(count(lit(1)).as("n_pairs"))
+        leakageRollup(PairGraph.pairs(spark, dir, threshold = 0.8))),
+
+    // ------------------------------------------------------------------
+    // q162: q154's leakage audit served from an INCREMENTALLY BUILT pair
+    // index — the corpus arrives as two batches (doc_id parity), the
+    // first is buildPairIndex(incremental), the second folds in through
+    // extendPairIndex (prefix-posting probe + digest verify, cost ∝
+    // batch), and the audit reads the resulting pairs table. The oracle
+    // is q154's scan-time SQL over the WHOLE corpus, so the driver's
+    // hash compare is the theorem "incrementally-built index ==
+    // from-scratch scan", cross-engine — the PairGraphSpec equality
+    // promoted to a driver-green row (the q159/q160 move for the exact
+    // near-dup tier). Rebuilds each invocation into a fixed path: bench
+    // reps pay build+extend+serve honestly, no orphaned directories.
+    GraftQuery(
+      "q162_incremental_leakage",
+      Some(splitLeakageSql),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+        val table = "graft_q162_pairs"
+        val path = s"${System.getProperty("java.io.tmpdir")}/$table"
+        Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), table, path,
+          threshold = 0.8, incremental = true)
+        Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1),
+          table, threshold = 0.8)
+        leakageRollup(spark.table(table))
       }),
 
     // ------------------------------------------------------------------

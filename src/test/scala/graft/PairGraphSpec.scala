@@ -31,4 +31,43 @@ class PairGraphSpec extends SparkSpec {
     val b = PairGraph.pairs(spark, sfDir, threshold = 0.8).collect().map(key).toSet
     assert(a == b)
   }
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/pairgraph_spec_$name"
+
+  private def drop(t: String): Unit =
+    Seq(t, s"${t}_sets", s"${t}_postings").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  test("build(half) + extendPairIndex(half) equals build(all) — exact tier increments") {
+    drop("pg_all"); drop("pg_inc")
+    val docs = graft.core.Tables(spark, sfDir).documents
+      .select(col("doc_id").as("id"), col("text"))
+    Dedup.buildPairIndex(docs, "pg_all", tmp("all"), 0.8, incremental = true)
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_inc", tmp("inc"),
+      0.8, incremental = true)
+    Dedup.extendPairIndex(spark,
+      docs.filter(col("id") % 2 === 1), "pg_inc", 0.8)
+    val a = spark.table("pg_all").collect().map(key).toSet
+    val b = spark.table("pg_inc").collect().map(key).toSet
+    assert(a == b) // jaccard DOUBLES included — cross-path values identical
+    assert(a.nonEmpty)
+    // the increment must find cross-half pairs, not just batch-internal
+    val crossHalf = a.count { case (x, y, _) => (x + y) % 2 == 1 }
+    assert(crossHalf > 0, "fixture must contain odd-even near-dup pairs")
+  }
+
+  test("a second extend folds another batch on top (three-way split)") {
+    drop("pg3")
+    val docs = graft.core.Tables(spark, sfDir).documents
+      .select(col("doc_id").as("id"), col("text"))
+    Dedup.buildPairIndex(docs.filter(col("id") % 3 === 0), "pg3", tmp("b3"),
+      0.8, incremental = true)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 1), "pg3", 0.8)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2), "pg3", 0.8)
+    val got = spark.table("pg3").collect().map(key).toSet
+    val want = Dedup.jaccardPairs(docs, threshold = 0.8)
+      .collect().map(key).toSet
+    assert(got == want)
+  }
 }
