@@ -573,4 +573,102 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
       .sorted
   }
+
+  test("streaming IVM: changelog batches fold into the rollup, replays collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ivmstream").toString
+    spark.sql("DROP TABLE IF EXISTS ivm_stream")
+    val in = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.IvmStream.start(
+      in.toDF().toDF("key", "dn", "dr"), "ivm_stream", s"$tmp/ivm")
+    val batch2 = Seq((1L, -1L, -10.0), (3L, 1L, 2.0), (2L, 1L, 1.0))
+    try {
+      in.addData((1L, 1L, 10.0), (1L, 1L, 5.0), (2L, 1L, 7.0))
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      def state() = graft.operators.IvmRollup.serve(spark, "ivm_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSet
+      val after = state()
+      assert(after == Set((1L, 1L, 5.0), (2L, 2L, 8.0), (3L, 1L, 2.0)))
+      // crash-replay: re-apply batch 2 under ITS OWN id (what Structured
+      // Streaming does after a foreachBatch crash) — the (key, batch_id)
+      // storage key absorbs the duplicate rows, state unchanged
+      graft.operators.IvmRollup.applyDelta(spark, "ivm_stream",
+        batch2.toDF("key", "dn", "dr"), 2L)
+      assert(state() == after)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ivm_stream")
+    }
+  }
+
+  private val pairDocBatch1 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+    (3L, "completely unrelated text about spark shuffle partitions"))
+  private val pairDocBatch2 = Seq(
+    (4L, "the quick brown fox jumps over the lazy dog again todays"), // near-dups 1, 2
+    (5L, "another unrelated document mentioning stream processing"))
+
+  test("streaming pair index: batches build + extend; pairs equal from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ppxstream").toString
+    Seq("ppx_stream", "ppx_stream_sets", "ppx_stream_postings")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.PairIndexStream.start(
+      in.toDF().toDF("id", "text"), "ppx_stream", s"$tmp/ppx", threshold = 0.8)
+    try {
+      in.addData(pairDocBatch1: _*)
+      q.processAllAvailable()
+      in.addData(pairDocBatch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ppx_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val scratch = graft.operators.Dedup.jaccardPairs(
+        (pairDocBatch1 ++ pairDocBatch2).toDF("id", "text"), threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == scratch)
+      // the cross-batch pair (1|2 from batch 1, 4 from batch 2) must exist
+      assert(streamed.exists { case (a, b, _) => b == 4L && (a == 1L || a == 2L) },
+        streamed.toString)
+    } finally {
+      q.stop()
+      Seq("ppx_stream", "ppx_stream_sets", "ppx_stream_postings")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("streaming pair index recovers from a half-built index (pairs, no postings)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ppxcrash").toString
+    Seq("ppx_crash", "ppx_crash_sets", "ppx_crash_postings")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // crash between build's writes: pairs exists, _postings (the LAST
+    // write, the commit marker) does not
+    graft.sources.TableWriter.writeBucketed(
+      Seq((888L, 999L, 1.0)).toDF("id_a", "id_b", "jaccard"),
+      "ppx_crash", s"$tmp/orphan", "id_a", 8)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.PairIndexStream.start(
+      in.toDF().toDF("id", "text"), "ppx_crash", s"$tmp/ppx", threshold = 0.8)
+    try {
+      in.addData(pairDocBatch1: _*)
+      q.processAllAvailable()
+      val got = spark.table("ppx_crash").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // replayed cold start REBUILDS: the orphaned pair row is gone and
+      // the batch's own near-dup pair is present
+      assert(!got.contains((888L, 999L)), got.toString)
+      assert(got.contains((1L, 2L)), got.toString)
+    } finally {
+      q.stop()
+      Seq("ppx_crash", "ppx_crash_sets", "ppx_crash_postings")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
