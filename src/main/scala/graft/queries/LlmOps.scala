@@ -2227,6 +2227,72 @@ object LlmOps {
         val bench = d.filter(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
         Dedup.crossNearDup(corpus, bench, threshold = 0.8)
           .select(col("id").as("doc_id"), col("ref_id").as("bench_id"), col("jaccard"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q163: EXACT n-gram decontamination — the GPT-3/PaLM convention
+    // (flag training docs sharing any verbatim n-token span with the
+    // eval set), the exact sibling of q111's fuzzy tier: q111 catches
+    // lightly-EDITED contamination, this catches verbatim INCLUSION a
+    // set-level Jaccard dilutes away (a benchmark question pasted into
+    // a long page moves doc-level Jaccard barely, but every one of its
+    // spans matches). Same held-out convention as q111 (doc_id < 50 =
+    // benchmark); spans are q138's 8-token sliding windows. Shape at
+    // 100 TB: the benchmark span set is SMALL BY DEFINITION (an eval
+    // suite, not a corpus) and broadcasts; corpus spans are a per-row
+    // transform joined map-side — the corpus is scanned once and only
+    // matching spans reach the per-doc agg, cost ∝ corpus scan + hits.
+    // Per flagged doc: total spans, matching span occurrences, distinct
+    // matching span texts, and the contamination ratio (round-6, the
+    // q138 discipline).
+    GraftQuery(
+      "q163_exact_decontam",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> length(x) > 0) AS tk
+          FROM documents),
+        ok AS (SELECT * FROM toks WHERE len(tk) >= 8),
+        spans AS (
+          SELECT doc_id, array_to_string(list_slice(tk, i, i + 7), ' ') AS span
+          FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+                FROM ok)),
+        bench AS (SELECT DISTINCT span FROM spans WHERE doc_id < 50),
+        corpus AS (SELECT * FROM spans WHERE doc_id >= 50),
+        tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM corpus GROUP BY doc_id),
+        hit AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                 CAST(COUNT(DISTINCT span) AS BIGINT) AS n_distinct_hits
+          FROM corpus JOIN bench USING (span) GROUP BY doc_id)
+        SELECT h.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+               h.n_hits, h.n_distinct_hits,
+               round(CAST(h.n_hits AS DOUBLE) / CAST(t.n_spans AS DOUBLE), 6)
+                 AS hit_ratio
+        FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+      """.trim),
+      (spark, dir) => {
+        val toks = Tables(spark, dir).documents
+          .select(col("doc_id"),
+            filter(split(lower(trim(col("text"))), "\\s+"),
+              x => length(x) > 0).as("tk"))
+          .filter(size(col("tk")) >= 8)
+        val spans = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 7),
+            i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("span"))
+          .localCheckpoint() // bench distinct + corpus side + totals share it
+        val bench = spans.filter(col("doc_id") < 50).select("span").distinct()
+        val corpus = spans.filter(col("doc_id") >= 50)
+        val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        val hit = corpus.join(broadcast(bench), "span")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("span")).as("n_distinct_hits"))
+        hit.join(tot, "doc_id")
+          .select(col("doc_id"), col("n_spans"), col("n_hits"),
+            col("n_distinct_hits"),
+            round(col("n_hits").cast(DoubleType)
+              / col("n_spans").cast(DoubleType), 6).as("hit_ratio"))
       })
   )
 }

@@ -329,4 +329,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q162's incremental probe stays equi-join (no cartesian, no nested loop)") {
+    val p = plan("q162_incremental_leakage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q163's benchmark span set joins by broadcast (the eval side is small by definition)") {
+    val p = plan("q163_exact_decontam")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
