@@ -209,7 +209,11 @@ object GraphMlOps {
   // 13/93 vs 9.3/93 chance), so the reported AUC sits near the 0.5
   // null (0.375 at sf0.01, within ~1.2 null-σ of 0.5 at P=8) — the
   // harness faithfully reports "no signal", which is the answer.
-  private def aucEval(spark: SparkSession, dir: String) = {
+  /** (vec_id, is_pos, score) of the binary centroid discriminant over
+    * the q115 split — the shared scoring frame of q157 (AUC) and q164
+    * (calibration); one definition, no drift.
+    */
+  private def discriminantScores(spark: SparkSession, dir: String) = {
     val base = Tables(spark, dir).embeddings
       .withColumn("bkt", Sampling.hashBucket(col("vec_id"), splitSalt))
     val trainX = base.filter(col("bkt") < 80)
@@ -225,7 +229,7 @@ object GraphMlOps {
     val dec = DecimalType(38, 12)
     val test = base.filter(col("bkt") >= 80)
       .select(col("vec_id"), (col("label") === 0).as("is_pos"), col("embedding"))
-    val d2 = test.crossJoin(broadcast(centArr))
+    test.crossJoin(broadcast(centArr))
       .withColumn("dd",
         aggregate(
           zip_with(col("embedding"), col("cvec"), (x: Column, c: Column) => {
@@ -239,6 +243,10 @@ object GraphMlOps {
         sum(when(col("cls") === 1, col("dd"))).as("d2_pos"))
       .select(col("vec_id"), col("is_pos"),
         (col("d2_neg") - col("d2_pos")).as("score"))
+  }
+
+  private def aucEval(spark: SparkSession, dir: String) = {
+    val d2 = discriminantScores(spark, dir)
     val w = Window.orderBy(col("score").asc, col("vec_id").asc)
     d2.withColumn("rank", row_number().over(w).cast("long"))
       .agg(
@@ -250,8 +258,10 @@ object GraphMlOps {
           / (col("n_pos") * col("n_neg")).cast(DoubleType)).as("auc"))
   }
 
-  private val aucEvalSql: String = s"""
-    WITH base AS (
+  /** CTE chain ending in `scored (vec_id, is_pos, score)` — the SQL twin
+    * of [[discriminantScores]], shared by q157's and q164's oracles.
+    */
+  private val discriminantScoredSql: String = s"""base AS (
       SELECT vec_id, label, embedding,
              ${Sampling.hashBucketSql("vec_id", splitSalt)} AS bkt
       FROM embeddings),
@@ -278,7 +288,10 @@ object GraphMlOps {
       SELECT vec_id, is_pos,
              SUM(CASE WHEN cls = 0 THEN dd END)
                - SUM(CASE WHEN cls = 1 THEN dd END) AS score
-      FROM dist GROUP BY vec_id, is_pos),
+      FROM dist GROUP BY vec_id, is_pos)""".trim
+
+  private val aucEvalSql: String = s"""
+    WITH $discriminantScoredSql,
     ranked AS (
       SELECT is_pos,
              CAST(ROW_NUMBER() OVER (ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank
@@ -292,6 +305,54 @@ object GraphMlOps {
              / CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
                     * SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS auc
     FROM ranked""".trim
+
+  // --------------------------------------------------------------------
+  // q164: reliability (calibration) table of the q157 discriminant —
+  // the third leg of the eval arc: q115's confusion matrix (one
+  // threshold), q157's AUC (every threshold's ORDER), and now per-bin
+  // calibration (does a higher score MEAN a higher positive rate?).
+  // Score deciles under the (score, vec_id) total order (NTILE — the
+  // same deterministic ranking discipline as q157's ROW_NUMBER), per
+  // bin exact long counts, the positive rate as one IEEE division, and
+  // the mean score under the q135 round-12-then-decimal-sum rule
+  // (scores are identical doubles cross-engine; the decimal cast makes
+  // the per-bin SUM order-free). A calibrated ranker shows monotone
+  // pos_rate across bins; this fixture's embeddings carry no label
+  // signal (the q115/q157 readout), so the table reads flat — reported,
+  // not hidden. Scale shape: the global NTILE is the oracle twin (q129
+  // precedent); at 100 TB the same bins come from a range-partitioned
+  // sort + Packing-style prefix offsets — identical integers.
+  private def calibrationBins(spark: SparkSession, dir: String) = {
+    val d2 = discriminantScores(spark, dir)
+    val w = Window.orderBy(col("score").asc, col("vec_id").asc)
+    d2.withColumn("bin", ntile(10).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+        // final round-8: the decimal(38,12) per-term casts round doubles
+        // that differ in their last bits (dd is two decimal-exact sums
+        // CAST back to double per engine), leaving ~1e-11 drift in the
+        // mean — past the q135 discipline's reach, inside round-8's
+        round(dsum(col("score"), 12) / count(lit(1)).cast(DoubleType), 8)
+          .as("mean_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("pos_rate"),
+        col("mean_score"))
+  }
+
+  private val calibrationBinsSql: String = s"""
+    WITH $discriminantScoredSql,
+    binned AS (
+      SELECT is_pos, score,
+             CAST(NTILE(10) OVER (ORDER BY score ASC, vec_id ASC) AS INTEGER) AS bin
+      FROM scored)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+           round(${graft.core.Num.dsumSql("score", 12)} / CAST(COUNT(*) AS DOUBLE), 8)
+             AS mean_score
+    FROM binned GROUP BY bin""".trim
 
   // --------------------------------------------------------------------
   // q115: nearest-centroid classification of the embedding table — the
@@ -1057,6 +1118,7 @@ object GraphMlOps {
     GraftQuery("q114_bigram_logprob", Some(bigramLogprobSql), bigramLogprob),
     GraftQuery("q115_centroid_classify", Some(centroidClassifySql), centroidClassify),
     GraftQuery("q157_auc_eval", Some(aucEvalSql), aucEval),
+    GraftQuery("q164_calibration_bins", Some(calibrationBinsSql), calibrationBins),
     GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity),
     GraftQuery("q118_lpa_communities", Some(lpaCommunitiesSql), lpaCommunities),
     GraftQuery("q119_clustering_coeff", Some(clusteringCoeffSql), clusteringCoeff),
