@@ -726,7 +726,84 @@ object AnalyticsOps {
         col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
   }
 
+  // --------------------------------------------------------------------
+  // q165: deletion APPLY + referential-integrity audit — q151 plans the
+  // right-to-be-forgotten cascade (which buckets to rewrite); this
+  // EXECUTES it and audits the RESULT: survivors of the customer →
+  // orders → lineitem cascade (three broadcast anti-joins against the
+  // deletion frontier) are WRITTEN TO DISK and the ledger is computed
+  // from the read-back tables — so the driver's hash compare is
+  // "persisted survivor state == the deletion's definition", not a
+  // tautology over shared in-memory frames. Per table: rows before /
+  // deleted / after (exact longs; deleted derived before − after from
+  // the persisted truth) and the orphan count that a partial or
+  // crashed delete would make nonzero — surviving orders referencing
+  // no surviving customer, surviving lineitems referencing no
+  // surviving order (both read-back-side anti-joins). Scale shape: the
+  // deletion list broadcasts by the q151 use-case argument; the
+  // survivor write is the actual rewrite cost (at 100 TB the q151
+  // dirty-bucket plan bounds it); audit terms are scans + broadcast
+  // anti-joins, no fact-table shuffle.
+  private def deletionApply(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q165"
+    val delC = t.customer.filter(col("c_custkey") % 211 === 0)
+      .select(col("c_custkey")).localCheckpoint() // frontier feeds both hops
+    val delO = t.orders
+      .join(broadcast(delC), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey")).localCheckpoint()
+    // apply: write survivors (Overwrite — reruns and bench reps are clean)
+    t.customer.join(broadcast(delC), Seq("c_custkey"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/customer")
+    t.orders.join(broadcast(delC), col("o_custkey") === col("c_custkey"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/orders")
+    t.lineitem.join(broadcast(delO), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/lineitem")
+    // audit: read the persisted truth back
+    val survC = spark.read.parquet(s"$base/customer")
+    val survO = spark.read.parquet(s"$base/orders")
+    val survL = spark.read.parquet(s"$base/lineitem")
+    def ledger(name: String, before: Long, after: Long, orphans: Long) =
+      Seq((name, before, before - after, after, orphans))
+        .toDF("tbl", "rows_before", "rows_deleted", "rows_after", "orphans_after")
+    ledger("customer", t.customer.count(), survC.count(), 0L)
+      .unionByName(ledger("orders", t.orders.count(), survO.count(),
+        survO.join(broadcast(survC.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti").count()))
+      .unionByName(ledger("lineitem", t.lineitem.count(), survL.count(),
+        survL.join(survO.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()))
+  }
+
+  private val deletionApplySql: String = """
+    WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 211 = 0),
+    delo AS (SELECT o_orderkey FROM orders JOIN delc ON o_custkey = c_custkey),
+    survc AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM delc)),
+    survo AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)),
+    survl AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo))
+    SELECT 'customer' AS tbl,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_before,
+           CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM survc) AS BIGINT) AS rows_deleted,
+           CAST((SELECT COUNT(*) FROM survc) AS BIGINT) AS rows_after,
+           CAST(0 AS BIGINT) AS orphans_after
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM survo) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM survo) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM survo
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM survc)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM survl) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM survl) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM survl
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM survo)) AS BIGINT)""".trim
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q165_deletion_apply", Some(deletionApplySql), deletionApply),
     GraftQuery("q152_ivm_agg", Some(ivmAggSql), ivmAgg),
     GraftQuery("q160_ivm_rollup", Some(ivmAggSql), ivmRollup),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),

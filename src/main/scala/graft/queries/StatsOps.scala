@@ -425,7 +425,75 @@ object StatsOps {
     FROM c, tot""".trim
   }
 
+  // --------------------------------------------------------------------
+  // q166: exact two-sample Kolmogorov–Smirnov — the distribution-free
+  // sibling of q153's PSI (PSI sees only its 8 fixed bins; KS sweeps
+  // EVERY observed value and reports the largest CDF gap, catching a
+  // shift PSI's binning straddles). Same time-half split as q153. The
+  // statistic stays in EXACT integers to the last step: collapse to
+  // distinct values (the Zipf rule) with per-half counts, one global
+  // cumulative window ordered by value (the q129/q157 oracle-twin
+  // shape; at scale the identical integers come from a range-
+  // partitioned sort + prefix offsets), then
+  //   D·nₐ·n_b = max over v of |cumₐ(v)·n_b − cum_b(v)·nₐ|
+  // — an integer argmax, so the winning row and the (d_num desc,
+  // value asc) tie-break are float-free; the one IEEE division at the
+  // end produces d_stat. Long bounds: cum·n ≤ nₐ·n_b, overflowing past
+  // ~3e9 rows per half — the documented decimal upgrade point.
+  private def ksDrift(spark: SparkSession, dir: String) = {
+    val ev = Tables(spark, dir).events
+      .select(unix_millis(col("ts")).as("ms"), col("value"))
+    val mid = ev.agg(((min(col("ms")) + max(col("ms"))) / 2).cast("long").as("mid"))
+    val byVal = ev.crossJoin(broadcast(mid))
+      .select(col("value"), (col("ms") < col("mid")).as("in_a"))
+      .groupBy("value")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = byVal.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byVal
+      .select(col("value"), sum(col("ca")).over(w).as("cca"),
+        sum(col("cb")).over(w).as("ccb"))
+      .crossJoin(broadcast(tot))
+      .select(col("value"), col("na"), col("nb"),
+        abs(col("cca") * col("nb") - col("ccb") * col("na")).as("d_num"))
+      .orderBy(col("d_num").desc, col("value").asc)
+      .limit(1)
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        (col("d_num").cast(DoubleType)
+          / (col("na") * col("nb")).cast(DoubleType)).as("d_stat"),
+        col("value").as("at_value"))
+  }
+
+  private val ksDriftSql: String = """
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+    mid AS (SELECT (MIN(ms) + MAX(ms)) // 2 AS mid FROM ev),
+    byval AS (
+      SELECT value,
+             CAST(COUNT(*) FILTER (WHERE ms < mid) AS BIGINT) AS ca,
+             CAST(COUNT(*) FILTER (WHERE ms >= mid) AS BIGINT) AS cb
+      FROM ev, mid GROUP BY value),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM byval),
+    cum AS (
+      SELECT value,
+             CAST(SUM(ca) OVER (ORDER BY value ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cca,
+             CAST(SUM(cb) OVER (ORDER BY value ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccb
+      FROM byval)
+    SELECT na AS n_a, nb AS n_b,
+           CAST(abs(cca * nb - ccb * na) AS BIGINT) AS d_num,
+           CAST(abs(cca * nb - ccb * na) AS DOUBLE)
+             / CAST(na * nb AS DOUBLE) AS d_stat,
+           value AS at_value
+    FROM cum, tot
+    ORDER BY d_num DESC, value ASC
+    LIMIT 1""".trim
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q166_ks_drift", Some(ksDriftSql), ksDrift),
     GraftQuery("q153_psi_drift", Some(psiDriftSql), psiDrift),
     GraftQuery("q127_sales_trend", Some(salesTrendSql), salesTrend),
     GraftQuery("q128_token_entropy", Some(tokenEntropySql), tokenEntropy),
