@@ -2293,6 +2293,102 @@ object LlmOps {
             col("n_distinct_hits"),
             round(col("n_hits").cast(DoubleType)
               / col("n_spans").cast(DoubleType), 6).as("hit_ratio"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q167: curation WATERFALL — the attrition ledger every production
+    // curation run ships with: how many documents each stage of the
+    // stack admits, composed from this engine's own proven gates in
+    // their real order — language ID (q47's classifier, keep 'en') →
+    // quality (q48's band floor, n_tokens >= 20) → exact dedup (q40's
+    // min-id keep, WITHIN survivors — real pipelines dedup after
+    // filtering) → near-dup keep-list (q44b's components over the
+    // persisted pair graph, min SURVIVING member representative) →
+    // holdout carve-out (q109's hash split, test 10% dropped). Output:
+    // one row per stage with exact in/kept/dropped longs — the
+    // artifact that tells you WHERE the corpus went. Each stage frame
+    // is pinned (localCheckpoint) because it feeds both its own count
+    // and the next stage — without the pins stage k re-runs every
+    // gate before it once per downstream action. Scale: every gate is
+    // a per-row expression or an established bounded surface (CC over
+    // the pair table); counts are one scan each over shrinking frames.
+    GraftQuery(
+      "q167_curation_waterfall",
+      Some {
+        val langCase = {
+          val scores = lexicons.map { case (lang, markers) =>
+            val cnt = markers.map(m =>
+              s"len(regexp_extract_all(lower(text), '\\b$m\\b'))").mkString(" + ")
+            (lang, s"($cnt)")
+          }
+          val g = s"greatest(${scores.map(_._2).mkString(", ")})"
+          // same counts, same greatest, same first-wins WHEN order as
+          // q47's oracle (both render from `lexicons`) — inlined so it
+          // can sit in a WHERE
+          scores.map { case (lang, s) => s"WHEN $s = $g THEN '$lang'" }
+            .mkString("CASE ", " ", " END")
+        }
+        val tokCount =
+          "len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0))"
+        s"""
+        WITH s0 AS (SELECT doc_id, text FROM documents),
+        s1 AS (SELECT * FROM s0 WHERE $langCase = 'en'),
+        s2 AS (SELECT * FROM s1 WHERE $tokCount >= 20),
+        s3 AS (SELECT * FROM s2
+               QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY lower(trim(text)))),
+        comp AS (${GraftQuery.componentsOverSql(jaccardPairsSql, "id_a", "id_b")}),
+        s4 AS (SELECT s3.doc_id, s3.text FROM s3 LEFT JOIN comp ON s3.doc_id = comp.id
+               QUALIFY s3.doc_id = MIN(s3.doc_id)
+                 OVER (PARTITION BY COALESCE(comp.component, s3.doc_id))),
+        s5 AS (SELECT * FROM s4
+               WHERE ${graft.operators.Sampling.hashBucketSql("doc_id", CurationOps.SplitSalt)} < 90)
+        SELECT CAST(stage AS INTEGER) AS stage, stage_name,
+               CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(n_in - n_kept AS BIGINT) AS n_dropped
+        FROM (VALUES
+          (0, 'all',          (SELECT COUNT(*) FROM s0), (SELECT COUNT(*) FROM s0)),
+          (1, 'lang_id',      (SELECT COUNT(*) FROM s0), (SELECT COUNT(*) FROM s1)),
+          (2, 'quality',      (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)),
+          (3, 'exact_dedup',  (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)),
+          (4, 'neardup_keep', (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)),
+          (5, 'holdout',      (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5)))
+          t(stage, stage_name, n_in, n_kept)""".trim
+      },
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.{ConnectedComponents, Sampling}
+        val s0 = Tables(spark, dir).documents
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val s1 = s0.filter(
+          TextFunctions.languageId(col("text"), lexicons) === "en").localCheckpoint()
+        val s2 = s1.filter(TextFunctions.tokenCount(col("text")) >= 20).localCheckpoint()
+        val s3 = s2
+          .withColumn("mn",
+            min(col("doc_id")).over(Window.partitionBy(lower(trim(col("text"))))))
+          .filter(col("doc_id") === col("mn")).drop("mn").localCheckpoint()
+        val comp = ConnectedComponents.run(spark,
+          PairGraph.pairs(spark, dir, threshold = 0.8)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        val s4 = s3
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+          .withColumn("mn",
+            min(col("doc_id")).over(Window.partitionBy(col("cluster"))))
+          .filter(col("doc_id") === col("mn"))
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val s5 = s4.filter(
+          Sampling.hashBucket(col("doc_id"), CurationOps.SplitSalt) < 90)
+        val c = Seq(s0, s1, s2, s3, s4, s5).map(_.count())
+        Seq(
+          (0, "all", c(0), c(0)),
+          (1, "lang_id", c(0), c(1)),
+          (2, "quality", c(1), c(2)),
+          (3, "exact_dedup", c(2), c(3)),
+          (4, "neardup_keep", c(3), c(4)),
+          (5, "holdout", c(4), c(5)))
+          .toDF("stage", "stage_name", "n_in", "n_kept")
+          .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
+            (col("n_in") - col("n_kept")).as("n_dropped"))
       })
   )
 }
