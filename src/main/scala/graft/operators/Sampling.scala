@@ -181,4 +181,48 @@ object Sampling {
   def raceKeySql(keyExpr: String, weightExpr: String, salt: String = "graft-w"): String =
     s"-ln((CAST(${hexPrefixHashSql(keyExpr, salt, 15)} AS DOUBLE) + 1.0) " +
       s"/ 1152921504606846976.0) / CAST($weightExpr AS DOUBLE)"
+
+  /** floor(F(k)·2³²) for F the Poisson(1) CDF, k = 0..7 — INTEGER
+    * thresholds computed once here and rendered into both engines, so
+    * the multiplicity draw is pure integer comparison (no float CDF on
+    * either side; the shared literals are the cross-engine contract).
+    * Mass beyond k = 7 (< 1e-5) rounds into multiplicity 8.
+    */
+  private[graft] val poissonCdf32: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val cum = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + e / (1 to k).map(_.toDouble).product.max(1.0)
+    }.tail // F(0)..F(7)
+    cum.map(f => (f * 4294967296.0).toLong)
+  }
+
+  /** Deterministic Poisson(1) bootstrap multiplicity of `key` in replica
+    * `replica`: the 32-bit salted hash of (replica, key) inverted
+    * through the integer CDF thresholds [[poissonCdf32]]. The Poisson
+    * bootstrap (each row enters each replica an independent Poisson(1)
+    * number of times) is THE resampling scheme that distributes: no
+    * per-replica global rank or fixed-n draw — multiplicity is a pure
+    * per-row function, so B replicas cost one B-way spine join, and a
+    * crashed/rerun/re-partitioned job draws identical replicas.
+    */
+  def poissonMultiplicity(key: Column, replica: Column,
+      salt: String = "boot"): Column = {
+    val h = hexPrefixHash(concat(replica.cast("string"), lit("|"), key.cast("string")),
+      salt, 8)
+    poissonCdf32.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, k), acc) => when(h < t, k).otherwise(acc)
+    }
+  }
+
+  /** SQL twin of [[poissonMultiplicity]] — same hash, same integer
+    * thresholds, same first-wins CASE order.
+    */
+  def poissonMultiplicitySql(keyExpr: String, replicaExpr: String,
+      salt: String = "boot"): String = {
+    val h = hexPrefixHashSql(
+      s"CAST($replicaExpr AS VARCHAR) || '|' || CAST($keyExpr AS VARCHAR)", salt, 8)
+    val whens = poissonCdf32.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }.mkString(" ")
+    s"CASE $whens ELSE 8 END"
+  }
 }

@@ -492,8 +492,78 @@ object StatsOps {
     ORDER BY d_num DESC, value ASC
     LIMIT 1""".trim
 
+  // --------------------------------------------------------------------
+  // q168: bootstrap confidence interval for a corpus metric (mean
+  // tokens/doc) via the POISSON bootstrap — the resampling scheme that
+  // actually distributes: classical n-out-of-n resampling needs a
+  // per-replica global draw, while Poisson(1) multiplicities are a pure
+  // per-row function of (replica, doc_id) (Sampling.poissonMultiplicity:
+  // 32-bit salted hash inverted through SHARED INTEGER CDF thresholds —
+  // no float CDF on either side), so B = 100 replicas cost one
+  // broadcast spine join and re-runs/re-partitionings draw identical
+  // replicas. Replica means are exact-long ratios (Σ mult·tokens /
+  // Σ mult — one IEEE division of identical integers); the CI is
+  // rank-based (3rd and 98th of the 100 means under the (mean, replica)
+  // total order — the deterministic 2.5th/97.5th percentile convention,
+  // means already identical doubles so the order crosses engines).
+  // Error bars for data metrics: the difference between "the corpus
+  // changed" and "the sample wiggled".
+  private def bootstrapCi(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      .localCheckpoint() // spine join + point estimate share one pass
+    val spine = (0 until 100).toDF("replica")
+    val means = docs.crossJoin(broadcast(spine))
+      .select(col("replica"),
+        Sampling.poissonMultiplicity(col("doc_id"), col("replica")).as("m"),
+        col("n_tokens"))
+      .filter(col("m") > 0)
+      .groupBy("replica")
+      .agg(sum(col("m") * col("n_tokens")).as("tok"), sum(col("m")).as("n"))
+      .select(col("replica"),
+        (col("tok").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+    val w = Window.orderBy(col("mean").asc, col("replica").asc)
+    val ranked = means.withColumn("rn", row_number().over(w))
+    val point = docs.agg(
+      (sum(col("n_tokens")).cast(DoubleType)
+        / count(lit(1)).cast(DoubleType)).as("point_est"))
+    point.crossJoin(broadcast(ranked.agg(
+      count(lit(1)).as("n_replicas"),
+      min(when(col("rn") === 3, col("mean"))).as("ci_lo"),
+      min(when(col("rn") === 98, col("mean"))).as("ci_hi"))))
+      .select(col("n_replicas"), col("point_est"), col("ci_lo"), col("ci_hi"))
+  }
+
+  private val bootstrapCiSql: String = {
+    val tok = "len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0))"
+    val mult = graft.operators.Sampling.poissonMultiplicitySql("doc_id", "replica")
+    s"""
+    WITH docs AS (SELECT doc_id, CAST($tok AS BIGINT) AS n_tokens FROM documents),
+    spine AS (SELECT unnest(generate_series(0, 99)) AS replica),
+    drawn AS (
+      SELECT replica, $mult AS m, n_tokens
+      FROM docs, spine),
+    means AS (
+      SELECT replica,
+             CAST(SUM(m * n_tokens) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) AS mean
+      FROM drawn WHERE m > 0 GROUP BY replica),
+    ranked AS (
+      SELECT mean, ROW_NUMBER() OVER (ORDER BY mean ASC, replica ASC) AS rn
+      FROM means)
+    SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n_replicas,
+           (SELECT CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            FROM docs) AS point_est,
+           (SELECT mean FROM ranked WHERE rn = 3) AS ci_lo,
+           (SELECT mean FROM ranked WHERE rn = 98) AS ci_hi""".trim
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q166_ks_drift", Some(ksDriftSql), ksDrift),
+    GraftQuery("q168_bootstrap_ci", Some(bootstrapCiSql), bootstrapCi),
     GraftQuery("q153_psi_drift", Some(psiDriftSql), psiDrift),
     GraftQuery("q127_sales_trend", Some(salesTrendSql), salesTrend),
     GraftQuery("q128_token_entropy", Some(tokenEntropySql), tokenEntropy),
