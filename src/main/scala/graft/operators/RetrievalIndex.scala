@@ -127,6 +127,74 @@ object RetrievalIndex {
       .select("qid", "doc_id", "score", "rank")
   }
 
+  /** Positional postings — the third, independent index table: (term,
+    * doc_id, positions: sorted array<int>, 0-based over the FILTERED
+    * token sequence — the same lowercased-whitespace tokens as
+    * [[postings]], so term search and phrase search agree on what a
+    * token is). Term-bucketed like the tf postings: phrase probes prune
+    * to the buckets of the phrase's terms. Positions-per-term rows are
+    * the classic positional-index trade: ~1 int per token of corpus,
+    * the price of answering adjacency without touching raw text.
+    */
+  def buildPositions(docs: DataFrame, table: String, path: String,
+      nBuckets: Int = 16): Unit = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    graft.sources.TableWriter.writeBucketed(
+      pos, s"${table}_positions", s"$path/positions", "term", nBuckets)
+  }
+
+  /** Exact phrase search from the positional index: a document matches
+    * phrase (t₀ … t_{k−1}) iff some anchor position p has t₀ at p and
+    * every tᵢ at p + i. The probe is the [[topK]] idiom — explicit
+    * `term IN` for bucket pruning, broadcast (phrase, term, offset)
+    * spine, one pinned matched frame — then per (phrase, doc) the
+    * per-offset position arrays fold IN-ROW: for each anchor p, count
+    * the offsets whose array contains p + off; k hits = a phrase
+    * occurrence. No self-join per offset (the k-way join shape), no
+    * raw-text rescans — cost ∝ matched postings, and the adjacency
+    * check is array arithmetic inside codegen.
+    *
+    * @return (pid, doc_id, n_matches) for docs with ≥ 1 occurrence;
+    *         n_matches counts DISTINCT anchors (overlaps included)
+    */
+  def phrase(spark: SparkSession, table: String,
+      phrases: Seq[(Int, Seq[String])]): DataFrame = {
+    val terms = phrases.flatMap(_._2).distinct
+    val ps = probeSession(spark)
+    val p = ps.table(s"${table}_positions")
+      .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
+    val pdf = {
+      import ps.implicits._
+      phrases.flatMap { case (pid, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (pid, t, i, ts.size) }
+      }.toDF("pid", "term", "off", "plen")
+    }
+    val matched = p.join(broadcast(pdf), "term").localCheckpoint()
+    // a duplicated term inside a phrase joins its single posting row to
+    // each of its offsets, so n_offsets counts offsets, not terms
+    matched
+      .groupBy("pid", "doc_id", "plen")
+      .agg(count(lit(1)).as("n_offsets"),
+        collect_list(struct(col("off"), col("positions"))).as("offs"))
+      .filter(col("n_offsets") === col("plen")) // every offset's term present
+      .withColumn("anchor",
+        element_at(filter(col("offs"), s => s.getField("off") === 0), 1)
+          .getField("positions"))
+      .withColumn("n_matches",
+        size(filter(col("anchor"), pAnchor =>
+          size(filter(col("offs"), s =>
+            array_contains(s.getField("positions"),
+              pAnchor + s.getField("off")))) === col("plen"))).cast("long"))
+      .filter(col("n_matches") > 0)
+      .select("pid", "doc_id", "n_matches")
+  }
+
   /** q87 from the index: docs containing ALL of each query's terms. */
   def boolean(spark: SparkSession, table: String,
       queries: Seq[(Int, Seq[String])]): DataFrame = {

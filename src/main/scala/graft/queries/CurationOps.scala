@@ -283,6 +283,15 @@ object CurationOps {
     3 -> Seq("window", "stream"))
   private[graft] val idfScale = 1000000L
 
+  /** q169's phrase set — fixture-verified occurrences at sf0.01 (48/45
+    * docs for the bigrams, 8 for the trigram); phrase 3's length-3 arm
+    * exercises the multi-offset anchor fold.
+    */
+  private[graft] val phraseQueries = Seq(
+    1 -> Seq("table", "hash"),
+    2 -> Seq("customer", "join"),
+    3 -> Seq("slow", "hash", "batch"))
+
   private def keywordTopK(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables(spark, dir).documents
     val n = docs.count() // corpus cardinality: one scalar, the ranking's N
@@ -880,6 +889,42 @@ object CurationOps {
         Tables(spark, dir).documents, "graft_q159_rix", path)
       graft.operators.RetrievalIndex.topK(spark, "graft_q159_rix", rankQueries)
     }),
+    // q169: exact PHRASE search served from the positional index — the
+    // retrieval family's adjacency tier (q87 asks "has all terms",
+    // q88 ranks them; neither can ask "are they ADJACENT"). The engine
+    // answers from RetrievalIndex.buildPositions + phrase (term-bucket-
+    // pruned probe, in-row anchor fold over per-offset position
+    // arrays); the ORACLE answers from the raw token arrays (a literal
+    // positional conjunction per phrase, rendered from the SAME phrase
+    // constants) — so the driver's hash compare is "positional index ==
+    // token-level scan", occurrence counts included (overlapping
+    // anchors and duplicated phrase terms exercise the fold's edge
+    // cases). Build is Overwrite into a fixed path: bench reps pay
+    // build+probe honestly, no orphaned directories.
+    GraftQuery("q169_phrase_search",
+      Some {
+        val arms = phraseQueries.map { case (pid, ts) =>
+          val conj = ts.zipWithIndex
+            .map { case (t, j) => s"tk[i + $j] = '$t'" }.mkString(" AND ")
+          s"""SELECT $pid AS pid, doc_id,
+             CAST(len(list_filter(generate_series(1, len(tk) - ${ts.size - 1}),
+                                  i -> $conj)) AS BIGINT) AS n_matches
+             FROM tk WHERE len(tk) >= ${ts.size}"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             t -> length(t) > 0) AS tk
+          FROM documents)
+        SELECT pid, doc_id, n_matches FROM ($arms) WHERE n_matches > 0""".trim
+      },
+      (spark, dir) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q169_pix"
+        graft.operators.RetrievalIndex.buildPositions(
+          Tables(spark, dir).documents, "graft_q169_pix", path)
+        graft.operators.RetrievalIndex.phrase(spark, "graft_q169_pix", phraseQueries)
+      }),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),

@@ -67,4 +67,27 @@ class RetrievalIndexSpec extends SparkSpec {
     assert(m.isDefined, plan.take(2000))
     assert(m.get.group(1).toInt < 16, plan.take(2000))
   }
+
+  test("phrase search: anchors, overlaps, duplicated terms, and absences are exact") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS rix_ph_positions")
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),        // "alpha beta" once
+      (2L, "alpha alpha alpha beta"),  // "alpha alpha" OVERLAPS: 2 anchors
+      (3L, "beta alpha"),              // terms present, adjacency reversed
+      (4L, "alpha"),                   // too short for any phrase
+      (5L, "x alpha beta alpha beta")) // "alpha beta" twice
+      .toDF("doc_id", "text")
+    RetrievalIndex.buildPositions(corpus, "rix_ph", freshPath("ph"))
+    val got = RetrievalIndex.phrase(spark, "rix_ph", Seq(
+        1 -> Seq("alpha", "beta"),
+        2 -> Seq("alpha", "alpha"),    // duplicated phrase term
+        3 -> Seq("beta", "gamma")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1, 1L, 1L), (1, 2L, 1L), (1, 5L, 2L), // adjacency, not co-occurrence (doc 3 absent)
+      (2, 2L, 2L),                           // overlapping anchors both count
+      (3, 1L, 1L)))
+    spark.sql("DROP TABLE IF EXISTS rix_ph_positions")
+  }
 }
