@@ -150,6 +150,57 @@ object ConnectedComponents {
     out.result().toSeq.toDF("id", "component")
   }
 
+  /** INCREMENTAL connected components: fold NEW edges into an existing
+    * (id, component) labeling without re-running CC on the full graph —
+    * the maintained-state story (IvmRollup, extendPairIndex) applied to
+    * the cluster table, which a continuously-deduping corpus needs: the
+    * pair index grows per batch ([[Dedup.extendPairIndex]]) and the
+    * component labels must follow at the same ∝-batch cost.
+    *
+    * Graph CONTRACTION: map each new edge's endpoints through the old
+    * labels (endpoints absent from `labels` are singletons = their own
+    * id), drop the resulting self-loops (an edge inside an existing
+    * component changes nothing), and run CC on the contracted edge set —
+    * sized by the NEW edges and the components they touch, never the
+    * corpus. Relabel = one join of the old labels against the merge map.
+    *
+    * Equals from-scratch CC on (old ∪ new) edges because contraction
+    * preserves connectivity, and min-labels COMPOSE: each old label is
+    * the min id of its member set, new nodes are their own min, so the
+    * contracted min over {labels, new ids} is the true min over the
+    * merged member union — the q44b min-id contract survives any number
+    * of increments (spec-pinned: two-way and chained three-way splits).
+    *
+    * @return (id, component) for every id in `labels` or `newEdges`
+    */
+  def extend(spark: SparkSession, labels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val l = labels.select(col("id").cast("long"), col("component").cast("long"))
+      .localCheckpoint() // read by both endpoint maps + the relabel join
+    val e = newEdges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val contracted = e
+      .join(l.select(col("id").as("src"), col("component").as("csrc")), Seq("src"), "left")
+      .join(l.select(col("id").as("dst"), col("component").as("cdst")), Seq("dst"), "left")
+      .select(coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")) // intra-component edges are no-ops
+    val mergeMap = run(spark, contracted)
+      .select(col("id").as("old_label"), col("component").as("new_label"))
+      .localCheckpoint() // relabels old ids AND labels new nodes
+    val updatedOld = l
+      .join(mergeMap, l("component") === mergeMap("old_label"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("component")).as("component"))
+    val newNodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .join(l.select("id"), Seq("id"), "left_anti")
+    val labeledNew = newNodes
+      .join(mergeMap, newNodes("id") === mergeMap("old_label"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("id")).as("component"))
+    updatedOld.unionByName(labeledNew)
+  }
+
   /** Minimal open-addressing Long→Long map (linear probing, power-of-two
     * capacity, load ≤ 0.5): primitive arrays only, for the driver-side
     * union-find's parent links.

@@ -548,6 +548,47 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q170: INCREMENTAL near-dup clusters — q44b's consolidation under
+    // continuous ingest: labels are built from the even-doc subgraph,
+    // then the odd-touching pairs fold in through
+    // ConnectedComponents.extend (graph contraction: new edges mapped
+    // through old labels, CC on the contracted graph ∝ new edges +
+    // touched components, one relabel join — never a full re-run). The
+    // oracle is q44b's from-scratch recursive CTE over the WHOLE pair
+    // set, so the driver's hash compare is "incrementally-maintained
+    // clusters == from-scratch clusters", members and min-id
+    // representatives included. Pairs come from the persisted pair
+    // graph (pair existence is pairwise — independent of corpus
+    // subsetting — so the even-only subgraph is exactly the full
+    // graph's both-ends-even edges).
+    GraftQuery(
+      "q170_incremental_clusters",
+      Some(s"""
+        WITH comp AS (${GraftQuery.componentsOverSql(jaccardPairsSql, "id_a", "id_b")})
+        SELECT CAST(MIN(id) AS BIGINT) AS representative,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               array_to_string(list_sort(list(id)), chr(31)) AS members
+        FROM comp GROUP BY component
+      """.trim),
+      (spark, dir) => {
+        import graft.operators.ConnectedComponents
+        val full = PairGraph.pairs(spark, dir, threshold = 0.8)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .localCheckpoint() // split read twice (base + delta)
+        val base = ConnectedComponents.run(spark,
+          full.filter(col("src") % 2 === 0 && col("dst") % 2 === 0))
+        val delta = full.filter(col("src") % 2 === 1 || col("dst") % 2 === 1)
+        ConnectedComponents.extend(spark, base, delta)
+          .groupBy("component")
+          .agg(
+            min(col("id")).as("representative"),
+            count(lit(1)).as("n_docs"),
+            array_join(transform(sort_array(collect_list(col("id"))),
+              _.cast("string")), "").as("members"))
+          .select("representative", "n_docs", "members")
+      }),
+
+    // ------------------------------------------------------------------
     // q154: split-leakage audit — do any near-duplicate pairs straddle
     // the train/val/test boundary? Eval-set leakage is the silent killer
     // of benchmark numbers: a test doc whose near-copy sits in train is

@@ -137,6 +137,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental CC: any edge split, folded in any number of batches, equals from-scratch") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val es = Seq.fill(30)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      val want = ConnectedComponents.run(spark, es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // two-way split: base on even-indexed edges, extend with the rest
+      val (a, b) = es.zipWithIndex.partition(_._2 % 2 == 0)
+      val base = ConnectedComponents.run(spark, a.map(_._1).toDF("src", "dst"))
+      val two = ConnectedComponents.extend(spark, base, b.map(_._1).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(two == want, s"trial $trial two-way: $es")
+      // chained three-way: extend twice — min labels must compose
+      val thirds = es.zipWithIndex.groupBy(_._2 % 3).view.mapValues(_.map(_._1)).toMap
+      val s1 = ConnectedComponents.run(spark, thirds(0).toDF("src", "dst"))
+      val s2 = ConnectedComponents.extend(spark, s1, thirds(1).toDF("src", "dst"))
+      val s3 = ConnectedComponents.extend(spark, s2, thirds(2).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s3 == want, s"trial $trial three-way: $es")
+    }
+  }
+
+  test("incremental CC: intra-component edges and brand-new nodes are handled") {
+    import spark.implicits._
+    val base = ConnectedComponents.run(spark,
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+    // delta: a no-op edge inside {1,2,3}, a merge edge {3,10}, an
+    // all-new pair {20,21}
+    val got = ConnectedComponents.extend(spark, base,
+      Seq((1L, 3L), (3L, 10L), (20L, 21L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   // ---------------------------------------------------------------- shingles / intersect kernels
   test("packing offsets equal the window-cumsum reference on random weights") {
     import org.apache.spark.sql.expressions.Window
