@@ -1,7 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Rank arithmetic for the distributed-sort-instead-of-global-window
   * idiom: once rows carry a 1-based global rank (range-partitioned sort +
@@ -18,6 +19,33 @@ object Ranks {
     * same total order. `n` and `k` are plan constants (n is typically one
     * measured driver long); only `r` is per-row.
     */
+  /** The 1-based global ROW_NUMBER under `sortCols` WITHOUT a one-task
+    * window: range-repartition on the sort key (every partition owns a
+    * contiguous key range, partitions ordered), sort within partitions,
+    * then `zipWithIndex` (one count per partition to the driver, indexes
+    * assigned in parallel). `sortCols` must be a TOTAL order (include
+    * the id tie-break) — then the ranks are bit-identical to
+    * `ROW_NUMBER() OVER (ORDER BY sortCols)` regardless of where the
+    * range sampler happens to place partition bounds, because the rank
+    * depends only on the order, not the cuts. This is the "at 100 TB the
+    * same integers come from a range-partitioned sort + prefix offsets"
+    * path that the q129/q157/q164/q166 window twins promise — made
+    * concrete, and driver-checked by q171 (window-oracle equality).
+    *
+    * @return the input columns + `global_rank` (1-based long)
+    */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    require(sortCols.nonEmpty)
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val withRank = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(withRank,
+      sorted.schema.add("global_rank", LongType, nullable = false))
+  }
+
   def ntileOfRank(r: Column, n: Long, k: Int): Column = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val q = n / k

@@ -1119,6 +1119,28 @@ object GraphMlOps {
     GraftQuery("q115_centroid_classify", Some(centroidClassifySql), centroidClassify),
     GraftQuery("q157_auc_eval", Some(aucEvalSql), aucEval),
     GraftQuery("q164_calibration_bins", Some(calibrationBinsSql), calibrationBins),
+    // q171: q157's AUC computed on the SCALE PATH — the global ranking
+    // comes from Ranks.globalRowNumber (range-partitioned sort +
+    // zipWithIndex: no one-task window anywhere in the plan) while the
+    // oracle stays q157's global-window SQL. Four window twins
+    // (q129/q157/q164/q166) promise "same integers at 100 TB from a
+    // range-partitioned sort"; this row makes the driver CHECK that
+    // promise cross-engine every round: rank totals, and therefore the
+    // AUC, must be bit-identical to the window formulation under the
+    // same (score, vec_id) total order.
+    GraftQuery("q171_scaled_rank_auc", Some(aucEvalSql), (spark, dir) => {
+      val ranked = graft.core.Ranks.globalRowNumber(
+        discriminantScores(spark, dir),
+        Seq(col("score").asc, col("vec_id").asc))
+        .withColumnRenamed("global_rank", "rank")
+      ranked.agg(
+          sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("is_pos"), col("rank")).otherwise(0L)).as("rank_sum_pos"))
+        .select(col("n_pos"), col("n_neg"), col("rank_sum_pos"),
+          (expr("rank_sum_pos - (n_pos * (n_pos + 1)) div 2").cast(DoubleType)
+            / (col("n_pos") * col("n_neg")).cast(DoubleType)).as("auc"))
+    }),
     GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity),
     GraftQuery("q118_lpa_communities", Some(lpaCommunitiesSql), lpaCommunities),
     GraftQuery("q119_clustering_coeff", Some(clusteringCoeffSql), clusteringCoeff),

@@ -336,6 +336,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q171's scaled ranking plan contains no Window operator") {
+    // the query's reason to exist: the global ROW_NUMBER comes from a
+    // range-partitioned sort + zipWithIndex, never a one-task window
+    val p = plan("q171_scaled_rank_auc")
+    assert(!p.contains("Window"), p)
+  }
+
   test("q163's benchmark span set joins by broadcast (the eval side is small by definition)") {
     val p = plan("q163_exact_decontam")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
