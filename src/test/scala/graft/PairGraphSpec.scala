@@ -36,7 +36,7 @@ class PairGraphSpec extends SparkSpec {
     s"${System.getProperty("java.io.tmpdir")}/pairgraph_spec_$name"
 
   private def drop(t: String): Unit =
-    Seq(t, s"${t}_sets", s"${t}_postings").foreach(n =>
+    Seq(t, s"${t}_dict", s"${t}_sets", s"${t}_postings").foreach(n =>
       spark.sql(s"DROP TABLE IF EXISTS $n"))
 
   test("build(half) + extendPairIndex(half) equals build(all) — exact tier increments") {

@@ -616,7 +616,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ppxstream").toString
-    Seq("ppx_stream", "ppx_stream_sets", "ppx_stream_postings")
+    Seq("ppx_stream", "ppx_stream_dict", "ppx_stream_sets", "ppx_stream_postings")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.PairIndexStream.start(
@@ -637,7 +637,7 @@ class StreamingSpec extends SparkSpec {
         streamed.toString)
     } finally {
       q.stop()
-      Seq("ppx_stream", "ppx_stream_sets", "ppx_stream_postings")
+      Seq("ppx_stream", "ppx_stream_dict", "ppx_stream_sets", "ppx_stream_postings")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
@@ -646,7 +646,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ppxcrash").toString
-    Seq("ppx_crash", "ppx_crash_sets", "ppx_crash_postings")
+    Seq("ppx_crash", "ppx_crash_dict", "ppx_crash_sets", "ppx_crash_postings")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // crash between build's writes: pairs exists, _postings (the LAST
     // write, the commit marker) does not
@@ -667,7 +667,7 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((1L, 2L)), got.toString)
     } finally {
       q.stop()
-      Seq("ppx_crash", "ppx_crash_sets", "ppx_crash_postings")
+      Seq("ppx_crash", "ppx_crash_dict", "ppx_crash_sets", "ppx_crash_postings")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
