@@ -77,14 +77,32 @@ object IvmRollup {
     * count reaches 0 (fully deleted) drop out, matching what a
     * from-scratch recompute would produce. Zero exchanges: both
     * aggregation levels are satisfied by the table's bucket layout.
+    *
+    * The collapse FAILS LOUDLY on divergent duplicates: replay safety
+    * rests on appends being deterministic functions of (key, batch_id),
+    * so two DIFFERENT rows under one (key, batch_id) mean the
+    * single-writer/deterministic-replay contract was violated — folding
+    * them (e.g. independent per-column min, the first cut) would emit a
+    * silently wrong total matching neither write. min/max agree ⇒ all
+    * duplicates byte-identical; disagree ⇒ raise_error inside the same
+    * zero-exchange aggregate.
     */
-  def serve(spark: SparkSession, table: String): DataFrame =
+  def serve(spark: SparkSession, table: String): DataFrame = {
+    def one(lo: Column, hi: Column, what: String): Column =
+      when(lo === hi, lo).otherwise(raise_error(concat(
+        lit(s"IvmRollup: divergent replayed $what for key "), col("key").cast("string"),
+        lit(" — different deltas appended under one batch_id"))))
     spark.table(table)
       .groupBy("key", "batch_id")
-      .agg(min(col("dn")).as("dn"), min(col("dr")).as("dr"))
+      .agg(min(col("dn")).as("dn_lo"), max(col("dn")).as("dn_hi"),
+        min(col("dr")).as("dr_lo"), max(col("dr")).as("dr_hi"))
+      .select(col("key"),
+        one(col("dn_lo"), col("dn_hi"), "dn").as("dn"),
+        one(col("dr_lo"), col("dr_hi"), "dr").as("dr"))
       .groupBy("key")
       .agg(sum(col("dn")).as("n"), sum(col("dr")).cast(Dec).as("total"))
       .filter(col("n") > 0)
+  }
 
   /** Fold the delta log back into a single batch-0 base — same table,
     * same bucket layout, read cost back to one row per live key. The

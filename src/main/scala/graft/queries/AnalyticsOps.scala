@@ -709,7 +709,7 @@ object AnalyticsOps {
     val o = Tables(spark, dir).orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val table = "graft_q160_ivm"
-    val path = s"${System.getProperty("java.io.tmpdir")}/$table"
+    val path = graft.core.Scratch.path(table)
     IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), table, path)
     IvmRollup.applyDelta(spark, table,
       o.filter(col("o_orderkey") % 101 === 0)
@@ -747,7 +747,7 @@ object AnalyticsOps {
   private def deletionApply(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q165"
+    val base = graft.core.Scratch.path("graft_q165")
     val delC = t.customer.filter(col("c_custkey") % 211 === 0)
       .select(col("c_custkey")).localCheckpoint() // frontier feeds both hops
     val delO = t.orders

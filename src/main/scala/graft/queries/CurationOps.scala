@@ -884,7 +884,7 @@ object CurationOps {
       // query n=5 times and a new dir each run would orphan the previous
       // run's parquet files (Overwrite repoints the table name but never
       // deletes the old location).
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q159_rix"
+      val path = graft.core.Scratch.path("graft_q159_rix")
       graft.operators.RetrievalIndex.build(
         Tables(spark, dir).documents, "graft_q159_rix", path)
       graft.operators.RetrievalIndex.topK(spark, "graft_q159_rix", rankQueries)
@@ -920,7 +920,7 @@ object CurationOps {
         SELECT pid, doc_id, n_matches FROM ($arms) WHERE n_matches > 0""".trim
       },
       (spark, dir) => {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q169_pix"
+        val path = graft.core.Scratch.path("graft_q169_pix")
         graft.operators.RetrievalIndex.buildPositions(
           Tables(spark, dir).documents, "graft_q169_pix", path)
         graft.operators.RetrievalIndex.phrase(spark, "graft_q169_pix", phraseQueries)

@@ -584,7 +584,7 @@ object LlmOps {
             min(col("id")).as("representative"),
             count(lit(1)).as("n_docs"),
             array_join(transform(sort_array(collect_list(col("id"))),
-              _.cast("string")), "").as("members"))
+              _.cast("string")), "\u001f").as("members"))
           .select("representative", "n_docs", "members")
       }),
 
@@ -630,7 +630,7 @@ object LlmOps {
         val docs = Tables(spark, dir).documents
           .select(col("doc_id").as("id"), col("text"))
         val table = "graft_q162_pairs"
-        val path = s"${System.getProperty("java.io.tmpdir")}/$table"
+        val path = graft.core.Scratch.path(table)
         Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), table, path,
           threshold = 0.8, incremental = true)
         Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1),

@@ -27,8 +27,10 @@ import graft.core.Tables
   * Thread-safety: computeIfAbsent builds at most once per (dir,
   * threshold) even under sbt's parallel suite execution. The table
   * registers in the JVM's shared Spark catalog (all sessions here come
-  * from the same builder), into a fixed tmpdir path — Overwrite on
-  * rebuild, so crashed or repeated processes never orphan directories.
+  * from the same builder), into a process-scoped [[graft.core.Scratch]]
+  * path — fixed within the JVM (Overwrite on rebuild, no orphaned
+  * directories) and single-owner across JVMs (a parallel test fork and
+  * a Verify run can no longer overwrite each other's table files).
   */
 object PairGraph {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -40,7 +42,7 @@ object PairGraph {
       val d = Tables(spark, dir).documents
         .select(col("doc_id").as("id"), col("text"))
       graft.operators.Dedup.buildPairIndex(
-        d, name, s"${System.getProperty("java.io.tmpdir")}/$name", threshold)
+        d, name, graft.core.Scratch.path(name), threshold)
       name
     })
     spark.table(table)

@@ -14,7 +14,7 @@ import graft.operators.IvmRollup
 class IvmRollupSpec extends SparkSpec {
 
   private val table = "ivm_spec_rollup"
-  private val path = s"${System.getProperty("java.io.tmpdir")}/$table"
+  private val path = graft.core.Scratch.path(table)
 
   private def orders = graft.core.Tables(spark, sfDir).orders
     .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -83,6 +83,25 @@ class IvmRollupSpec extends SparkSpec {
     val ids = spark.table(table).select("batch_id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L))
+  }
+
+  test("serve fails loudly on divergent duplicates under one (key, batch_id)") {
+    buildAndFold()
+    // contract violation: a DIFFERENT delta appended under an already-used
+    // batch id (two writers, or a non-deterministic replay). serve must
+    // refuse to fold it — an independent per-column min would emit a total
+    // matching neither write, silently.
+    val k = spark.table(table).filter(col("batch_id") === 2L)
+      .select("key").head.getLong(0)
+    import spark.implicits._
+    IvmRollup.applyDelta(spark, table,
+      Seq((k, 999L, "123.45")).toDF("key", "dn", "dr")
+        .select(col("key"), col("dn"),
+          col("dr").cast(DecimalType(38, 2)).as("dr")), 2L)
+    val e = intercept[Throwable] { IvmRollup.serve(spark, table).collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("divergent replayed"), msgs)
   }
 
   test("serve folds the bucketed log with zero exchanges") {
