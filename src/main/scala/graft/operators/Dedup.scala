@@ -640,12 +640,27 @@ object Dedup {
     *    verify.
     *  - `_postings` (tok = rank, id, rn, setsize; tok-bucketed): the
     *    PPJoin PREFIX entries only, with (rank-in-prefix, setsize) for
-    *    the positional prunes. Written LAST — the commit marker
-    *    [[graft.streaming.PairIndexStream]] probes on cold start.
+    *    the positional prunes.
+    *
+    * Every incremental row is STAMPED with a `batch_id` (build = 0) and
+    * a `_batches` marker table — ONE row per committed batch, written
+    * LAST — is the crash contract: a stamp's presence certifies every
+    * append of that batch landed ([[extendPairIndex]] probes it to make
+    * replays of committed batches no-ops), a stamp's absence means the
+    * batch replays in full and its byte-identical re-appends collapse
+    * per (keys, batch_id) on the serve path ([[servePairIndex]]) — the
+    * [[IvmRollup]] exactly-once design applied to the pair index.
+    *
+    * `commitAlias` (streaming): also record the given stamp as committed
+    * in the SAME marker write, so a [[graft.streaming.PairIndexStream]]
+    * cold-start build that crashes after its marker but before the
+    * checkpoint commit reads its own replay (same epoch, now routed to
+    * extend) as already-committed instead of folding the built batch in
+    * twice.
     */
   def buildPairIndex(docs: DataFrame, table: String, path: String,
       threshold: Double, nBuckets: Int = 8, k: Int = 5,
-      incremental: Boolean = false): Unit = {
+      incremental: Boolean = false, commitAlias: Long = -1L): Unit = {
     if (!incremental) {
       graft.sources.TableWriter.writeBucketed(
         jaccardPairs(docs, threshold, k), table, path, "id_a", nBuckets)
@@ -654,9 +669,8 @@ object Dedup {
     // every table gets its OWN subdirectory: the pairs table at the bare
     // root would make its Overwrite delete the sibling dict/sets/postings
     // directories underneath it (bitten once in spec)
-    val d = docs.localCheckpoint()
-    val spark = d.sparkSession
-    val tokens = docTokenDigests(d, k)
+    val spark = docs.sparkSession
+    val tokens = docTokenDigests(docs, k)
       .localCheckpoint() // df counts + the encode probe share ONE shingle pass
     val dfc = tokens.groupBy("digest").agg(count(lit(1)).as("df"))
     val dict = graft.core.Ranks.globalRowNumber(
@@ -666,20 +680,57 @@ object Dedup {
       dict, s"${table}_dict", s"$path/dict", "digest", nBuckets)
     val groups = collapsedRankGroups(tokens, spark.table(s"${table}_dict"))
       .localCheckpoint() // pairs + members + rep sets + prefixes share it
+    val probe = prefixPostings(groups, threshold)
+      .localCheckpoint() // pair candidates + the postings table share it
+    val bOk = broadcastOk(groups)
     // pairs straight from the collapsed groups (no second, independent
     // dictionary-encode pass): identical values to [[jaccardPairs]] —
     // rank intersections are shingle intersections, the formula is
     // shared — PairGraphSpec pins the equality including the doubles
     graft.sources.TableWriter.writeBucketed(
-      collapsedGroupPairs(groups, threshold), table, s"$path/pairs", "id_a", nBuckets)
+      collapsedGroupPairs(groups, threshold, probe, bOk)
+        .withColumn("batch_id", lit(0L)),
+      table, s"$path/pairs", "id_a", nBuckets)
     graft.sources.TableWriter.writeBucketed(
-      groups.select(col("id").as("rep"), explode(col("members")).as("id")),
+      groups.select(col("id").as("rep"), explode(col("members")).as("id"))
+        .withColumn("batch_id", lit(0L)),
       s"${table}_members", s"$path/members", "rep", nBuckets)
     graft.sources.TableWriter.writeBucketed(
-      groups.select("id", "toks"), s"${table}_sets", s"$path/sets", "id", nBuckets)
+      groups.select("id", "toks").withColumn("batch_id", lit(0L)),
+      s"${table}_sets", s"$path/sets", "id", nBuckets)
     graft.sources.TableWriter.writeBucketed(
-      prefixPostings(groups, threshold),
+      probe.withColumn("batch_id", lit(0L)),
       s"${table}_postings", s"$path/postings", "tok", nBuckets)
+    writeBatchMarker(spark, table, s"$path/batches",
+      Seq(0L) ++ Option(commitAlias).filter(_ > 0L))
+  }
+
+  /** Overwrite the `_batches` commit-marker table — build's LAST write. */
+  private def writeBatchMarker(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", path).format("parquet")
+      .saveAsTable(s"${table}_batches")
+  }
+
+  /** Committed batch stamps of an incremental index (bounded: one row per
+    * batch; replayed marker appends collapse through the distinct).
+    */
+  private def committedBatches(spark: org.apache.spark.sql.SparkSession,
+      table: String): Set[Long] =
+    spark.table(s"${table}_batches").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  /** Measured broadcast gate over a collapsed-groups frame: row count AND
+    * total rank elements (ranks are 8-byte longs — the element bound
+    * halves), the crossNearDup discipline.
+    */
+  private def broadcastOk(groups: DataFrame): Boolean = {
+    val st = groups.agg(count(lit(1)), sum(size(col("toks")))).head()
+    st.getLong(0) <= MaxBroadcastRows &&
+      (if (st.isNullAt(1)) 0L else st.getLong(1)) <= MaxBroadcastElems / 2
   }
 
   /** All qualifying pairs WITHIN a collapsed groups frame (the
@@ -689,11 +740,8 @@ object Dedup {
     * 1.0. Shared by the incremental build and the extend's
     * batch-internal stage — one definition of "pairs of a group frame".
     */
-  private def collapsedGroupPairs(groups: DataFrame, threshold: Double): DataFrame = {
-    val probe = prefixPostings(groups, threshold).localCheckpoint()
-    val st = groups.agg(count(lit(1)), sum(size(col("toks")))).head()
-    val bOk = st.getLong(0) <= MaxBroadcastRows &&
-      (if (st.isNullAt(1)) 0L else st.getLong(1)) <= MaxBroadcastElems / 2
+  private def collapsedGroupPairs(groups: DataFrame, threshold: Double,
+      probe: DataFrame, bOk: Boolean): DataFrame = {
     val needOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.setsize") + col("b.setsize")) - lit(1e-9))
     val cands = probe.as("a")
@@ -791,22 +839,76 @@ object Dedup {
     *     frozen rank order.
     *  3. Candidates exact-verify against rank arrays (batch side
     *     broadcast when MEASURED small; history side through its
-    *     id-bucketed layout), and the three appends go through the
-    *     existing bucket specs.
+    *     id-bucketed layout), and the appends go through the existing
+    *     bucket specs.
+    *
+    * Exactly-once under crash-replay (the [[IvmRollup]] pattern):
+    * `batchId` stamps every appended row, the `_batches` marker append
+    * goes LAST, and the three failure shapes all collapse:
+    *
+    *  - replay of a COMMITTED batch (marker present): skipped whole —
+    *    no duplicate rows, no lost appends;
+    *  - replay of a CRASHED batch (marker absent, any prefix of the
+    *    appends landed): history reads exclude the batch's own stamp,
+    *    so the replay computes from exactly the pre-batch state and
+    *    re-appends byte-identical rows — [[servePairIndex]] collapses
+    *    them per (pair, batch_id). In particular a crash after the LAST
+    *    data append no longer lets the replay probe the batch's own
+    *    postings (the self-pair corruption the unstamped design had),
+    *    and a batch can no longer be left permanently missing from
+    *    `_sets`/`_postings` (the false-negative shape): the marker is
+    *    absent until every append landed, so the batch keeps replaying;
+    *  - duplicated side-table rows from a collapsed crash window
+    *    multiply only byte-identical verify rows in later batches,
+    *    which collapse at serve with the pairs they duplicate.
     *
     * Batch ids must be disjoint from history ids (new documents), and
-    * extends are single-writer (the rank frontier is read-then-append).
+    * extends are single-writer: the rank frontier is read-then-append,
+    * and a lost update there is caught LOUDLY by the dict density fence
+    * (ranks dense 1..N, digests unique — any interleaved double-extend
+    * breaks one of the two) at the start of the next extend.
     */
   def extendPairIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String, threshold: Double,
-      k: Int = 5): Unit = {
+      batchId: Long, k: Int = 5): Unit = {
+    if (committedBatches(spark, table).contains(batchId)) return
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    applyExtend(spark, batch, table, threshold, batchId, k)
+    import spark.implicits._
+    // the commit stamp — LAST, after every data append of the batch
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_batches")
+  }
+
+  /** The data appends of [[extendPairIndex]] WITHOUT the trailing commit
+    * stamp — the state a crash mid-extend leaves behind. Split out so
+    * the crash window is drivable end-to-end (q172 / PairGraphSpec run
+    * applyExtend then replay the full extend and assert the serve path
+    * collapses the duplicates).
+    */
+  private[graft] def applyExtend(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String, threshold: Double,
+      batchId: Long, k: Int): Unit = {
     val tokens = docTokenDigests(batch, k)
       .localCheckpoint() // unseen probe + encode share ONE shingle pass
     val dictT = s"${table}_dict"
+    // frontier read + single-writer fence in ONE pass: ranks must be
+    // dense (max == count) and digests unique — a lost read-then-append
+    // update (two interleaved writers) breaks one of the two, so the
+    // extend fails loudly here instead of silently assigning colliding
+    // ranks forever after
+    val ds = spark.table(dictT)
+      .agg(coalesce(max(col("rank")), lit(0L)), count(lit(1)),
+        count_distinct(col("digest"))).head()
+    val (maxRank, nRows, nDigests) = (ds.getLong(0), ds.getLong(1), ds.getLong(2))
+    if (maxRank != nRows || nRows != nDigests)
+      throw new IllegalStateException(
+        s"$dictT violates the single-writer contract: max rank $maxRank, " +
+          s"$nRows rows, $nDigests distinct digests (expected all equal) — " +
+          "a concurrent extend lost a read-then-append rank update")
     val unseen = tokens.select("digest").distinct()
       .join(spark.table(dictT).select("digest"), Seq("digest"), "left_anti")
-    val maxRank = spark.table(dictT)
-      .agg(coalesce(max(col("rank")), lit(0L))).head.getLong(0)
     graft.core.Ranks.globalRowNumber(unseen, Seq(col("digest").asc))
       .select(col("digest"), (col("global_rank") + maxRank).as("rank"))
       .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(dictT)
@@ -814,11 +916,12 @@ object Dedup {
       .localCheckpoint() // probe + both verifies + all three expansions
     val probe = prefixPostings(groupsB, threshold)
       .localCheckpoint() // history probe + self-join + postings append share it
-    // measured broadcast gate for the batch rep side (rows AND rank
-    // elements — the crossNearDup discipline)
-    val st = groupsB.agg(count(lit(1)), sum(size(col("toks")))).head()
-    val bOk = st.getLong(0) <= MaxBroadcastRows &&
-      (if (st.isNullAt(1)) 0L else st.getLong(1)) <= MaxBroadcastElems / 2
+    val bOk = broadcastOk(groupsB)
+    // history reads EXCLUDE this batch's own stamp: a replayed crashed
+    // extend may find its earlier appends already present, and filtering
+    // them out makes the replay compute from exactly the pre-batch state
+    def hist(name: String): DataFrame =
+      spark.table(name).filter(col("batch_id") =!= batchId)
     def needOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.setsize") + col("b.setsize")) - lit(1e-9))
     def prunedJoin(right: DataFrame, idCond: Column): DataFrame =
@@ -847,28 +950,53 @@ object Dedup {
     // the pinned group frame; history members stream from the
     // rep-bucketed `_members` table
     val cross = verify(
-        prunedJoin(spark.table(s"${table}_postings"), lit(true)),
-        spark.table(s"${table}_sets"))
+        prunedJoin(hist(s"${table}_postings"), lit(true)),
+        hist(s"${table}_sets"))
       .join(maybeBroadcast(bm, bOk), "bid")
-      .join(spark.table(s"${table}_members")
+      .join(hist(s"${table}_members")
         .select(col("rep").as("hid"), col("id").as("h_id")), "hid")
       .select(explode(col("m_b")).as("b_id"), col("h_id"), col("jaccard"))
       .select(least(col("b_id"), col("h_id")).as("id_a"),
         greatest(col("b_id"), col("h_id")).as("id_b"), col("jaccard"))
     // batch-internal pairs (cross-group expanded + intra-group 1.0s):
-    // the same definition the incremental build uses — one helper
-    val internal = collapsedGroupPairs(groupsB, threshold)
-    internal.unionByName(cross)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(table)
-    groupsB.select(col("id").as("rep"), explode(col("members")).as("id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .insertInto(s"${table}_members")
-    groupsB.select("id", "toks")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .insertInto(s"${table}_sets")
-    probe.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .insertInto(s"${table}_postings")
+    // the same definition the incremental build uses — one helper, with
+    // the already-pinned probe + measured gate shared
+    val internal = collapsedGroupPairs(groupsB, threshold, probe, bOk)
+    // the four data appends run CONCURRENTLY: their relative order no
+    // longer carries the crash contract (the trailing `_batches` stamp
+    // does), every input is pinned, and insertInto on an existing
+    // bucketed table is a pure file append — so the scheduling tail of
+    // four small sequential jobs folds into one round
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def append(df: DataFrame, t: String) = scala.concurrent.Future {
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
+    }
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      append(internal.unionByName(cross), table),
+      append(groupsB.select(col("id").as("rep"), explode(col("members")).as("id")),
+        s"${table}_members"),
+      append(groupsB.select("id", "toks"), s"${table}_sets"),
+      append(probe, s"${table}_postings"))),
+      scala.concurrent.duration.Duration.Inf)
+    ()
   }
+
+  /** The maintained pair graph of an incremental [[buildPairIndex]]
+    * table: all (id_a, id_b, jaccard) rows after collapsing replayed
+    * appends per (pair, batch_id) — replays are byte-identical by the
+    * determinism argument on [[extendPairIndex]], so the collapse is a
+    * dropDuplicates, and a pair appearing under TWO batch ids (a
+    * contract violation — each pair is generated exactly once, by the
+    * batch holding its newest document) survives as two rows and fails
+    * the audit loudly rather than folding silently.
+    */
+  def servePairIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(table)
+      .dropDuplicates("id_a", "id_b", "batch_id")
+      .select("id_a", "id_b", "jaccard")
 
   def buildNearDupIndex(docs: DataFrame, table: String, path: String,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 16): Unit = {

@@ -634,9 +634,27 @@ object LlmOps {
         Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), table, path,
           threshold = 0.8, incremental = true)
         Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1),
-          table, threshold = 0.8)
-        leakageRollup(spark.table(table))
+          table, threshold = 0.8, batchId = 1L)
+        leakageRollup(Dedup.servePairIndex(spark, table))
       }),
+
+    // ------------------------------------------------------------------
+    // q172: q162's incremental index under CRASH-REPLAY — the extend's
+    // data appends land, the commit stamp does not (a crash after the
+    // last append), and the batch replays in full (IncPairGraph stages
+    // exactly this, once per JVM). Every batch-1 row is in the index
+    // twice; servePairIndex's per-(pair, batch_id) collapse must
+    // recover the exact pair graph — proven cross-engine by the same
+    // q154 scan-time SQL oracle. This is the driver-green form of the
+    // round-6 verdict's one documented correctness caveat: "a replayed
+    // extend duplicates pair rows and the audit silently inflates" is
+    // now a theorem-checked non-event.
+    GraftQuery(
+      "q172_replayed_extend",
+      Some(splitLeakageSql),
+      (spark, dir) =>
+        leakageRollup(Dedup.servePairIndex(
+          spark, IncPairGraph.table(spark, dir, threshold = 0.8)))),
 
     // ------------------------------------------------------------------
     // q155: cluster-aware splits — q154's mitigation, closed-loop: hash

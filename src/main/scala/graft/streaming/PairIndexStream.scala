@@ -13,30 +13,42 @@ import graft.operators.Dedup
   * current under continuous ingest. The [[RetrievalStream]] pattern
   * applied to the exact dedup tier.
   *
-  * Cold start: the first non-empty batch builds the three-table index
-  * ([[Dedup.buildPairIndex]] incremental mode — pairs, digest sets,
-  * prefix postings, written in that order). The existence probe checks
-  * `_postings`, the LAST write and therefore the commit marker: a
-  * crash mid-build reads as "no index yet" on replay and the rebuild
-  * overwrites the orphaned partial tables. Replayed EXTENDS carry the
-  * same exactly-once caveat as [[RetrievalStream]] (appends are not
-  * batch-stamped; stamp them in production) — [[IvmStream]] shows the
-  * stamped alternative where the storage key absorbs replays.
+  * Exactly-once end to end, via the index's own batch-stamp protocol:
+  *
+  *  - Cold start: the first non-empty batch builds the index
+  *    ([[Dedup.buildPairIndex]] incremental mode). The existence probe
+  *    checks `_batches` — the LAST write and therefore the commit
+  *    marker — so a crash mid-build reads as "no index yet" on replay
+  *    and the rebuild overwrites the orphaned partial tables. The
+  *    build also commits the epoch's own stamp (`commitAlias`), so a
+  *    crash AFTER the marker but before the checkpoint commit replays
+  *    into the extend path and no-ops there.
+  *  - Extends: stamped with `epochId + 1` (stable across replays — the
+  *    foreachBatch contract). A committed replay skips; a crashed
+  *    replay re-appends byte-identical rows that
+  *    [[Dedup.servePairIndex]] collapses. No duplicate pairs, no
+  *    batch half-missing from the side tables — the two failure
+  *    shapes the unstamped design documented are both closed.
+  *
+  * One checkpoint owns one index (stamps are epoch-derived): pointing a
+  * NEW checkpoint at an existing index would restart epochs at 0 and
+  * collide stamps — the single-writer contract, fenced loudly on the
+  * dict by [[Dedup.extendPairIndex]].
   */
 object PairIndexStream {
 
   def start(docs: DataFrame, table: String, path: String,
       threshold: Double, nBuckets: Int = 8): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val sp = batch.sparkSession
         val b = batch.localCheckpoint() // existence probe + both paths share it
         if (!b.isEmpty) {
-          if (sp.catalog.tableExists(s"${table}_postings"))
-            Dedup.extendPairIndex(sp, b, table, threshold)
+          if (sp.catalog.tableExists(s"${table}_batches"))
+            Dedup.extendPairIndex(sp, b, table, threshold, batchId = epochId + 1)
           else
             Dedup.buildPairIndex(b, table, path, threshold, nBuckets,
-              incremental = true)
+              incremental = true, commitAlias = epochId + 1)
         }
         ()
       }

@@ -36,20 +36,21 @@ class PairGraphSpec extends SparkSpec {
     s"${System.getProperty("java.io.tmpdir")}/pairgraph_spec_$name"
 
   private def drop(t: String): Unit =
-    Seq(t, s"${t}_dict", s"${t}_sets", s"${t}_postings").foreach(n =>
-      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    Seq(t, s"${t}_dict", s"${t}_members", s"${t}_sets", s"${t}_postings",
+      s"${t}_batches").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  private def docs = graft.core.Tables(spark, sfDir).documents
+    .select(col("doc_id").as("id"), col("text"))
 
   test("build(half) + extendPairIndex(half) equals build(all) — exact tier increments") {
     drop("pg_all"); drop("pg_inc")
-    val docs = graft.core.Tables(spark, sfDir).documents
-      .select(col("doc_id").as("id"), col("text"))
     Dedup.buildPairIndex(docs, "pg_all", tmp("all"), 0.8, incremental = true)
     Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_inc", tmp("inc"),
       0.8, incremental = true)
     Dedup.extendPairIndex(spark,
-      docs.filter(col("id") % 2 === 1), "pg_inc", 0.8)
-    val a = spark.table("pg_all").collect().map(key).toSet
-    val b = spark.table("pg_inc").collect().map(key).toSet
+      docs.filter(col("id") % 2 === 1), "pg_inc", 0.8, batchId = 1L)
+    val a = Dedup.servePairIndex(spark, "pg_all").collect().map(key).toSet
+    val b = Dedup.servePairIndex(spark, "pg_inc").collect().map(key).toSet
     assert(a == b) // jaccard DOUBLES included — cross-path values identical
     assert(a.nonEmpty)
     // the increment must find cross-half pairs, not just batch-internal
@@ -59,15 +60,76 @@ class PairGraphSpec extends SparkSpec {
 
   test("a second extend folds another batch on top (three-way split)") {
     drop("pg3")
-    val docs = graft.core.Tables(spark, sfDir).documents
-      .select(col("doc_id").as("id"), col("text"))
     Dedup.buildPairIndex(docs.filter(col("id") % 3 === 0), "pg3", tmp("b3"),
       0.8, incremental = true)
-    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 1), "pg3", 0.8)
-    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2), "pg3", 0.8)
-    val got = spark.table("pg3").collect().map(key).toSet
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 1), "pg3", 0.8,
+      batchId = 1L)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2), "pg3", 0.8,
+      batchId = 2L)
+    val got = Dedup.servePairIndex(spark, "pg3").collect().map(key).toSet
     val want = Dedup.jaccardPairs(docs, threshold = 0.8)
       .collect().map(key).toSet
     assert(got == want)
+  }
+
+  test("a replayed committed extend is a no-op (stamp present → skip)") {
+    drop("pg_replay")
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_replay",
+      tmp("replay"), 0.8, incremental = true)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1), "pg_replay",
+      0.8, batchId = 1L)
+    val before = spark.table("pg_replay").count()
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1), "pg_replay",
+      0.8, batchId = 1L)
+    assert(spark.table("pg_replay").count() == before,
+      "committed replay must not append")
+  }
+
+  test("a crashed extend (appends landed, stamp missing) replays to the exact graph") {
+    drop("pg_crash")
+    val odds = docs.filter(col("id") % 2 === 1)
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_crash",
+      tmp("crash"), 0.8, incremental = true)
+    // crash after the LAST data append: everything landed except the stamp
+    Dedup.applyExtend(spark, odds, "pg_crash", 0.8, batchId = 1L, k = 5)
+    // replay folds the batch again in full; raw rows duplicate...
+    Dedup.extendPairIndex(spark, odds, "pg_crash", 0.8, batchId = 1L)
+    val raw = spark.table("pg_crash").count()
+    val served = Dedup.servePairIndex(spark, "pg_crash").collect().map(key).toSet
+    val want = Dedup.jaccardPairs(docs, threshold = 0.8).collect().map(key).toSet
+    assert(raw > served.size, "the crash window must actually duplicate raw rows")
+    // ...and the serve collapse recovers the exact from-scratch pair graph
+    assert(served == want)
+    // a FURTHER batch on top of the collapsed-crash state still extends
+    // correctly (duplicated side-table rows only multiply byte-identical
+    // verify rows, which collapse with their pairs)
+    drop("pg_crash2")
+    Dedup.buildPairIndex(docs.filter(col("id") % 3 === 0), "pg_crash2",
+      tmp("crash2"), 0.8, incremental = true)
+    Dedup.applyExtend(spark, docs.filter(col("id") % 3 === 1), "pg_crash2", 0.8,
+      batchId = 1L, k = 5)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 1), "pg_crash2",
+      0.8, batchId = 1L)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2), "pg_crash2",
+      0.8, batchId = 2L)
+    assert(Dedup.servePairIndex(spark, "pg_crash2").collect().map(key).toSet == want)
+  }
+
+  test("the dict density fence fails a lost read-then-append update loudly") {
+    drop("pg_fence")
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_fence",
+      tmp("fence"), 0.8, incremental = true)
+    // simulate the two-writer race: a second writer that read the same
+    // rank frontier appends its own rows — ranks collide (density breaks)
+    import spark.implicits._
+    val maxRank = spark.table("pg_fence_dict")
+      .agg(org.apache.spark.sql.functions.max(col("rank"))).head.getLong(0)
+    Seq((-987654321L, maxRank)).toDF("digest", "rank")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto("pg_fence_dict")
+    val e = intercept[IllegalStateException] {
+      Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1),
+        "pg_fence", 0.8, batchId = 1L)
+    }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
   }
 }

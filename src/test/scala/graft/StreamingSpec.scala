@@ -616,7 +616,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ppxstream").toString
-    Seq("ppx_stream", "ppx_stream_dict", "ppx_stream_sets", "ppx_stream_postings")
+    Seq("ppx_stream", "ppx_stream_dict", "ppx_stream_members",
+      "ppx_stream_sets", "ppx_stream_postings", "ppx_stream_batches")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.PairIndexStream.start(
@@ -626,7 +627,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(pairDocBatch2: _*)
       q.processAllAvailable()
-      val streamed = spark.table("ppx_stream").collect()
+      val streamed = graft.operators.Dedup.servePairIndex(spark, "ppx_stream")
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val scratch = graft.operators.Dedup.jaccardPairs(
         (pairDocBatch1 ++ pairDocBatch2).toDF("id", "text"), threshold = 0.8)
@@ -637,18 +639,20 @@ class StreamingSpec extends SparkSpec {
         streamed.toString)
     } finally {
       q.stop()
-      Seq("ppx_stream", "ppx_stream_dict", "ppx_stream_sets", "ppx_stream_postings")
+      Seq("ppx_stream", "ppx_stream_dict", "ppx_stream_members",
+        "ppx_stream_sets", "ppx_stream_postings", "ppx_stream_batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
-  test("streaming pair index recovers from a half-built index (pairs, no postings)") {
+  test("streaming pair index recovers from a half-built index (pairs, no marker)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ppxcrash").toString
-    Seq("ppx_crash", "ppx_crash_dict", "ppx_crash_sets", "ppx_crash_postings")
+    Seq("ppx_crash", "ppx_crash_dict", "ppx_crash_members",
+      "ppx_crash_sets", "ppx_crash_postings", "ppx_crash_batches")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    // crash between build's writes: pairs exists, _postings (the LAST
+    // crash between build's writes: pairs exists, _batches (the LAST
     // write, the commit marker) does not
     graft.sources.TableWriter.writeBucketed(
       Seq((888L, 999L, 1.0)).toDF("id_a", "id_b", "jaccard"),
@@ -667,7 +671,8 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((1L, 2L)), got.toString)
     } finally {
       q.stop()
-      Seq("ppx_crash", "ppx_crash_dict", "ppx_crash_sets", "ppx_crash_postings")
+      Seq("ppx_crash", "ppx_crash_dict", "ppx_crash_members",
+        "ppx_crash_sets", "ppx_crash_postings", "ppx_crash_batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
