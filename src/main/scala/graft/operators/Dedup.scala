@@ -602,15 +602,6 @@ object Dedup {
       enc.select(col("id"), minhashSignature(col("toks"), numHashes).as("mh")),
       numHashes, bands)
 
-  /** Persist a near-dup index over a document corpus — the MinHash-LSH
-    * sibling of the exact digest history behind [[incremental]]: "hash the
-    * corpus once at ingest, probe every future batch against it". Two
-    * bucketed tables: `<table>_postings` (band, key, id) laid out by band
-    * key so probe joins co-locate, and `<table>_sets` (id, sorted digest
-    * array) laid out by id so the verify join-back reads pre-shuffled
-    * buckets. Band keys/signatures use the batch-stable [[hashedSets]]
-    * encoding — a NEW batch hashed tomorrow derives byte-identical keys.
-    */
   /** Persist the exact-Jaccard near-dup pair graph as a bucketed table —
     * the materialized form of [[jaccardPairs]], and the exact-pairs
     * sibling of [[buildNearDupIndex]] (which persists the LSH encoding
@@ -998,14 +989,35 @@ object Dedup {
       .dropDuplicates("id_a", "id_b", "batch_id")
       .select("id_a", "id_b", "jaccard")
 
+  /** Persist a near-dup index over a document corpus — the MinHash-LSH
+    * sibling of the exact digest history behind [[incremental]]: "hash the
+    * corpus once at ingest, probe every future batch against it". Two
+    * bucketed tables: `<table>_postings` (id, band, key) laid out by band
+    * key so probe joins co-locate, and `<table>_sets` (id, sorted digest
+    * array) laid out by id so the verify join-back reads pre-shuffled
+    * buckets. Band keys/signatures use the batch-stable [[hashedSets]]
+    * encoding — a NEW batch hashed tomorrow derives byte-identical keys.
+    *
+    * Exactly-once like [[buildPairIndex]]: every row carries a
+    * `batch_id` stamp (build = 0), and a `_batches` marker table —
+    * written LAST — is the crash contract. A crash mid-build reads as
+    * "no index yet" (callers probe `_batches`) and the rebuild
+    * overwrites; a crashed-then-replayed EXTEND re-appends
+    * byte-identical rows that every read path collapses per (keys,
+    * batch_id). `commitAlias` records a streaming epoch's stamp in the
+    * same marker write, exactly as in [[buildPairIndex]].
+    */
   def buildNearDupIndex(docs: DataFrame, table: String, path: String,
-      k: Int = 5, numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 16): Unit = {
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 16,
+      commitAlias: Long = -1L): Unit = {
     val enc = hashedSets(docs, k).localCheckpoint() // one shingle pass feeds both tables
     graft.sources.TableWriter.writeBucketed(
-      stableBandKeys(enc, numHashes, bands), s"${table}_postings", s"$path/postings",
-      "key", nBuckets)
+      stableBandKeys(enc, numHashes, bands).withColumn("batch_id", lit(0L)),
+      s"${table}_postings", s"$path/postings", "key", nBuckets)
     graft.sources.TableWriter.writeBucketed(
-      enc, s"${table}_sets", s"$path/sets", "id", nBuckets)
+      enc.withColumn("batch_id", lit(0L)), s"${table}_sets", s"$path/sets", "id", nBuckets)
+    writeBatchMarker(docs.sparkSession, table, s"$path/batches",
+      Seq(0L) ++ Option(commitAlias).filter(_ > 0L))
   }
 
   /** Probe a [[buildNearDupIndex]] table with a new batch: batch band keys
@@ -1017,6 +1029,11 @@ object Dedup {
     * false positive; borderline pairs just above the threshold can be
     * missed with the banding's small probability).
     *
+    * Index reads collapse replayed rows per (keys, batch_id) — the
+    * stamp is then dropped so the probe output's own `batch_id` column
+    * (the probe-doc id, this method's long-standing contract) never
+    * collides with it.
+    *
     * @return (batch_id, index_id, jaccard) for verified pairs ≥ threshold
     */
   def probeNearDupIndex(spark: org.apache.spark.sql.SparkSession, table: String,
@@ -1025,14 +1042,14 @@ object Dedup {
     val enc = hashedSets(batch, k).localCheckpoint() // band keys + verify share it
     val candidates = stableBandKeys(enc, numHashes, bands)
       .withColumnRenamed("id", "batch_id")
-      .join(spark.table(s"${table}_postings").withColumnRenamed("id", "index_id"),
+      .join(indexPostings(spark, table).withColumnRenamed("id", "index_id"),
         Seq("band", "key"))
       .select("batch_id", "index_id")
       .dropDuplicates("batch_id", "index_id")
     val verified = candidates
       .join(broadcast(enc.select(col("id").as("batch_id"), col("toks").as("t_a"),
         size(col("toks")).cast(DoubleType).as("sz_a"))), "batch_id")
-      .join(spark.table(s"${table}_sets")
+      .join(indexSets(spark, table)
         .select(col("id").as("index_id"), col("toks").as("t_b"),
           size(col("toks")).cast(DoubleType).as("sz_b")), "index_id")
       .withColumn("inter",
@@ -1049,13 +1066,108 @@ object Dedup {
     * batch's, so "hash once at ingest" extends across increments: each
     * batch hashes only ITSELF, and `insertInto` lays the new rows out by
     * the tables' existing bucket spec — future probes stay co-located.
+    *
+    * Exactly-once under crash-replay, by the [[extendPairIndex]]
+    * protocol (simpler here — the appends read NO history, so they are
+    * pure functions of the batch alone): every row is stamped with
+    * `batchId`, the `_batches` marker append goes LAST, a replay of a
+    * committed batch skips whole, and a crashed batch's replay
+    * re-appends byte-identical rows that every read path collapses per
+    * (keys, batch_id). Callers own "each document indexed once" and the
+    * single-writer contract, as before.
     */
-  def extendNearDupIndex(docs: DataFrame, table: String,
+  def extendNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, table: String, batchId: Long,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8): Unit = {
+    if (committedBatches(spark, table).contains(batchId)) return
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    applyExtendNearDup(docs, table, batchId, k, numHashes, bands)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_batches")
+  }
+
+  /** The data appends of [[extendNearDupIndex]] WITHOUT the trailing
+    * commit stamp — the state a crash after the last data append leaves
+    * behind, split out (like [[applyExtend]]) so specs and driver rows
+    * can stage the crash window end to end.
+    */
+  private[graft] def applyExtendNearDup(docs: DataFrame, table: String,
+      batchId: Long, k: Int, numHashes: Int, bands: Int): Unit = {
     val enc = hashedSets(docs, k).localCheckpoint() // one shingle pass, two tables
-    stableBandKeys(enc, numHashes, bands)
+    stableBandKeys(enc, numHashes, bands).withColumn("batch_id", lit(batchId))
       .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_postings")
-    enc.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_sets")
+    enc.withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_sets")
+  }
+
+  /** The near-dup index's postings/sets after collapsing replayed
+    * appends per (keys, batch_id) — replays are byte-identical because
+    * the appends are pure functions of the batch ([[hashedSets]] is
+    * content-addressed), so the collapse is a dropDuplicates; the stamp
+    * is dropped afterwards so downstream joins never see it.
+    */
+  private def indexPostings(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(s"${table}_postings")
+      .dropDuplicates("id", "band", "key", "batch_id").drop("batch_id")
+  private def indexSets(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(s"${table}_sets")
+      .dropDuplicates("id", "batch_id").drop("batch_id")
+
+  /** The FULL verified pair graph of a [[buildNearDupIndex]] table —
+    * the [[minhashLsh]] contract served from the persisted index
+    * instead of a corpus scan: candidates come from self-joining the
+    * stored band keys (at identical-set REP level, the
+    * [[collapseExpand]] discipline — the reps' keys are read back, not
+    * recomputed), verification is exact Jaccard over the stored digest
+    * sets, and member expansion + intra-group 1.0 pairs complete the
+    * graph. Identical band keys by [[stableBandKeys]] determinism ⇒
+    * identical candidates ⇒ identical output to the scan-time query —
+    * across any build/extend/crash-replay history, since every read
+    * collapses per (keys, batch_id) first.
+    *
+    * @return (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold
+    */
+  def serveNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+      table: String, threshold: Double): DataFrame = {
+    val groups = indexSets(spark, table)
+      .groupBy("toks")
+      .agg(min(col("id")).as("id"), sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint() // rep filter + verify sides + expansion share it
+    val bOk = broadcastOk(groups)
+    val repKeys = indexPostings(spark, table)
+      .join(groups.select("id"), Seq("id"), "left_semi")
+    val cands = repKeys.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(repKeys.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sides = groups.select(col("id"), col("toks"),
+      size(col("toks")).cast(DoubleType).as("sz"), col("members"))
+    val cross = cands
+      .join(maybeBroadcast(sides.select(col("id").as("id_a"), col("toks").as("t_a"),
+        col("sz").as("sz_a"), col("members").as("m_a")), bOk), "id_a")
+      .join(maybeBroadcast(sides.select(col("id").as("id_b"), col("toks").as("t_b"),
+        col("sz").as("sz_b"), col("members").as("m_b")), bOk), "id_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
+          .cast(DoubleType))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("m_a")).as("a_id"), col("m_b"), col("jaccard"))
+      .select(col("a_id"), explode(col("m_b")).as("b_id"), col("jaccard"))
+      .select(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"), col("jaccard"))
+    val intra = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Bipartite near-dup — "fuzzy decontamination": which corpus documents

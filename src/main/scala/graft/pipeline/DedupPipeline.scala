@@ -79,6 +79,10 @@ object DedupPipeline {
     *
     * @param indexTable name passed to [[Dedup.buildNearDupIndex]] when the
     *        curated corpus was indexed
+    * @param batchId stamp for the index append (> 0; 0 is the build) —
+    *        stable across replays of the same batch, unique otherwise
+    *        (a streaming caller passes its epoch), per the
+    *        [[Dedup.extendNearDupIndex]] exactly-once protocol
     * @param k,numHashes,bands MUST match the values the index was built
     *        with — band keys are derived from them, so a mismatch makes
     *        every probe miss silently AND appends incompatible postings
@@ -87,6 +91,7 @@ object DedupPipeline {
       spark: SparkSession,
       batch: DataFrame,
       indexTable: String,
+      batchId: Long,
       threshold: Double = 0.8,
       exact: Boolean = false,
       extendIndex: Boolean = true,
@@ -109,7 +114,7 @@ object DedupPipeline {
       // keep is consumed twice (index append + caller) and its DAG holds
       // the probe/verify joins — pin it once
       val keep = r.keep.localCheckpoint()
-      Dedup.extendNearDupIndex(keep, indexTable, k, numHashes, bands)
+      Dedup.extendNearDupIndex(spark, keep, indexTable, batchId, k, numHashes, bands)
       r.copy(keep = keep)
     }
   }

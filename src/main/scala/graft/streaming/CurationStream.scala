@@ -20,13 +20,16 @@ import graft.pipeline.DedupPipeline
   * formulation, while the STATE between batches lives in the persisted
   * index tables rather than in operator state stores.
   *
-  * Exactly-once caveat (documented, not hidden): on failure-replay of a
-  * micro-batch, [[Dedup.extendNearDupIndex]]'s append is re-executed.
-  * Replayed postings are harmless for correctness of future probes
-  * (duplicate candidates dedup before verification) but waste space; a
-  * production deployment should stamp appended files with the batch id
-  * and skip already-committed ids — the standard foreachBatch idempotence
-  * recipe.
+  * Exactly-once via the index's own batch-stamp protocol (the
+  * [[PairIndexStream]] design): extends are stamped with `epochId + 1`
+  * (stable across replays — the foreachBatch contract), a committed
+  * replay skips, a crashed replay re-appends byte-identical rows that
+  * every index read collapses per (keys, batch_id). Cold start probes
+  * `_batches` — the build's LAST write, its commit marker — and the
+  * build records the epoch's own stamp (`commitAlias`) so a crash
+  * between the marker and the checkpoint commit replays into a no-op
+  * extend. NOTE the keepSink is still at-least-once: idempotence there
+  * is the sink's contract, as everywhere in foreachBatch land.
   */
 object CurationStream {
 
@@ -54,15 +57,15 @@ object CurationStream {
         val b = batch.localCheckpoint()
         if (!b.isEmpty) {
           val keep =
-            if (sp.catalog.tableExists(s"${indexTable}_postings"))
+            if (sp.catalog.tableExists(s"${indexTable}_batches"))
               // runIncremental already pins keep before the index append
-              DedupPipeline.runIncremental(sp, b, indexTable, threshold,
-                k = k, numHashes = numHashes, bands = bands).keep
+              DedupPipeline.runIncremental(sp, b, indexTable, batchId + 1,
+                threshold, k = k, numHashes = numHashes, bands = bands).keep
             else {
               val keep0 = DedupPipeline.run(sp, b, threshold).keep
                 .localCheckpoint() // consumed by the index build AND the sink
               Dedup.buildNearDupIndex(keep0, indexTable, indexPath,
-                k, numHashes, bands)
+                k, numHashes, bands, commitAlias = batchId + 1)
               keep0
             }
           keepSink(keep, batchId)

@@ -68,7 +68,7 @@ class DedupPipelineSpec extends SparkSpec {
       val r1 = DedupPipeline.run(spark, docs, threshold = 0.8, exact = true)
       Dedup.buildNearDupIndex(r1.keep, "nd_idx", s"$tmp/idx")
       val r2 = DedupPipeline.runIncremental(spark, batch2, "nd_idx",
-        threshold = 0.8, exact = true)
+        batchId = 1L, threshold = 0.8, exact = true)
 
       // 21 must drop into history's kept 2 (via the index probe), 22 chains
       // through its exact rep 21 to the same doc, 25 drops into 24 in-batch
@@ -95,6 +95,7 @@ class DedupPipelineSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS nd_idx_postings")
       spark.sql("DROP TABLE IF EXISTS nd_idx_sets")
+      spark.sql("DROP TABLE IF EXISTS nd_idx_batches")
     }
   }
 

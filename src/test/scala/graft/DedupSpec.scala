@@ -172,6 +172,42 @@ class DedupSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS nd_idx_postings")
       spark.sql("DROP TABLE IF EXISTS nd_idx_sets")
+      spark.sql("DROP TABLE IF EXISTS nd_idx_batches")
+    }
+  }
+
+  test("incremental near-dup index: extend, crash-replay, and committed replay serve the exact pair graph") {
+    val tmp = java.nio.file.Files.createTempDirectory("ndinc").toString
+    val evens = docs.select("id", "text").filter(col("id") % 2 === 0)
+    val odds = docs.select("id", "text").filter(col("id") % 2 === 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    try {
+      Dedup.buildNearDupIndex(evens, "nd_inc", s"$tmp/idx")
+      // crash window: data appends land, the trailing commit stamp does not
+      Dedup.applyExtendNearDup(odds, "nd_inc", batchId = 1L,
+        k = 5, numHashes = 32, bands = 8)
+      // full replay of the crashed batch: marker absent, so it re-folds
+      // and re-appends byte-identical rows, then commits
+      Dedup.extendNearDupIndex(spark, odds, "nd_inc", batchId = 1L)
+      // every batch-1 row is now in the index exactly twice
+      val b1 = spark.table("nd_inc_postings").filter(col("batch_id") === 1L)
+      assert(b1.count() > 0 && b1.count() == 2 * b1.distinct().count(),
+        "crash-replay must leave batch-1 postings duplicated (else the test is vacuous)")
+      // a replay of the COMMITTED batch is a no-op
+      val nPost = spark.table("nd_inc_postings").count()
+      Dedup.extendNearDupIndex(spark, odds, "nd_inc", batchId = 1L)
+      assert(spark.table("nd_inc_postings").count() == nPost,
+        "committed replay must not append")
+      // serve collapses the duplicates to the exact from-scratch graph
+      val got = pairSet(Dedup.serveNearDupPairs(spark, "nd_inc", threshold = 0.8))
+      val want = pairSet(Dedup.minhashLsh(docs.select("id", "text"), threshold = 0.8))
+      assert(got == want, s"served=$got scan=$want")
+      assert(got.nonEmpty, "fixture corpus must contain near-dup pairs")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nd_inc_postings")
+      spark.sql("DROP TABLE IF EXISTS nd_inc_sets")
+      spark.sql("DROP TABLE IF EXISTS nd_inc_batches")
     }
   }
 
