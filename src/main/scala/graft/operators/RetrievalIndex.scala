@@ -70,38 +70,99 @@ object RetrievalIndex {
     * writes reads as "no index yet" and the next build safely overwrites
     * the orphaned postings instead of extending a half-built pair.
     *
+    * Exactly-once under replay, the [[Dedup.buildPairIndex]] /
+    * [[IvmRollup]] protocol: every posting row carries a `batch_id`
+    * stamp (build = 0), and `_meta` — one `(n_docs, batch_id)` row per
+    * COMMITTED batch, written last — doubles as the per-batch commit
+    * marker ([[extend]] probes it to make replays of committed batches
+    * no-ops; a crashed batch's replay re-appends byte-identical rows
+    * that the serve paths collapse per (term, doc_id, batch_id)).
+    *
+    * `commitAlias` (streaming): record the given stamp as committed in
+    * the SAME meta write (an `n_docs = 0` row — neutral to N), so a
+    * [[RetrievalStream]] cold-start build that crashes after this
+    * marker but before the checkpoint commit replays into the extend
+    * path and no-ops there instead of indexing the batch twice.
+    *
     * `docs` is pinned once: postings and the cardinality row must see
     * the same snapshot, and the corpus scan is paid once, not twice.
     */
-  def build(docs: DataFrame, table: String, path: String, nBuckets: Int = 16): Unit = {
+  def build(docs: DataFrame, table: String, path: String, nBuckets: Int = 16,
+      commitAlias: Long = -1L): Unit = {
     val d = docs.localCheckpoint()
     graft.sources.TableWriter.writeBucketed(
-      postings(d), s"${table}_postings", s"$path/postings", "term", nBuckets)
+      postings(d).withColumn("batch_id", lit(0L)),
+      s"${table}_postings", s"$path/postings", "term", nBuckets)
     val spark = d.sparkSession
     import spark.implicits._
-    Seq(d.count()).toDF("n_docs")
+    (Seq((d.count(), 0L)) ++ Option(commitAlias).filter(_ > 0L).map((0L, _)))
+      .toDF("n_docs", "batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/meta").format("parquet")
       .saveAsTable(s"${table}_meta")
   }
 
-  /** Same ordering contract as [[build]]: postings append first, meta
-    * append last. A crash between them under-counts N until the batch
-    * replays; a replayed batch appends both again — the documented
-    * foreachBatch idempotence caveat (stamp appends with the batch id
-    * in production).
+  /** Committed batch stamps: one `_meta` row per batch, distinct-folded
+    * (bounded — a handful of rows, collected as the replay gate).
     */
-  def extend(docs: DataFrame, table: String): Unit = {
+  private def committedBatches(spark: SparkSession, table: String): Set[Long] =
+    spark.table(s"${table}_meta").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  /** Fold a new batch into the index, exactly-once under replay:
+    *
+    *  - a replay of a COMMITTED batch (its stamp is in `_meta`) is a
+    *    no-op;
+    *  - a replay of a CRASHED batch (postings appended, meta missing)
+    *    re-runs [[applyExtend]] — a deterministic function of the
+    *    pinned batch, so the re-appended rows are byte-identical and
+    *    the serve-side (term, doc_id, batch_id) collapse recovers the
+    *    exact index — then appends the meta/marker row LAST.
+    *
+    * N is never double-counted: the meta row is the final write and its
+    * presence gates the no-op. Stamps must be unique per batch — the
+    * single-writer contract ([[graft.streaming.RetrievalStream]] derives
+    * them from the checkpoint's epoch); a document indexed under two
+    * different stamps is a caller-contract violation and its duplicate
+    * postings survive the collapse to fail audits loudly.
+    */
+  def extend(docs: DataFrame, table: String, batchId: Long): Unit = {
     val d = docs.localCheckpoint()
-    postings(d)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .insertInto(s"${table}_postings")
     val spark = d.sparkSession
+    if (committedBatches(spark, table).contains(batchId)) return
+    applyExtend(d, table, batchId)
     import spark.implicits._
-    Seq(d.count()).toDF("n_docs")
+    Seq((d.count(), batchId)).toDF("n_docs", "batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_meta")
   }
+
+  /** The extend's DATA append without the trailing meta commit — the
+    * state a crash after the postings append leaves behind. Exposed for
+    * crash staging (q174 / RetrievalIndexSpec replay tests).
+    */
+  private[graft] def applyExtend(docs: DataFrame, table: String, batchId: Long): Unit =
+    postings(docs).withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_postings")
+
+  /** Replayed-append collapse over a (possibly term-filtered) postings
+    * frame: a crashed extend's replay re-appends byte-identical rows,
+    * so per (term, doc_id, batch_id) duplicates fold to one. Applied
+    * AFTER the term filter (bucket pruning is untouched), and the
+    * grouping keys include the bucket column, so on a bucketed read the
+    * collapse needs no exchange.
+    */
+  private def collapseReplays(p: DataFrame): DataFrame =
+    p.dropDuplicates("term", "doc_id", "batch_id")
+
+  /** Corpus cardinality N from `_meta`, replay-safe: at most one row
+    * per committed batch by the marker ordering; identical duplicates
+    * from a torn write fold through the distinct before the sum.
+    */
+  private def corpusN(spark: SparkSession, table: String): Long =
+    spark.table(s"${table}_meta").dropDuplicates("n_docs", "batch_id")
+      .agg(sum(col("n_docs"))).head.getLong(0)
 
   /** q88 from the index: top-k docs per query by Σ tf·idf_scaled, ranked
     * under the (score desc, doc_id asc) total order. The postings scan
@@ -110,14 +171,13 @@ object RetrievalIndex {
     */
   def topK(spark: SparkSession, table: String,
       queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
-    val n = spark.table(s"${table}_meta")
-      .agg(sum(col("n_docs"))).head.getLong(0)
+    val n = corpusN(spark, table)
     val terms = queries.flatMap(_._2).distinct
     // plan + materialize the probe on the bucket-pruning clone; once
     // pinned, downstream stages run on the caller's session as usual
     val ps = probeSession(spark)
-    val p = ps.table(s"${table}_postings")
-      .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
+    val p = collapseReplays(ps.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*))) // explicit IN → bucket pruning
     val q = broadcast(queryTermsDf(ps, queries))
     val matched = p.join(q, "term").localCheckpoint()
     val scored = graft.queries.CurationOps.scoreMatched(matched, n)
@@ -200,8 +260,8 @@ object RetrievalIndex {
       queries: Seq[(Int, Seq[String])]): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
     val ps = probeSession(spark)
-    val p = ps.table(s"${table}_postings")
-      .filter(col("term").isin(terms: _*))
+    val p = collapseReplays(ps.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*)))
     val q = broadcast(queryTermsDf(ps, queries))
     val arity = queries.foldLeft(lit(-1)) { case (acc, (qid, ts)) =>
       when(col("qid") === qid, lit(ts.size)).otherwise(acc)

@@ -925,6 +925,30 @@ object CurationOps {
           Tables(spark, dir).documents, "graft_q169_pix", path)
         graft.operators.RetrievalIndex.phrase(spark, "graft_q169_pix", phraseQueries)
       }),
+    // q174: the inverted index under CRASH-REPLAY — q172's theorem for
+    // the retrieval tier. The corpus arrives as two batches (doc_id
+    // parity): the first builds the index, the second's extend CRASHES
+    // after its postings append (applyExtend — the data lands, the
+    // trailing meta commit does not), then the batch replays in full.
+    // Every batch-1 posting row is in the table twice; the serve path's
+    // per-(term, doc_id, batch_id) collapse and the meta-as-marker N
+    // must recover the exact scan-time ranking — proven cross-engine by
+    // q88's own SQL oracle. Rebuilds each invocation into a fixed path:
+    // bench reps pay build+crash+replay+serve honestly.
+    GraftQuery("q174_replayed_index", Some(keywordTopKSql),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q174_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq("postings", "meta").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        graft.operators.RetrievalIndex.build(
+          docs.filter(col("doc_id") % 2 === 0), table, path)
+        val odds = docs.filter(col("doc_id") % 2 === 1)
+        graft.operators.RetrievalIndex.applyExtend(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.extend(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),

@@ -15,28 +15,39 @@ import graft.operators.RetrievalIndex
   * incremental operator state, and queries run on demand against the
   * index rather than inside the stream.
   *
-  * Cold start: the first non-empty batch builds the table pair
-  * ([[RetrievalIndex.build]]); later batches extend it. The existence
-  * probe checks `_meta` — build's LAST write, its commit marker — so a
-  * crash mid-build reads as "no index yet" on replay and the rebuild
-  * overwrites the orphaned postings instead of extending a half-built
-  * pair. Same exactly-once caveat as CurationStream for replayed
-  * EXTENDS, same mitigation (stamp appended files with the batch id in
-  * production).
+  * Exactly-once end to end, via the index's own batch-stamp protocol
+  * (the [[PairIndexStream]] design):
+  *
+  *  - Cold start: the first non-empty batch builds the table pair
+  *    ([[RetrievalIndex.build]]). The existence probe checks `_meta` —
+  *    build's LAST write, its commit marker — so a crash mid-build
+  *    reads as "no index yet" on replay and the rebuild overwrites the
+  *    orphaned postings. The build also commits the epoch's own stamp
+  *    (`commitAlias`), so a crash AFTER the marker but before the
+  *    checkpoint commit replays into the extend path and no-ops there.
+  *  - Extends: stamped with `epochId + 1` (stable across replays — the
+  *    foreachBatch contract). A committed replay skips; a crashed
+  *    replay re-appends byte-identical postings that the serve paths
+  *    collapse per (term, doc_id, batch_id), and `_meta`'s N is never
+  *    double-counted (the meta row is the trailing commit).
+  *
+  * One checkpoint owns one index (stamps are epoch-derived) — the
+  * single-writer contract.
   */
 object RetrievalStream {
 
   def start(docs: DataFrame, table: String, path: String,
       nBuckets: Int = 16): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val sp = batch.sparkSession
         val b = batch.localCheckpoint() // existence probe + postings share it
         if (!b.isEmpty) {
           if (sp.catalog.tableExists(s"${table}_meta"))
-            RetrievalIndex.extend(b, table)
+            RetrievalIndex.extend(b, table, batchId = epochId + 1)
           else
-            RetrievalIndex.build(b, table, path, nBuckets)
+            RetrievalIndex.build(b, table, path, nBuckets,
+              commitAlias = epochId + 1)
         }
         ()
       }

@@ -44,12 +44,48 @@ class RetrievalIndexSpec extends SparkSpec {
     drop("rix_all"); drop("rix_inc")
     RetrievalIndex.build(docs, "rix_all", freshPath("all"))
     RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), "rix_inc", freshPath("inc"))
-    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), "rix_inc")
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), "rix_inc", batchId = 1L)
     val a = RetrievalIndex.topK(spark, "rix_all", CurationOps.rankQueries)
     val b = RetrievalIndex.topK(spark, "rix_inc", CurationOps.rankQueries)
     assert(asSet(a) == asSet(b))
     // meta N must see both batches
     val n = spark.table("rix_inc_meta").agg(sum("n_docs")).head.getLong(0)
+    assert(n == docs.count())
+  }
+
+  test("replay of a COMMITTED extend is a no-op — postings, meta, and results untouched") {
+    drop("rix_rc")
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), "rix_rc", freshPath("rc"))
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), "rix_rc", batchId = 1L)
+    val rows = spark.table("rix_rc_postings").count()
+    val before = RetrievalIndex.topK(spark, "rix_rc", CurationOps.rankQueries)
+    val snapshot = asSet(before)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), "rix_rc", batchId = 1L)
+    assert(spark.table("rix_rc_postings").count() == rows)
+    assert(spark.table("rix_rc_meta").count() == 2) // build row + one batch row
+    assert(asSet(RetrievalIndex.topK(spark, "rix_rc", CurationOps.rankQueries)) == snapshot)
+  }
+
+  test("replay of a CRASHED extend collapses: serve == from-scratch, N exact") {
+    drop("rix_cr"); drop("rix_cr_full")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    RetrievalIndex.build(evens, "rix_cr", freshPath("cr"))
+    // the crash: data append lands, the trailing meta commit does not
+    RetrievalIndex.applyExtend(odds, "rix_cr", batchId = 1L)
+    // replay: marker absent → the batch re-folds end to end and commits
+    RetrievalIndex.extend(odds, "rix_cr", batchId = 1L)
+    // every batch-1 posting row is in the table TWICE …
+    val batch1 = spark.table("rix_cr_postings").filter(col("batch_id") === 1L)
+    assert(batch1.count() == 2 * batch1.dropDuplicates("term", "doc_id").count())
+    // … and the serve paths recover the exact from-scratch answers
+    RetrievalIndex.build(docs, "rix_cr_full", freshPath("crf"))
+    assert(asSet(RetrievalIndex.topK(spark, "rix_cr", CurationOps.rankQueries)) ==
+      asSet(RetrievalIndex.topK(spark, "rix_cr_full", CurationOps.rankQueries)))
+    assert(asSet(RetrievalIndex.boolean(spark, "rix_cr", CurationOps.boolQueries)) ==
+      asSet(RetrievalIndex.boolean(spark, "rix_cr_full", CurationOps.boolQueries)))
+    // meta: one row per committed batch — N never double-counts
+    val n = spark.table("rix_cr_meta").agg(sum("n_docs")).head.getLong(0)
     assert(n == docs.count())
   }
 
