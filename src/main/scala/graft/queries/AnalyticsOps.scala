@@ -727,6 +727,42 @@ object AnalyticsOps {
   }
 
   // --------------------------------------------------------------------
+  // q175: the IVM COMPACT lifecycle, driver-checked — q160 proves
+  // build → deltas → serve == recompute; this proves the edge q160
+  // leaves to the in-JVM spec (IvmRollupSpec): a compaction in the
+  // MIDDLE of the delta stream is neutral. Lifecycle: build the base
+  // from snapshot A, fold batch 1 (q81's deletes), COMPACT (the log —
+  // base + batch 1 — rewrites to a single batch-0 base; read cost back
+  // to one row per live key), then fold batch 2 (key-shifted inserts)
+  // onto the compacted base and serve. The oracle is q152's
+  // recompute-from-snapshot-B SQL, so the driver's hash compare is
+  // "serve across a mid-stream compact == from-scratch recompute",
+  // cross-engine. Same fixed-path Overwrite discipline as q160: every
+  // invocation pays build+fold+compact+fold+serve honestly.
+  private def ivmCompact(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmRollup
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = "graft_q175_ivm"
+    val path = graft.core.Scratch.path(table)
+    IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), table, path)
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_custkey").as("key"), lit(-1L).as("dn"),
+          (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr")),
+      batchId = 1L)
+    IvmRollup.compact(spark, table, path) // mid-stream: folds base + batch 1
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 103 === 0)
+        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+          col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+      batchId = 1L) // ids restart after compact: the log is batch 0 again
+    IvmRollup.serve(spark, table)
+      .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -806,6 +842,7 @@ object AnalyticsOps {
     GraftQuery("q165_deletion_apply", Some(deletionApplySql), deletionApply),
     GraftQuery("q152_ivm_agg", Some(ivmAggSql), ivmAgg),
     GraftQuery("q160_ivm_rollup", Some(ivmAggSql), ivmRollup),
+    GraftQuery("q175_ivm_compact", Some(ivmAggSql), ivmCompact),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
