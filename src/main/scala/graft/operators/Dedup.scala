@@ -649,6 +649,13 @@ object Dedup {
     * extend) as already-committed instead of folding the built batch in
     * twice.
     */
+  private def tphase[A](name: String)(f: => A): A = {
+    if (sys.env.contains("GRAFT_DEDUP_TIMING")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"DEDUPTIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+  }
+
   def buildPairIndex(docs: DataFrame, table: String, path: String,
       threshold: Double, nBuckets: Int = 8, k: Int = 5,
       incremental: Boolean = false, commitAlias: Long = -1L): Unit = {
@@ -661,39 +668,56 @@ object Dedup {
     // root would make its Overwrite delete the sibling dict/sets/postings
     // directories underneath it (bitten once in spec)
     val spark = docs.sparkSession
-    val tokens = docTokenDigests(docs, k)
-      .localCheckpoint() // df counts + the encode probe share ONE shingle pass
+    val tokens = tphase("b.tokens")(docTokenDigests(docs, k)
+      .localCheckpoint()) // df counts + the encode probe share ONE shingle pass
     val dfc = tokens.groupBy("digest").agg(count(lit(1)).as("df"))
-    val dict = graft.core.Ranks.globalRowNumber(
+    // pinned: the dict WRITE and the encode join share one computed
+    // ranking (unpinned, the RDD-backed rank sort would run twice)
+    val dict = tphase("b.rank")(graft.core.Ranks.globalRowNumber(
       dfc, Seq(col("df").asc, col("digest").asc))
       .select(col("digest"), col("global_rank").as("rank"))
-    graft.sources.TableWriter.writeBucketed(
-      dict, s"${table}_dict", s"$path/dict", "digest", nBuckets)
-    val groups = collapsedRankGroups(tokens, spark.table(s"${table}_dict"))
-      .localCheckpoint() // pairs + members + rep sets + prefixes share it
-    val probe = prefixPostings(groups, threshold)
-      .localCheckpoint() // pair candidates + the postings table share it
-    val bOk = broadcastOk(groups)
-    // pairs straight from the collapsed groups (no second, independent
+      .localCheckpoint())
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // the dict write proceeds CONCURRENTLY with the group/pair pipeline
+    // (which joins the pinned in-memory frame, not the table read-back)
+    val dictWrite = scala.concurrent.Future {
+      tphase("b.dictWrite")(graft.sources.TableWriter.writeBucketed(
+        dict, s"${table}_dict", s"$path/dict", "digest", nBuckets))
+    }
+    // the dict side broadcasts when MEASURED small (count on the pinned
+    // RDD is one metadata-cheap job): the encode join then streams the
+    // token frame map-side instead of shuffling it by digest — at real
+    // vocabulary sizes the gate fails and the shuffle join is correct
+    val groups = tphase("b.groups")(collapsedRankGroups(tokens, dict,
+        dictBcast = dict.count() <= MaxBroadcastRows)
+      .localCheckpoint()) // pairs + members + rep sets + prefixes share it
+    val probe = tphase("b.probe")(prefixPostings(groups, threshold)
+      .localCheckpoint()) // pair candidates + the postings table share it
+    val gates = tphase("b.bOk")(broadcastGates(groups))
+    // the four data-table writes run CONCURRENTLY (the applyExtend move):
+    // their relative order carries no crash contract — the trailing
+    // `_batches` marker does, and every input is pinned. Pairs come
+    // straight from the collapsed groups (no second, independent
     // dictionary-encode pass): identical values to [[jaccardPairs]] —
     // rank intersections are shingle intersections, the formula is
     // shared — PairGraphSpec pins the equality including the doubles
-    graft.sources.TableWriter.writeBucketed(
-      collapsedGroupPairs(groups, threshold, probe, bOk)
-        .withColumn("batch_id", lit(0L)),
-      table, s"$path/pairs", "id_a", nBuckets)
-    graft.sources.TableWriter.writeBucketed(
-      groups.select(col("id").as("rep"), explode(col("members")).as("id"))
-        .withColumn("batch_id", lit(0L)),
-      s"${table}_members", s"$path/members", "rep", nBuckets)
-    graft.sources.TableWriter.writeBucketed(
-      groups.select("id", "toks").withColumn("batch_id", lit(0L)),
-      s"${table}_sets", s"$path/sets", "id", nBuckets)
-    graft.sources.TableWriter.writeBucketed(
-      probe.withColumn("batch_id", lit(0L)),
-      s"${table}_postings", s"$path/postings", "tok", nBuckets)
-    writeBatchMarker(spark, table, s"$path/batches",
-      Seq(0L) ++ Option(commitAlias).filter(_ > 0L))
+    def bwrite(df: DataFrame, t: String, sub: String, bcol: String) =
+      scala.concurrent.Future {
+        tphase(s"b.write:$sub")(graft.sources.TableWriter.writeBucketed(
+          df.withColumn("batch_id", lit(0L)), t, s"$path/$sub", bcol, nBuckets))
+      }
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      dictWrite,
+      bwrite(collapsedGroupPairs(groups, threshold, probe, gates),
+        table, "pairs", "id_a"),
+      bwrite(groups.select(col("id").as("rep"), explode(col("members")).as("id")),
+        s"${table}_members", "members", "rep"),
+      bwrite(groups.select("id", "toks"), s"${table}_sets", "sets", "id"),
+      bwrite(probe, s"${table}_postings", "postings", "tok"))),
+      scala.concurrent.duration.Duration.Inf)
+    tphase("b.marker")(writeBatchMarker(spark, table, s"$path/batches",
+      Seq(0L) ++ Option(commitAlias).filter(_ > 0L)))
   }
 
   /** Overwrite the `_batches` commit-marker table — build's LAST write. */
@@ -714,14 +738,46 @@ object Dedup {
     spark.table(s"${table}_batches").select("batch_id").distinct()
       .collect().map(_.getLong(0)).toSet
 
-  /** Measured broadcast gate over a collapsed-groups frame: row count AND
-    * total rank elements (ranks are 8-byte longs — the element bound
-    * halves), the crossNearDup discipline.
+  /** Measured broadcast gates over a collapsed-groups frame, from ONE
+    * tiny aggregate (the crossNearDup discipline): `groupsOk` gates the
+    * rep-set verify sides (rank arrays are 8-byte longs — the element
+    * bound halves); `probeOk` gates broadcasting the PREFIX-POSTING side
+    * of the candidate joins — prefix rows are bounded by total rank
+    * elements but carry ~4 fixed-width fields per row, so the bound
+    * tightens again. Probe-side broadcast turns the candidate join from
+    * a two-sided shuffle into a map-side probe — on an extend, the
+    * at-scale shape (the small BATCH probes the bucketed history without
+    * moving it); past the gate both joins fall back to shuffles, which
+    * is the correct giant-corpus plan.
     */
-  private def broadcastOk(groups: DataFrame): Boolean = {
-    val st = groups.agg(count(lit(1)), sum(size(col("toks")))).head()
-    st.getLong(0) <= MaxBroadcastRows &&
-      (if (st.isNullAt(1)) 0L else st.getLong(1)) <= MaxBroadcastElems / 2
+  private final case class IncGates(groupsOk: Boolean, probeOk: Boolean,
+      nReps: Long, vocab: Long) {
+    // small-dictionary fast path (the [[containRepPairs]] MEASURED path
+    // choice, applied to the incremental tier): rank sets fit fixed-width
+    // bitsets, so candidate verification runs INLINE on the raw equi-join
+    // matches (popcount-of-AND) and only survivors reach a shuffle —
+    // on a degenerate small-vocab corpus the prefix join's candidates
+    // approach all-pairs and the dedup shuffle + merge-scan dominate
+    def bitsetOk: Boolean =
+      vocab > 0 && vocab <= IndexBitsetVocab && nReps <= MaxBroadcastRows
+  }
+  private val IndexBitsetVocab = 4096L
+  /** Canonical (id, bits) projection — every bitset join site builds it
+    * the same way so identical broadcast subtrees hit ReuseExchange. */
+  private def bitsetFrame(groups: DataFrame, bits: Column): DataFrame =
+    groups.select(col("id"), bits.as("bits"))
+  private def broadcastGates(groups: DataFrame): IncGates = {
+    // toks are sorted ascending, so the last element is the max rank —
+    // the dictionary width the bitset gate needs (one agg, no extra job)
+    val st = groups.agg(count(lit(1)), sum(size(col("toks"))),
+      max(element_at(col("toks"), -1))).head()
+    val rows = st.getLong(0)
+    val toks = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val vocab = if (st.isNullAt(2)) 0L else st.getLong(2)
+    IncGates(
+      rows <= MaxBroadcastRows && toks <= MaxBroadcastElems / 2,
+      toks <= MaxBroadcastElems / 8,
+      rows, vocab)
   }
 
   /** All qualifying pairs WITHIN a collapsed groups frame (the
@@ -732,31 +788,71 @@ object Dedup {
     * batch-internal stage — one definition of "pairs of a group frame".
     */
   private def collapsedGroupPairs(groups: DataFrame, threshold: Double,
-      probe: DataFrame, bOk: Boolean): DataFrame = {
+      probe: DataFrame, gates: IncGates): DataFrame = {
+    val bOk = gates.groupsOk
     val needOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.setsize") + col("b.setsize")) - lit(1e-9))
-    val cands = probe.as("a")
-      .join(probe.as("b"), col("a.tok") === col("b.tok") &&
+    // raw prefix matches, one row per shared prefix tok — thin (ids +
+    // sizes only); who dedups them is the path choice below
+    val matches = probe.as("a")
+      .join(maybeBroadcast(probe, gates.probeOk).as("b"), col("a.tok") === col("b.tok") &&
         col("a.id") < col("b.id") &&
         least(col("a.setsize"), col("b.setsize")).cast(DoubleType) /
           greatest(col("a.setsize"), col("b.setsize")).cast(DoubleType) >= threshold &&
         lit(1) + least(col("a.setsize") - col("a.rn"),
           col("b.setsize") - col("b.rn")) >= needOverlap)
-      .select(col("a.id").as("bid"), col("b.id").as("hid"))
-      .dropDuplicates("bid", "hid")
-    val sides = groups.select(col("id"), col("toks"),
-      size(col("toks")).cast(DoubleType).as("sz"), col("members"))
-    val crossGroup = cands
-      .join(maybeBroadcast(sides.select(col("id").as("bid"), col("toks").as("t_a"),
-        col("sz").as("sz_a"), col("members").as("m_b")), bOk), "bid")
-      .join(maybeBroadcast(sides.select(col("id").as("hid"), col("toks").as("t_b"),
-        col("sz").as("sz_b"), col("members").as("m_h")), bOk), "hid")
-      .withColumn("inter",
-        graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
-          .cast(DoubleType))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(explode(col("m_b")).as("b_id"), col("m_h"), col("jaccard"))
+      .select(col("a.id").as("bid"), col("b.id").as("hid"),
+        col("a.setsize").cast(DoubleType).as("sz_a"),
+        col("b.setsize").cast(DoubleType).as("sz_b"))
+    // verified REP pairs (bid, hid, jaccard), deduplicated. Path choice
+    // is MEASURED ([[IncGates.bitsetOk]], the [[containRepPairs]]
+    // discipline): a small frozen dictionary means prefix toks are never
+    // rare — candidates approach all-pairs, and the dedup shuffle + the
+    // merge-scan array join-backs dominate. There the rank sets pack
+    // into fixed-width bitsets, verification runs INLINE on the raw
+    // match stream (popcount-of-AND through two guaranteed-broadcast
+    // hash joins), and only the few survivors reach a shuffle. Both
+    // paths count the same exact intersection — identical rows out.
+    val verified =
+      if (gates.bitsetOk) {
+        val nWords = ((gates.vocab + 63) >> 6).toInt
+        val bits = graft.functions.VectorExpressions.toBitset(
+          transform(col("toks"), _.cast("int")), nWords)
+        // ONE bitset projection joined twice under aliases: the two
+        // broadcast exchanges canonicalize identically, so Spark builds
+        // and ships the bitset table once (ReuseExchange), not per side
+        val bf = bitsetFrame(groups, bits)
+        matches
+          .join(broadcast(bf.as("ba")), col("bid") === col("ba.id"))
+          .join(broadcast(bf.as("bb")), col("hid") === col("bb.id"))
+          .withColumn("inter",
+            graft.functions.VectorExpressions.bitsetAndCount(col("ba.bits"), col("bb.bits"))
+              .cast(DoubleType))
+          .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("bid"), col("hid"), col("jaccard"))
+          .dropDuplicates("bid", "hid")
+      } else {
+        val sides = groups.select(col("id"), col("toks"),
+          size(col("toks")).cast(DoubleType).as("sz"))
+        matches.select("bid", "hid").dropDuplicates("bid", "hid")
+          .join(maybeBroadcast(sides.select(col("id").as("bid"), col("toks").as("t_a"),
+            col("sz").as("sz_a")), bOk), "bid")
+          .join(maybeBroadcast(sides.select(col("id").as("hid"), col("toks").as("t_b"),
+            col("sz").as("sz_b")), bOk), "hid")
+          .withColumn("inter",
+            graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
+              .cast(DoubleType))
+          .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("bid"), col("hid"), col("jaccard"))
+      }
+    val mem = groups.select(col("id"), col("members"))
+    val crossGroup = verified
+      .join(maybeBroadcast(mem.as("ma"), gates.groupsOk), col("bid") === col("ma.id"))
+      .join(maybeBroadcast(mem.as("mb"), gates.groupsOk), col("hid") === col("mb.id"))
+      .select(explode(col("ma.members")).as("b_id"),
+        col("mb.members").as("m_h"), col("jaccard"))
       .select(col("b_id"), explode(col("m_h")).as("h_id"), col("jaccard"))
       .select(least(col("b_id"), col("h_id")).as("id_a"),
         greatest(col("b_id"), col("h_id")).as("id_b"), col("jaccard"))
@@ -789,8 +885,9 @@ object Dedup {
     *
     * @return (id = rep, toks sorted rank array, setsize, members)
     */
-  private def collapsedRankGroups(tokens: DataFrame, dict: DataFrame): DataFrame =
-    tokens.join(dict, "digest")
+  private def collapsedRankGroups(tokens: DataFrame, dict: DataFrame,
+      dictBcast: Boolean = false): DataFrame =
+    tokens.join(maybeBroadcast(dict, dictBcast), "digest")
       .groupBy("id").agg(array_sort(collect_list(col("rank"))).as("toks"))
       .groupBy("toks")
       .agg(min(col("id")).as("id"), sort_array(collect_list(col("id"))).as("members"))
@@ -861,10 +958,10 @@ object Dedup {
     */
   def extendPairIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String, threshold: Double,
-      batchId: Long, k: Int = 5): Unit = {
+      batchId: Long, k: Int = 5, nBuckets: Int = 8): Unit = {
     if (committedBatches(spark, table).contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
-    applyExtend(spark, batch, table, threshold, batchId, k)
+    applyExtend(spark, batch, table, threshold, batchId, k, nBuckets)
     import spark.implicits._
     // the commit stamp — LAST, after every data append of the batch
     Seq(batchId).toDF("batch_id")
@@ -880,18 +977,25 @@ object Dedup {
     */
   private[graft] def applyExtend(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String, threshold: Double,
-      batchId: Long, k: Int): Unit = {
-    val tokens = docTokenDigests(batch, k)
-      .localCheckpoint() // unseen probe + encode share ONE shingle pass
+      batchId: Long, k: Int, nBuckets: Int = 8): Unit = {
+    // the dict fence scan is independent of the batch's shingle pass —
+    // overlap the two (the fence must still COMPLETE before the rank
+    // append below, which the Await enforces)
+    val fenceF = scala.concurrent.Future {
+      tphase("e.fence")(spark.table(s"${table}_dict")
+        .agg(coalesce(max(col("rank")), lit(0L)), count(lit(1)),
+          count_distinct(col("digest"))).head())
+    }(scala.concurrent.ExecutionContext.global)
+    val tokens = tphase("e.tokens")(docTokenDigests(batch, k)
+      .localCheckpoint()) // unseen probe + encode share ONE shingle pass
     val dictT = s"${table}_dict"
     // frontier read + single-writer fence in ONE pass: ranks must be
     // dense (max == count) and digests unique — a lost read-then-append
     // update (two interleaved writers) breaks one of the two, so the
     // extend fails loudly here instead of silently assigning colliding
     // ranks forever after
-    val ds = spark.table(dictT)
-      .agg(coalesce(max(col("rank")), lit(0L)), count(lit(1)),
-        count_distinct(col("digest"))).head()
+    val ds = scala.concurrent.Await.result(fenceF,
+      scala.concurrent.duration.Duration.Inf)
     val (maxRank, nRows, nDigests) = (ds.getLong(0), ds.getLong(1), ds.getLong(2))
     if (maxRank != nRows || nRows != nDigests)
       throw new IllegalStateException(
@@ -900,14 +1004,16 @@ object Dedup {
           "a concurrent extend lost a read-then-append rank update")
     val unseen = tokens.select("digest").distinct()
       .join(spark.table(dictT).select("digest"), Seq("digest"), "left_anti")
-    graft.core.Ranks.globalRowNumber(unseen, Seq(col("digest").asc))
+    tphase("e.dictAppend")(graft.core.Ranks.globalRowNumber(unseen, Seq(col("digest").asc))
       .select(col("digest"), (col("global_rank") + maxRank).as("rank"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(dictT)
-    val groupsB = collapsedRankGroups(tokens, spark.table(dictT))
-      .localCheckpoint() // probe + both verifies + all three expansions
-    val probe = prefixPostings(groupsB, threshold)
-      .localCheckpoint() // history probe + self-join + postings append share it
-    val bOk = broadcastOk(groupsB)
+      .repartition(nBuckets, col("digest")) // one file per bucket, as at build
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(dictT))
+    val groupsB = tphase("e.groups")(collapsedRankGroups(tokens, spark.table(dictT))
+      .localCheckpoint()) // probe + both verifies + all three expansions
+    val probe = tphase("e.probe")(prefixPostings(groupsB, threshold)
+      .localCheckpoint()) // history probe + self-join + postings append share it
+    val gates = tphase("e.bOk")(broadcastGates(groupsB))
+    val bOk = gates.groupsOk
     // history reads EXCLUDE this batch's own stamp: a replayed crashed
     // extend may find its earlier appends already present, and filtering
     // them out makes the replay compute from exactly the pre-batch state
@@ -915,34 +1021,78 @@ object Dedup {
       spark.table(name).filter(col("batch_id") =!= batchId)
     def needOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.setsize") + col("b.setsize")) - lit(1e-9))
-    def prunedJoin(right: DataFrame, idCond: Column): DataFrame =
-      probe.as("a").join(right.as("b"), col("a.tok") === col("b.tok") && idCond &&
+    // the BATCH probe broadcasts when measured small — the at-scale
+    // extend shape: the history postings stream through their bucketed
+    // layout instead of shuffling corpus-sized state per batch. Raw
+    // matches stay thin (ids + sizes); who dedups them is the verify
+    // path's choice.
+    def prunedMatches(right: DataFrame): DataFrame =
+      maybeBroadcast(probe, gates.probeOk).as("a")
+        .join(right.as("b"), col("a.tok") === col("b.tok") &&
         least(col("a.setsize"), col("b.setsize")).cast(DoubleType) /
           greatest(col("a.setsize"), col("b.setsize")).cast(DoubleType) >= threshold &&
         lit(1) + least(col("a.setsize") - col("a.rn"),
           col("b.setsize") - col("b.rn")) >= needOverlap)
-        .select(col("a.id").as("bid"), col("b.id").as("hid"))
-        .dropDuplicates("bid", "hid")
-    // verified REP-level pairs (bid = batch rep, hid = right-side rep)
-    def verify(cands: DataFrame, rightSets: DataFrame): DataFrame = cands
-      .join(maybeBroadcast(groupsB.select(col("id").as("bid"),
-        col("toks").as("t_a"), col("setsize").cast(DoubleType).as("sz_a")), bOk), "bid")
-      .join(rightSets
-        .select(col("id").as("hid"), col("toks").as("t_b"),
-          size(col("toks")).cast(DoubleType).as("sz_b")), "hid")
-      .withColumn("inter",
-        graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
-          .cast(DoubleType))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("bid"), col("hid"), col("jaccard"))
+        .select(col("a.id").as("bid"), col("b.id").as("hid"),
+          col("a.setsize").cast(DoubleType).as("sz_a"),
+          col("b.setsize").cast(DoubleType).as("sz_b"))
+    // verified REP-level pairs (bid = batch rep, hid = history rep).
+    // Shape is MEASURED, as in [[collapsedGroupPairs]]: when the WHOLE
+    // dictionary is bitset-narrow and the history rep sets broadcast,
+    // verify runs inline on the raw matches (popcount-of-AND) with no
+    // candidate dedup shuffle; otherwise candidates dedup first and
+    // merge-scan against the id-bucketed `_sets`. The dictionary width
+    // needs no extra pass: every post-append rank is either ≤ the
+    // fence's pre-append max or appears in some batch set (unseen
+    // ranks come FROM the batch), so max(fence, batch vocab) covers it.
+    val histSets = hist(s"${table}_sets")
+    val dictVocab = math.max(maxRank, gates.vocab)
+    val crossVerified =
+      if (dictVocab > 0 && dictVocab <= IndexBitsetVocab &&
+          gates.nReps <= MaxBroadcastRows &&
+          histSets.count() <= MaxBroadcastRows) {
+        val nWords = ((dictVocab + 63) >> 6).toInt
+        val bits = graft.functions.VectorExpressions.toBitset(
+          transform(col("toks"), _.cast("int")), nWords)
+        // batch side uses the same canonical bitset projection as the
+        // batch-internal path below, so the appended union's plan ships
+        // ONE groupsB bitset broadcast across both subtrees
+        val bfB = bitsetFrame(groupsB, bits)
+        val bfH = histSets.select(col("id"),
+            transform(col("toks"), _.cast("int")).as("itoks"))
+          .select(col("id"), graft.functions.VectorExpressions
+            .toBitset(col("itoks"), nWords).as("bits"))
+          .dropDuplicates("id") // replayed rows are byte-identical
+        prunedMatches(hist(s"${table}_postings"))
+          .join(broadcast(bfB.as("ba")), col("bid") === col("ba.id"))
+          .join(broadcast(bfH.as("bb")), col("hid") === col("bb.id"))
+          .withColumn("inter",
+            graft.functions.VectorExpressions.bitsetAndCount(col("ba.bits"), col("bb.bits"))
+              .cast(DoubleType))
+          .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("bid"), col("hid"), col("jaccard"))
+          .dropDuplicates("bid", "hid")
+      } else {
+        prunedMatches(hist(s"${table}_postings"))
+          .select("bid", "hid").dropDuplicates("bid", "hid")
+          .join(maybeBroadcast(groupsB.select(col("id").as("bid"),
+            col("toks").as("t_a"), col("setsize").cast(DoubleType).as("sz_a")), bOk), "bid")
+          .join(histSets
+            .select(col("id").as("hid"), col("toks").as("t_b"),
+              size(col("toks")).cast(DoubleType).as("sz_b")), "hid")
+          .withColumn("inter",
+            graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
+              .cast(DoubleType))
+          .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("bid"), col("hid"), col("jaccard"))
+      }
     val bm = groupsB.select(col("id").as("bid"), col("members").as("m_b"))
     // cross-group expansion, batch×history: batch members explode from
     // the pinned group frame; history members stream from the
     // rep-bucketed `_members` table
-    val cross = verify(
-        prunedJoin(hist(s"${table}_postings"), lit(true)),
-        hist(s"${table}_sets"))
+    val cross = crossVerified
       .join(maybeBroadcast(bm, bOk), "bid")
       .join(hist(s"${table}_members")
         .select(col("rep").as("hid"), col("id").as("h_id")), "hid")
@@ -952,7 +1102,7 @@ object Dedup {
     // batch-internal pairs (cross-group expanded + intra-group 1.0s):
     // the same definition the incremental build uses — one helper, with
     // the already-pinned probe + measured gate shared
-    val internal = collapsedGroupPairs(groupsB, threshold, probe, bOk)
+    val internal = collapsedGroupPairs(groupsB, threshold, probe, gates)
     // the four data appends run CONCURRENTLY: their relative order no
     // longer carries the crash contract (the trailing `_batches` stamp
     // does), every input is pinned, and insertInto on an existing
@@ -960,17 +1110,21 @@ object Dedup {
     // four small sequential jobs folds into one round
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    def append(df: DataFrame, t: String) = scala.concurrent.Future {
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
+    // each append clusters by its table's bucket column first (the
+    // writeBucketed file-hygiene move): a batch append lands as ≤ one
+    // file per bucket instead of one per (input partition, bucket)
+    def append(df: DataFrame, t: String, bcol: String) = scala.concurrent.Future {
+      tphase(s"e.append:$t")(df.withColumn("batch_id", lit(batchId))
+        .repartition(nBuckets, col(bcol))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t))
     }
-    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
-      append(internal.unionByName(cross), table),
+    tphase("e.appends")(scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      append(internal.unionByName(cross), table, "id_a"),
       append(groupsB.select(col("id").as("rep"), explode(col("members")).as("id")),
-        s"${table}_members"),
-      append(groupsB.select("id", "toks"), s"${table}_sets"),
-      append(probe, s"${table}_postings"))),
-      scala.concurrent.duration.Duration.Inf)
+        s"${table}_members", "rep"),
+      append(groupsB.select("id", "toks"), s"${table}_sets", "id"),
+      append(probe, s"${table}_postings", "tok"))),
+      scala.concurrent.duration.Duration.Inf))
     ()
   }
 
@@ -1011,11 +1165,18 @@ object Dedup {
       k: Int = 5, numHashes: Int = 32, bands: Int = 8, nBuckets: Int = 16,
       commitAlias: Long = -1L): Unit = {
     val enc = hashedSets(docs, k).localCheckpoint() // one shingle pass feeds both tables
-    graft.sources.TableWriter.writeBucketed(
-      stableBandKeys(enc, numHashes, bands).withColumn("batch_id", lit(0L)),
-      s"${table}_postings", s"$path/postings", "key", nBuckets)
-    graft.sources.TableWriter.writeBucketed(
-      enc.withColumn("batch_id", lit(0L)), s"${table}_sets", s"$path/sets", "id", nBuckets)
+    // both writes run CONCURRENTLY (the buildPairIndex move): ordering
+    // carries no crash contract — the trailing `_batches` marker does
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
+        stableBandKeys(enc, numHashes, bands).withColumn("batch_id", lit(0L)),
+        s"${table}_postings", s"$path/postings", "key", nBuckets)),
+      scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
+        enc.withColumn("batch_id", lit(0L)),
+        s"${table}_sets", s"$path/sets", "id", nBuckets)))),
+      scala.concurrent.duration.Duration.Inf)
     writeBatchMarker(docs.sparkSession, table, s"$path/batches",
       Seq(0L) ++ Option(commitAlias).filter(_ > 0L))
   }
@@ -1078,10 +1239,11 @@ object Dedup {
     */
   def extendNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, table: String, batchId: Long,
-      k: Int = 5, numHashes: Int = 32, bands: Int = 8): Unit = {
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      nBuckets: Int = 16): Unit = {
     if (committedBatches(spark, table).contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
-    applyExtendNearDup(docs, table, batchId, k, numHashes, bands)
+    applyExtendNearDup(docs, table, batchId, k, numHashes, bands, nBuckets)
     import spark.implicits._
     Seq(batchId).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -1094,12 +1256,24 @@ object Dedup {
     * can stage the crash window end to end.
     */
   private[graft] def applyExtendNearDup(docs: DataFrame, table: String,
-      batchId: Long, k: Int, numHashes: Int, bands: Int): Unit = {
+      batchId: Long, k: Int, numHashes: Int, bands: Int,
+      nBuckets: Int = 16): Unit = {
     val enc = hashedSets(docs, k).localCheckpoint() // one shingle pass, two tables
-    stableBandKeys(enc, numHashes, bands).withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_postings")
-    enc.withColumn("batch_id", lit(batchId))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(s"${table}_sets")
+    // concurrent appends — the `_batches` stamp, not order, is the contract
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future(
+        stableBandKeys(enc, numHashes, bands).withColumn("batch_id", lit(batchId))
+          .repartition(nBuckets, col("key")) // one file per bucket
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .insertInto(s"${table}_postings")),
+      scala.concurrent.Future(
+        enc.withColumn("batch_id", lit(batchId))
+          .repartition(nBuckets, col("id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .insertInto(s"${table}_sets")))),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   /** The near-dup index's postings/sets after collapsing replayed
@@ -1133,32 +1307,46 @@ object Dedup {
     */
   def serveNearDupPairs(spark: org.apache.spark.sql.SparkSession,
       table: String, threshold: Double): DataFrame = {
-    val groups = indexSets(spark, table)
+    // the replay collapse folds INTO the rep aggregation: collect_set
+    // dedups a crashed-replay's byte-identical (id, toks) rows inside
+    // the same shuffle the collapse needs anyway — one pass, not a
+    // dropDuplicates followed by a second aggregate
+    val groups = spark.table(s"${table}_sets").select("id", "toks")
       .groupBy("toks")
-      .agg(min(col("id")).as("id"), sort_array(collect_list(col("id"))).as("members"))
+      .agg(min(col("id")).as("id"), sort_array(collect_set(col("id"))).as("members"))
       .localCheckpoint() // rep filter + verify sides + expansion share it
-    val bOk = broadcastOk(groups)
-    val repKeys = indexPostings(spark, table)
-      .join(groups.select("id"), Seq("id"), "left_semi")
+    val bOk = broadcastGates(groups).groupsOk
+    // raw postings: replayed duplicate keys only duplicate CANDIDATES,
+    // which the (id_a, id_b) dedup below collapses — no posting-level
+    // dropDuplicates shuffle needed. The rep filter broadcasts when the
+    // groups frame measured small; the band self-join broadcasts its
+    // probe side under the same gate (20k-row band keys vs an SMJ of
+    // two RDD-backed frames with no stats).
+    val repKeys = spark.table(s"${table}_postings").select("id", "band", "key")
+      .join(maybeBroadcast(groups.select("id"), bOk), Seq("id"), "left_semi")
+      .localCheckpoint() // both sides of the self-join share one probe scan
     val cands = repKeys.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(repKeys.select(col("band"), col("key"), col("id").as("id_b")),
+      .join(maybeBroadcast(
+        repKeys.select(col("band"), col("key"), col("id").as("id_b")), bOk),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // ONE verify-side projection joined twice under aliases — identical
+    // broadcast subtrees hit ReuseExchange, one ship not two
     val sides = groups.select(col("id"), col("toks"),
       size(col("toks")).cast(DoubleType).as("sz"), col("members"))
     val cross = cands
-      .join(maybeBroadcast(sides.select(col("id").as("id_a"), col("toks").as("t_a"),
-        col("sz").as("sz_a"), col("members").as("m_a")), bOk), "id_a")
-      .join(maybeBroadcast(sides.select(col("id").as("id_b"), col("toks").as("t_b"),
-        col("sz").as("sz_b"), col("members").as("m_b")), bOk), "id_b")
+      .join(maybeBroadcast(sides.as("sa"), bOk), col("id_a") === col("sa.id"))
+      .join(maybeBroadcast(sides.as("sb"), bOk), col("id_b") === col("sb.id"))
       .withColumn("inter",
-        graft.functions.VectorExpressions.sortedIntersectCountLong(col("t_a"), col("t_b"))
-          .cast(DoubleType))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        graft.functions.VectorExpressions.sortedIntersectCountLong(
+          col("sa.toks"), col("sb.toks")).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(explode(col("m_a")).as("a_id"), col("m_b"), col("jaccard"))
+      .select(explode(col("sa.members")).as("a_id"),
+        col("sb.members").as("m_b"), col("jaccard"))
       .select(col("a_id"), explode(col("m_b")).as("b_id"), col("jaccard"))
       .select(least(col("a_id"), col("b_id")).as("id_a"),
         greatest(col("a_id"), col("b_id")).as("id_b"), col("jaccard"))

@@ -62,12 +62,13 @@ object IvmRollup {
     * appended through the bucket spec. Write cost ∝ |touched keys|.
     */
   def applyDelta(spark: SparkSession, table: String,
-      changes: DataFrame, batchId: Long): Unit = {
+      changes: DataFrame, batchId: Long, nBuckets: Int = 16): Unit = {
     require(batchId > 0L, s"batchId must be positive (0 is the base): $batchId")
     changes.groupBy(col("key"))
       .agg(sum(col("dn")).as("dn"),
         sum(col("dr").cast(Dec)).cast(Dec).as("dr"))
       .withColumn("batch_id", lit(batchId))
+      .repartition(nBuckets, col("key")) // one appended file per bucket
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(table)
   }

@@ -126,11 +126,12 @@ object RetrievalIndex {
     * different stamps is a caller-contract violation and its duplicate
     * postings survive the collapse to fail audits loudly.
     */
-  def extend(docs: DataFrame, table: String, batchId: Long): Unit = {
+  def extend(docs: DataFrame, table: String, batchId: Long,
+      nBuckets: Int = 16): Unit = {
     val d = docs.localCheckpoint()
     val spark = d.sparkSession
     if (committedBatches(spark, table).contains(batchId)) return
-    applyExtend(d, table, batchId)
+    applyExtend(d, table, batchId, nBuckets)
     import spark.implicits._
     Seq((d.count(), batchId)).toDF("n_docs", "batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -141,8 +142,10 @@ object RetrievalIndex {
     * state a crash after the postings append leaves behind. Exposed for
     * crash staging (q174 / RetrievalIndexSpec replay tests).
     */
-  private[graft] def applyExtend(docs: DataFrame, table: String, batchId: Long): Unit =
+  private[graft] def applyExtend(docs: DataFrame, table: String, batchId: Long,
+      nBuckets: Int = 16): Unit =
     postings(docs).withColumn("batch_id", lit(batchId))
+      .repartition(nBuckets, col("term")) // one file per bucket, as at build
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_postings")
 

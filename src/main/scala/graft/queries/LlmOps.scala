@@ -627,8 +627,12 @@ object LlmOps {
       "q162_incremental_leakage",
       Some(splitLeakageSql),
       (spark, dir) => {
+        // spread the single-file local fixture before the shingle pass —
+        // production ingest arrives pre-partitioned; a 1-split parquet
+        // read would serialize the whole hash phase onto one core
         val docs = Tables(spark, dir).documents
           .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
         val table = "graft_q162_pairs"
         val path = graft.core.Scratch.path(table)
         Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), table, path,
@@ -676,8 +680,10 @@ object LlmOps {
       "q173_incremental_lsh",
       Some(s"SELECT id_a, id_b, jaccard FROM ($jaccardPairsSql)"),
       (spark, dir) => {
+        // same fixture spread as q162: parallelize the MinHash pass
         val docs = Tables(spark, dir).documents
           .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
         val table = "graft_q173_lsh"
         val path = graft.core.Scratch.path(table)
         Dedup.buildNearDupIndex(docs.filter(col("id") % 2 === 0), table, path)

@@ -142,6 +142,16 @@ object TableWriter {
     * per-task sort. Bucketing requires the table catalog (`saveAsTable`);
     * the explicit `path` keeps the data external so the files live with
     * the rest of the lake layout rather than in the warehouse directory.
+    *
+    * File-count hygiene: Spark's bucketed writer emits one file per
+    * (task, bucket) pair, so a 32-partition upstream frame writes up to
+    * 32×nBuckets splinter files whose open cost every later scan pays —
+    * forever, on an index table read per query. The repartition below
+    * clusters rows by the bucket hash FIRST (HashPartitioning and
+    * bucket assignment share Murmur3-mod, so partition i holds exactly
+    * bucket i), collapsing the layout to one file per bucket. The
+    * shuffle it costs is paid once at write; callers size `nBuckets` to
+    * the table, which is also what bounds write parallelism here.
     */
   def writeBucketed(
       df: DataFrame,
@@ -150,7 +160,8 @@ object TableWriter {
       bucketCol: String,
       nBuckets: Int,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    df.write
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .mode(mode)
       .option("path", path)
       .bucketBy(nBuckets, bucketCol)
