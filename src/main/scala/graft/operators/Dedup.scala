@@ -1143,6 +1143,63 @@ object Dedup {
       .dropDuplicates("id_a", "id_b", "batch_id")
       .select("id_a", "id_b", "jaccard")
 
+  /** Fold an incremental [[buildPairIndex]] table family back to a
+    * single batch-0 state — the [[IvmRollup.compact]] of the pair
+    * index: replayed-crash duplicates collapse away physically (not
+    * just at serve), and each table rewrites to one file per bucket,
+    * so read cost stops growing with the number of batches folded.
+    *
+    * Restartable, not transactional: each table rewrite is an
+    * Overwrite of a PINNED collapsed frame (the rewrite reads the
+    * table it replaces), and a crash between rewrites leaves a
+    * CONTENT-EQUIVALENT index — collapse only removes byte-identical
+    * duplicate rows, and every read path collapses stamps anyway — so
+    * rerunning compact converges (idempotent). The `_batches` marker
+    * rewrites LAST to exactly {0}: like [[IvmRollup.compact]] /
+    * q175, compaction RESETS the replay namespace — it requires
+    * quiescence (the single-writer contract), and callers must not
+    * replay pre-compact batch ids afterward (they would re-apply as
+    * new batches).
+    *
+    * Fails loudly BEFORE rewriting if any pair appears under two
+    * different batch ids: that contract violation is kept visible by
+    * [[servePairIndex]]'s stamp-scoped collapse, and restamping
+    * everything to 0 would silently launder it into a single row.
+    */
+  def compactPairIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, nBuckets: Int = 8): Unit = {
+    val violations = spark.table(table)
+      .dropDuplicates("id_a", "id_b", "batch_id")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (violations.nonEmpty) {
+      val r = violations.head
+      throw new IllegalStateException(
+        s"compactPairIndex($table): pair (${r.get(0)}, ${r.get(1)}) appears " +
+          "under multiple batch ids — each pair is generated exactly once, " +
+          "by the batch holding its newest document; refusing to fold a " +
+          "contract violation into batch 0")
+    }
+    def rewrite(t: String, sub: String, bcol: String, keys: Seq[String]): Unit = {
+      val collapsed = spark.table(t)
+        .dropDuplicates(keys :+ "batch_id")
+        .drop("batch_id").withColumn("batch_id", lit(0L))
+        .localCheckpoint() // pinned: the Overwrite reads the table it replaces
+      graft.sources.TableWriter.writeBucketed(
+        collapsed, t, s"$path/$sub", bcol, nBuckets)
+    }
+    rewrite(table, "pairs", "id_a", Seq("id_a", "id_b"))
+    rewrite(s"${table}_members", "members", "rep", Seq("rep", "id"))
+    rewrite(s"${table}_sets", "sets", "id", Seq("id"))
+    rewrite(s"${table}_postings", "postings", "tok", Seq("tok", "id", "rn"))
+    // the dict carries no stamp (appends are naturally idempotent — no
+    // duplicates possible); its rewrite is pure file-count hygiene
+    graft.sources.TableWriter.writeBucketed(
+      spark.table(s"${table}_dict").localCheckpoint(),
+      s"${table}_dict", s"$path/dict", "digest", nBuckets)
+    writeBatchMarker(spark, table, s"$path/batches", Seq(0L))
+  }
+
   /** Persist a near-dup index over a document corpus — the MinHash-LSH
     * sibling of the exact digest history behind [[incremental]]: "hash the
     * corpus once at ingest, probe every future batch against it". Two

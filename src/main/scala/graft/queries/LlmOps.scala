@@ -661,6 +661,39 @@ object LlmOps {
           spark, IncPairGraph.table(spark, dir, threshold = 0.8)))),
 
     // ------------------------------------------------------------------
+    // q176: the pair index's COMPACT lifecycle — q175's theorem for the
+    // near-dup tier, with the crash window inside it. The corpus
+    // arrives as three batches (doc_id mod 3): build, then an extend
+    // that CRASHES after its data appends and replays in full (every
+    // batch-1 row lands twice), then compactPairIndex folds the whole
+    // family back to batch 0 — the replayed duplicates collapse away
+    // PHYSICALLY, each table rewrites to one file per bucket, and the
+    // replay namespace resets — then a THIRD batch extends onto the
+    // compacted state and the audit serves. Oracle = q154's
+    // whole-corpus scan-time SQL, so the hash compare is "build →
+    // crash → replay → compact → extend → serve == from-scratch scan",
+    // cross-engine. Rebuilds each invocation into a fixed path.
+    GraftQuery(
+      "q176_compacted_index",
+      Some(splitLeakageSql),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val table = "graft_q176_pairs"
+        val path = graft.core.Scratch.path(table)
+        Dedup.buildPairIndex(docs.filter(col("id") % 3 === 0), table, path,
+          threshold = 0.8, incremental = true)
+        val b1 = docs.filter(col("id") % 3 === 1)
+        Dedup.applyExtend(spark, b1, table, threshold = 0.8, batchId = 1L, k = 5)
+        Dedup.extendPairIndex(spark, b1, table, threshold = 0.8, batchId = 1L)
+        Dedup.compactPairIndex(spark, table, path)
+        Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2),
+          table, threshold = 0.8, batchId = 1L) // namespace reset by compact
+        leakageRollup(Dedup.servePairIndex(spark, table))
+      }),
+
+    // ------------------------------------------------------------------
     // q173: INCREMENTAL LSH — the q162 move for the MinHash tier: the
     // corpus arrives as two batches (doc_id parity), the first builds
     // the persisted near-dup index (buildNearDupIndex: band-key postings

@@ -9,7 +9,7 @@ import graft.queries.PairGraph
   * index == scan contract the driver checks on q44b/q154/q155.
   */
 class PairGraphSpec extends SparkSpec {
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, lit}
 
   private def key(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getLong(1), r.getDouble(2))
@@ -113,6 +113,57 @@ class PairGraphSpec extends SparkSpec {
     Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2), "pg_crash2",
       0.8, batchId = 2L)
     assert(Dedup.servePairIndex(spark, "pg_crash2").collect().map(key).toSet == want)
+  }
+
+  test("compact folds a crashed-replay index to batch 0: dups gone physically, graph intact, idempotent") {
+    drop("pg_cpt")
+    val odds = docs.filter(col("id") % 2 === 1)
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_cpt",
+      tmp("cpt"), 0.8, incremental = true)
+    Dedup.applyExtend(spark, odds, "pg_cpt", 0.8, batchId = 1L, k = 5)
+    Dedup.extendPairIndex(spark, odds, "pg_cpt", 0.8, batchId = 1L)
+    val rawBefore = spark.table("pg_cpt").count()
+    val want = Dedup.jaccardPairs(docs, threshold = 0.8).collect().map(key).toSet
+    Dedup.compactPairIndex(spark, "pg_cpt", tmp("cpt"))
+    // duplicates removed PHYSICALLY: raw row count == served pair count
+    val rawAfter = spark.table("pg_cpt").count()
+    assert(rawAfter < rawBefore, "compact must remove the replayed duplicates")
+    val served = Dedup.servePairIndex(spark, "pg_cpt").collect().map(key).toSet
+    assert(rawAfter == served.size)
+    assert(served == want)
+    // everything is batch 0; the marker namespace reset with it
+    assert(spark.table("pg_cpt").filter(col("batch_id") =!= 0L).isEmpty)
+    assert(spark.table("pg_cpt_batches").collect().map(_.getLong(0)).toSet == Set(0L))
+    // idempotent: a second compact (the crash-rerun story) changes nothing
+    Dedup.compactPairIndex(spark, "pg_cpt", tmp("cpt"))
+    assert(Dedup.servePairIndex(spark, "pg_cpt").collect().map(key).toSet == want)
+    // the namespace reset is real: batch id 1 extends the COMPACTED state
+    drop("pg_cpt3")
+    Dedup.buildPairIndex(docs.filter(col("id") % 3 === 0), "pg_cpt3",
+      tmp("cpt3"), 0.8, incremental = true)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 1), "pg_cpt3",
+      0.8, batchId = 1L)
+    Dedup.compactPairIndex(spark, "pg_cpt3", tmp("cpt3"))
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2), "pg_cpt3",
+      0.8, batchId = 1L)
+    assert(Dedup.servePairIndex(spark, "pg_cpt3").collect().map(key).toSet == want)
+  }
+
+  test("compact refuses to launder a pair filed under two batch ids") {
+    drop("pg_cptv")
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_cptv",
+      tmp("cptv"), 0.8, incremental = true)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1), "pg_cptv",
+      0.8, batchId = 1L)
+    // forge the violation: duplicate one real pair under a foreign stamp
+    // (pinned first — appending into the table being read is not allowed)
+    val forged = spark.table("pg_cptv").limit(1)
+      .withColumn("batch_id", lit(99L)).localCheckpoint()
+    forged.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto("pg_cptv")
+    val e = intercept[IllegalStateException] {
+      Dedup.compactPairIndex(spark, "pg_cptv", tmp("cptv"))
+    }
+    assert(e.getMessage.contains("multiple batch ids"), e.getMessage)
   }
 
   test("the dict density fence fails a lost read-then-append update loudly") {
