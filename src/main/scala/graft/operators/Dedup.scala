@@ -1138,10 +1138,68 @@ object Dedup {
     * the audit loudly rather than folding silently.
     */
   def servePairIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame =
-    spark.table(table)
+      table: String): DataFrame = {
+    val pairs = spark.table(table)
       .dropDuplicates("id_a", "id_b", "batch_id")
       .select("id_a", "id_b", "jaccard")
+    // tombstones ([[deleteFromPairIndex]]): pairs touching a deleted
+    // document disappear from every serve — surviving pair scores are
+    // pairwise, so the anti-join IS the corpus-minus-deleted semantics.
+    // The deletion frontier is small by the right-to-be-forgotten
+    // argument (q151/q165) and table-backed, so Catalyst broadcasts it
+    // from its own statistics; indexes without deletions skip the join
+    // entirely (one catalog probe).
+    if (spark.catalog.tableExists(s"${table}_deleted")) {
+      val del = spark.table(s"${table}_deleted").select("id").distinct()
+      pairs
+        .join(del.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+        .join(del.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
+        .select("id_a", "id_b", "jaccard")
+    } else pairs
+  }
+
+  /** Tombstone documents in an incremental [[buildPairIndex]] table —
+    * the right-to-be-forgotten leg of the maintained tier. Cost ∝
+    * |deleted|: ONE append to a `_deleted` side table; no index rewrite
+    * (the q151/q165 deletion-plan argument — audits pay a small
+    * anti-join until [[compactPairIndex]] purges physically). Serve
+    * semantics become "the pair graph of corpus MINUS deleted": every
+    * pair with a deleted end disappears, surviving pair scores are
+    * untouched (Jaccard is pairwise). Later extends stay correct with
+    * NO interaction: new batch×history pairs against deleted docs are
+    * still generated into the pairs table, and the serve anti-join
+    * removes them — correctness lives in one place.
+    *
+    * Exactly-once like the extends: tombstones are stamped, the
+    * `_batches` marker append goes LAST, committed replays no-op, and
+    * crashed replays re-append byte-identical ids that the serve-side
+    * distinct collapses. Tombstones are permanent until a compact
+    * purges them; re-ingesting a deleted id is a caller-contract
+    * violation (its new pairs would be silently filtered).
+    */
+  def deleteFromPairIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, table: String, path: String, batchId: Long): Unit = {
+    if (committedBatches(spark, table).contains(batchId)) return
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    applyDeleteFromPairIndex(spark, ids, table, path, batchId)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_batches")
+  }
+
+  /** The tombstone append WITHOUT the trailing commit stamp — the
+    * crashed-delete window, split out for staging (q177 / spec).
+    */
+  private[graft] def applyDeleteFromPairIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, table: String, path: String, batchId: Long): Unit =
+    ids.select(col("id")).dropDuplicates("id")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // a deletion frontier is one small file, not 32
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("path", s"$path/deleted")
+      .format("parquet").saveAsTable(s"${table}_deleted")
 
   /** Fold an incremental [[buildPairIndex]] table family back to a
     * single batch-0 state — the [[IvmRollup.compact]] of the pair
@@ -1180,23 +1238,61 @@ object Dedup {
           "by the batch holding its newest document; refusing to fold a " +
           "contract violation into batch 0")
     }
-    def rewrite(t: String, sub: String, bcol: String, keys: Seq[String]): Unit = {
-      val collapsed = spark.table(t)
-        .dropDuplicates(keys :+ "batch_id")
+    // tombstone purge ([[deleteFromPairIndex]]): compact turns the
+    // serve-side anti-join into physical absence — pairs touching a
+    // deleted end go, deleted member rows go, groups with NO surviving
+    // member drop their rep-level sets/postings rows (a rep id may
+    // itself be deleted while members survive: the rep is an internal
+    // content label, never a served pair end — it stays). Ordering
+    // keeps every crash point correct-serving: purged rewrites first
+    // (tombstones still active — the anti-join is a no-op on purged
+    // rows), the `_deleted` table clears AFTER all rewrites, marker
+    // LAST; rerunning from any point converges.
+    val hasDeletes = spark.catalog.tableExists(s"${table}_deleted")
+    val deleted =
+      if (hasDeletes)
+        spark.table(s"${table}_deleted").select("id").distinct().localCheckpoint()
+      else null
+    def purgeIds(df: DataFrame, cols: Seq[String]): DataFrame =
+      if (!hasDeletes) df
+      else cols.foldLeft(df) { (d, c) =>
+        d.join(deleted.withColumnRenamed("id", c), Seq(c), "left_anti")
+      }
+    def rewrite(t: String, sub: String, bcol: String, keys: Seq[String],
+        purge: DataFrame => DataFrame): Unit = {
+      val collapsed = purge(spark.table(t)
+          .dropDuplicates(keys :+ "batch_id"))
         .drop("batch_id").withColumn("batch_id", lit(0L))
         .localCheckpoint() // pinned: the Overwrite reads the table it replaces
       graft.sources.TableWriter.writeBucketed(
         collapsed, t, s"$path/$sub", bcol, nBuckets)
     }
-    rewrite(table, "pairs", "id_a", Seq("id_a", "id_b"))
-    rewrite(s"${table}_members", "members", "rep", Seq("rep", "id"))
-    rewrite(s"${table}_sets", "sets", "id", Seq("id"))
-    rewrite(s"${table}_postings", "postings", "tok", Seq("tok", "id", "rn"))
+    rewrite(table, "pairs", "id_a", Seq("id_a", "id_b"),
+      purgeIds(_, Seq("id_a", "id_b")))
+    rewrite(s"${table}_members", "members", "rep", Seq("rep", "id"),
+      purgeIds(_, Seq("id")))
+    // reps with ≥1 surviving member, AFTER the members rewrite so the
+    // probe reads the already-purged table
+    val liveReps =
+      if (hasDeletes)
+        spark.table(s"${table}_members").select(col("rep").as("id"))
+          .distinct().localCheckpoint()
+      else null
+    def keepLive(df: DataFrame): DataFrame =
+      if (!hasDeletes) df
+      else df.join(liveReps, Seq("id"), "left_semi")
+    rewrite(s"${table}_sets", "sets", "id", Seq("id"), keepLive)
+    rewrite(s"${table}_postings", "postings", "tok", Seq("tok", "id", "rn"), keepLive)
     // the dict carries no stamp (appends are naturally idempotent — no
     // duplicates possible); its rewrite is pure file-count hygiene
     graft.sources.TableWriter.writeBucketed(
       spark.table(s"${table}_dict").localCheckpoint(),
       s"${table}_dict", s"$path/dict", "digest", nBuckets)
+    if (hasDeletes)
+      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("path", s"$path/deleted")
+        .format("parquet").saveAsTable(s"${table}_deleted")
     writeBatchMarker(spark, table, s"$path/batches", Seq(0L))
   }
 

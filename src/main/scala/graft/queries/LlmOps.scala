@@ -378,11 +378,14 @@ object LlmOps {
                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM flagged)""".trim
 
-  /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
-  private val jaccardPairsSql = s"""
+  /** Exact-Jaccard near-dup pair SQL over a filtered corpus — the
+    * parameterized twin behind q42/q43's whole-corpus oracle and
+    * q177's corpus-minus-deleted oracle.
+    */
+  private def jaccardPairsSqlOver(docFilter: String): String = s"""
     WITH sh AS (
       SELECT doc_id, ${TextFunctions.shinglesSql("text")} AS s
-      FROM documents)
+      FROM documents WHERE $docFilter)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
@@ -390,14 +393,23 @@ object LlmOps {
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8"""
 
+  /** Exact-Jaccard near-dup pair SQL (shared oracle for q42 and q43). */
+  private val jaccardPairsSql = jaccardPairsSqlOver("TRUE")
+
   /** Shared oracle of q154/q162: scan-time pairs + hash-bucket splits,
     * unordered split combos. Both queries serve the ENGINE side from a
     * persisted pair table (memoized whole-corpus for q154, two-batch
     * incremental for q162), so this scan-time twin makes the driver's
     * hash compare the index == scan contract for each.
     */
-  private def splitLeakageSql: String = s"""
-    WITH p AS ($jaccardPairsSql),
+  private def splitLeakageSql: String = splitLeakageSqlOver("TRUE")
+
+  /** The leakage rollup over a FILTERED corpus — q177's oracle shape
+    * (pairs of corpus-minus-deleted; the split table filter is
+    * redundant given the pair-end joins, but keeps the intent legible).
+    */
+  private def splitLeakageSqlOver(docFilter: String): String = s"""
+    WITH p AS (${jaccardPairsSqlOver(docFilter)}),
     s AS (SELECT doc_id,
                  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
                       ELSE 'test' END AS split
@@ -690,6 +702,39 @@ object LlmOps {
         Dedup.compactPairIndex(spark, table, path)
         Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2),
           table, threshold = 0.8, batchId = 1L) // namespace reset by compact
+        leakageRollup(Dedup.servePairIndex(spark, table))
+      }),
+
+    // ------------------------------------------------------------------
+    // q177: right-to-be-forgotten ON THE INDEX — q165 applies deletions
+    // to fact tables; this applies them to maintained near-dup state.
+    // Build (evens) + extend (odds), then DELETE doc_id % 7 = 3 as a
+    // tombstone batch whose commit CRASHES (the ids land, the stamp
+    // doesn't) and replays — the serve-side distinct collapses the
+    // duplicate tombstones, the anti-join removes every pair touching
+    // a deleted end, and the audit serves corpus-minus-deleted. Oracle
+    // = the leakage rollup over documents WHERE doc_id % 7 != 3, so
+    // the driver's hash compare is "tombstoned index == scan of the
+    // surviving corpus" — deletion cost was ONE small append, not an
+    // index rewrite (compactPairIndex purges physically later; the
+    // spec drives that equality). Rebuilds each invocation.
+    GraftQuery(
+      "q177_deleted_index",
+      Some(splitLeakageSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val table = "graft_q177_pairs"
+        val path = graft.core.Scratch.path(table)
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_deleted")
+        Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), table, path,
+          threshold = 0.8, incremental = true)
+        Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1),
+          table, threshold = 0.8, batchId = 1L)
+        val victims = docs.filter(col("id") % 7 === 3).select(col("id"))
+        Dedup.applyDeleteFromPairIndex(spark, victims, table, path, batchId = 2L)
+        Dedup.deleteFromPairIndex(spark, victims, table, path, batchId = 2L)
         leakageRollup(Dedup.servePairIndex(spark, table))
       }),
 

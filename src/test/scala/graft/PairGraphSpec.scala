@@ -37,7 +37,8 @@ class PairGraphSpec extends SparkSpec {
 
   private def drop(t: String): Unit =
     Seq(t, s"${t}_dict", s"${t}_members", s"${t}_sets", s"${t}_postings",
-      s"${t}_batches").foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      s"${t}_batches", s"${t}_deleted")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
 
   private def docs = graft.core.Tables(spark, sfDir).documents
     .select(col("doc_id").as("id"), col("text"))
@@ -164,6 +165,40 @@ class PairGraphSpec extends SparkSpec {
       Dedup.compactPairIndex(spark, "pg_cptv", tmp("cptv"))
     }
     assert(e.getMessage.contains("multiple batch ids"), e.getMessage)
+  }
+
+  test("tombstoned docs vanish from serve; compact purges them physically") {
+    drop("pg_del")
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_del",
+      tmp("del"), 0.8, incremental = true)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1), "pg_del",
+      0.8, batchId = 1L)
+    val victims = docs.filter(col("id") % 7 === 3).select(col("id"))
+    // crashed delete (ids landed, stamp missing) + full replay
+    Dedup.applyDeleteFromPairIndex(spark, victims, "pg_del", tmp("del"), batchId = 2L)
+    Dedup.deleteFromPairIndex(spark, victims, "pg_del", tmp("del"), batchId = 2L)
+    val want = Dedup.jaccardPairs(docs.filter(col("id") % 7 =!= 3), threshold = 0.8)
+      .collect().map(key).toSet
+    val served = Dedup.servePairIndex(spark, "pg_del").collect().map(key).toSet
+    assert(served == want)
+    // the tombstones actually removed pairs (fixture must have victims in pairs)
+    val full = Dedup.jaccardPairs(docs, threshold = 0.8).collect().map(key).toSet
+    assert(served.size < full.size, "deletion must remove at least one pair")
+    // a committed replay of the delete is a no-op
+    val delRows = spark.table("pg_del_deleted").count()
+    Dedup.deleteFromPairIndex(spark, victims, "pg_del", tmp("del"), batchId = 2L)
+    assert(spark.table("pg_del_deleted").count() == delRows)
+    // compact: physical purge — no deleted id anywhere, tombstones cleared,
+    // serve unchanged, and a post-compact extend still lands correctly
+    Dedup.compactPairIndex(spark, "pg_del", tmp("del"))
+    assert(spark.table("pg_del_deleted").isEmpty)
+    val delSet = victims.collect().map(_.getLong(0)).toSet
+    assert(spark.table("pg_del")
+      .filter(col("id_a").isin(delSet.toSeq: _*) ||
+        col("id_b").isin(delSet.toSeq: _*)).isEmpty)
+    assert(spark.table("pg_del_members")
+      .filter(col("id").isin(delSet.toSeq: _*)).isEmpty)
+    assert(Dedup.servePairIndex(spark, "pg_del").collect().map(key).toSet == want)
   }
 
   test("the dict density fence fails a lost read-then-append update loudly") {
