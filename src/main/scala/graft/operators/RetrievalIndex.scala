@@ -201,16 +201,61 @@ object RetrievalIndex {
     */
   def buildPositions(docs: DataFrame, table: String, path: String,
       nBuckets: Int = 16): Unit = {
-    val toks = docs.select(col("doc_id"),
-      filter(split(lower(trim(col("text"))), "\\s+"),
-        t => length(t) > 0).as("tk"))
-    val pos = toks
+    graft.sources.TableWriter.writeBucketed(
+      positionRows(docs).withColumn("batch_id", lit(0L)),
+      s"${table}_positions", s"$path/positions", "term", nBuckets)
+    // `_pbatches` — the positional tier's committed-batch ledger and
+    // commit marker, written LAST (the `_meta` protocol): build = {0}
+    import docs.sparkSession.implicits._
+    Seq(0L).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/pbatches").format("parquet")
+      .saveAsTable(s"${table}_pbatches")
+  }
+
+  /** (term, doc_id, positions) of one corpus slice — the pure function
+    * of the batch both the build and the extend append.
+    */
+  private def positionRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0).as("tk"))
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
-    graft.sources.TableWriter.writeBucketed(
-      pos, s"${table}_positions", s"$path/positions", "term", nBuckets)
+
+  /** Fold a new batch into the positional index, exactly-once under
+    * replay — the [[extend]] protocol, in its simplest form (position
+    * rows are a pure function of the batch; no history reads at all):
+    * a committed batch's replay no-ops on the `_pbatches` stamp; a
+    * crashed batch's replay re-appends byte-identical rows that
+    * [[phrase]] collapses per (term, doc_id, batch_id). Positions are
+    * 0-based over each document's OWN token sequence, so increments
+    * never renumber anything.
+    */
+  def extendPositions(docs: DataFrame, table: String, batchId: Long,
+      nBuckets: Int = 16): Unit = {
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    val spark = docs.sparkSession
+    val committed = spark.table(s"${table}_pbatches")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    if (committed.contains(batchId)) return
+    applyExtendPositions(docs, table, batchId, nBuckets)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_pbatches")
   }
+
+  /** The positions append WITHOUT the trailing marker — the crashed-
+    * extend window, split out for staging (q178 / spec).
+    */
+  private[graft] def applyExtendPositions(docs: DataFrame, table: String,
+      batchId: Long, nBuckets: Int = 16): Unit =
+    positionRows(docs).withColumn("batch_id", lit(batchId))
+      .repartition(nBuckets, col("term")) // one file per bucket, as at build
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_positions")
 
   /** Exact phrase search from the positional index: a document matches
     * phrase (t₀ … t_{k−1}) iff some anchor position p has t₀ at p and
@@ -232,6 +277,8 @@ object RetrievalIndex {
     val ps = probeSession(spark)
     val p = ps.table(s"${table}_positions")
       .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
+      .dropDuplicates("term", "doc_id", "batch_id") // crashed-replay collapse
+      .drop("batch_id")
     val pdf = {
       import ps.implicits._
       phrases.flatMap { case (pid, ts) =>

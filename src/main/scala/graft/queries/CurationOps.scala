@@ -287,6 +287,29 @@ object CurationOps {
     * docs for the bigrams, 8 for the trigram); phrase 3's length-3 arm
     * exercises the multi-offset anchor fold.
     */
+  /** q169/q178's token-level phrase oracle: a literal positional
+    * conjunction per phrase, rendered from the SAME phrase constants the
+    * engine probes with — "positional index == token-level scan",
+    * occurrence counts included.
+    */
+  private def phraseSearchSql: String = {
+    val arms = phraseQueries.map { case (pid, ts) =>
+      val conj = ts.zipWithIndex
+        .map { case (t, j) => s"tk[i + $j] = '$t'" }.mkString(" AND ")
+      s"""SELECT $pid AS pid, doc_id,
+         CAST(len(list_filter(generate_series(1, len(tk) - ${ts.size - 1}),
+                              i -> $conj)) AS BIGINT) AS n_matches
+         FROM tk WHERE len(tk) >= ${ts.size}"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0) AS tk
+      FROM documents)
+    SELECT pid, doc_id, n_matches FROM ($arms) WHERE n_matches > 0""".trim
+  }
+
   private[graft] val phraseQueries = Seq(
     1 -> Seq("table", "hash"),
     2 -> Seq("customer", "join"),
@@ -902,28 +925,39 @@ object CurationOps {
     // cases). Build is Overwrite into a fixed path: bench reps pay
     // build+probe honestly, no orphaned directories.
     GraftQuery("q169_phrase_search",
-      Some {
-        val arms = phraseQueries.map { case (pid, ts) =>
-          val conj = ts.zipWithIndex
-            .map { case (t, j) => s"tk[i + $j] = '$t'" }.mkString(" AND ")
-          s"""SELECT $pid AS pid, doc_id,
-             CAST(len(list_filter(generate_series(1, len(tk) - ${ts.size - 1}),
-                                  i -> $conj)) AS BIGINT) AS n_matches
-             FROM tk WHERE len(tk) >= ${ts.size}"""
-        }.mkString(" UNION ALL ")
-        s"""
-        WITH tk AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                             t -> length(t) > 0) AS tk
-          FROM documents)
-        SELECT pid, doc_id, n_matches FROM ($arms) WHERE n_matches > 0""".trim
-      },
+      Some(phraseSearchSql),
       (spark, dir) => {
         val path = graft.core.Scratch.path("graft_q169_pix")
         graft.operators.RetrievalIndex.buildPositions(
           Tables(spark, dir).documents, "graft_q169_pix", path)
         graft.operators.RetrievalIndex.phrase(spark, "graft_q169_pix", phraseQueries)
+      }),
+    // q178: the POSITIONAL index built incrementally under crash-replay
+    // — q174's theorem for the adjacency tier, closing the last
+    // build-only retrieval surface. The corpus arrives as two batches
+    // (doc_id parity): build, then an extend that CRASHES after its
+    // positions append (the `_pbatches` marker never lands) and
+    // replays in full — every batch-1 position row is in the table
+    // twice. Positions are 0-based over each document's own token
+    // sequence, so increments never renumber; phrase()'s per-(term,
+    // doc_id, batch_id) collapse recovers the exact index, proven by
+    // q169's token-level scan oracle: "incrementally-built positional
+    // index under replay == from-scratch scan", occurrence counts
+    // (overlapping anchors, duplicated phrase terms) included.
+    GraftQuery("q178_replayed_positions",
+      Some(phraseSearchSql),
+      (spark, dir) => {
+        val docsAll = Tables(spark, dir).documents
+        val table = "graft_q178_pix"
+        val path = graft.core.Scratch.path(table)
+        Seq("positions", "pbatches").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$sfx"))
+        graft.operators.RetrievalIndex.buildPositions(
+          docsAll.filter(col("doc_id") % 2 === 0), table, path)
+        val odds = docsAll.filter(col("doc_id") % 2 === 1)
+        graft.operators.RetrievalIndex.applyExtendPositions(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.extendPositions(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.phrase(spark, table, phraseQueries)
       }),
     // q174: the inverted index under CRASH-REPLAY — q172's theorem for
     // the retrieval tier. The corpus arrives as two batches (doc_id

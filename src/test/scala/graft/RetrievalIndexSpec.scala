@@ -106,7 +106,8 @@ class RetrievalIndexSpec extends SparkSpec {
 
   test("phrase search: anchors, overlaps, duplicated terms, and absences are exact") {
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS rix_ph_positions")
+    Seq("rix_ph_positions", "rix_ph_pbatches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val corpus = Seq(
       (1L, "alpha beta gamma"),        // "alpha beta" once
       (2L, "alpha alpha alpha beta"),  // "alpha alpha" OVERLAPS: 2 anchors
@@ -125,5 +126,26 @@ class RetrievalIndexSpec extends SparkSpec {
       (2, 2L, 2L),                           // overlapping anchors both count
       (3, 1L, 1L)))
     spark.sql("DROP TABLE IF EXISTS rix_ph_positions")
+  }
+
+  test("positions: crashed+replayed extend serves the exact from-scratch phrase results") {
+    Seq("rix_pi_positions", "rix_pi_pbatches", "rix_pf_positions", "rix_pf_pbatches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    RetrievalIndex.buildPositions(evens, "rix_pi", freshPath("pi"))
+    // crash: positions land, the marker doesn't — then the full replay
+    RetrievalIndex.applyExtendPositions(odds, "rix_pi", batchId = 1L)
+    RetrievalIndex.extendPositions(odds, "rix_pi", batchId = 1L)
+    val dup = spark.table("rix_pi_positions").filter(col("batch_id") === 1L)
+    assert(dup.count() == 2 * dup.dropDuplicates("term", "doc_id").count())
+    RetrievalIndex.buildPositions(docs, "rix_pf", freshPath("pf"))
+    val phrases = graft.queries.CurationOps.phraseQueries
+    assert(asSet(RetrievalIndex.phrase(spark, "rix_pi", phrases)) ==
+      asSet(RetrievalIndex.phrase(spark, "rix_pf", phrases)))
+    // committed replay: a second extend is a no-op
+    val rows = spark.table("rix_pi_positions").count()
+    RetrievalIndex.extendPositions(odds, "rix_pi", batchId = 1L)
+    assert(spark.table("rix_pi_positions").count() == rows)
   }
 }
