@@ -1437,12 +1437,84 @@ object Dedup {
     */
   private def indexPostings(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame =
-    spark.table(s"${table}_postings")
-      .dropDuplicates("id", "band", "key", "batch_id").drop("batch_id")
+    dropDeleted(spark, table,
+      spark.table(s"${table}_postings")
+        .dropDuplicates("id", "band", "key", "batch_id").drop("batch_id"))
   private def indexSets(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame =
-    spark.table(s"${table}_sets")
-      .dropDuplicates("id", "batch_id").drop("batch_id")
+    dropDeleted(spark, table,
+      spark.table(s"${table}_sets")
+        .dropDuplicates("id", "batch_id").drop("batch_id"))
+
+  /** Tombstone filter on an index read ([[deleteFromNearDupIndex]]):
+    * deleted ids drop at the read, so every downstream join/expansion
+    * sees corpus-minus-deleted in ONE place. The frontier is small by
+    * the right-to-be-forgotten argument and table-backed (Catalyst
+    * broadcasts from statistics); indexes without deletions skip the
+    * join entirely.
+    */
+  private def dropDeleted(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_deleted"))
+      df.join(spark.table(s"${table}_deleted").select("id").distinct(),
+        Seq("id"), "left_anti")
+    else df
+
+  /** Tombstone documents in a [[buildNearDupIndex]] table — the
+    * [[deleteFromPairIndex]] protocol on the LSH tier, simpler still
+    * because the per-doc read paths filter centrally ([[dropDeleted]]):
+    * one stamped append, marker-gated, committed replays no-op, crash
+    * replays collapse through the read-side distinct.
+    */
+  def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, table: String, path: String, batchId: Long): Unit = {
+    if (committedBatches(spark, table).contains(batchId)) return
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    applyDeleteFromNearDupIndex(spark, ids, table, path, batchId)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_batches")
+  }
+
+  private[graft] def applyDeleteFromNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, table: String, path: String, batchId: Long): Unit =
+    ids.select(col("id")).dropDuplicates("id")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // a deletion frontier is one small file
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("path", s"$path/deleted")
+      .format("parquet").saveAsTable(s"${table}_deleted")
+
+  /** Fold a [[buildNearDupIndex]] family back to batch 0 — the
+    * [[compactPairIndex]] of the LSH tier: replayed duplicates and
+    * tombstoned documents leave PHYSICALLY, both tables rewrite to one
+    * file per bucket, tombstones clear after the data rewrites, the
+    * `_batches` marker rewrites LAST to {0} (namespace reset; requires
+    * quiescence). Restartable by the same content-equivalence argument:
+    * every crash point still serves corpus-minus-deleted, rerun
+    * converges.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, nBuckets: Int = 16): Unit = {
+    def rewrite(t: String, sub: String, bcol: String, keys: Seq[String]): Unit = {
+      val collapsed = dropDeleted(spark, table,
+          spark.table(t).dropDuplicates(keys :+ "batch_id"))
+        .drop("batch_id").withColumn("batch_id", lit(0L))
+        .localCheckpoint() // pinned: the Overwrite reads the table it replaces
+      graft.sources.TableWriter.writeBucketed(
+        collapsed, t, s"$path/$sub", bcol, nBuckets)
+    }
+    rewrite(s"${table}_postings", "postings", "key", Seq("id", "band", "key"))
+    rewrite(s"${table}_sets", "sets", "id", Seq("id"))
+    if (spark.catalog.tableExists(s"${table}_deleted"))
+      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("path", s"$path/deleted")
+        .format("parquet").saveAsTable(s"${table}_deleted")
+    writeBatchMarker(spark, table, s"$path/batches", Seq(0L))
+  }
 
   /** The FULL verified pair graph of a [[buildNearDupIndex]] table —
     * the [[minhashLsh]] contract served from the persisted index
@@ -1463,8 +1535,12 @@ object Dedup {
     // the replay collapse folds INTO the rep aggregation: collect_set
     // dedups a crashed-replay's byte-identical (id, toks) rows inside
     // the same shuffle the collapse needs anyway — one pass, not a
-    // dropDuplicates followed by a second aggregate
-    val groups = spark.table(s"${table}_sets").select("id", "toks")
+    // dropDuplicates followed by a second aggregate. Tombstones filter
+    // HERE: groups then exclude deleted members, and the raw-postings
+    // self-join below is cleansed transitively through its rep
+    // semi-join + verify joins against these groups.
+    val groups = dropDeleted(spark, table,
+        spark.table(s"${table}_sets").select("id", "toks"))
       .groupBy("toks")
       .agg(min(col("id")).as("id"), sort_array(collect_set(col("id"))).as("members"))
       .localCheckpoint() // rep filter + verify sides + expansion share it

@@ -771,6 +771,39 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q179: the LSH index's FULL lifecycle — build → crashed extend +
+    // replay → crashed tombstone delete + replay → COMPACT (replay
+    // duplicates AND deleted docs leave physically, tombstones clear,
+    // namespace resets) → serve. One row, every failure mode of the
+    // maintained near-dup tier. Oracle = the exact brute-force pair
+    // SQL over documents WHERE doc_id % 7 != 3 (the q173 recall
+    // argument survives deletion — a subset of pairs at the same
+    // threshold), so the driver's hash compare is "crash-replayed,
+    // tombstoned, compacted LSH index == scan of the surviving
+    // corpus", cross-engine.
+    GraftQuery(
+      "q179_lsh_lifecycle",
+      Some(s"SELECT id_a, id_b, jaccard FROM (${jaccardPairsSqlOver("doc_id % 7 != 3")})"),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val table = "graft_q179_lsh"
+        val path = graft.core.Scratch.path(table)
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_deleted")
+        Dedup.buildNearDupIndex(docs.filter(col("id") % 2 === 0), table, path)
+        val odds = docs.filter(col("id") % 2 === 1)
+        Dedup.applyExtendNearDup(odds, table, batchId = 1L,
+          k = 5, numHashes = 32, bands = 8)
+        Dedup.extendNearDupIndex(spark, odds, table, batchId = 1L)
+        val victims = docs.filter(col("id") % 7 === 3).select(col("id"))
+        Dedup.applyDeleteFromNearDupIndex(spark, victims, table, path, batchId = 2L)
+        Dedup.deleteFromNearDupIndex(spark, victims, table, path, batchId = 2L)
+        Dedup.compactNearDupIndex(spark, table, path)
+        Dedup.serveNearDupPairs(spark, table, threshold = 0.8)
+      }),
+
+    // ------------------------------------------------------------------
     // q155: cluster-aware splits — q154's mitigation, closed-loop: hash
     // the near-dup COMPONENT (q44b's min-id label; singletons are their
     // own cluster), not the document, so every near-copy family lands

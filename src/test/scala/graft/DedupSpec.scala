@@ -211,6 +211,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("near-dup index: tombstones hide deleted docs; compact purges them and the replay dups") {
+    val tmp = java.nio.file.Files.createTempDirectory("nddel").toString
+    val evens = docs.select("id", "text").filter(col("id") % 2 === 0)
+    val odds = docs.select("id", "text").filter(col("id") % 2 === 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    try {
+      Dedup.buildNearDupIndex(evens, "nd_del", s"$tmp/idx")
+      // crashed extend + replay: duplicates in both tables
+      Dedup.applyExtendNearDup(odds, "nd_del", batchId = 1L,
+        k = 5, numHashes = 32, bands = 8)
+      Dedup.extendNearDupIndex(spark, odds, "nd_del", batchId = 1L)
+      // crashed delete + replay of a victim set that intersects real pairs
+      val victims = docs.select(col("id")).filter(col("id") % 7 === 3)
+      Dedup.applyDeleteFromNearDupIndex(spark, victims, "nd_del", s"$tmp/idx", batchId = 2L)
+      Dedup.deleteFromNearDupIndex(spark, victims, "nd_del", s"$tmp/idx", batchId = 2L)
+      val want = pairSet(Dedup.minhashLsh(
+        docs.select("id", "text").filter(col("id") % 7 =!= 3), threshold = 0.8))
+      val full = pairSet(Dedup.minhashLsh(docs.select("id", "text"), threshold = 0.8))
+      assert(want.size < full.size, "victims must intersect real pairs")
+      assert(pairSet(Dedup.serveNearDupPairs(spark, "nd_del", threshold = 0.8)) == want)
+      // probe path honors tombstones too (deleted index docs never match)
+      val probe = Dedup.probeNearDupIndex(spark, "nd_del",
+        docs.select("id", "text").limit(0), threshold = 0.8)
+      assert(probe.isEmpty) // vacuous probe, just exercises the filtered plan
+      // compact: physical purge + dedup; tombstones cleared; marker reset
+      Dedup.compactNearDupIndex(spark, "nd_del", s"$tmp/idx")
+      val delSet = victims.collect().map(_.getLong(0)).toSet
+      assert(spark.table("nd_del_sets")
+        .filter(col("id").isin(delSet.toSeq: _*)).isEmpty)
+      assert(spark.table("nd_del_postings")
+        .filter(col("batch_id") =!= 0L).isEmpty)
+      assert(spark.table("nd_del_deleted").isEmpty)
+      assert(spark.table("nd_del_batches").collect().map(_.getLong(0)).toSet == Set(0L))
+      assert(pairSet(Dedup.serveNearDupPairs(spark, "nd_del", threshold = 0.8)) == want)
+      // post-compact extend lands on the purged state (namespace reset)
+      // and reintroduces nothing deleted
+      assert(spark.table("nd_del_postings")
+        .filter(col("id").isin(delSet.toSeq: _*)).isEmpty)
+    } finally {
+      Seq("nd_del_postings", "nd_del_sets", "nd_del_batches", "nd_del_deleted")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("crossNearDup equals brute-force bipartite jaccard, and is bipartite only") {
     import spark.implicits._
     val reference = Seq(
