@@ -149,6 +149,71 @@ object RetrievalIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_postings")
 
+  /** Tombstone documents out of the index — right-to-be-forgotten on
+    * the retrieval tier, where deletion has a SCORING consequence: the
+    * idf's N must shrink too. One stamped tombstone append, then a
+    * `_meta` row with NEGATIVE cardinality as the trailing commit —
+    * [[corpusN]] sums meta rows, so N adjusts through the exact same
+    * ledger the builds and extends use, and the meta row doubles as
+    * the marker (committed replays no-op; a crashed delete's replay
+    * re-appends byte-identical tombstones that the read-side distinct
+    * collapses, and recomputes the SAME fresh-count because its
+    * tombstone scan excludes its own stamp).
+    *
+    * Applies to the tf postings tier ([[topK]]/[[boolean]]); the
+    * positional tier keeps its own lifecycle. Double-deleting an id in
+    * a LATER batch is filtered (fresh = ids minus existing tombstones)
+    * so N never double-subtracts.
+    */
+  def deleteDocs(spark: SparkSession, ids: DataFrame, table: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    if (committedBatches(spark, table).contains(batchId)) return
+    val n = applyDeleteDocs(spark, ids, table, path, batchId)
+    import spark.implicits._
+    Seq((-n, batchId)).toDF("n_docs", "batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_meta")
+  }
+
+  /** The tombstone append WITHOUT the trailing meta commit — the
+    * crashed-delete window (q180 / spec staging).
+    * @return the number of FRESH tombstones (drives the N adjustment)
+    */
+  private[graft] def applyDeleteDocs(spark: SparkSession, ids: DataFrame,
+      table: String, path: String, batchId: Long): Long = {
+    val existing =
+      if (spark.catalog.tableExists(s"${table}_deleted"))
+        spark.table(s"${table}_deleted")
+          .filter(col("batch_id") =!= batchId) // replay: exclude own crashed rows
+          .select("doc_id")
+      else null
+    val distinctIds = ids.select(col("doc_id")).dropDuplicates("doc_id")
+    val fresh = (if (existing == null) distinctIds
+                 else distinctIds.join(existing, Seq("doc_id"), "left_anti"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // a deletion frontier is one small file
+      .localCheckpoint() // count + append share one evaluation
+    val n = fresh.count()
+    fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("path", s"$path/deleted")
+      .format("parquet").saveAsTable(s"${table}_deleted")
+    n
+  }
+
+  /** Tombstone filter on a term-filtered postings frame: deleted docs
+    * drop before scoring (and [[corpusN]] already shrank N through the
+    * negative meta rows). The frontier is small and table-backed —
+    * Catalyst broadcasts it from statistics; indexes without deletions
+    * skip the join (one catalog probe).
+    */
+  private def dropDeletedDocs(ps: SparkSession, table: String,
+      df: DataFrame): DataFrame =
+    if (ps.catalog.tableExists(s"${table}_deleted"))
+      df.join(ps.table(s"${table}_deleted").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    else df
+
   /** Replayed-append collapse over a (possibly term-filtered) postings
     * frame: a crashed extend's replay re-appends byte-identical rows,
     * so per (term, doc_id, batch_id) duplicates fold to one. Applied
@@ -179,8 +244,8 @@ object RetrievalIndex {
     // plan + materialize the probe on the bucket-pruning clone; once
     // pinned, downstream stages run on the caller's session as usual
     val ps = probeSession(spark)
-    val p = collapseReplays(ps.table(s"${table}_postings")
-      .filter(col("term").isin(terms: _*))) // explicit IN → bucket pruning
+    val p = dropDeletedDocs(ps, table, collapseReplays(ps.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*)))) // explicit IN → bucket pruning
     val q = broadcast(queryTermsDf(ps, queries))
     val matched = p.join(q, "term").localCheckpoint()
     val scored = graft.queries.CurationOps.scoreMatched(matched, n)
@@ -310,8 +375,8 @@ object RetrievalIndex {
       queries: Seq[(Int, Seq[String])]): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
     val ps = probeSession(spark)
-    val p = collapseReplays(ps.table(s"${table}_postings")
-      .filter(col("term").isin(terms: _*)))
+    val p = dropDeletedDocs(ps, table, collapseReplays(ps.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*))))
     val q = broadcast(queryTermsDf(ps, queries))
     val arity = queries.foldLeft(lit(-1)) { case (acc, (qid, ts)) =>
       when(col("qid") === qid, lit(ts.size)).otherwise(acc)

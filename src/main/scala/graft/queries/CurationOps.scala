@@ -187,12 +187,14 @@ object CurationOps {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
-  private val postingsSql: String = s"""
+  private def postingsSqlOver(docFilter: String): String = s"""
     SELECT doc_id, term, COUNT(*) AS tf
     FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-          FROM documents)
+          FROM documents WHERE $docFilter)
     WHERE length(term) > 0
     GROUP BY doc_id, term""".trim
+
+  private val postingsSql: String = postingsSqlOver("TRUE")
 
   private[graft] def queryTermsDf(
       spark: org.apache.spark.sql.SparkSession,
@@ -331,9 +333,13 @@ object CurationOps {
       .select("qid", "doc_id", "score", "rank")
   }
 
-  private val keywordTopKSql: String = s"""
-    WITH p AS ($postingsSql),
-    n AS (SELECT COUNT(*) AS n FROM documents),
+  /** q88's ranking over a FILTERED corpus — q180's oracle: both the
+    * postings AND the idf's N shrink to the surviving documents, which
+    * is exactly what deletion must do to the scores.
+    */
+  private def keywordTopKSqlOver(docFilter: String): String = s"""
+    WITH p AS (${postingsSqlOver(docFilter)}),
+    n AS (SELECT COUNT(*) AS n FROM documents WHERE $docFilter),
     m AS (SELECT q.qid, p.doc_id, p.term, p.tf
           FROM p JOIN ${queryTermsSql(rankQueries)} ON p.term = q.term),
     d AS (SELECT term,
@@ -347,6 +353,8 @@ object CurationOps {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
       FROM s)
     WHERE rank <= 10""".trim
+
+  private val keywordTopKSql: String = keywordTopKSqlOver("TRUE")
 
   // --------------------------------------------------------------------
   // q145: retrieval-quality evaluation — nDCG@10 and MRR of the q88
@@ -981,6 +989,36 @@ object CurationOps {
         val odds = docs.filter(col("doc_id") % 2 === 1)
         graft.operators.RetrievalIndex.applyExtend(odds, table, batchId = 1L)
         graft.operators.RetrievalIndex.extend(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
+    // q180: deletion on the RETRIEVAL index — unlike the pair graph,
+    // deleting documents here changes SCORES, not just membership: the
+    // idf's N must shrink with the corpus. deleteDocs appends stamped
+    // tombstones and commits a NEGATIVE-cardinality `_meta` row LAST
+    // (the same ledger build/extend N flows through, doubling as the
+    // crash marker — this row stages the crashed delete + full replay);
+    // topK then anti-joins tombstones AND ranks under the shrunken N.
+    // Oracle = q88's ranking SQL over documents WHERE doc_id % 7 != 3,
+    // where BOTH the postings and COUNT(*) filter — so the driver's
+    // hash compare proves the idf arithmetic shifted exactly as a
+    // from-scratch index of the surviving corpus would.
+    GraftQuery("q180_deleted_retrieval",
+      Some(keywordTopKSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        val docsAll = Tables(spark, dir).documents
+        val table = "graft_q180_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq("postings", "meta", "deleted").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$sfx"))
+        graft.operators.RetrievalIndex.build(
+          docsAll.filter(col("doc_id") % 2 === 0), table, path)
+        graft.operators.RetrievalIndex.extend(
+          docsAll.filter(col("doc_id") % 2 === 1), table, batchId = 1L)
+        val victims = docsAll.filter(col("doc_id") % 7 === 3).select("doc_id")
+        graft.operators.RetrievalIndex.applyDeleteDocs(
+          spark, victims, table, path, batchId = 2L)
+        graft.operators.RetrievalIndex.deleteDocs(
+          spark, victims, table, path, batchId = 2L)
         graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
       }),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),

@@ -128,6 +128,38 @@ class RetrievalIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS rix_ph_positions")
   }
 
+  test("deleteDocs: tombstones + negative meta row = from-scratch index of the survivors") {
+    drop("rix_dl"); drop("rix_dlf")
+    Seq("rix_dl_deleted").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val dlPath = freshPath("dl")
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), "rix_dl", dlPath)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), "rix_dl", batchId = 1L)
+    val victims = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    // crashed delete (tombstones land, meta row doesn't) + full replay
+    RetrievalIndex.applyDeleteDocs(spark, victims, "rix_dl", dlPath, batchId = 2L)
+    RetrievalIndex.deleteDocs(spark, victims, "rix_dl", dlPath, batchId = 2L)
+    // N is exact despite the crash: meta sums to the surviving count
+    val n = spark.table("rix_dl_meta").dropDuplicates("n_docs", "batch_id")
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(n == docs.filter(col("doc_id") % 7 =!= 3).count())
+    // ranking equals a from-scratch index of the surviving corpus —
+    // the idf shift included
+    RetrievalIndex.build(docs.filter(col("doc_id") % 7 =!= 3), "rix_dlf", freshPath("dlf"))
+    assert(asSet(RetrievalIndex.topK(spark, "rix_dl", CurationOps.rankQueries)) ==
+      asSet(RetrievalIndex.topK(spark, "rix_dlf", CurationOps.rankQueries)))
+    assert(asSet(RetrievalIndex.boolean(spark, "rix_dl", CurationOps.boolQueries)) ==
+      asSet(RetrievalIndex.boolean(spark, "rix_dlf", CurationOps.boolQueries)))
+    // committed replay of the delete is a no-op (N untouched)
+    RetrievalIndex.deleteDocs(spark, victims, "rix_dl", dlPath, batchId = 2L)
+    assert(spark.table("rix_dl_meta").dropDuplicates("n_docs", "batch_id")
+      .agg(sum("n_docs")).head.getLong(0) == n)
+    // double-delete in a LATER batch subtracts nothing (fresh filter)
+    RetrievalIndex.deleteDocs(spark, victims, "rix_dl", dlPath, batchId = 3L)
+    assert(spark.table("rix_dl_meta").dropDuplicates("n_docs", "batch_id")
+      .agg(sum("n_docs")).head.getLong(0) == n)
+    spark.sql("DROP TABLE IF EXISTS rix_dl_deleted")
+  }
+
   test("positions: crashed+replayed extend serves the exact from-scratch phrase results") {
     Seq("rix_pi_positions", "rix_pi_pbatches", "rix_pf_positions", "rix_pf_pbatches")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
