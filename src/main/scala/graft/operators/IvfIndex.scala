@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental IVF ANN index — "train the quantizer once,
+  * assign every future batch against it": the [[VectorOps.ivfTopK]]
+  * contract as maintained state, the vector sibling of the exact/LSH
+  * document indexes ([[Dedup.buildPairIndex]] family).
+  *
+  * Three tables: `_centroids` (cell, cvec — the FROZEN quantizer,
+  * nCells×dim doubles, bounded metadata), `_cells` (id, vec, cell,
+  * batch_id — the inverted file, bucketed by cell so probes read only
+  * the probed buckets), and the `_batches` commit marker (written LAST,
+  * the house crash contract). Extends assign ONLY the batch under the
+  * frozen centroids — cost ∝ batch, no retraining, and every batch's
+  * assignment is a pure function of (centroids, batch), so crashed
+  * replays re-append byte-identical rows that [[topK]] collapses per
+  * (id, batch_id).
+  *
+  * Freezing the quantizer is the production IVF contract (FAISS's
+  * train-once/add-many): recall drifts only as the data distribution
+  * drifts, and the answer to that is a retrain + rebuild, not silent
+  * per-batch centroid movement that would re-cell historical vectors.
+  */
+object IvfIndex {
+
+  def build(corpus: DataFrame, table: String, path: String,
+      nCells: Int = 16, iters: Int = 3, nBuckets: Int = 16): Unit = {
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .localCheckpoint() // training iterations + the assignment share it
+    val centroids = VectorOps.trainIvfCentroids(c, nCells, iters)
+    require(centroids.length >= 2,
+      s"IvfIndex.build: corpus has ${centroids.length} vectors — an inverted " +
+        "file over < 2 cells is meaningless; use VectorOps.bruteForceTopK")
+    val spark = c.sparkSession
+    spark.createDataFrame(
+        centroids.toIndexedSeq.zipWithIndex.map { case (p, i) => (i, p.toSeq) })
+      .toDF("cell", "cvec")
+      .coalesce(1) // nCells rows — one file
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/centroids").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    graft.sources.TableWriter.writeBucketed(
+      c.withColumn("cell", VectorOps.ivfCellOf(centroids, col("vec")))
+        .withColumn("batch_id", lit(0L)),
+      s"${table}_cells", s"$path/cells", "cell", nBuckets)
+    import spark.implicits._
+    Seq(0L).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/batches").format("parquet")
+      .saveAsTable(s"${table}_batches")
+  }
+
+  /** The frozen quantizer, read back as the literal matrix every assign
+    * and probe compiles against (bounded: nCells×dim doubles).
+    */
+  private def centroidsOf(spark: SparkSession, table: String): Array[Array[Double]] =
+    spark.table(s"${table}_centroids").orderBy("cell")
+      .select("cvec").collect().map(_.getSeq[Double](0).toArray)
+
+  def extend(spark: SparkSession, batch: DataFrame, table: String,
+      batchId: Long, nBuckets: Int = 16): Unit = {
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    val committed = spark.table(s"${table}_batches")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    if (committed.contains(batchId)) return
+    applyExtend(spark, batch, table, batchId, nBuckets)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_batches")
+  }
+
+  /** The assignment append WITHOUT the trailing marker — the crashed-
+    * extend window (q181 / spec staging).
+    */
+  private[graft] def applyExtend(spark: SparkSession, batch: DataFrame,
+      table: String, batchId: Long, nBuckets: Int = 16): Unit = {
+    val centroids = centroidsOf(spark, table)
+    batch.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("cell", VectorOps.ivfCellOf(centroids, col("vec")))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(nBuckets, col("cell")) // one file per bucket, as at build
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_cells")
+  }
+
+  /** The [[VectorOps.ivfTopK]] contract served from the persisted
+    * index: probe each query's nProbe nearest cells under the frozen
+    * quantizer, rank candidates by rounded cosine. Replayed appends
+    * collapse per (id, batch_id) — grouping includes the bucket column's
+    * co-resident id, and the probed-cell filter lands before the
+    * collapse, so bucket pruning is untouched.
+    */
+  def topK(spark: SparkSession, table: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, scale: Int = 4): DataFrame = {
+    val centroids = centroidsOf(spark, table)
+    val assigned = spark.table(s"${table}_cells")
+      .dropDuplicates("id", "cell", "batch_id").drop("batch_id")
+    VectorOps.ivfServe(assigned, queries, centroids, k, nProbe, scale)
+  }
+}

@@ -203,35 +203,47 @@ object VectorOps {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3, scale: Int = 4): DataFrame = {
-    import graft.functions.VectorExpressions.doubleDot
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
-
-    // deterministic init: first nCells vectors by id
-    var centroids: Array[Array[Double]] = c.orderBy("id").limit(nCells)
-      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = trainIvfCentroids(c, nCells, iters)
     // degenerate corpus (fewer than 2 cells' worth of vectors): the
     // quantizer is meaningless and `least` needs >= 2 branches — the exact
     // scan IS the cheap path here
     if (centroids.length < 2) return bruteForceTopK(corpus, queries, k, scale)
+    val assigned = c.withColumn("cell", ivfCellOf(centroids, col("vec")))
+    ivfServe(assigned, queries, centroids, k, nProbe, scale)
+  }
 
+  /** argmin_c ‖v−c‖² = argmin_c (‖c‖² − 2⟨v,c⟩) as a literal expression
+    * tree over the (bounded-metadata) centroid matrix — shared by the
+    * in-query IVF and the persisted [[IvfIndex]].
+    */
+  private[operators] def ivfCellOf(centroids: Array[Array[Double]],
+      vec: Column): Column = {
+    import graft.functions.VectorExpressions.doubleDot
     def centroidLit(p: Array[Double]): Column = array(p.map(lit): _*)
-    // argmin_c ||v-c||^2 = argmin_c (||c||^2 - 2<v,c>)
-    def cellOf(vec: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (p, i) =>
-        val d2 = lit(p.map(x => x * x).sum) - lit(2.0) * doubleDot(vec, centroidLit(p))
-        struct(d2.as("d"), lit(i).as("cell"))
-      }
-      least(scored: _*).getField("cell")
+    val scored = centroids.zipWithIndex.map { case (p, i) =>
+      val d2 = lit(p.map(x => x * x).sum) - lit(2.0) * doubleDot(vec, centroidLit(p))
+      struct(d2.as("d"), lit(i).as("cell"))
     }
+    least(scored: _*).getField("cell")
+  }
 
+  /** Deterministic Lloyd training (first-nCells-by-id init, decimal-
+    * exact per-dimension means): a plain avg() is an order-dependent
+    * double sum, which would make the trained centroids partitioning-
+    * dependent AND unreproducible by the oracle's unrolled-Lloyd twin —
+    * the decimal sum is exact, so both engines derive bit-identical
+    * centroids from the same members. Only nCells×dim doubles reach the
+    * driver.
+    */
+  private[operators] def trainIvfCentroids(c: DataFrame, nCells: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = c.orderBy("id").limit(nCells)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    if (centroids.length < 2) return centroids
     var it = 0
     while (it < iters) {
-      // decimal-exact mean (Num discipline): a plain avg() is an
-      // order-dependent double sum, which would make the trained
-      // centroids partitioning-dependent AND unreproducible by the
-      // oracle's unrolled-Lloyd twin — the decimal sum is exact, so both
-      // engines derive bit-identical centroids from the same members
-      val means = c.withColumn("cell", cellOf(col("vec")))
+      val means = c.withColumn("cell", ivfCellOf(centroids, col("vec")))
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
@@ -242,11 +254,19 @@ object VectorOps {
       centroids = next
       it += 1
     }
+    centroids
+  }
 
-    val assigned = c.withColumn("cell", cellOf(col("vec")))
+  /** The IVF probe/rank phase over an already-assigned corpus: each
+    * query ranks its nProbe nearest cells from the broadcast centroid
+    * matrix, candidates stream from the probed cells only, ranking is
+    * the rounded-cosine (desc, id asc) total order.
+    */
+  private[operators] def ivfServe(assigned: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      scale: Int): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
     val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
-    // query probes its nProbe nearest cells: rank cells per query via a
-    // small broadcast centroid table
     val centroidDf = q.sparkSession.createDataFrame(
       centroids.toIndexedSeq.zipWithIndex.map { case (p, i) => (i, p.toSeq) })
       .toDF("cell", "cvec")
@@ -257,7 +277,6 @@ object VectorOps {
         Window.partitionBy("qid").orderBy(col("d2").asc, col("cell").asc)))
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("qvec"), col("cell"))
-
     val joined = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", round(cosine(col("vec"), col("qvec")), scale))

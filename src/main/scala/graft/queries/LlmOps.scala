@@ -164,24 +164,26 @@ object LlmOps {
     * top-k, deterministic w.r.t. its own contract.
     */
   private def annIvfOracleSql(nCells: Int, nProbe: Int, k: Int, iters: Int,
-      dim: Int): String = {
+      dim: Int, trainFilter: String = "TRUE"): String = {
     def dot(a: String, b: String): String =
       s"list_reduce([$a[i] * $b[i] for i in generate_series(1, $dim)], (x, y) -> x + y)"
     def d2(v: String, c: String): String =
       s"(${dot(c, c)} - 2.0 * ${dot(v, c)})"
-    def assign(name: String, cents: String): String = s"""
+    // `src`: training iterations read the TRAIN slice (q181 freezes the
+    // quantizer on the build batch); the final assignment reads everything
+    def assign(name: String, cents: String, src: String): String = s"""
     $name AS (
       SELECT vec_id, vec, cell FROM (
         SELECT e.vec_id, e.vec, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY ${d2("e.vec", "c.cvec")} ASC, c.cell ASC) AS rk
-        FROM emb e CROSS JOIN $cents c)
+        FROM $src e CROSS JOIN $cents c)
       WHERE rk = 1)"""
     val meanList = (1 to dim)
       .map(p => s"CAST(SUM(CAST(vec[$p] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)")
       .mkString("[", ", ", "]")
     val steps = (1 to iters).map { i =>
-      s"""${assign(s"a$i", s"c${i - 1}")},
+      s"""${assign(s"a$i", s"c${i - 1}", "embt")},
     m$i AS (SELECT cell, $meanList AS ms FROM a$i GROUP BY cell),
     c$i AS (
       SELECT p.cell, COALESCE(m.ms, p.cvec) AS cvec
@@ -189,11 +191,12 @@ object LlmOps {
     }.mkString(",\n")
     s"""
     WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    embt AS (SELECT * FROM emb WHERE $trainFilter),
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, vec AS cvec
-      FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id LIMIT $nCells)),
+      FROM (SELECT vec_id, vec FROM embt ORDER BY vec_id LIMIT $nCells)),
     $steps,
-    ${assign("af", s"c$iters")},
+    ${assign("af", s"c$iters", "emb")},
     pr AS (
       SELECT qid, qvec, cell FROM (
         SELECT q.vec_id AS qid, q.vec AS qvec, c.cell,
@@ -940,6 +943,41 @@ object LlmOps {
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         VectorOps.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 8)
+      }),
+
+    // ------------------------------------------------------------------
+    // q181: PERSISTED incremental IVF — the vector sibling of the
+    // exact/LSH document indexes: train the quantizer ONCE on the build
+    // batch (even vec_ids), freeze it (the FAISS train-once/add-many
+    // contract), persist centroids + the cell-bucketed inverted file,
+    // then fold the odd vec_ids in through an extend whose commit
+    // CRASHES and replays (assignment is a pure function of the frozen
+    // centroids and the batch, so the re-appended rows are
+    // byte-identical and topK's (id, batch_id) collapse recovers the
+    // exact file). The oracle unrolls the SAME Lloyd training over the
+    // even slice only (annIvfOracleSql's trainFilter) and assigns the
+    // whole corpus under those centroids — so the driver's hash compare
+    // is "crash-replayed incremental IVF == from-scratch index with the
+    // same frozen quantizer", cross-engine, idf-free and exact w.r.t.
+    // its own approximate contract.
+    GraftQuery(
+      "q181_incremental_ivf",
+      Some(annIvfOracleSql(nCells = 16, nProbe = 8, k = 5, iters = 3,
+        dim = 64, trainFilter = "vec_id % 2 = 0")),
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val table = "graft_q181_ivf"
+        val path = graft.core.Scratch.path(table)
+        graft.operators.IvfIndex.build(
+          corpus.filter(col("id") % 2 === 0), table, path,
+          nCells = 16, iters = 3)
+        val odds = corpus.filter(col("id") % 2 === 1)
+        graft.operators.IvfIndex.applyExtend(spark, odds, table, batchId = 1L)
+        graft.operators.IvfIndex.extend(spark, odds, table, batchId = 1L)
+        graft.operators.IvfIndex.topK(spark, table, queries, k = 5, nProbe = 8)
       }),
 
     // ------------------------------------------------------------------

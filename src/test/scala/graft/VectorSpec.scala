@@ -95,6 +95,49 @@ class VectorSpec extends SparkSpec {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("IvfIndex: frozen quantizer, batch-split invariance, crash-replay collapse") {
+    import graft.operators.IvfIndex
+    def drop(t: String): Unit =
+      Seq(s"${t}_centroids", s"${t}_cells", s"${t}_batches")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"ivfidx_$tag").toString
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      // one extend vs two extends vs a crashed+replayed extend: all
+      // serve identically (assignment is a pure function of the frozen
+      // centroids, so batch boundaries and replays cannot show through)
+      drop("ivf_a"); drop("ivf_b"); drop("ivf_c")
+      val evens = corpus.filter(col("id") % 2 === 0)
+      IvfIndex.build(evens, "ivf_a", tmp("a"))
+      IvfIndex.extend(spark, corpus.filter(col("id") % 2 === 1), "ivf_a", batchId = 1L)
+      IvfIndex.build(evens, "ivf_b", tmp("b"))
+      IvfIndex.extend(spark, corpus.filter(col("id") % 4 === 1), "ivf_b", batchId = 1L)
+      IvfIndex.extend(spark, corpus.filter(col("id") % 4 === 3), "ivf_b", batchId = 2L)
+      IvfIndex.build(evens, "ivf_c", tmp("c"))
+      val odds = corpus.filter(col("id") % 2 === 1)
+      IvfIndex.applyExtend(spark, odds, "ivf_c", batchId = 1L)
+      IvfIndex.extend(spark, odds, "ivf_c", batchId = 1L) // replay of the crash
+      val a = key(IvfIndex.topK(spark, "ivf_a", queries, k = 5, nProbe = 8))
+      assert(a == key(IvfIndex.topK(spark, "ivf_b", queries, k = 5, nProbe = 8)))
+      assert(a == key(IvfIndex.topK(spark, "ivf_c", queries, k = 5, nProbe = 8)))
+      assert(a.nonEmpty)
+      // the crash really duplicated rows, and the collapse hid them
+      val b1 = spark.table("ivf_c_cells").filter(col("batch_id") === 1L)
+      assert(b1.count() == 2 * b1.dropDuplicates("id").count())
+      // committed replay: no-op
+      val n = spark.table("ivf_c_cells").count()
+      IvfIndex.extend(spark, odds, "ivf_c", batchId = 1L)
+      assert(spark.table("ivf_c_cells").count() == n)
+      // the quantizer is FROZEN: extends did not touch centroids
+      assert(spark.table("ivf_a_centroids").count() == 16)
+    } finally { drop("ivf_a"); drop("ivf_b"); drop("ivf_c") }
+  }
+
   test("PQ top-k: ADC candidates + exact re-rank give useful recall, true scores") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.filter(col("vec_id") < 20)
