@@ -1267,27 +1267,48 @@ object Dedup {
       graft.sources.TableWriter.writeBucketed(
         collapsed, t, s"$path/$sub", bcol, nBuckets)
     }
-    rewrite(table, "pairs", "id_a", Seq("id_a", "id_b"),
-      purgeIds(_, Seq("id_a", "id_b")))
-    rewrite(s"${table}_members", "members", "rep", Seq("rep", "id"),
-      purgeIds(_, Seq("id")))
-    // reps with ≥1 surviving member, AFTER the members rewrite so the
-    // probe reads the already-purged table
-    val liveReps =
-      if (hasDeletes)
-        spark.table(s"${table}_members").select(col("rep").as("id"))
-          .distinct().localCheckpoint()
-      else null
-    def keepLive(df: DataFrame): DataFrame =
-      if (!hasDeletes) df
-      else df.join(liveReps, Seq("id"), "left_semi")
-    rewrite(s"${table}_sets", "sets", "id", Seq("id"), keepLive)
-    rewrite(s"${table}_postings", "postings", "tok", Seq("tok", "id", "rn"), keepLive)
+    // rewrites run CONCURRENTLY where the dependency graph allows (the
+    // marker, written last, carries the crash contract; rewrite order
+    // affects nothing but the wall clock): pairs waits only on the
+    // violation check above; sets/postings wait on the members rewrite
+    // (their live-reps probe reads the purged table); the dict rewrite
+    // depends on nothing
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val pairsF = scala.concurrent.Future(
+      rewrite(table, "pairs", "id_a", Seq("id_a", "id_b"),
+        purgeIds(_, Seq("id_a", "id_b"))))
+    val repTailF = scala.concurrent.Future {
+      rewrite(s"${table}_members", "members", "rep", Seq("rep", "id"),
+        purgeIds(_, Seq("id")))
+      // reps with ≥1 surviving member, AFTER the members rewrite so the
+      // probe reads the already-purged table
+      val liveReps =
+        if (hasDeletes)
+          spark.table(s"${table}_members").select(col("rep").as("id"))
+            .distinct().localCheckpoint()
+        else null
+      def keepLive(df: DataFrame): DataFrame =
+        if (!hasDeletes) df
+        else df.join(liveReps, Seq("id"), "left_semi")
+      val setsF = scala.concurrent.Future(
+        rewrite(s"${table}_sets", "sets", "id", Seq("id"), keepLive))
+      val postF = scala.concurrent.Future(
+        rewrite(s"${table}_postings", "postings", "tok",
+          Seq("tok", "id", "rn"), keepLive))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(setsF, postF)),
+        scala.concurrent.duration.Duration.Inf)
+    }
     // the dict carries no stamp (appends are naturally idempotent — no
     // duplicates possible); its rewrite is pure file-count hygiene
-    graft.sources.TableWriter.writeBucketed(
-      spark.table(s"${table}_dict").localCheckpoint(),
-      s"${table}_dict", s"$path/dict", "digest", nBuckets)
+    val dictF = scala.concurrent.Future(
+      graft.sources.TableWriter.writeBucketed(
+        spark.table(s"${table}_dict").localCheckpoint(),
+        s"${table}_dict", s"$path/dict", "digest", nBuckets))
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(pairsF, repTailF, dictF)),
+      scala.concurrent.duration.Duration.Inf)
     if (hasDeletes)
       spark.table(s"${table}_deleted").limit(0).localCheckpoint()
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1506,8 +1527,14 @@ object Dedup {
       graft.sources.TableWriter.writeBucketed(
         collapsed, t, s"$path/$sub", bcol, nBuckets)
     }
-    rewrite(s"${table}_postings", "postings", "key", Seq("id", "band", "key"))
-    rewrite(s"${table}_sets", "sets", "id", Seq("id"))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future(
+        rewrite(s"${table}_postings", "postings", "key", Seq("id", "band", "key"))),
+      scala.concurrent.Future(
+        rewrite(s"${table}_sets", "sets", "id", Seq("id"))))),
+      scala.concurrent.duration.Duration.Inf)
     if (spark.catalog.tableExists(s"${table}_deleted"))
       spark.table(s"${table}_deleted").limit(0).localCheckpoint()
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
