@@ -91,13 +91,78 @@ object IvfIndex {
     * quantizer, rank candidates by rounded cosine. Replayed appends
     * collapse per (id, batch_id) — grouping includes the bucket column's
     * co-resident id, and the probed-cell filter lands before the
-    * collapse, so bucket pruning is untouched.
+    * collapse, so bucket pruning is untouched. Tombstoned vectors
+    * ([[deleteIds]]) drop from the CANDIDATE side only — queries are
+    * caller-supplied and unaffected.
     */
   def topK(spark: SparkSession, table: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, scale: Int = 4): DataFrame = {
     val centroids = centroidsOf(spark, table)
-    val assigned = spark.table(s"${table}_cells")
-      .dropDuplicates("id", "cell", "batch_id").drop("batch_id")
+    val assigned = dropDeleted(spark, table,
+      spark.table(s"${table}_cells")
+        .dropDuplicates("id", "cell", "batch_id").drop("batch_id"))
     VectorOps.ivfServe(assigned, queries, centroids, k, nProbe, scale)
+  }
+
+  private def dropDeleted(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_deleted"))
+      df.join(spark.table(s"${table}_deleted").select("id").distinct(),
+        Seq("id"), "left_anti")
+    else df
+
+  /** Tombstone vectors out of the index — the [[Dedup.deleteFromPairIndex]]
+    * protocol: one stamped append (cost ∝ deleted, no rewrite),
+    * marker-gated, crash replays collapse through the read-side
+    * distinct; [[compact]] purges physically.
+    */
+  def deleteIds(spark: SparkSession, ids: DataFrame, table: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    val committed = spark.table(s"${table}_batches")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    if (committed.contains(batchId)) return
+    applyDeleteIds(spark, ids, table, path, batchId)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_batches")
+  }
+
+  private[graft] def applyDeleteIds(spark: SparkSession, ids: DataFrame,
+      table: String, path: String, batchId: Long): Unit =
+    ids.select(col("id")).dropDuplicates("id")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // a deletion frontier is one small file
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("path", s"$path/deleted")
+      .format("parquet").saveAsTable(s"${table}_deleted")
+
+  /** Fold the inverted file back to batch 0 — replay duplicates and
+    * tombstoned vectors leave physically, one file per bucket,
+    * tombstones clear after the data rewrite, the marker rewrites LAST
+    * (namespace reset; quiescence required). The frozen centroids are
+    * untouched — compaction never moves a cell boundary. Restartable
+    * by the house content-equivalence argument.
+    */
+  def compact(spark: SparkSession, table: String, path: String,
+      nBuckets: Int = 16): Unit = {
+    val collapsed = dropDeleted(spark, table,
+        spark.table(s"${table}_cells")
+          .dropDuplicates("id", "cell", "batch_id"))
+      .drop("batch_id").withColumn("batch_id", lit(0L))
+      .localCheckpoint() // pinned: the Overwrite reads the table it replaces
+    graft.sources.TableWriter.writeBucketed(
+      collapsed, s"${table}_cells", s"$path/cells", "cell", nBuckets)
+    if (spark.catalog.tableExists(s"${table}_deleted"))
+      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("path", s"$path/deleted")
+        .format("parquet").saveAsTable(s"${table}_deleted")
+    import spark.implicits._
+    Seq(0L).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/batches").format("parquet")
+      .saveAsTable(s"${table}_batches")
   }
 }

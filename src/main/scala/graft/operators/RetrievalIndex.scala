@@ -237,6 +237,43 @@ object RetrievalIndex {
     * is bucket-pruned by the broadcast-joined query terms' `term IN`
     * pushdown; df and scores aggregate only matched postings.
     */
+  /** Fold the tf-postings tier back to a single batch-0 state — the
+    * [[Dedup.compactPairIndex]] of the retrieval index: replayed-crash
+    * duplicates AND tombstoned documents leave PHYSICALLY, the
+    * postings rewrite to one file per bucket, and `_meta` folds to ONE
+    * batch-0 row holding the EXACT surviving N (Σ n_docs already
+    * accounts tombstones through the negative delete rows — the fold
+    * just materializes the sum). Tombstones clear after the data
+    * rewrites, `_meta` rewrites LAST (it is the marker — namespace
+    * reset, the house compact semantics; requires quiescence).
+    * Restartable: every crash point still serves corpus-minus-deleted
+    * (tombstones stay active until the data is purged), rerun
+    * converges. The positional tier ([[buildPositions]]) keeps its own
+    * lifecycle and is untouched.
+    */
+  def compact(spark: SparkSession, table: String, path: String,
+      nBuckets: Int = 16): Unit = {
+    val n = corpusN(spark, table) // exact survivors, BEFORE meta rewrites
+    val hasDeletes = spark.catalog.tableExists(s"${table}_deleted")
+    val collapsed = dropDeletedDocs(spark, table,
+        spark.table(s"${table}_postings")
+          .dropDuplicates("term", "doc_id", "batch_id"))
+      .drop("batch_id").withColumn("batch_id", lit(0L))
+      .localCheckpoint() // pinned: the Overwrite reads the table it replaces
+    graft.sources.TableWriter.writeBucketed(
+      collapsed, s"${table}_postings", s"$path/postings", "term", nBuckets)
+    if (hasDeletes)
+      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("path", s"$path/deleted")
+        .format("parquet").saveAsTable(s"${table}_deleted")
+    import spark.implicits._
+    Seq((n, 0L)).toDF("n_docs", "batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/meta").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
   def topK(spark: SparkSession, table: String,
       queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
     val n = corpusN(spark, table)

@@ -1021,6 +1021,36 @@ object CurationOps {
           spark, victims, table, path, batchId = 2L)
         graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
       }),
+    // q182: the retrieval index's FULL lifecycle — build → crashed
+    // extend + replay → crashed tombstone delete + replay → COMPACT
+    // (replay duplicates AND deleted docs leave physically, `_meta`
+    // folds to one batch-0 row holding the exact surviving N,
+    // tombstones clear, namespace resets) → topK. The q179 move on the
+    // scoring tier: the oracle is q88's ranking over the surviving
+    // corpus, so the hash compare proves the compacted index's idf
+    // arithmetic — N now a SINGLE materialized row — still matches a
+    // from-scratch index of the survivors exactly.
+    GraftQuery("q182_retrieval_lifecycle",
+      Some(keywordTopKSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        val docsAll = Tables(spark, dir).documents
+        val table = "graft_q182_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq("postings", "meta", "deleted").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$sfx"))
+        graft.operators.RetrievalIndex.build(
+          docsAll.filter(col("doc_id") % 2 === 0), table, path)
+        val odds = docsAll.filter(col("doc_id") % 2 === 1)
+        graft.operators.RetrievalIndex.applyExtend(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.extend(odds, table, batchId = 1L)
+        val victims = docsAll.filter(col("doc_id") % 7 === 3).select("doc_id")
+        graft.operators.RetrievalIndex.applyDeleteDocs(
+          spark, victims, table, path, batchId = 2L)
+        graft.operators.RetrievalIndex.deleteDocs(
+          spark, victims, table, path, batchId = 2L)
+        graft.operators.RetrievalIndex.compact(spark, table, path)
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),

@@ -164,7 +164,8 @@ object LlmOps {
     * top-k, deterministic w.r.t. its own contract.
     */
   private def annIvfOracleSql(nCells: Int, nProbe: Int, k: Int, iters: Int,
-      dim: Int, trainFilter: String = "TRUE"): String = {
+      dim: Int, trainFilter: String = "TRUE",
+      candFilter: String = "TRUE"): String = {
     def dot(a: String, b: String): String =
       s"list_reduce([$a[i] * $b[i] for i in generate_series(1, $dim)], (x, y) -> x + y)"
     def d2(v: String, c: String): String =
@@ -211,7 +212,8 @@ object LlmOps {
              ROW_NUMBER() OVER (PARTITION BY p.qid
                ORDER BY round(list_cosine_similarity(a.vec, p.qvec), 4) DESC,
                         a.vec_id ASC) AS rank
-      FROM pr p JOIN af a ON a.cell = p.cell AND a.vec_id != p.qid)
+      FROM pr p JOIN af a ON a.cell = p.cell AND a.vec_id != p.qid
+      WHERE a.vec_id IN (SELECT vec_id FROM emb WHERE $candFilter))
     WHERE rank <= $k""".trim
   }
 
@@ -977,6 +979,43 @@ object LlmOps {
         val odds = corpus.filter(col("id") % 2 === 1)
         graft.operators.IvfIndex.applyExtend(spark, odds, table, batchId = 1L)
         graft.operators.IvfIndex.extend(spark, odds, table, batchId = 1L)
+        graft.operators.IvfIndex.topK(spark, table, queries, k = 5, nProbe = 8)
+      }),
+
+    // ------------------------------------------------------------------
+    // q183: the IVF index's FULL lifecycle — build (train+freeze on
+    // evens) → crashed extend + replay (odds) → crashed tombstone
+    // delete + replay (vec_id % 7 = 3) → COMPACT (replay duplicates
+    // and deleted vectors leave the inverted file physically, the
+    // frozen centroids untouched — compaction never moves a cell
+    // boundary — tombstones clear, namespace resets) → topK. Oracle =
+    // the trainFilter'd unrolled-Lloyd twin with the candidate side
+    // restricted to survivors, so the hash compare is "the compacted
+    // incremental IVF == a from-scratch inverted file of the
+    // survivors under the SAME frozen quantizer".
+    GraftQuery(
+      "q183_ivf_lifecycle",
+      Some(annIvfOracleSql(nCells = 16, nProbe = 8, k = 5, iters = 3,
+        dim = 64, trainFilter = "vec_id % 2 = 0",
+        candFilter = "vec_id % 7 != 3")),
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val table = "graft_q183_ivf"
+        val path = graft.core.Scratch.path(table)
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_deleted")
+        graft.operators.IvfIndex.build(
+          corpus.filter(col("id") % 2 === 0), table, path,
+          nCells = 16, iters = 3)
+        val odds = corpus.filter(col("id") % 2 === 1)
+        graft.operators.IvfIndex.applyExtend(spark, odds, table, batchId = 1L)
+        graft.operators.IvfIndex.extend(spark, odds, table, batchId = 1L)
+        val victims = corpus.filter(col("id") % 7 === 3).select("id")
+        graft.operators.IvfIndex.applyDeleteIds(spark, victims, table, path, batchId = 2L)
+        graft.operators.IvfIndex.deleteIds(spark, victims, table, path, batchId = 2L)
+        graft.operators.IvfIndex.compact(spark, table, path)
         graft.operators.IvfIndex.topK(spark, table, queries, k = 5, nProbe = 8)
       }),
 

@@ -160,6 +160,34 @@ class RetrievalIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS rix_dl_deleted")
   }
 
+  test("compact: replay dups and tombstones leave physically; N folds to one exact row") {
+    drop("rix_cp"); drop("rix_cpf")
+    spark.sql("DROP TABLE IF EXISTS rix_cp_deleted")
+    val cpPath = freshPath("cp")
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), "rix_cp", cpPath)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    RetrievalIndex.applyExtend(odds, "rix_cp", batchId = 1L)
+    RetrievalIndex.extend(odds, "rix_cp", batchId = 1L) // crash + replay
+    val victims = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    RetrievalIndex.deleteDocs(spark, victims, "rix_cp", cpPath, batchId = 2L)
+    RetrievalIndex.compact(spark, "rix_cp", cpPath)
+    // physical state: one batch, no deleted doc, no duplicates, 1-row meta
+    val post = spark.table("rix_cp_postings")
+    assert(post.filter(col("batch_id") =!= 0L).isEmpty)
+    assert(post.count() == post.dropDuplicates("term", "doc_id").count())
+    val delSet = victims.collect().map(_.getLong(0)).toSet
+    assert(post.filter(col("doc_id").isin(delSet.toSeq: _*)).isEmpty)
+    assert(spark.table("rix_cp_deleted").isEmpty)
+    val meta = spark.table("rix_cp_meta").collect()
+    assert(meta.length == 1 && meta.head.getLong(1) == 0L)
+    assert(meta.head.getLong(0) == docs.filter(col("doc_id") % 7 =!= 3).count())
+    // serve equality vs a from-scratch index of the survivors
+    RetrievalIndex.build(docs.filter(col("doc_id") % 7 =!= 3), "rix_cpf", freshPath("cpf"))
+    assert(asSet(RetrievalIndex.topK(spark, "rix_cp", CurationOps.rankQueries)) ==
+      asSet(RetrievalIndex.topK(spark, "rix_cpf", CurationOps.rankQueries)))
+    spark.sql("DROP TABLE IF EXISTS rix_cp_deleted")
+  }
+
   test("positions: crashed+replayed extend serves the exact from-scratch phrase results") {
     Seq("rix_pi_positions", "rix_pi_pbatches", "rix_pf_positions", "rix_pf_pbatches")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

@@ -135,6 +135,26 @@ class VectorSpec extends SparkSpec {
       assert(spark.table("ivf_c_cells").count() == n)
       // the quantizer is FROZEN: extends did not touch centroids
       assert(spark.table("ivf_a_centroids").count() == 16)
+      // deletes + compact on ivf_c: tombstones hide candidates, compact
+      // purges physically and clears them, centroids still untouched
+      spark.sql("DROP TABLE IF EXISTS ivf_c_deleted")
+      val cPath = spark.sql("DESCRIBE TABLE EXTENDED ivf_c_cells")
+        .filter(col("col_name") === "Location").select("data_type")
+        .head.getString(0).stripSuffix("/").reverse.dropWhile(_ != '/').drop(1)
+        .reverse.stripPrefix("file:")
+      val victims = corpus.filter(col("id") % 7 === 3).select("id")
+      IvfIndex.deleteIds(spark, victims, "ivf_c", cPath, batchId = 2L)
+      val delSet = victims.collect().map(_.getLong(0)).toSet
+      val served = key(IvfIndex.topK(spark, "ivf_c", queries, k = 5, nProbe = 8))
+      assert(served.forall { case (_, nb, _, _) => !delSet.contains(nb) })
+      IvfIndex.compact(spark, "ivf_c", cPath)
+      assert(spark.table("ivf_c_cells")
+        .filter(col("id").isin(delSet.toSeq: _*)).isEmpty)
+      assert(spark.table("ivf_c_cells").filter(col("batch_id") =!= 0L).isEmpty)
+      assert(spark.table("ivf_c_deleted").isEmpty)
+      assert(key(IvfIndex.topK(spark, "ivf_c", queries, k = 5, nProbe = 8)) == served)
+      assert(spark.table("ivf_c_centroids").count() == 16)
+      spark.sql("DROP TABLE IF EXISTS ivf_c_deleted")
     } finally { drop("ivf_a"); drop("ivf_b"); drop("ivf_c") }
   }
 
