@@ -359,6 +359,62 @@ object RetrievalIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_positions")
 
+  /** Tombstone documents out of the POSITIONAL tier — the same
+    * protocol as [[deleteDocs]] minus the N ledger (phrase search has
+    * no idf): one stamped tombstone append, `_pbatches` marker LAST.
+    * Shares the `_deleted` table with the tf tier when both exist on
+    * one table family — a deleted document disappears from term,
+    * ranked, AND phrase search together.
+    */
+  def deletePositionDocs(spark: SparkSession, ids: DataFrame, table: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    val committed = spark.table(s"${table}_pbatches")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    if (committed.contains(batchId)) return
+    applyDeletePositionDocs(spark, ids, table, path, batchId)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_pbatches")
+  }
+
+  private[graft] def applyDeletePositionDocs(spark: SparkSession,
+      ids: DataFrame, table: String, path: String, batchId: Long): Unit =
+    ids.select(col("doc_id")).dropDuplicates("doc_id")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // a deletion frontier is one small file
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("path", s"$path/deleted")
+      .format("parquet").saveAsTable(s"${table}_deleted")
+
+  /** Fold the positional tier back to batch 0 — replay duplicates and
+    * tombstoned docs leave physically, one file per bucket, tombstones
+    * clear after the data rewrite, `_pbatches` rewrites LAST to {0}
+    * (namespace reset; quiescence required). Restartable by the house
+    * content-equivalence argument.
+    */
+  def compactPositions(spark: SparkSession, table: String, path: String,
+      nBuckets: Int = 16): Unit = {
+    val collapsed = dropDeletedDocs(spark, table,
+        spark.table(s"${table}_positions")
+          .dropDuplicates("term", "doc_id", "batch_id"))
+      .drop("batch_id").withColumn("batch_id", lit(0L))
+      .localCheckpoint() // pinned: the Overwrite reads the table it replaces
+    graft.sources.TableWriter.writeBucketed(
+      collapsed, s"${table}_positions", s"$path/positions", "term", nBuckets)
+    if (spark.catalog.tableExists(s"${table}_deleted"))
+      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("path", s"$path/deleted")
+        .format("parquet").saveAsTable(s"${table}_deleted")
+    import spark.implicits._
+    Seq(0L).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/pbatches").format("parquet")
+      .saveAsTable(s"${table}_pbatches")
+  }
+
   /** Exact phrase search from the positional index: a document matches
     * phrase (t₀ … t_{k−1}) iff some anchor position p has t₀ at p and
     * every tᵢ at p + i. The probe is the [[topK]] idiom — explicit
@@ -377,10 +433,11 @@ object RetrievalIndex {
       phrases: Seq[(Int, Seq[String])]): DataFrame = {
     val terms = phrases.flatMap(_._2).distinct
     val ps = probeSession(spark)
-    val p = ps.table(s"${table}_positions")
-      .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
-      .dropDuplicates("term", "doc_id", "batch_id") // crashed-replay collapse
-      .drop("batch_id")
+    val p = dropDeletedDocs(ps, table,
+      ps.table(s"${table}_positions")
+        .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
+        .dropDuplicates("term", "doc_id", "batch_id") // crashed-replay collapse
+        .drop("batch_id"))
     val pdf = {
       import ps.implicits._
       phrases.flatMap { case (pid, ts) =>

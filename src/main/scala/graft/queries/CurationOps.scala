@@ -294,7 +294,9 @@ object CurationOps {
     * engine probes with — "positional index == token-level scan",
     * occurrence counts included.
     */
-  private def phraseSearchSql: String = {
+  private def phraseSearchSql: String = phraseSearchSqlOver("TRUE")
+
+  private def phraseSearchSqlOver(docFilter: String): String = {
     val arms = phraseQueries.map { case (pid, ts) =>
       val conj = ts.zipWithIndex
         .map { case (t, j) => s"tk[i + $j] = '$t'" }.mkString(" AND ")
@@ -308,7 +310,7 @@ object CurationOps {
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          t -> length(t) > 0) AS tk
-      FROM documents)
+      FROM documents WHERE $docFilter)
     SELECT pid, doc_id, n_matches FROM ($arms) WHERE n_matches > 0""".trim
   }
 
@@ -965,6 +967,36 @@ object CurationOps {
         val odds = docsAll.filter(col("doc_id") % 2 === 1)
         graft.operators.RetrievalIndex.applyExtendPositions(odds, table, batchId = 1L)
         graft.operators.RetrievalIndex.extendPositions(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.phrase(spark, table, phraseQueries)
+      }),
+    // q184: the POSITIONAL tier's full lifecycle — q182's ladder on
+    // adjacency search: build → crashed extend + replay → crashed
+    // tombstone delete + replay → compactPositions (replay duplicates
+    // and deleted docs leave physically, tombstones clear, namespace
+    // resets) → phrase. Oracle = the token-level phrase scan over
+    // documents WHERE doc_id % 7 != 3 — a deleted document must
+    // vanish from adjacency answers exactly as from term and ranked
+    // search (the shared `_deleted` table is the design: one deletion
+    // hits every tier of a table family).
+    GraftQuery("q184_positions_lifecycle",
+      Some(phraseSearchSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        val docsAll = Tables(spark, dir).documents
+        val table = "graft_q184_pix"
+        val path = graft.core.Scratch.path(table)
+        Seq("positions", "pbatches", "deleted").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$sfx"))
+        graft.operators.RetrievalIndex.buildPositions(
+          docsAll.filter(col("doc_id") % 2 === 0), table, path)
+        val odds = docsAll.filter(col("doc_id") % 2 === 1)
+        graft.operators.RetrievalIndex.applyExtendPositions(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.extendPositions(odds, table, batchId = 1L)
+        val victims = docsAll.filter(col("doc_id") % 7 === 3).select("doc_id")
+        graft.operators.RetrievalIndex.applyDeletePositionDocs(
+          spark, victims, table, path, batchId = 2L)
+        graft.operators.RetrievalIndex.deletePositionDocs(
+          spark, victims, table, path, batchId = 2L)
+        graft.operators.RetrievalIndex.compactPositions(spark, table, path)
         graft.operators.RetrievalIndex.phrase(spark, table, phraseQueries)
       }),
     // q174: the inverted index under CRASH-REPLAY — q172's theorem for
