@@ -75,6 +75,13 @@ object VectorExpressions {
   /** popcount(a AND b) over two equal-width long-array bitsets. */
   def bitsetAndCount(a: Column, b: Column): Column =
     ColumnBridge.column(BitsetAndCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 1-based id of the SMALLEST common element of two bitsets (0 if
+    * disjoint) — the canonical-witness primitive for dedup-free
+    * candidate emission.
+    */
+  def bitsetFirstCommon(a: Column, b: Column): Column =
+    ColumnBridge.column(BitsetFirstCommon(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** `to_bitset(toks, nWords)` — pack a set of 1-based dictionary ids into an
@@ -151,6 +158,45 @@ object BitsetAndCount {
       i += 1
     }
     c
+  }
+}
+
+/** `bitset_first_common(a, b)` — the 1-based dictionary id of the
+  * SMALLEST element of A ∩ B over two [[ToBitset]] bitsets, 0 when
+  * disjoint: first non-zero word of the AND, then numberOfTrailingZeros.
+  * This is the canonical-witness primitive behind dedup-free candidate
+  * emission: a prefix equi-join emits a (pair, shared-token) match per
+  * shared token, and keeping only the match whose token IS the pair's
+  * smallest shared prefix token yields each pair exactly once — no
+  * dropDuplicates shuffle on the candidate stream.
+  */
+case class BitsetFirstCommon(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bitset_first_common"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitsetFirstCommon.first(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitsetFirstCommon.first($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object BitsetFirstCommon {
+  def first(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val w = a.getLong(i) & b.getLong(i)
+      if (w != 0L) return i * 64 + java.lang.Long.numberOfTrailingZeros(w) + 1
+      i += 1
+    }
+    0
   }
 }
 

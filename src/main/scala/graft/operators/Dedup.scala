@@ -762,10 +762,23 @@ object Dedup {
       vocab > 0 && vocab <= IndexBitsetVocab && nReps <= MaxBroadcastRows
   }
   private val IndexBitsetVocab = 4096L
-  /** Canonical (id, bits) projection — every bitset join site builds it
-    * the same way so identical broadcast subtrees hit ReuseExchange. */
-  private def bitsetFrame(groups: DataFrame, bits: Column): DataFrame =
-    groups.select(col("id"), bits.as("bits"))
+  /** Canonical (id, bits, pbits) projection — every bitset join site
+    * builds it the same way so identical broadcast subtrees hit
+    * ReuseExchange. `bits` packs the full rank set (the verify);
+    * `pbits` packs only the PPJoin prefix (the canonical-witness
+    * filter: see [[graft.functions.BitsetFirstCommon]]).
+    */
+  private def bitsetFrame(groups: DataFrame, nWords: Int,
+      threshold: Double): DataFrame = {
+    def pack(c: Column) = graft.functions.VectorExpressions.toBitset(
+      transform(c, _.cast("int")), nWords)
+    val prefLen = (col("setsize") -
+      ceil(lit(threshold) * col("setsize") - lit(1e-9)) + 1).cast("int")
+    groups
+      .withColumn("setsize", coalesce(col("setsize"), size(col("toks"))))
+      .select(col("id"), pack(col("toks")).as("bits"),
+        pack(slice(col("toks"), lit(1), prefLen)).as("pbits"))
+  }
   private def broadcastGates(groups: DataFrame): IncGates = {
     // toks are sorted ascending, so the last element is the max rank —
     // the dictionary width the bitset gate needs (one agg, no extra job)
@@ -802,6 +815,7 @@ object Dedup {
         lit(1) + least(col("a.setsize") - col("a.rn"),
           col("b.setsize") - col("b.rn")) >= needOverlap)
       .select(col("a.id").as("bid"), col("b.id").as("hid"),
+        col("a.tok").as("tok"),
         col("a.setsize").cast(DoubleType).as("sz_a"),
         col("b.setsize").cast(DoubleType).as("sz_b"))
     // verified REP pairs (bid, hid, jaccard), deduplicated. Path choice
@@ -816,22 +830,28 @@ object Dedup {
     val verified =
       if (gates.bitsetOk) {
         val nWords = ((gates.vocab + 63) >> 6).toInt
-        val bits = graft.functions.VectorExpressions.toBitset(
-          transform(col("toks"), _.cast("int")), nWords)
         // ONE bitset projection joined twice under aliases: the two
         // broadcast exchanges canonicalize identically, so Spark builds
         // and ships the bitset table once (ReuseExchange), not per side
-        val bf = bitsetFrame(groups, bits)
+        val bf = bitsetFrame(groups, nWords, threshold)
         matches
           .join(broadcast(bf.as("ba")), col("bid") === col("ba.id"))
           .join(broadcast(bf.as("bb")), col("hid") === col("bb.id"))
+          // canonical-witness emission instead of a dedup shuffle: keep
+          // ONLY the match whose token is the pair's smallest shared
+          // prefix token — exactly one row per pair survives. Safe under
+          // the positional prune: the smallest shared token has the
+          // smallest rn on BOTH sides, so it maximizes the prune's bound
+          // and survives whenever any match for the pair does.
+          .filter(col("tok").cast("int") ===
+            graft.functions.VectorExpressions.bitsetFirstCommon(
+              col("ba.pbits"), col("bb.pbits")))
           .withColumn("inter",
             graft.functions.VectorExpressions.bitsetAndCount(col("ba.bits"), col("bb.bits"))
               .cast(DoubleType))
           .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= threshold)
           .select(col("bid"), col("hid"), col("jaccard"))
-          .dropDuplicates("bid", "hid")
       } else {
         val sides = groups.select(col("id"), col("toks"),
           size(col("toks")).cast(DoubleType).as("sz"))
@@ -1034,6 +1054,7 @@ object Dedup {
         lit(1) + least(col("a.setsize") - col("a.rn"),
           col("b.setsize") - col("b.rn")) >= needOverlap)
         .select(col("a.id").as("bid"), col("b.id").as("hid"),
+          col("a.tok").as("tok"),
           col("a.setsize").cast(DoubleType).as("sz_a"),
           col("b.setsize").cast(DoubleType).as("sz_b"))
     // verified REP-level pairs (bid = batch rep, hid = history rep).
@@ -1052,27 +1073,32 @@ object Dedup {
           gates.nReps <= MaxBroadcastRows &&
           histSets.count() <= MaxBroadcastRows) {
         val nWords = ((dictVocab + 63) >> 6).toInt
-        val bits = graft.functions.VectorExpressions.toBitset(
-          transform(col("toks"), _.cast("int")), nWords)
         // batch side uses the same canonical bitset projection as the
         // batch-internal path below, so the appended union's plan ships
         // ONE groupsB bitset broadcast across both subtrees
-        val bfB = bitsetFrame(groupsB, bits)
-        val bfH = histSets.select(col("id"),
-            transform(col("toks"), _.cast("int")).as("itoks"))
-          .select(col("id"), graft.functions.VectorExpressions
-            .toBitset(col("itoks"), nWords).as("bits"))
-          .dropDuplicates("id") // replayed rows are byte-identical
+        val bfB = bitsetFrame(groupsB, nWords, threshold)
+        val bfH = bitsetFrame(
+          histSets.select(col("id"), col("toks"),
+            size(col("toks")).as("setsize"))
+            .dropDuplicates("id"), // replayed rows are byte-identical
+          nWords, threshold)
         prunedMatches(hist(s"${table}_postings"))
           .join(broadcast(bfB.as("ba")), col("bid") === col("ba.id"))
           .join(broadcast(bfH.as("bb")), col("hid") === col("bb.id"))
+          // canonical-witness emission (see collapsedGroupPairs): one
+          // row per pair, no candidate dedup shuffle. Replay-duplicated
+          // HISTORY postings can still duplicate a match at the same
+          // canonical token — those appended pair rows are byte-identical
+          // and collapse at serve per (pair, batch_id), as documented.
+          .filter(col("tok").cast("int") ===
+            graft.functions.VectorExpressions.bitsetFirstCommon(
+              col("ba.pbits"), col("bb.pbits")))
           .withColumn("inter",
             graft.functions.VectorExpressions.bitsetAndCount(col("ba.bits"), col("bb.bits"))
               .cast(DoubleType))
           .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
           .filter(col("jaccard") >= threshold)
           .select(col("bid"), col("hid"), col("jaccard"))
-          .dropDuplicates("bid", "hid")
       } else {
         prunedMatches(hist(s"${table}_postings"))
           .select("bid", "hid").dropDuplicates("bid", "hid")
