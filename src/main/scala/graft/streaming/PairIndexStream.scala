@@ -53,4 +53,41 @@ object PairIndexStream {
         ()
       }
       .start()
+
+  /** CDC ingest: the changelog carries (id, text, op) with op ∈
+    * {"add", "delete"} — one stream maintains the pair graph under
+    * BOTH verbs. Each epoch folds its adds first (a doc added and
+    * deleted in the same batch ends tombstoned — CDC's final-state
+    * semantics), then its deletes; the two operations are separately
+    * marker-gated under DISJOINT epoch-derived stamps (adds
+    * 2·(epoch+1), deletes 2·(epoch+1)+1), so a crash between them
+    * replays into "adds no-op, deletes re-run", and a crash inside
+    * either collapses by that operation's own protocol
+    * ([[Dedup.extendPairIndex]] / [[Dedup.deleteFromPairIndex]]).
+    * Deletes arriving before any add has built the index are no-ops
+    * (there is nothing to delete; a replay skips identically).
+    */
+  def startCdc(changelog: DataFrame, table: String, path: String,
+      threshold: Double, nBuckets: Int = 8): StreamingQuery =
+    changelog.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val sp = batch.sparkSession
+        val b = batch.localCheckpoint() // adds + deletes share one read
+        val adds = b.filter(col("op") === "add").select("id", "text")
+        val addStamp = 2L * (epochId + 1)
+        if (!adds.isEmpty) {
+          if (sp.catalog.tableExists(s"${table}_batches"))
+            Dedup.extendPairIndex(sp, adds, table, threshold, batchId = addStamp)
+          else
+            Dedup.buildPairIndex(adds, table, path, threshold, nBuckets,
+              incremental = true, commitAlias = addStamp)
+        }
+        val dels = b.filter(col("op") === "delete").select("id")
+        if (!dels.isEmpty && sp.catalog.tableExists(s"${table}_batches"))
+          Dedup.deleteFromPairIndex(sp, dels, table, path,
+            batchId = addStamp + 1)
+        ()
+      }
+      .start()
 }

@@ -645,6 +645,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CDC pair-index stream: adds and deletes fold; serve equals scan of the final corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ppxcdc").toString
+    val tables = Seq("ppx_cdc", "ppx_cdc_dict", "ppx_cdc_members",
+      "ppx_cdc_sets", "ppx_cdc_postings", "ppx_cdc_batches", "ppx_cdc_deleted")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.PairIndexStream.startCdc(
+      in.toDF().toDF("id", "text", "op"), "ppx_cdc", s"$tmp/cdc", threshold = 0.8)
+    try {
+      // epoch 0: adds only (cold-start build)
+      in.addData(pairDocBatch1.map { case (i, t) => (i, t, "add") }: _*)
+      q.processAllAvailable()
+      // epoch 1: adds AND a delete of doc 2 (a batch-1 near-dup) in one batch
+      in.addData(pairDocBatch2.map { case (i, t) => (i, t, "add") } :+
+        ((2L, "", "delete")): _*)
+      q.processAllAvailable()
+      // epoch 2: delete-only batch
+      in.addData((5L, "", "delete"))
+      q.processAllAvailable()
+      val streamed = graft.operators.Dedup.servePairIndex(spark, "ppx_cdc")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val survivors = (pairDocBatch1 ++ pairDocBatch2)
+        .filterNot { case (i, _) => i == 2L || i == 5L }
+      val scratch = graft.operators.Dedup.jaccardPairs(
+        survivors.toDF("id", "text"), threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == scratch)
+      assert(streamed.nonEmpty) // 1-4 near-dup pair must survive doc 2's deletion
+      assert(!streamed.exists { case (a, b, _) => a == 2L || b == 2L })
+    } finally {
+      q.stop()
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming pair index recovers from a half-built index (pairs, no marker)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
