@@ -71,10 +71,17 @@ def scale_keys(name, key_cols, k, out):
     pq.write_table(pa.concat_tables(parts), f"{out}/{name}.parquet")
 
 
+def scale_embeddings(k, out):
+    # replicate vectors verbatim with offset ids: candidate volume per
+    # probed cell grows k-fold, which is the quantity IVF scaling measures
+    scale_keys("embeddings", {"vec_id"}, k, out)
+
+
 def build(k, label):
     out = f"{DST}/{label}"
     os.makedirs(out, exist_ok=True)
     scale_documents(k, out)
+    scale_embeddings(k, out)
     scale_keys("orders", {"o_orderkey", "o_custkey"}, k, out)
     # l_suppkey / c_nationkey keep referencing the verbatim-copied dims —
     # replicas share suppliers/nations; the co-purchase graph (order ×
@@ -82,7 +89,7 @@ def build(k, label):
     scale_keys("lineitem", {"l_orderkey", "l_partkey"}, k, out)
     scale_keys("part", {"p_partkey"}, k, out)
     scale_keys("customer", {"c_custkey"}, k, out)
-    for name in ["nation", "region", "supplier", "events", "embeddings"]:
+    for name in ["nation", "region", "supplier", "events"]:
         shutil.copy(f"{SRC}/{name}.parquet", f"{out}/{name}.parquet")
     print(f"{label}: {k}x written to {out}")
 
