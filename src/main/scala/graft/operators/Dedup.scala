@@ -1164,8 +1164,18 @@ object Dedup {
     * the audit loudly rather than folding silently.
     */
   def servePairIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame = {
+      table: String, asOf: Long = Long.MaxValue): DataFrame = {
+    // AS-OF reads: the stamp log IS a version history until a compact
+    // folds it to batch 0 (the lakehouse VACUUM trade — time travel
+    // reaches back to the last compact, no further). `asOf = B` serves
+    // the pair graph as it stood when batch B committed: each pair is
+    // generated exactly once, by the batch holding its newest document,
+    // so `batch_id <= B` is exactly the pairs of the corpus through B —
+    // and tombstones cut by the same stamp, so a LATER delete is
+    // invisible to the pinned audit (reproducibility: an audit row can
+    // cite the data version it was computed on).
     val pairs = spark.table(table)
+      .filter(col("batch_id") <= asOf)
       .dropDuplicates("id_a", "id_b", "batch_id")
       .select("id_a", "id_b", "jaccard")
     // tombstones ([[deleteFromPairIndex]]): pairs touching a deleted
@@ -1176,7 +1186,8 @@ object Dedup {
     // from its own statistics; indexes without deletions skip the join
     // entirely (one catalog probe).
     if (spark.catalog.tableExists(s"${table}_deleted")) {
-      val del = spark.table(s"${table}_deleted").select("id").distinct()
+      val del = spark.table(s"${table}_deleted")
+        .filter(col("batch_id") <= asOf).select("id").distinct()
       pairs
         .join(del.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
         .join(del.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")

@@ -88,12 +88,18 @@ object IvmRollup {
     * duplicates byte-identical; disagree ⇒ raise_error inside the same
     * zero-exchange aggregate.
     */
-  def serve(spark: SparkSession, table: String): DataFrame = {
+  def serve(spark: SparkSession, table: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
     def one(lo: Column, hi: Column, what: String): Column =
       when(lo === hi, lo).otherwise(raise_error(concat(
         lit(s"IvmRollup: divergent replayed $what for key "), col("key").cast("string"),
         lit(" — different deltas appended under one batch_id"))))
+    // `asOf = B` serves the rollup as it stood when delta B committed —
+    // the stamped log is a version history (prefix sums of a changelog
+    // are the changelog's prefix), valid back to the last compact,
+    // which folds it to batch 0 and resets the horizon.
     spark.table(table)
+      .filter(col("batch_id") <= asOf)
       .groupBy("key", "batch_id")
       .agg(min(col("dn")).as("dn_lo"), max(col("dn")).as("dn_hi"),
         min(col("dr")).as("dr_lo"), max(col("dr")).as("dr_hi"))

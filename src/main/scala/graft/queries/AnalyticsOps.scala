@@ -763,6 +763,47 @@ object AnalyticsOps {
   }
 
   // --------------------------------------------------------------------
+  // q187: AS-OF reads on the maintained rollup — the q186 move for the
+  // IVM tier. The stamped delta log is a version history (prefix sums
+  // of a changelog are the changelog's prefix; valid back to the last
+  // compact, which folds to batch 0 and resets the horizon): build the
+  // base from snapshot A, fold batch 1 (q81's deletes) AND batch 2
+  // (key-shifted inserts), then serve AS OF batch 1 — the pinned read
+  // reproduces the rollup as it stood when batch 1 committed, with the
+  // LATER batch invisible. Oracle = the recompute over exactly that
+  // prefix (orders minus the deletes, no inserts), so the driver's
+  // hash compare is "snapshot read of a longer log == recompute at the
+  // pinned version", cross-engine. Same fixed-path rebuild discipline
+  // as q160.
+  private def ivmAsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmRollup
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = "graft_q187_ivm"
+    val path = graft.core.Scratch.path(table)
+    IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), table, path)
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_custkey").as("key"), lit(-1L).as("dn"),
+          (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr")),
+      batchId = 1L)
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 103 === 0)
+        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+          col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+      batchId = 2L)
+    IvmRollup.serve(spark, table, asOf = 1L)
+      .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  private val ivmAsOfSql: String = """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 101 != 0
+    GROUP BY o_custkey""".trim
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -843,6 +884,7 @@ object AnalyticsOps {
     GraftQuery("q152_ivm_agg", Some(ivmAggSql), ivmAgg),
     GraftQuery("q160_ivm_rollup", Some(ivmAggSql), ivmRollup),
     GraftQuery("q175_ivm_compact", Some(ivmAggSql), ivmCompact),
+    GraftQuery("q187_asof_rollup", Some(ivmAsOfSql), ivmAsOf),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),

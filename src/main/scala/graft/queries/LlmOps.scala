@@ -744,6 +744,84 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q185: CDC CHANGELOG into the pair index — the driver-green twin of
+    // PairIndexStream.startCdc, driving its exact epoch fold (foldCdc):
+    // epoch 0 is pure adds (evens; builds the index under stamp 2),
+    // epoch 1 interleaves BOTH verbs — adds (odds) then deletes
+    // (doc_id % 5 = 2, spanning docs from both epochs AND docs added in
+    // this same epoch, which end tombstoned: CDC final-state semantics)
+    // — under the protocol's disjoint epoch-derived stamps (adds 4,
+    // deletes 5). The crash window BETWEEN the verbs is staged live:
+    // the first fold sees only the epoch's adds (= crash after the add
+    // commit, before any delete ran), then the full epoch replays — the
+    // committed add stamp no-ops, the deletes run, exactly the recovery
+    // startCdc promises. Oracle = the leakage rollup over documents
+    // WHERE doc_id % 5 != 2, so the driver's hash compare is "CDC-fed,
+    // crash-replayed index == scan of the net corpus", cross-engine.
+    GraftQuery(
+      "q185_cdc_changelog",
+      Some(splitLeakageSqlOver("doc_id % 5 != 2")),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val table = "graft_q185_pairs"
+        val path = graft.core.Scratch.path(table)
+        // reps rebuild from cold: drop the marker so foldCdc's existence
+        // probe routes epoch 0 into the build (which Overwrites the data
+        // tables), and the tombstones so epoch 1's deletes start clean
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_batches")
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_deleted")
+        val log0 = docs.filter(col("id") % 2 === 0)
+          .withColumn("op", lit("add"))
+        val log1 = docs.filter(col("id") % 2 === 1)
+          .withColumn("op", lit("add"))
+          .unionByName(docs.filter(col("id") % 5 === 2)
+            .withColumn("text", lit("")).withColumn("op", lit("delete")))
+        graft.streaming.PairIndexStream.foldCdc(
+          log0, epochId = 0L, table, path, threshold = 0.8)
+        graft.streaming.PairIndexStream.foldCdc( // crash after the adds…
+          log1.filter(col("op") === "add"), 1L, table, path, 0.8)
+        graft.streaming.PairIndexStream.foldCdc( // …full-epoch replay
+          log1, epochId = 1L, table, path, threshold = 0.8)
+        leakageRollup(Dedup.servePairIndex(spark, table))
+      }),
+
+    // ------------------------------------------------------------------
+    // q186: AS-OF reads on the pair index — the stamp log doubles as an
+    // MVCC history (valid back to the last compact, which folds it to
+    // batch 0: the lakehouse VACUUM trade). Build (evens, stamp 0) +
+    // extend (odds, stamp 1) + DELETE doc_id % 7 = 3 (tombstones,
+    // stamp 2), then serve AS OF batch 1: the pinned audit sees the
+    // full corpus and the LATER tombstones are invisible — an audit row
+    // can cite the exact data version it was computed on
+    // (reproducibility on maintained state). Oracle = the whole-corpus
+    // leakage rollup, so the driver's hash compare is "snapshot read
+    // through later deletes == scan of the corpus as of that batch",
+    // cross-engine. The current-state serve of the same index is
+    // q177's contract; the pair (q177, q186) pins both ends of the
+    // version axis.
+    GraftQuery(
+      "q186_asof_pairs",
+      Some(splitLeakageSql),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val table = "graft_q186_pairs"
+        val path = graft.core.Scratch.path(table)
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_deleted")
+        Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), table, path,
+          threshold = 0.8, incremental = true)
+        Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1),
+          table, threshold = 0.8, batchId = 1L)
+        Dedup.deleteFromPairIndex(spark,
+          docs.filter(col("id") % 7 === 3).select(col("id")),
+          table, path, batchId = 2L)
+        leakageRollup(Dedup.servePairIndex(spark, table, asOf = 1L))
+      }),
+
+    // ------------------------------------------------------------------
     // q173: INCREMENTAL LSH — the q162 move for the MinHash tier: the
     // corpus arrives as two batches (doc_id parity), the first builds
     // the persisted near-dup index (buildNearDupIndex: band-key postings

@@ -71,23 +71,35 @@ object PairIndexStream {
       threshold: Double, nBuckets: Int = 8): StreamingQuery =
     changelog.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        import org.apache.spark.sql.functions.col
-        val sp = batch.sparkSession
-        val b = batch.localCheckpoint() // adds + deletes share one read
-        val adds = b.filter(col("op") === "add").select("id", "text")
-        val addStamp = 2L * (epochId + 1)
-        if (!adds.isEmpty) {
-          if (sp.catalog.tableExists(s"${table}_batches"))
-            Dedup.extendPairIndex(sp, adds, table, threshold, batchId = addStamp)
-          else
-            Dedup.buildPairIndex(adds, table, path, threshold, nBuckets,
-              incremental = true, commitAlias = addStamp)
-        }
-        val dels = b.filter(col("op") === "delete").select("id")
-        if (!dels.isEmpty && sp.catalog.tableExists(s"${table}_batches"))
-          Dedup.deleteFromPairIndex(sp, dels, table, path,
-            batchId = addStamp + 1)
-        ()
+        foldCdc(batch, epochId, table, path, threshold, nBuckets)
       }
       .start()
+
+  /** One CDC epoch's fold — the [[startCdc]] foreachBatch body, exposed
+    * so the driver contract can stage epochs (and their crash windows)
+    * against a static changelog: calling it with an epoch's adds only,
+    * then with the full epoch, IS the crash-between-verbs replay (the
+    * committed add stamp no-ops, the deletes run) — q185 drives exactly
+    * that and hash-checks the result cross-engine.
+    */
+  def foldCdc(batch: DataFrame, epochId: Long, table: String, path: String,
+      threshold: Double, nBuckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    val sp = batch.sparkSession
+    val b = batch.localCheckpoint() // adds + deletes share one read
+    val adds = b.filter(col("op") === "add").select("id", "text")
+    val addStamp = 2L * (epochId + 1)
+    if (!adds.isEmpty) {
+      if (sp.catalog.tableExists(s"${table}_batches"))
+        Dedup.extendPairIndex(sp, adds, table, threshold, batchId = addStamp)
+      else
+        Dedup.buildPairIndex(adds, table, path, threshold, nBuckets,
+          incremental = true, commitAlias = addStamp)
+    }
+    val dels = b.filter(col("op") === "delete").select("id")
+    if (!dels.isEmpty && sp.catalog.tableExists(s"${table}_batches"))
+      Dedup.deleteFromPairIndex(sp, dels, table, path,
+        batchId = addStamp + 1)
+    ()
+  }
 }

@@ -53,6 +53,22 @@ class IvmRollupSpec extends SparkSpec {
     assert(got == recomputed())
   }
 
+  test("asOf pins a log prefix: 0 = base, Long.MaxValue = current") {
+    buildAndFold()
+    // asOf 0 cuts both deltas → exactly the base rollup of snapshot A
+    val base = orders.groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(38, 2)))
+          .cast(DecimalType(38, 2)).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val asOf0 = IvmRollup.serve(spark, table, asOf = 0L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(asOf0 == base)
+    // the default horizon is the current state
+    assert(IvmRollup.serve(spark, table).collect().length ==
+      IvmRollup.serve(spark, table, asOf = Long.MaxValue).collect().length)
+  }
+
   test("replaying a batch after a simulated crash does not double count") {
     buildAndFold()
     val before = served()
