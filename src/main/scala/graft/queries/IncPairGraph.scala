@@ -44,4 +44,28 @@ object IncPairGraph {
       Dedup.extendPairIndex(spark, odds, name, threshold, batchId = 1L)
       name
     })
+
+  /** The q186 AS-OF scenario: the build+extend ladder above PLUS a
+    * batch-2 tombstone delete (doc_id % 7 = 3) — its own table (the
+    * tombstones must not leak into the current-state consumers of
+    * [[table]]). Memoized for the same reason: the AS-OF read is a
+    * serve-time feature, so bench reps time the snapshot serve — the
+    * production cost of pinning an audit to a version — while the
+    * build cost stays honestly owned by q162/q177.
+    */
+  def tableWithDeletes(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): String =
+    built.computeIfAbsent(f"del|$dir|$threshold%.2f", key => {
+      val name = "graft_ipg_" + java.lang.Integer.toHexString(key.hashCode)
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id").as("id"), col("text"))
+      Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), name,
+        graft.core.Scratch.path(name), threshold, incremental = true)
+      Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1),
+        name, threshold, batchId = 1L)
+      Dedup.deleteFromPairIndex(spark,
+        docs.filter(col("id") % 7 === 3).select(col("id")),
+        name, graft.core.Scratch.path(name), batchId = 2L)
+      name
+    })
 }
