@@ -1512,9 +1512,11 @@ object Dedup {
     * join entirely.
     */
   private def dropDeleted(spark: org.apache.spark.sql.SparkSession,
-      table: String, df: DataFrame): DataFrame =
+      table: String, df: DataFrame,
+      asOf: Long = Long.MaxValue): DataFrame =
     if (spark.catalog.tableExists(s"${table}_deleted"))
-      df.join(spark.table(s"${table}_deleted").select("id").distinct(),
+      df.join(spark.table(s"${table}_deleted")
+          .filter(col("batch_id") <= asOf).select("id").distinct(),
         Seq("id"), "left_anti")
     else df
 
@@ -1595,16 +1597,21 @@ object Dedup {
     * @return (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold
     */
   def serveNearDupPairs(spark: org.apache.spark.sql.SparkSession,
-      table: String, threshold: Double): DataFrame = {
+      table: String, threshold: Double,
+      asOf: Long = Long.MaxValue): DataFrame = {
     // the replay collapse folds INTO the rep aggregation: collect_set
     // dedups a crashed-replay's byte-identical (id, toks) rows inside
     // the same shuffle the collapse needs anyway — one pass, not a
     // dropDuplicates followed by a second aggregate. Tombstones filter
     // HERE: groups then exclude deleted members, and the raw-postings
     // self-join below is cleansed transitively through its rep
-    // semi-join + verify joins against these groups.
+    // semi-join + verify joins against these groups. `asOf` cuts both
+    // data and tombstones at a batch stamp (the servePairIndex MVCC
+    // read, valid back to the last compact): appends are pure functions
+    // of their batch, so the stamp cut IS the corpus-through-asOf index.
     val groups = dropDeleted(spark, table,
-        spark.table(s"${table}_sets").select("id", "toks"))
+        spark.table(s"${table}_sets")
+          .filter(col("batch_id") <= asOf).select("id", "toks"), asOf)
       .groupBy("toks")
       .agg(min(col("id")).as("id"), sort_array(collect_set(col("id"))).as("members"))
       .localCheckpoint() // rep filter + verify sides + expansion share it
@@ -1615,7 +1622,8 @@ object Dedup {
     // groups frame measured small; the band self-join broadcasts its
     // probe side under the same gate (20k-row band keys vs an SMJ of
     // two RDD-backed frames with no stats).
-    val repKeys = spark.table(s"${table}_postings").select("id", "band", "key")
+    val repKeys = spark.table(s"${table}_postings")
+      .filter(col("batch_id") <= asOf).select("id", "band", "key")
       .join(maybeBroadcast(groups.select("id"), bOk), Seq("id"), "left_semi")
       .localCheckpoint() // both sides of the self-join share one probe scan
     val cands = repKeys.select(col("band"), col("key"), col("id").as("id_a"))

@@ -96,18 +96,24 @@ object IvfIndex {
     * caller-supplied and unaffected.
     */
   def topK(spark: SparkSession, table: String, queries: DataFrame,
-      k: Int, nProbe: Int = 4, scale: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4, scale: Int = 4,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    // `asOf` pins the search to a version of the inverted file: cell
+    // assignment is a pure function of the FROZEN centroids and the
+    // vector, so the stamp cut is exactly the file as of that batch;
+    // tombstones cut at the same stamp. Valid back to the last compact.
     val centroids = centroidsOf(spark, table)
     val assigned = dropDeleted(spark, table,
-      spark.table(s"${table}_cells")
-        .dropDuplicates("id", "cell", "batch_id").drop("batch_id"))
+      spark.table(s"${table}_cells").filter(col("batch_id") <= asOf)
+        .dropDuplicates("id", "cell", "batch_id").drop("batch_id"), asOf)
     VectorOps.ivfServe(assigned, queries, centroids, k, nProbe, scale)
   }
 
   private def dropDeleted(spark: SparkSession, table: String,
-      df: DataFrame): DataFrame =
+      df: DataFrame, asOf: Long = Long.MaxValue): DataFrame =
     if (spark.catalog.tableExists(s"${table}_deleted"))
-      df.join(spark.table(s"${table}_deleted").select("id").distinct(),
+      df.join(spark.table(s"${table}_deleted")
+          .filter(col("batch_id") <= asOf).select("id").distinct(),
         Seq("id"), "left_anti")
     else df
 

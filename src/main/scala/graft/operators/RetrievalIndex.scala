@@ -208,9 +208,10 @@ object RetrievalIndex {
     * skip the join (one catalog probe).
     */
   private def dropDeletedDocs(ps: SparkSession, table: String,
-      df: DataFrame): DataFrame =
+      df: DataFrame, asOf: Long = Long.MaxValue): DataFrame =
     if (ps.catalog.tableExists(s"${table}_deleted"))
-      df.join(ps.table(s"${table}_deleted").select("doc_id").distinct(),
+      df.join(ps.table(s"${table}_deleted")
+          .filter(col("batch_id") <= asOf).select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
     else df
 
@@ -228,8 +229,10 @@ object RetrievalIndex {
     * per committed batch by the marker ordering; identical duplicates
     * from a torn write fold through the distinct before the sum.
     */
-  private def corpusN(spark: SparkSession, table: String): Long =
-    spark.table(s"${table}_meta").dropDuplicates("n_docs", "batch_id")
+  private def corpusN(spark: SparkSession, table: String,
+      asOf: Long = Long.MaxValue): Long =
+    spark.table(s"${table}_meta").filter(col("batch_id") <= asOf)
+      .dropDuplicates("n_docs", "batch_id")
       .agg(sum(col("n_docs"))).head.getLong(0)
 
   /** q88 from the index: top-k docs per query by Σ tf·idf_scaled, ranked
@@ -275,14 +278,21 @@ object RetrievalIndex {
   }
 
   def topK(spark: SparkSession, table: String,
-      queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
-    val n = corpusN(spark, table)
+      queries: Seq[(Int, Seq[String])], k: Int = 10,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    // `asOf` pins the ranking to a version: N sums only meta rows
+    // through the stamp (the signed ledger makes this exact — later
+    // deletes' negative rows drop out with their tombstones), postings
+    // and tombstones cut at the same stamp. Valid back to the last
+    // compact, which folds the ledger to one batch-0 row.
+    val n = corpusN(spark, table, asOf)
     val terms = queries.flatMap(_._2).distinct
     // plan + materialize the probe on the bucket-pruning clone; once
     // pinned, downstream stages run on the caller's session as usual
     val ps = probeSession(spark)
     val p = dropDeletedDocs(ps, table, collapseReplays(ps.table(s"${table}_postings")
-      .filter(col("term").isin(terms: _*)))) // explicit IN → bucket pruning
+      .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
+      .filter(col("batch_id") <= asOf)), asOf)
     val q = broadcast(queryTermsDf(ps, queries))
     val matched = p.join(q, "term").localCheckpoint()
     val scored = graft.queries.CurationOps.scoreMatched(matched, n)
@@ -430,14 +440,16 @@ object RetrievalIndex {
     *         n_matches counts DISTINCT anchors (overlaps included)
     */
   def phrase(spark: SparkSession, table: String,
-      phrases: Seq[(Int, Seq[String])]): DataFrame = {
+      phrases: Seq[(Int, Seq[String])],
+      asOf: Long = Long.MaxValue): DataFrame = {
     val terms = phrases.flatMap(_._2).distinct
     val ps = probeSession(spark)
     val p = dropDeletedDocs(ps, table,
       ps.table(s"${table}_positions")
         .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
+        .filter(col("batch_id") <= asOf) // AS-OF stamp cut (MVCC read)
         .dropDuplicates("term", "doc_id", "batch_id") // crashed-replay collapse
-        .drop("batch_id"))
+        .drop("batch_id"), asOf)
     val pdf = {
       import ps.implicits._
       phrases.flatMap { case (pid, ts) =>

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.core.Tables
+import graft.operators.{Dedup, IvfIndex, RetrievalIndex}
+
+/** Per-JVM memoized AS-OF scenarios — one per maintained index family,
+  * all the same three-batch ladder (the q177/q180/q183/q184 shape):
+  *
+  *   build (doc parity even, stamp 0) → extend (odd, stamp 1) →
+  *   tombstone delete (id % 7 = 3, stamp 2)
+  *
+  * The AS-OF rows (q188–q191) then serve at `asOf = 1`: the snapshot
+  * read sees the FULL two-batch corpus and the later tombstones are
+  * invisible — each family's oracle is its own whole-corpus scan-time
+  * SQL, so the driver's hash compare is "version-pinned read through
+  * later deletes == recompute at that version", cross-engine.
+  *
+  * Memoized like [[IncPairGraph]] (the q172/q186 discipline): AS-OF is
+  * a SERVE-time feature, so bench reps time the snapshot read — the
+  * production cost of pinning an audit/search to a data version — while
+  * the ladders' build costs stay honestly owned by their generator rows
+  * (q173/q179, q180/q182, q178/q184, q181/q183).
+  */
+object AsOfFixtures {
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def once(family: String, dir: String)(build: String => Unit): String =
+    built.computeIfAbsent(s"$family|$dir", key => {
+      val name = "graft_asof_" + family + "_" +
+        java.lang.Integer.toHexString(key.hashCode)
+      build(name); name
+    })
+
+  private def docs(spark: SparkSession, dir: String) =
+    Tables(spark, dir).documents.select(col("doc_id").as("id"), col("text"))
+
+  /** MinHash-LSH near-dup index with a post-extend tombstone batch. */
+  def lsh(spark: SparkSession, dir: String): String =
+    once("lsh", dir) { name =>
+      val d = docs(spark, dir)
+      Dedup.buildNearDupIndex(d.filter(col("id") % 2 === 0), name,
+        graft.core.Scratch.path(name))
+      Dedup.extendNearDupIndex(spark, d.filter(col("id") % 2 === 1),
+        name, batchId = 1L)
+      Dedup.deleteFromNearDupIndex(spark,
+        d.filter(col("id") % 7 === 3).select(col("id")),
+        name, graft.core.Scratch.path(name), batchId = 2L)
+    }
+
+  /** tf-postings retrieval index; the delete also appends the negative
+    * `_meta` row, so the AS-OF read must pin the idf's N by stamp. */
+  def retrieval(spark: SparkSession, dir: String): String =
+    once("rix", dir) { name =>
+      val d = Tables(spark, dir).documents
+      RetrievalIndex.build(d.filter(col("doc_id") % 2 === 0), name,
+        graft.core.Scratch.path(name))
+      RetrievalIndex.extend(d.filter(col("doc_id") % 2 === 1), name, batchId = 1L)
+      RetrievalIndex.deleteDocs(spark,
+        d.filter(col("doc_id") % 7 === 3).select("doc_id"),
+        name, graft.core.Scratch.path(name), batchId = 2L)
+    }
+
+  /** Positional (phrase) index — shares the `_deleted` semantics. */
+  def positions(spark: SparkSession, dir: String): String =
+    once("pix", dir) { name =>
+      val d = Tables(spark, dir).documents
+      RetrievalIndex.buildPositions(d.filter(col("doc_id") % 2 === 0), name,
+        graft.core.Scratch.path(name))
+      RetrievalIndex.extendPositions(d.filter(col("doc_id") % 2 === 1),
+        name, batchId = 1L)
+      RetrievalIndex.deletePositionDocs(spark,
+        d.filter(col("doc_id") % 7 === 3).select("doc_id"),
+        name, graft.core.Scratch.path(name), batchId = 2L)
+    }
+
+  /** Frozen-quantizer IVF over `embeddings` (vec_id parity ladder). */
+  def ivf(spark: SparkSession, dir: String): String =
+    once("ivf", dir) { name =>
+      val corpus = Tables(spark, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      IvfIndex.build(corpus.filter(col("id") % 2 === 0), name,
+        graft.core.Scratch.path(name), nCells = 16, iters = 3)
+      IvfIndex.extend(spark, corpus.filter(col("id") % 2 === 1),
+        name, batchId = 1L)
+      IvfIndex.deleteIds(spark,
+        corpus.filter(col("id") % 7 === 3).select(col("id")),
+        name, graft.core.Scratch.path(name), batchId = 2L)
+    }
+}

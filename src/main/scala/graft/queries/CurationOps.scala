@@ -1083,6 +1083,28 @@ object CurationOps {
         graft.operators.RetrievalIndex.compact(spark, table, path)
         graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
       }),
+    // q189: AS-OF on the RETRIEVAL index — the version-pinned ranking.
+    // The memoized ladder (AsOfFixtures.retrieval: build evens / extend
+    // odds / deleteDocs doc_id % 7 = 3, whose negative `_meta` row
+    // shrank the live N) is served AT batch 1: the snapshot's N sums
+    // only meta rows through the stamp — the signed ledger makes the
+    // pin exact — so the idf arithmetic reproduces the FULL two-batch
+    // corpus ranking even though the live index ranks under the
+    // shrunken N. Oracle = q88's whole-corpus SQL; the hash compare is
+    // "version-pinned ranking through a later delete == from-scratch
+    // ranking at that version" — scores, not just membership.
+    // Serve-time row; the ladder's cost is owned by q180/q182.
+    GraftQuery("q189_asof_retrieval", Some(keywordTopKSql),
+      (spark, dir) => graft.operators.RetrievalIndex.topK(
+        spark, AsOfFixtures.retrieval(spark, dir), rankQueries, asOf = 1L)),
+    // q190: AS-OF on the POSITIONAL tier — phrase search pinned to a
+    // version: the ladder (AsOfFixtures.positions) is probed AT batch 1,
+    // so adjacency answers include documents a batch-2 tombstone later
+    // removed. Oracle = the token-level phrase scan over the FULL
+    // corpus. Serve-time row; the ladder's cost is owned by q178/q184.
+    GraftQuery("q190_asof_positions", Some(phraseSearchSql),
+      (spark, dir) => graft.operators.RetrievalIndex.phrase(
+        spark, AsOfFixtures.positions(spark, dir), phraseQueries, asOf = 1L)),
     GraftQuery("q95_token_lift", Some(tokenLiftSql), tokenLift),
     GraftQuery("q100_hybrid_search", Some(hybridSearchSql), hybridSearch),
     GraftQuery("q105_model_score", Some(modelScoreSql), modelScore),

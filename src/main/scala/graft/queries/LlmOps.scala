@@ -847,6 +847,23 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q188: AS-OF on the LSH tier — q186's version-pinned read on the
+    // MinHash index: the memoized ladder (AsOfFixtures.lsh: build evens
+    // / extend odds / tombstone doc_id % 7 = 3) serves its full pair
+    // graph AT batch 1, so the snapshot sees the whole two-batch corpus
+    // and the batch-2 tombstones are invisible. Oracle = q43's exact
+    // brute-force pair SQL over the FULL corpus (the q173 recall
+    // argument), so the hash compare is "version-pinned LSH read
+    // through later deletes == from-scratch scan at that version". The
+    // row times the snapshot serve (AS-OF is a read-time feature); the
+    // ladder's build cost is owned by q173/q179.
+    GraftQuery(
+      "q188_asof_lsh",
+      Some(s"SELECT id_a, id_b, jaccard FROM ($jaccardPairsSql)"),
+      (spark, dir) => Dedup.serveNearDupPairs(
+        spark, AsOfFixtures.lsh(spark, dir), threshold = 0.8, asOf = 1L)),
+
+    // ------------------------------------------------------------------
     // q179: the LSH index's FULL lifecycle — build → crashed extend +
     // replay → crashed tombstone delete + replay → COMPACT (replay
     // duplicates AND deleted docs leave physically, tombstones clear,
@@ -1051,6 +1068,31 @@ object LlmOps {
         graft.operators.IvfIndex.applyExtend(spark, odds, table, batchId = 1L)
         graft.operators.IvfIndex.extend(spark, odds, table, batchId = 1L)
         graft.operators.IvfIndex.topK(spark, table, queries, k = 5, nProbe = 8)
+      }),
+
+    // ------------------------------------------------------------------
+    // q191: AS-OF on the IVF tier — a vector search pinned to a data
+    // version: the memoized ladder (AsOfFixtures.ivf: train+freeze on
+    // even vec_ids / extend odds / tombstone vec_id % 7 = 3) runs topK
+    // AT batch 1 — the snapshot searches the full two-batch file and
+    // the later tombstones are invisible. The cut is exact because cell
+    // assignment is a pure function of the FROZEN centroids and the
+    // vector. Oracle = q181's trainFilter'd unrolled-Lloyd twin over
+    // the full candidate corpus, so the hash compare is "version-pinned
+    // ANN read through later deletes == from-scratch inverted file at
+    // that version under the same quantizer". Serve-time row; the
+    // ladder's cost is owned by q181/q183.
+    GraftQuery(
+      "q191_asof_ivf",
+      Some(annIvfOracleSql(nCells = 16, nProbe = 8, k = 5, iters = 3,
+        dim = 64, trainFilter = "vec_id % 2 = 0")),
+      (spark, dir) => {
+        val queries = Tables(spark, dir).embeddings
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.operators.IvfIndex.topK(
+          spark, AsOfFixtures.ivf(spark, dir), queries,
+          k = 5, nProbe = 8, asOf = 1L)
       }),
 
     // ------------------------------------------------------------------
