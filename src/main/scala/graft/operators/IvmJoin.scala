@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained JOIN view — the second act of incremental
+  * view maintenance ([[IvmRollup]] maintains aggregates; this maintains
+  * a denormalized fact ⋈ dim view under changelogs to BOTH sides), the
+  * counting algorithm of the IVM literature (deltas carry signed
+  * multiplicities, and the join delta is bilinear):
+  *
+  *   ΔV  =  ΔF ⋈ D_pre  ∪  F_pre ⋈ ΔD  ∪  ΔF ⋈ ΔD
+  *
+  * with multiplicities multiplying across the join — an update is a
+  * (−old, +new) pair, so a dim row's payload change fans out as one
+  * negative and one positive view row per matching fact, exactly what a
+  * recompute would change.
+  *
+  * State is three batch-stamped logs under one table family, all
+  * bucketed by the join key: `<t>_fact` (fact rows + dn), `<t>_dim`
+  * (dim rows + dn), and `<t>` — the VIEW log (joined rows + dn). The
+  * `_batches` marker (written LAST) is the crash contract, the
+  * [[Dedup.extendPairIndex]] protocol: apply aggregates each delta to
+  * ONE row per (row identity, batch) before appending, so a crashed
+  * replay re-appends byte-identical rows that [[serve]] collapses per
+  * (identity, batch_id); pre-state reads exclude the applying batch's
+  * own stamp, so the replay computes against the same pre-state the
+  * crashed attempt saw.
+  *
+  * Cost model (the known IVM asymmetry, stated rather than hidden):
+  * a FACT delta costs ∝ batch — the dim side is collapsed current
+  * state, small by the dimension argument, and broadcast. A DIM delta
+  * costs a fact-log scan (broadcast ΔD keys, no shuffle) + output ∝
+  * matched facts — the honest fan-out a payload change implies; at
+  * 100 TB the fact log's join-key bucketing bounds the rewrite the way
+  * q151's dirty-bucket plan does. Serve is a scan + one bucket-local
+  * collapse: no join at read time — that is the point of materializing.
+  *
+  * Reference trigger: the reference joins its consolidated groups back
+  * to per-link records from scratch each run (`pairs_to_links`
+  * rebuild); this is that join maintained instead of recomputed.
+  */
+object IvmJoin {
+
+  /** Build the view from full snapshots: V = fact ⋈ dim on `key`,
+    * every row dn = +1, batch 0; the two side logs persist the same
+    * snapshots. Overwrite semantics: a crashed build's retry replaces
+    * (callers probe `_batches`, written last).
+    */
+  def build(fact: DataFrame, dim: DataFrame, key: String,
+      table: String, path: String, nBuckets: Int = 16): Unit = {
+    val spark = fact.sparkSession
+    val stamp = (df: DataFrame) =>
+      df.withColumn("dn", lit(1L)).withColumn("batch_id", lit(0L))
+    graft.sources.TableWriter.writeBucketed(
+      stamp(fact), s"${table}_fact", s"$path/fact", key, nBuckets)
+    graft.sources.TableWriter.writeBucketed(
+      stamp(dim), s"${table}_dim", s"$path/dim", key, nBuckets)
+    graft.sources.TableWriter.writeBucketed(
+      stamp(fact.join(dim, key)), table, s"$path/view", key, nBuckets)
+    import spark.implicits._
+    Seq(0L).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/batches").format("parquet")
+      .saveAsTable(s"${table}_batches")
+  }
+
+  private def committed(spark: SparkSession, table: String): Set[Long] =
+    spark.table(s"${table}_batches").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  /** A log's net state as of just before `batchId`: collapse replayed
+    * duplicates per (identity, batch), exclude the applying batch's own
+    * crashed rows, sum multiplicities, keep live rows. Identity is
+    * every column except (dn, batch_id).
+    */
+  private def preState(spark: SparkSession, t: String, batchId: Long): DataFrame = {
+    val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
+    spark.table(t)
+      .filter(col("batch_id") =!= batchId) // replay reads the same pre-state
+      .dropDuplicates(cols :+ "batch_id")  // crashed-replay collapse
+      .groupBy(cols.map(col): _*).agg(sum(col("dn")).as("dn"))
+      .filter(col("dn") > 0)
+  }
+
+  /** Fold one changelog batch into the family. `factDelta` / `dimDelta`
+    * carry their side's full row schema plus a signed `dn` (±1; an
+    * update is a −old/+new pair). Either side may be empty. All three
+    * appends are deterministic functions of (pre-state, batch) and the
+    * marker goes LAST — the house exactly-once protocol.
+    */
+  def applyDelta(spark: SparkSession, table: String, key: String,
+      factDelta: DataFrame, dimDelta: DataFrame, batchId: Long,
+      nBuckets: Int = 16): Unit = {
+    if (committed(spark, table).contains(batchId)) return
+    require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    applyDeltaData(spark, table, key, factDelta, dimDelta, batchId, nBuckets)
+    import spark.implicits._
+    // the commit stamp — LAST, after every data append of the batch
+    Seq(batchId).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_batches")
+  }
+
+  /** The data appends of [[applyDelta]] WITHOUT the trailing commit
+    * stamp — the state a crash mid-apply leaves behind, split out so
+    * the crash window is drivable end-to-end (q192 / IvmJoinSpec stage
+    * it, then replay the full apply and assert the serve collapse).
+    */
+  private[graft] def applyDeltaData(spark: SparkSession, table: String,
+      key: String, factDelta: DataFrame, dimDelta: DataFrame,
+      batchId: Long, nBuckets: Int = 16): Unit = {
+    val dF = factDelta.withColumnRenamed("dn", "dn_f").localCheckpoint()
+    val dD = dimDelta.withColumnRenamed("dn", "dn_d").localCheckpoint()
+    // a bilinear term with an empty side is empty: skip it so a
+    // fact-only batch never scans the fact log (and vice versa) — the
+    // pinned deltas make the emptiness probe a metadata question
+    val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
+    def cross(f: DataFrame, d: DataFrame): DataFrame =
+      f.join(broadcast(d), key) // dim state / dim deltas are the small side
+        .withColumn("dn", col("dn_f") * col("dn_d"))
+        .drop("dn_f", "dn_d")
+    val terms =
+      (if (hasF) Seq(cross(dF,
+        preState(spark, s"${table}_dim", batchId).withColumnRenamed("dn", "dn_d")))
+       else Seq.empty) ++
+      (if (hasD) Seq(cross(
+        preState(spark, s"${table}_fact", batchId).withColumnRenamed("dn", "dn_f"), dD))
+       else Seq.empty) ++
+      (if (hasF && hasD) Seq(cross(dF, dD)) else Seq.empty)
+    val dView = terms.reduceOption(_ unionByName _)
+    def append(df: DataFrame, t: String): Unit = {
+      val idCols = df.columns.filterNot(_ == "dn")
+      df.groupBy(idCols.map(col): _*).agg(sum(col("dn")).as("dn"))
+        .filter(col("dn") =!= 0L) // net-zero churn never lands
+        .withColumn("batch_id", lit(batchId))
+        .select(spark.table(t).columns.map(col): _*) // insertInto is positional
+        .repartition(nBuckets, col(key)) // one appended file per bucket
+        .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
+    }
+    dView.foreach(append(_, table))
+    if (hasF) append(dF.withColumnRenamed("dn_f", "dn"), s"${table}_fact")
+    if (hasD) append(dD.withColumnRenamed("dn_d", "dn"), s"${table}_dim")
+  }
+
+  /** The maintained view: collapse replays per (identity, batch_id),
+    * sum multiplicities per identity, keep live rows. `asOf` cuts the
+    * log at a stamp (the house MVCC read, valid back to the last
+    * compact). The multiplicity fence fails LOUDLY on Σdn outside
+    * {0, 1}: under the fact-pk contract a view row exists at most once,
+    * so 2+ means a double-insert and negative means a lost delta —
+    * folding either silently would serve a wrong view.
+    */
+  def serve(spark: SparkSession, table: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val cols = spark.table(table).columns.filterNot(Seq("dn", "batch_id").contains)
+    spark.table(table)
+      .filter(col("batch_id") <= asOf)
+      .dropDuplicates(cols :+ "batch_id")
+      .groupBy(cols.map(col): _*).agg(sum(col("dn")).as("dn"))
+      .filter(col("dn") =!= 0L)
+      // the fence lives in a FILTER, not a projected-then-dropped column
+      // — Catalyst prunes unused projections, which would silently
+      // delete a raise_error sitting in one (measured: it did)
+      .filter(assert_true(col("dn") === 1L,
+        concat(lit("IvmJoin: multiplicity "), col("dn").cast("string"),
+          lit(" outside {0,1} — double-insert or lost delta"))).isNull)
+      .drop("dn")
+  }
+
+  /** Fold all three logs back to batch-0 bases — the house compact:
+    * replay duplicates and dead rows leave physically, one file per
+    * bucket, marker rewrites LAST to {0} (namespace reset; requires
+    * quiescence). Each fold is pinned before its Overwrite.
+    */
+  def compact(spark: SparkSession, table: String, path: String,
+      key: String, nBuckets: Int = 16): Unit = {
+    def fold(t: String, sub: String): Unit = {
+      val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
+      val base = spark.table(t)
+        .dropDuplicates(cols :+ "batch_id")
+        .groupBy(cols.map(col): _*).agg(sum(col("dn")).as("dn"))
+        .filter(col("dn") > 0)
+        .withColumn("batch_id", lit(0L))
+        .localCheckpoint() // the Overwrite reads the table it replaces
+      graft.sources.TableWriter.writeBucketed(base, t, s"$path/$sub", key, nBuckets)
+    }
+    fold(table, "view"); fold(s"${table}_fact", "fact"); fold(s"${table}_dim", "dim")
+    import spark.implicits._
+    Seq(0L).toDF("batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/batches").format("parquet")
+      .saveAsTable(s"${table}_batches")
+  }
+}

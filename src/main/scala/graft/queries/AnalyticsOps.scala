@@ -804,6 +804,65 @@ object AnalyticsOps {
     GROUP BY o_custkey""".trim
 
   // --------------------------------------------------------------------
+  // q192: incrementally maintained JOIN view (operators.IvmJoin) — IVM's
+  // second act: IvmRollup maintains aggregates; this maintains the
+  // DENORMALIZED orders ⋈ customer view under changelogs to BOTH sides,
+  // by the counting algorithm (ΔV = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD, signed
+  // multiplicities multiplying across the join). Lifecycle driven:
+  // build from full snapshots → batch 1 = FACT changelog (q160's
+  // deletes %101 / key-shifted inserts %103) → batch 2 = DIM changelog
+  // (every %13 customer's segment updated as a −old/+new pair — the
+  // payload change fans out to every matching fact row, the honest IVM
+  // cost) staged as a CRASH (data appends land, marker does not) + full
+  // replay → serve. Oracle = the from-scratch join of the net fact
+  // state against the updated dim, so the driver's hash compare is
+  // "maintained join view across both-sided churn and a crash-replay ==
+  // recompute", cross-engine. Serve is a scan + bucket-local collapse —
+  // NO join at read time; that is what materializing buys at 100 TB.
+  private def ivmJoinView(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmJoin
+    val t = Tables(spark, dir)
+    val fact = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = t.customer.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    val table = "graft_q192_jv"
+    val path = graft.core.Scratch.path(table)
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    IvmJoin.applyDelta(spark, table, "custkey",
+      factDelta = fact.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("dn", lit(-1L))
+        .unionByName(fact.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("dn", lit(1L))),
+      dimDelta = dim.limit(0).withColumn("dn", lit(1L)),
+      batchId = 1L)
+    val dimChange = dim.filter(col("custkey") % 13 === 0)
+      .withColumn("dn", lit(-1L))
+      .unionByName(dim.filter(col("custkey") % 13 === 0)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+        .withColumn("dn", lit(1L)))
+    val noFact = fact.limit(0).withColumn("dn", lit(1L))
+    IvmJoin.applyDeltaData(spark, table, "custkey", // crash: marker missing…
+      noFact, dimChange, batchId = 2L)
+    IvmJoin.applyDelta(spark, table, "custkey",     // …full replay collapses
+      noFact, dimChange, batchId = 2L)
+    IvmJoin.serve(spark, table)
+  }
+
+  private val ivmJoinSql: String = """
+    SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+           CASE WHEN c.c_custkey % 13 = 0 THEN c.c_mktsegment || '_v2'
+                ELSE c.c_mktsegment END AS c_mktsegment
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0) o
+    JOIN customer c ON o.o_custkey = c.c_custkey""".trim
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -885,6 +944,7 @@ object AnalyticsOps {
     GraftQuery("q160_ivm_rollup", Some(ivmAggSql), ivmRollup),
     GraftQuery("q175_ivm_compact", Some(ivmAggSql), ivmCompact),
     GraftQuery("q187_asof_rollup", Some(ivmAsOfSql), ivmAsOf),
+    GraftQuery("q192_ivm_join", Some(ivmJoinSql), ivmJoinView),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvmJoin
+
+/** The maintained join view (operators.IvmJoin): counting-algorithm
+  * deltas on both sides, crash-replay collapse, the multiplicity fence,
+  * compact neutrality, and the AS-OF prefix read.
+  */
+class IvmJoinSpec extends SparkSpec {
+
+  private val table = "ivmjoin_spec"
+  private val path = graft.core.Scratch.path(table)
+
+  private def fact = graft.core.Tables(spark, sfDir).orders
+    .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+  private def dim = graft.core.Tables(spark, sfDir).customer
+    .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+
+  private def factDelta = fact.filter(col("o_orderkey") % 101 === 0)
+    .withColumn("dn", lit(-1L))
+    .unionByName(fact.filter(col("o_orderkey") % 103 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("dn", lit(1L)))
+  private def dimDelta = dim.filter(col("custkey") % 13 === 0)
+    .withColumn("dn", lit(-1L))
+    .unionByName(dim.filter(col("custkey") % 13 === 0)
+      .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+      .withColumn("dn", lit(1L)))
+  private def noFact = fact.limit(0).withColumn("dn", lit(1L))
+  private def noDim = dim.limit(0).withColumn("dn", lit(1L))
+
+  private def buildAndFold(): Unit = {
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    IvmJoin.applyDelta(spark, table, "custkey", factDelta, noDim, batchId = 1L)
+    IvmJoin.applyDelta(spark, table, "custkey", noFact, dimDelta, batchId = 2L)
+  }
+
+  private def recomputed(): DataFrame = {
+    val f2 = fact.filter(col("o_orderkey") % 101 =!= 0)
+      .unionByName(fact.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val d2 = dim.withColumn("c_mktsegment",
+      when(col("custkey") % 13 === 0, concat(col("c_mktsegment"), lit("_v2")))
+        .otherwise(col("c_mktsegment")))
+    f2.join(d2, "custkey")
+  }
+
+  private def asSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("maintained join view equals recompute after both-sided churn") {
+    buildAndFold()
+    val got = IvmJoin.serve(spark, table)
+    assert(got.columns.sorted sameElements recomputed().columns.sorted)
+    val want = asSet(recomputed().select(got.columns.map(col): _*))
+    assert(asSet(got) == want)
+    assert(want.nonEmpty)
+  }
+
+  test("crashed apply + full replay collapses to exactly-once") {
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    IvmJoin.applyDelta(spark, table, "custkey", factDelta, noDim, batchId = 1L)
+    // crash: the data appends land, the marker does not — then replay
+    IvmJoin.applyDeltaData(spark, table, "custkey", noFact, dimDelta, batchId = 2L)
+    IvmJoin.applyDelta(spark, table, "custkey", noFact, dimDelta, batchId = 2L)
+    assert(asSet(IvmJoin.serve(spark, table)) ==
+      asSet(recomputed().select(IvmJoin.serve(spark, table).columns.map(col): _*)))
+  }
+
+  test("replaying a committed batch is a no-op") {
+    buildAndFold()
+    val before = asSet(IvmJoin.serve(spark, table))
+    IvmJoin.applyDelta(spark, table, "custkey", factDelta, noDim, batchId = 1L)
+    assert(asSet(IvmJoin.serve(spark, table)) == before)
+  }
+
+  test("the multiplicity fence fails loudly on a double insert") {
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    // contract violation: re-insert an existing fact row (+1 on a live row)
+    IvmJoin.applyDelta(spark, table, "custkey",
+      fact.limit(1).withColumn("dn", lit(1L)), noDim, batchId = 1L)
+    val e = intercept[Exception] { IvmJoin.serve(spark, table).count() }
+    assert(e.getMessage.contains("multiplicity") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiplicity")))
+  }
+
+  test("compact folds the logs to batch 0 without changing the view") {
+    buildAndFold()
+    val before = asSet(IvmJoin.serve(spark, table))
+    IvmJoin.compact(spark, table, path, "custkey")
+    assert(asSet(IvmJoin.serve(spark, table)) == before)
+    assert(spark.table(table).select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L))
+    // and the namespace reset: a post-compact batch folds on as batch 1
+    IvmJoin.applyDelta(spark, table, "custkey",
+      fact.filter(col("o_orderkey") % 101 === 0) // re-insert the deleted facts
+        .withColumn("dn", lit(1L)), noDim, batchId = 1L)
+    val reAdded = asSet(IvmJoin.serve(spark, table))
+    assert(reAdded.size > before.size)
+  }
+
+  test("asOf pins a log prefix: 0 = the built snapshot view") {
+    buildAndFold()
+    val base = asSet(fact.join(dim, "custkey"))
+    assert(asSet(IvmJoin.serve(spark, table, asOf = 0L)) == base)
+  }
+}
