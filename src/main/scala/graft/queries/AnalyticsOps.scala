@@ -863,6 +863,81 @@ object AnalyticsOps {
     JOIN customer c ON o.o_custkey = c.c_custkey""".trim
 
   // --------------------------------------------------------------------
+  // q193: COMPOSED maintenance — the maintained rollup fed by the
+  // maintained join's own delta log (the chain rule of incremental
+  // computation: the delta of a composition is the composition of
+  // deltas). A revenue-by-segment rollup is an aggregate OVER the
+  // orders ⋈ customer view; instead of recomputing it — or even
+  // re-scanning the maintained view — each IvmJoin batch's appended
+  // view-log rows ARE the downstream changelog: (segment, Σdn,
+  // Σ dn·totalprice) per batch feeds IvmRollup.applyDelta verbatim.
+  // Lifecycle: build both states from the snapshot, fold q192's fact
+  // churn (batch 1) and dim segment update (batch 2) through the JOIN,
+  // pipe each batch's view delta into the ROLLUP, serve the rollup.
+  // The dim update moves every %13 customer's revenue between segment
+  // keys — the composed deltas must transfer exact decimal amounts
+  // across groups. Oracle = the from-scratch rollup of the net join,
+  // so the hash compare is "aggregate maintained on top of a
+  // maintained join == recompute of the composition", cross-engine.
+  private def ivmComposed(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.{IvmJoin, IvmRollup}
+    val t = Tables(spark, dir)
+    val fact = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = t.customer.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    val jt = "graft_q193_jv"
+    val rt = "graft_q193_roll"
+    IvmJoin.build(fact, dim, "custkey", jt, graft.core.Scratch.path(jt))
+    IvmRollup.build(spark.table(jt), col("c_mktsegment"),
+      col("o_totalprice"), rt, graft.core.Scratch.path(rt))
+    // each join batch's appended view rows are the rollup's changelog
+    def pipe(batchId: Long): Unit =
+      IvmRollup.applyDelta(spark, rt,
+        spark.table(jt).filter(col("batch_id") === batchId)
+          .dropDuplicates() // a crash-replayed join batch pipes once
+          .select(col("c_mktsegment").as("key"), col("dn"),
+            (col("dn") * col("o_totalprice"))
+              .cast(DecimalType(38, 2)).as("dr")),
+        batchId)
+    IvmJoin.applyDelta(spark, jt, "custkey",
+      factDelta = fact.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("dn", lit(-1L))
+        .unionByName(fact.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("dn", lit(1L))),
+      dimDelta = dim.limit(0).withColumn("dn", lit(1L)), batchId = 1L)
+    pipe(1L)
+    IvmJoin.applyDelta(spark, jt, "custkey",
+      factDelta = fact.limit(0).withColumn("dn", lit(1L)),
+      dimDelta = dim.filter(col("custkey") % 13 === 0)
+        .withColumn("dn", lit(-1L))
+        .unionByName(dim.filter(col("custkey") % 13 === 0)
+          .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+          .withColumn("dn", lit(1L))), batchId = 2L)
+    pipe(2L)
+    IvmRollup.serve(spark, rt)
+      .select(col("key").as("c_mktsegment"), col("n").as("n_orders"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  private val ivmComposedSql: String = """
+    SELECT seg AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT CASE WHEN c.c_custkey % 13 = 0 THEN c.c_mktsegment || '_v2'
+                  ELSE c.c_mktsegment END AS seg,
+             o.o_totalprice
+      FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 101 != 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 103 = 0) o
+      JOIN customer c ON o.o_custkey = c.c_custkey)
+    GROUP BY seg""".trim
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -945,6 +1020,7 @@ object AnalyticsOps {
     GraftQuery("q175_ivm_compact", Some(ivmAggSql), ivmCompact),
     GraftQuery("q187_asof_rollup", Some(ivmAsOfSql), ivmAsOf),
     GraftQuery("q192_ivm_join", Some(ivmJoinSql), ivmJoinView),
+    GraftQuery("q193_ivm_composed", Some(ivmComposedSql), ivmComposed),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
