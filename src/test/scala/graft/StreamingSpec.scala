@@ -713,4 +713,43 @@ class StreamingSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("streaming join-view maintenance: both-side churn == recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IvmJoin
+    val table = "ivmjoin_stream_spec"
+    val path = graft.core.Scratch.path(table)
+    // snapshot-then-stream: build from the initial load…
+    IvmJoin.build(
+      Seq((1L, 101L, 10.0), (1L, 102L, 20.0), (2L, 201L, 30.0))
+        .toDF("custkey", "o_orderkey", "o_totalprice"),
+      Seq((1L, "A"), (2L, "B")).toDF("custkey", "c_mktsegment"),
+      "custkey", table, path)
+    // …then one changelog stream carries both sides (union schema;
+    // the off-side columns are don't-cares, projected away per side)
+    val in = MemoryStream[(Long, Long, Double, String, String, Long)]
+    val q = graft.streaming.IvmJoinStream.start(
+      in.toDF().toDF("custkey", "o_orderkey", "o_totalprice",
+        "c_mktsegment", "side", "dn"),
+      table, "custkey",
+      factCols = Seq("custkey", "o_orderkey", "o_totalprice"),
+      dimCols = Seq("custkey", "c_mktsegment"))
+    try {
+      // epoch: insert order 202, delete order 102
+      in.addData((2L, 202L, 5.0, "", "fact", 1L), (1L, 102L, 20.0, "", "fact", -1L))
+      q.processAllAvailable()
+      // epoch: customer 2's segment B -> B2 (every order 2xx re-labels)
+      in.addData((2L, 0L, 0.0, "B", "dim", -1L), (2L, 0L, 0.0, "B2", "dim", 1L))
+      q.processAllAvailable()
+      val got = IvmJoin.serve(spark, table).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      assert(got == Set((1L, 101L, 10.0, "A"),
+        (2L, 201L, 30.0, "B2"), (2L, 202L, 5.0, "B2")), got.toString)
+    } finally {
+      q.stop()
+      Seq(table, s"${table}_fact", s"${table}_dim", s"${table}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
