@@ -52,12 +52,18 @@ object IvmJoin {
     val spark = fact.sparkSession
     val stamp = (df: DataFrame) =>
       df.withColumn("dn", lit(1L)).withColumn("batch_id", lit(0L))
-    graft.sources.TableWriter.writeBucketed(
-      stamp(fact), s"${table}_fact", s"$path/fact", key, nBuckets)
-    graft.sources.TableWriter.writeBucketed(
-      stamp(dim), s"${table}_dim", s"$path/dim", key, nBuckets)
-    graft.sources.TableWriter.writeBucketed(
-      stamp(fact.join(dim, key)), table, s"$path/view", key, nBuckets)
+    // the three writes run CONCURRENTLY (the house build move): order
+    // carries no crash contract — the trailing `_batches` marker does
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
+        stamp(fact), s"${table}_fact", s"$path/fact", key, nBuckets)),
+      scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
+        stamp(dim), s"${table}_dim", s"$path/dim", key, nBuckets)),
+      scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
+        stamp(fact.join(dim, key)), table, s"$path/view", key, nBuckets)))),
+      scala.concurrent.duration.Duration.Inf)
     import spark.implicits._
     Seq(0L).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -69,17 +75,29 @@ object IvmJoin {
     spark.table(s"${table}_batches").select("batch_id").distinct()
       .collect().map(_.getLong(0)).toSet
 
-  /** A log's net state as of just before `batchId`: collapse replayed
-    * duplicates per (identity, batch), exclude the applying batch's own
-    * crashed rows, sum multiplicities, keep live rows. Identity is
-    * every column except (dn, batch_id).
+  /** Net a stamped log: collapse replayed duplicates per (identity,
+    * batch) — FAILING LOUDLY on divergent ones, the [[IvmRollup.serve]]
+    * guard: replay safety rests on appends being deterministic, so two
+    * DIFFERENT dn under one (identity, batch_id) mean the single-writer
+    * contract broke, and picking one silently would serve a wrong view
+    * — then sum multiplicities per identity. Identity is every column
+    * except (dn, batch_id).
+    */
+  private def netted(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy((cols :+ "batch_id").map(col): _*)
+      .agg(min(col("dn")).as("dn_lo"), max(col("dn")).as("dn_hi"))
+      .filter(assert_true(col("dn_lo") === col("dn_hi"),
+        lit("IvmJoin: divergent replayed dn under one (identity, batch_id)" +
+          " — two different deltas appended under one stamp")).isNull)
+      .groupBy(cols.map(col): _*).agg(sum(col("dn_lo")).as("dn"))
+
+  /** A log's net state as of just before `batchId`: exclude the
+    * applying batch's own crashed rows, then net — keep live rows.
     */
   private def preState(spark: SparkSession, t: String, batchId: Long): DataFrame = {
     val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
-    spark.table(t)
-      .filter(col("batch_id") =!= batchId) // replay reads the same pre-state
-      .dropDuplicates(cols :+ "batch_id")  // crashed-replay collapse
-      .groupBy(cols.map(col): _*).agg(sum(col("dn")).as("dn"))
+    netted(spark.table(t)
+      .filter(col("batch_id") =!= batchId), cols) // replay reads the same pre-state
       .filter(col("dn") > 0)
   }
 
@@ -138,9 +156,19 @@ object IvmJoin {
         .repartition(nBuckets, col(key)) // one appended file per bucket
         .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
     }
-    dView.foreach(append(_, table))
-    if (hasF) append(dF.withColumnRenamed("dn_f", "dn"), s"${table}_fact")
-    if (hasD) append(dD.withColumnRenamed("dn_d", "dn"), s"${table}_dim")
+    // the data appends run CONCURRENTLY (order carries no crash
+    // contract — the marker does; the delta inputs are pinned, and the
+    // view terms' pre-state reads exclude THIS batch's stamp, so a side
+    // append landing before the view job's scan changes nothing)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(
+      dView.map(v => scala.concurrent.Future(append(v, table))).toSeq ++
+      (if (hasF) Seq(scala.concurrent.Future(
+        append(dF.withColumnRenamed("dn_f", "dn"), s"${table}_fact"))) else Nil) ++
+      (if (hasD) Seq(scala.concurrent.Future(
+        append(dD.withColumnRenamed("dn_d", "dn"), s"${table}_dim"))) else Nil)),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   /** The maintained view: collapse replays per (identity, batch_id),
@@ -154,10 +182,7 @@ object IvmJoin {
   def serve(spark: SparkSession, table: String,
       asOf: Long = Long.MaxValue): DataFrame = {
     val cols = spark.table(table).columns.filterNot(Seq("dn", "batch_id").contains)
-    spark.table(table)
-      .filter(col("batch_id") <= asOf)
-      .dropDuplicates(cols :+ "batch_id")
-      .groupBy(cols.map(col): _*).agg(sum(col("dn")).as("dn"))
+    netted(spark.table(table).filter(col("batch_id") <= asOf), cols)
       .filter(col("dn") =!= 0L)
       // the fence lives in a FILTER, not a projected-then-dropped column
       // — Catalyst prunes unused projections, which would silently
@@ -177,15 +202,20 @@ object IvmJoin {
       key: String, nBuckets: Int = 16): Unit = {
     def fold(t: String, sub: String): Unit = {
       val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
-      val base = spark.table(t)
-        .dropDuplicates(cols :+ "batch_id")
-        .groupBy(cols.map(col): _*).agg(sum(col("dn")).as("dn"))
+      val base = netted(spark.table(t), cols)
         .filter(col("dn") > 0)
         .withColumn("batch_id", lit(0L))
         .localCheckpoint() // the Overwrite reads the table it replaces
       graft.sources.TableWriter.writeBucketed(base, t, s"$path/$sub", key, nBuckets)
     }
-    fold(table, "view"); fold(s"${table}_fact", "fact"); fold(s"${table}_dim", "dim")
+    // independent rewrites run concurrently; marker rewrites LAST
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future(fold(table, "view")),
+      scala.concurrent.Future(fold(s"${table}_fact", "fact")),
+      scala.concurrent.Future(fold(s"${table}_dim", "dim")))),
+      scala.concurrent.duration.Duration.Inf)
     import spark.implicits._
     Seq(0L).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
