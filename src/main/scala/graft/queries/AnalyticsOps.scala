@@ -938,6 +938,99 @@ object AnalyticsOps {
     GROUP BY seg""".trim
 
   // --------------------------------------------------------------------
+  // q194: the full maintained STAR PIPELINE — changelogs at the base
+  // tables propagate through TWO chained join views into the rollup,
+  // deltas only, nothing recomputed or rescanned:
+  //
+  //   orders churn ──▶ view1 = orders ⋈ customer      (IvmJoin)
+  //   customer churn ─▶   │ batch delta (view1 log)
+  //                       ▼
+  //                 view2 = lineitem ⋈ view1[o_orderkey, segment]
+  //                       │ batch delta (view2 log)
+  //                       ▼
+  //                 revenue-by-segment rollup          (IvmRollup)
+  //
+  // Batch 1 (fact churn): deleting an order removes its lineitems from
+  // view2 through view1's OWN delta log fed in as view2's dim-side
+  // changelog; inserted key-shifted orders carry no lineitems and
+  // vanish in the inner join. Batch 2 (dim churn): a customer segment
+  // rename relabels the customer's orders in view1, THOSE orders'
+  // lineitems in view2, and transfers exact decimal revenue between
+  // rollup keys — three maintained states deep. Oracle = the
+  // from-scratch three-way join + rollup of the net snapshots, so the
+  // driver's hash compare is "a changelog applied at the star's base,
+  // folded through the whole materialization chain == recompute of the
+  // chain", cross-engine. This is the production shape: one CDC tap at
+  // each base table, every downstream materialization folding at cost
+  // ∝ churn × fan-out.
+  private def ivmPipeline(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.{IvmJoin, IvmRollup}
+    val t = Tables(spark, dir)
+    val orders = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("custkey"), col("o_totalprice"))
+    val cust = t.customer.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    // lineitem pk is (orderkey, linenumber) — both stay in the view row
+    // identity so duplicate prices never trip the multiplicity fence
+    val items = t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+      col("l_linenumber"), col("l_extendedprice"))
+    val v1 = "graft_q194_v1"; val v2 = "graft_q194_v2"; val rt = "graft_q194_roll"
+    IvmJoin.build(orders, cust, "custkey", v1, graft.core.Scratch.path(v1))
+    IvmJoin.build(items,
+      spark.table(v1).select("o_orderkey", "c_mktsegment"),
+      "o_orderkey", v2, graft.core.Scratch.path(v2))
+    IvmRollup.build(spark.table(v2), col("c_mktsegment"),
+      col("l_extendedprice"), rt, graft.core.Scratch.path(rt))
+    val noFact1 = orders.limit(0).withColumn("dn", lit(1L))
+    val noDim1 = cust.limit(0).withColumn("dn", lit(1L))
+    val noFact2 = items.limit(0).withColumn("dn", lit(1L))
+    // one batch's cascade: apply at view1, feed view1's delta log to
+    // view2 as its dim changelog, feed view2's delta log to the rollup
+    def cascade(b: Long, factDelta: org.apache.spark.sql.DataFrame,
+        dimDelta: org.apache.spark.sql.DataFrame): Unit = {
+      IvmJoin.applyDelta(spark, v1, "custkey", factDelta, dimDelta, batchId = b)
+      IvmJoin.applyDelta(spark, v2, "o_orderkey", noFact2,
+        spark.table(v1).filter(col("batch_id") === b).dropDuplicates()
+          .select(col("o_orderkey"), col("c_mktsegment"), col("dn")),
+        batchId = b)
+      IvmRollup.applyDelta(spark, rt,
+        spark.table(v2).filter(col("batch_id") === b).dropDuplicates()
+          .select(col("c_mktsegment").as("key"), col("dn"),
+            (col("dn") * col("l_extendedprice"))
+              .cast(DecimalType(38, 2)).as("dr")),
+        batchId = b)
+    }
+    cascade(1L, // fact churn at the star's base
+      orders.filter(col("o_orderkey") % 101 === 0).withColumn("dn", lit(-1L))
+        .unionByName(orders.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("dn", lit(1L))),
+      noDim1)
+    cascade(2L, noFact1, // dim churn: the three-levels-deep relabel
+      cust.filter(col("custkey") % 13 === 0).withColumn("dn", lit(-1L))
+        .unionByName(cust.filter(col("custkey") % 13 === 0)
+          .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+          .withColumn("dn", lit(1L))))
+    IvmRollup.serve(spark, rt)
+      .select(col("key").as("c_mktsegment"), col("n").as("n_items"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  private val ivmPipelineSql: String = """
+    SELECT seg AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderkey % 101 != 0) o
+      ON l.l_orderkey = o.o_orderkey
+    JOIN (SELECT c_custkey,
+                 CASE WHEN c_custkey % 13 = 0 THEN c_mktsegment || '_v2'
+                      ELSE c_mktsegment END AS seg
+          FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY seg""".trim
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -1021,6 +1114,7 @@ object AnalyticsOps {
     GraftQuery("q187_asof_rollup", Some(ivmAsOfSql), ivmAsOf),
     GraftQuery("q192_ivm_join", Some(ivmJoinSql), ivmJoinView),
     GraftQuery("q193_ivm_composed", Some(ivmComposedSql), ivmComposed),
+    GraftQuery("q194_ivm_pipeline", Some(ivmPipelineSql), ivmPipeline),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
