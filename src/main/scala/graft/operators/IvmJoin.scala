@@ -112,6 +112,15 @@ object IvmJoin {
       nBuckets: Int = 16): Unit = {
     if (committed(spark, table).contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    // single-writer fence: batches commit in sequence, so a second
+    // writer racing ahead (whose pre-state would silently include this
+    // batch's partial appends) fails HERE instead of corrupting deltas;
+    // a crashed batch replays with max+1 == its own id and passes.
+    val maxCommitted = committed(spark, table).max
+    require(batchId == maxCommitted + 1,
+      s"IvmJoin: batch $batchId applied out of sequence (last committed " +
+        s"$maxCommitted) — interleaved writers corrupt pre-state reads; " +
+        "one writer owns one view")
     applyDeltaData(spark, table, key, factDelta, dimDelta, batchId, nBuckets)
     import spark.implicits._
     // the commit stamp — LAST, after every data append of the batch

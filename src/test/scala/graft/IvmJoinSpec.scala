@@ -102,6 +102,18 @@ class IvmJoinSpec extends SparkSpec {
     assert(reAdded.size > before.size)
   }
 
+  test("the writer fence rejects an out-of-sequence batch loudly") {
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    val e = intercept[IllegalArgumentException] {
+      IvmJoin.applyDelta(spark, table, "custkey", factDelta, noDim, batchId = 5L)
+    }
+    assert(e.getMessage.contains("out of sequence"))
+    // the in-sequence batch still applies, and its crashed replay passes
+    IvmJoin.applyDelta(spark, table, "custkey", factDelta, noDim, batchId = 1L)
+    IvmJoin.applyDelta(spark, table, "custkey", noFact, dimDelta, batchId = 2L)
+    assert(IvmJoin.serve(spark, table).count() > 0)
+  }
+
   test("asOf pins a log prefix: 0 = the built snapshot view") {
     buildAndFold()
     val base = asSet(fact.join(dim, "custkey"))
