@@ -1031,6 +1031,49 @@ object AnalyticsOps {
     GROUP BY seg""".trim
 
   // --------------------------------------------------------------------
+  // q195: the join view's FULL lifecycle — the q176 ladder on IvmJoin:
+  // build → fact-churn batch whose commit CRASHES after the data
+  // appends and replays in full (every batch-1 row lands twice in all
+  // three logs; the netted() guard must fold byte-identical duplicates)
+  // → COMPACT (replay duplicates and dead rows leave physically, all
+  // three logs fold to batch 0, the namespace resets) → a post-compact
+  // DIM churn extends onto the compacted state under the reset batch
+  // namespace → serve. Oracle = q192's net-state join SQL, so the hash
+  // compare is "build → crash → replay → compact → extend → serve ==
+  // from-scratch join", cross-engine — the compact and crash verbs of
+  // the join-view family, promoted from spec to driver row.
+  private def ivmJoinLifecycle(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmJoin
+    val t = Tables(spark, dir)
+    val fact = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = t.customer.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    val table = "graft_q195_jv"
+    val path = graft.core.Scratch.path(table)
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    val factChurn = fact.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("dn", lit(-1L))
+      .unionByName(fact.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("dn", lit(1L)))
+    val noDim = dim.limit(0).withColumn("dn", lit(1L))
+    val noFact = fact.limit(0).withColumn("dn", lit(1L))
+    IvmJoin.applyDeltaData(spark, table, "custkey", // crash after the data…
+      factChurn, noDim, batchId = 1L)
+    IvmJoin.applyDelta(spark, table, "custkey",     // …full replay
+      factChurn, noDim, batchId = 1L)
+    IvmJoin.compact(spark, table, path, "custkey")
+    IvmJoin.applyDelta(spark, table, "custkey", noFact, // namespace reset
+      dim.filter(col("custkey") % 13 === 0).withColumn("dn", lit(-1L))
+        .unionByName(dim.filter(col("custkey") % 13 === 0)
+          .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+          .withColumn("dn", lit(1L))),
+      batchId = 1L)
+    IvmJoin.serve(spark, table)
+  }
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -1115,6 +1158,7 @@ object AnalyticsOps {
     GraftQuery("q192_ivm_join", Some(ivmJoinSql), ivmJoinView),
     GraftQuery("q193_ivm_composed", Some(ivmComposedSql), ivmComposed),
     GraftQuery("q194_ivm_pipeline", Some(ivmPipelineSql), ivmPipeline),
+    GraftQuery("q195_join_lifecycle", Some(ivmJoinSql), ivmJoinLifecycle),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
