@@ -1074,6 +1074,31 @@ object AnalyticsOps {
   }
 
   // --------------------------------------------------------------------
+  // q196: AS-OF on the join view — the q186/q187 pin on the newest
+  // family: the memoized ladder (AsOfFixtures.joinView: build → fact
+  // churn at stamp 1 → dim segment rewrite at stamp 2) serves AT
+  // batch 1, so the snapshot reproduces the net FACT state under the
+  // ORIGINAL dim payloads — the later dim rewrite is invisible to the
+  // pinned read. Oracle = the net-orders join against the UNMODIFIED
+  // customer table. Serve-time row (the ladder's cost is owned by
+  // q192/q195); with this every verb of the join-view family except
+  // the stream (spec) is driver-checked.
+  private def ivmJoinAsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.IvmJoin.serve(spark,
+      AsOfFixtures.joinView(spark, dir), asOf = 1L)
+
+  private val ivmJoinAsOfSql: String = """
+    SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+           c.c_mktsegment
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0) o
+    JOIN customer c ON o.o_custkey = c.c_custkey""".trim
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -1159,6 +1184,7 @@ object AnalyticsOps {
     GraftQuery("q193_ivm_composed", Some(ivmComposedSql), ivmComposed),
     GraftQuery("q194_ivm_pipeline", Some(ivmPipelineSql), ivmPipeline),
     GraftQuery("q195_join_lifecycle", Some(ivmJoinSql), ivmJoinLifecycle),
+    GraftQuery("q196_asof_join", Some(ivmJoinAsOfSql), ivmJoinAsOf),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import graft.core.Tables
 import graft.operators.{Dedup, IvfIndex, RetrievalIndex}
@@ -74,6 +74,38 @@ object AsOfFixtures {
       RetrievalIndex.deletePositionDocs(spark,
         d.filter(col("doc_id") % 7 === 3).select("doc_id"),
         name, graft.core.Scratch.path(name), batchId = 2L)
+    }
+
+  /** Maintained join view over orders ⋈ customer with q192's two
+    * churn batches: fact churn at stamp 1, the dim segment update at
+    * stamp 2 — so `asOf = 1` pins the net FACT state under the
+    * ORIGINAL dim payloads (a later dim rewrite is invisible).
+    */
+  def joinView(spark: SparkSession, dir: String): String =
+    once("jv", dir) { name =>
+      val t = Tables(spark, dir)
+      val fact = t.orders.select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = t.customer.select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      graft.operators.IvmJoin.build(fact, dim, "custkey", name,
+        graft.core.Scratch.path(name))
+      graft.operators.IvmJoin.applyDelta(spark, name, "custkey",
+        factDelta = fact.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("dn", lit(-1L))
+          .unionByName(fact.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("dn", lit(1L))),
+        dimDelta = dim.limit(0).withColumn("dn", lit(1L)),
+        batchId = 1L)
+      graft.operators.IvmJoin.applyDelta(spark, name, "custkey",
+        factDelta = fact.limit(0).withColumn("dn", lit(1L)),
+        dimDelta = dim.filter(col("custkey") % 13 === 0)
+          .withColumn("dn", lit(-1L))
+          .unionByName(dim.filter(col("custkey") % 13 === 0)
+            .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+            .withColumn("dn", lit(1L))),
+        batchId = 2L)
     }
 
   /** Frozen-quantizer IVF over `embeddings` (vec_id parity ladder). */
