@@ -964,6 +964,21 @@ object AnalyticsOps {
   // each base table, every downstream materialization folding at cost
   // ∝ churn × fan-out.
   private def ivmPipeline(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmRollup
+    val rt = buildStarPipeline(spark, dir,
+      "graft_q194_v1", "graft_q194_v2", "graft_q194_roll")
+    IvmRollup.serve(spark, rt)
+      .select(col("key").as("c_mktsegment"), col("n").as("n_items"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  /** q194's pipeline builder, reusable by the memoized AS-OF fixture
+    * ([[AsOfFixtures.starPipeline]]): build the three maintained states
+    * and apply both cascades. Returns the rollup table name.
+    */
+  private[queries] def buildStarPipeline(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      v1: String, v2: String, rt: String): String = {
     import graft.operators.{IvmJoin, IvmRollup}
     val t = Tables(spark, dir)
     val orders = t.orders.select(col("o_orderkey"),
@@ -974,7 +989,6 @@ object AnalyticsOps {
     // identity so duplicate prices never trip the multiplicity fence
     val items = t.lineitem.select(col("l_orderkey").as("o_orderkey"),
       col("l_linenumber"), col("l_extendedprice"))
-    val v1 = "graft_q194_v1"; val v2 = "graft_q194_v2"; val rt = "graft_q194_roll"
     IvmJoin.build(orders, cust, "custkey", v1, graft.core.Scratch.path(v1))
     IvmJoin.build(items,
       spark.table(v1).select("o_orderkey", "c_mktsegment"),
@@ -1011,9 +1025,7 @@ object AnalyticsOps {
         .unionByName(cust.filter(col("custkey") % 13 === 0)
           .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
           .withColumn("dn", lit(1L))))
-    IvmRollup.serve(spark, rt)
-      .select(col("key").as("c_mktsegment"), col("n").as("n_items"),
-        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+    rt
   }
 
   private val ivmPipelineSql: String = """
@@ -1097,6 +1109,34 @@ object AnalyticsOps {
       SELECT o_orderkey + 10000000, o_custkey, o_totalprice
       FROM orders WHERE o_orderkey % 103 = 0) o
     JOIN customer c ON o.o_custkey = c.c_custkey""".trim
+
+  // --------------------------------------------------------------------
+  // q197: VERSION PINS COMPOSE — AS-OF across the whole materialization
+  // chain: in the q194 pipeline every stage's batch b is derived from
+  // the stage above's batch b, so `asOf = b` is a CONSISTENT snapshot
+  // of all three maintained states at once. The row serves the ROLLUP
+  // (the chain's far end) at batch 1 — after the fact churn, before
+  // the dim segment rewrite — and the oracle recomputes lineitem ⋈
+  // net-orders ⋈ the ORIGINAL customer segments: the later dim batch,
+  // though fully applied three states deep, is invisible to the pinned
+  // read at every stage. Serve-time row (the pipeline is the memoized
+  // AsOfFixtures.starPipeline; its honest cost is q194's).
+  private def ivmPipelineAsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (_, _, rt) = AsOfFixtures.starPipeline(spark, dir)
+    graft.operators.IvmRollup.serve(spark, rt, asOf = 1L)
+      .select(col("key").as("c_mktsegment"), col("n").as("n_items"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  private val ivmPipelineAsOfSql: String = """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderkey % 101 != 0) o
+      ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment""".trim
 
   // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
@@ -1185,6 +1225,7 @@ object AnalyticsOps {
     GraftQuery("q194_ivm_pipeline", Some(ivmPipelineSql), ivmPipeline),
     GraftQuery("q195_join_lifecycle", Some(ivmJoinSql), ivmJoinLifecycle),
     GraftQuery("q196_asof_join", Some(ivmJoinAsOfSql), ivmJoinAsOf),
+    GraftQuery("q197_asof_pipeline", Some(ivmPipelineAsOfSql), ivmPipelineAsOf),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),

@@ -108,6 +108,20 @@ object AsOfFixtures {
         batchId = 2L)
     }
 
+  /** The q194 star pipeline (view1 → view2 → rollup) with its two
+    * cascades applied — memoized so AS-OF rows can prove that version
+    * pins COMPOSE: stage batch b is derived from stage-above batch b,
+    * so `asOf = b` is a consistent snapshot of the whole chain.
+    * Returns (view1, view2, rollup) table names.
+    */
+  def starPipeline(spark: SparkSession, dir: String): (String, String, String) = {
+    val base = once("star", dir) { name =>
+      AnalyticsOps.buildStarPipeline(spark, dir,
+        s"${name}_v1", s"${name}_v2", s"${name}_roll")
+    }
+    (s"${base}_v1", s"${base}_v2", s"${base}_roll")
+  }
+
   /** Frozen-quantizer IVF over `embeddings` (vec_id parity ladder). */
   def ivf(spark: SparkSession, dir: String): String =
     once("ivf", dir) { name =>
