@@ -48,7 +48,15 @@ object IvmJoin {
     * (callers probe `_batches`, written last).
     */
   def build(fact: DataFrame, dim: DataFrame, key: String,
-      table: String, path: String, nBuckets: Int = 16): Unit = {
+      table: String, path: String, nBuckets: Int = 16): Unit =
+    build(fact, dim, Seq(key), table, path, nBuckets)
+
+  /** Composite-key form — the join key is a column TUPLE; all three
+    * logs bucket by the same tuple, so probes and serves stay
+    * co-located exactly as in the single-key case.
+    */
+  def build(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      table: String, path: String, nBuckets: Int): Unit = {
     val spark = fact.sparkSession
     val stamp = (df: DataFrame) =>
       df.withColumn("dn", lit(1L)).withColumn("batch_id", lit(0L))
@@ -56,13 +64,14 @@ object IvmJoin {
     // carries no crash contract — the trailing `_batches` marker does
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
     scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
       scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
-        stamp(fact), s"${table}_fact", s"$path/fact", key, nBuckets)),
+        stamp(fact), s"${table}_fact", s"$path/fact", keys, nBuckets, ow)),
       scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
-        stamp(dim), s"${table}_dim", s"$path/dim", key, nBuckets)),
+        stamp(dim), s"${table}_dim", s"$path/dim", keys, nBuckets, ow)),
       scala.concurrent.Future(graft.sources.TableWriter.writeBucketed(
-        stamp(fact.join(dim, key)), table, s"$path/view", key, nBuckets)))),
+        stamp(fact.join(dim, keys)), table, s"$path/view", keys, nBuckets, ow)))),
       scala.concurrent.duration.Duration.Inf)
     import spark.implicits._
     Seq(0L).toDF("batch_id")
@@ -109,7 +118,12 @@ object IvmJoin {
     */
   def applyDelta(spark: SparkSession, table: String, key: String,
       factDelta: DataFrame, dimDelta: DataFrame, batchId: Long,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16): Unit =
+    applyDelta(spark, table, Seq(key), factDelta, dimDelta, batchId, nBuckets)
+
+  def applyDelta(spark: SparkSession, table: String, keys: Seq[String],
+      factDelta: DataFrame, dimDelta: DataFrame, batchId: Long,
+      nBuckets: Int): Unit = {
     if (committed(spark, table).contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
     // single-writer fence: batches commit in sequence, so a second
@@ -121,7 +135,7 @@ object IvmJoin {
       s"IvmJoin: batch $batchId applied out of sequence (last committed " +
         s"$maxCommitted) — interleaved writers corrupt pre-state reads; " +
         "one writer owns one view")
-    applyDeltaData(spark, table, key, factDelta, dimDelta, batchId, nBuckets)
+    applyDeltaData(spark, table, keys, factDelta, dimDelta, batchId, nBuckets)
     import spark.implicits._
     // the commit stamp — LAST, after every data append of the batch
     Seq(batchId).toDF("batch_id")
@@ -136,7 +150,12 @@ object IvmJoin {
     */
   private[graft] def applyDeltaData(spark: SparkSession, table: String,
       key: String, factDelta: DataFrame, dimDelta: DataFrame,
-      batchId: Long, nBuckets: Int = 16): Unit = {
+      batchId: Long, nBuckets: Int = 16): Unit =
+    applyDeltaData(spark, table, Seq(key), factDelta, dimDelta, batchId, nBuckets)
+
+  private[graft] def applyDeltaData(spark: SparkSession, table: String,
+      keys: Seq[String], factDelta: DataFrame, dimDelta: DataFrame,
+      batchId: Long, nBuckets: Int): Unit = {
     val dF = factDelta.withColumnRenamed("dn", "dn_f").localCheckpoint()
     val dD = dimDelta.withColumnRenamed("dn", "dn_d").localCheckpoint()
     // a bilinear term with an empty side is empty: skip it so a
@@ -144,7 +163,7 @@ object IvmJoin {
     // pinned deltas make the emptiness probe a metadata question
     val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
     def cross(f: DataFrame, d: DataFrame): DataFrame =
-      f.join(broadcast(d), key) // dim state / dim deltas are the small side
+      f.join(broadcast(d), keys) // dim state / dim deltas are the small side
         .withColumn("dn", col("dn_f") * col("dn_d"))
         .drop("dn_f", "dn_d")
     val terms =
@@ -162,7 +181,7 @@ object IvmJoin {
         .filter(col("dn") =!= 0L) // net-zero churn never lands
         .withColumn("batch_id", lit(batchId))
         .select(spark.table(t).columns.map(col): _*) // insertInto is positional
-        .repartition(nBuckets, col(key)) // one appended file per bucket
+        .repartition(nBuckets, keys.map(col): _*) // one appended file per bucket
         .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
     }
     // the data appends run CONCURRENTLY (order carries no crash
@@ -208,14 +227,19 @@ object IvmJoin {
     * quiescence). Each fold is pinned before its Overwrite.
     */
   def compact(spark: SparkSession, table: String, path: String,
-      key: String, nBuckets: Int = 16): Unit = {
+      key: String, nBuckets: Int = 16): Unit =
+    compact(spark, table, path, Seq(key), nBuckets)
+
+  def compact(spark: SparkSession, table: String, path: String,
+      keys: Seq[String], nBuckets: Int): Unit = {
     def fold(t: String, sub: String): Unit = {
       val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
       val base = netted(spark.table(t), cols)
         .filter(col("dn") > 0)
         .withColumn("batch_id", lit(0L))
         .localCheckpoint() // the Overwrite reads the table it replaces
-      graft.sources.TableWriter.writeBucketed(base, t, s"$path/$sub", key, nBuckets)
+      graft.sources.TableWriter.writeBucketed(base, t, s"$path/$sub", keys,
+        nBuckets, org.apache.spark.sql.SaveMode.Overwrite)
     }
     // independent rewrites run concurrently; marker rewrites LAST
     implicit val ec: scala.concurrent.ExecutionContext =

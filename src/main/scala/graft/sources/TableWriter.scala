@@ -159,13 +159,28 @@ object TableWriter {
       path: String,
       bucketCol: String,
       nBuckets: Int,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeBucketed(df, table, path, Seq(bucketCol), nBuckets, mode)
+
+  /** Composite-key form: bucket assignment and the pre-write
+    * repartition hash the same column TUPLE (Murmur3-mod on both
+    * sides), so the one-file-per-bucket hygiene holds for multi-column
+    * keys exactly as for single ones.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      mode: SaveMode): Unit = {
+    df.repartition(nBuckets,
+        bucketCols.map(org.apache.spark.sql.functions.col): _*)
       .write
       .mode(mode)
       .option("path", path)
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

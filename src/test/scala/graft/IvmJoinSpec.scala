@@ -114,6 +114,29 @@ class IvmJoinSpec extends SparkSpec {
     assert(IvmJoin.serve(spark, table).count() > 0)
   }
 
+  test("composite join keys: both-side churn on a two-column key") {
+    import spark.implicits._
+    val t2 = "ivmjoin_spec_ck"
+    val p2 = graft.core.Scratch.path(t2)
+    val f = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 1L, 30.0))
+      .toDF("k1", "k2", "v")
+    val d = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      .toDF("k1", "k2", "label")
+    IvmJoin.build(f, d, Seq("k1", "k2"), t2, p2, 8)
+    IvmJoin.applyDelta(spark, t2, Seq("k1", "k2"),
+      Seq((1L, 2L, 20.0, -1L), (2L, 2L, 5.0, 1L)) // delete one, insert keyless-dim one
+        .toDF("k1", "k2", "v", "dn"),
+      d.limit(0).withColumn("dn", lit(1L)), batchId = 1L, 8)
+    IvmJoin.applyDelta(spark, t2, Seq("k1", "k2"),
+      f.limit(0).withColumn("dn", lit(1L)),
+      Seq((2L, 1L, "c", -1L), (2L, 1L, "c2", 1L))
+        .toDF("k1", "k2", "label", "dn"), batchId = 2L, 8)
+    val got = asSet(IvmJoin.serve(spark, t2))
+    val want = asSet(Seq((1L, 1L, 10.0, "a"), (2L, 1L, 30.0, "c2"))
+      .toDF("k1", "k2", "v", "label"))
+    assert(got == want, s"got=$got")
+  }
+
   test("asOf pins a log prefix: 0 = the built snapshot view") {
     buildAndFold()
     val base = asSet(fact.join(dim, "custkey"))
