@@ -1195,6 +1195,33 @@ object Dedup {
     } else pairs
   }
 
+  /** Operational statistics of an incremental [[buildPairIndex]] table
+    * — the DESCRIBE-INDEX verb: one row of (live_docs, live_pairs,
+    * tombstoned), each derived from the index's own state under the
+    * same replay/tombstone collapses every serve applies. The point is
+    * auditability: the numbers an operator watches (how many documents
+    * does this index cover? how many pairs does it assert? how much
+    * deletion debt has accrued since the last compact?) are
+    * driver-checked against scan-time SQL over the source corpus, so
+    * "the index's self-report == the truth" is itself a theorem, not a
+    * dashboard convention.
+    */
+  def pairIndexStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val members = spark.table(s"${table}_members")
+      .select("id").distinct() // (rep, id, batch_id) replay dups collapse
+    val del =
+      if (spark.catalog.tableExists(s"${table}_deleted"))
+        spark.table(s"${table}_deleted").select("id").distinct()
+      else members.limit(0)
+    // three bounded scalar aggregates; the 1×1 crossJoins are the
+    // broadcast-scalar shape (QualityAudit's), not data products
+    members.join(del, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("live_docs"))
+      .crossJoin(servePairIndex(spark, table).agg(count(lit(1)).as("live_pairs")))
+      .crossJoin(del.agg(count(lit(1)).as("tombstoned")))
+  }
+
   /** Tombstone documents in an incremental [[buildPairIndex]] table —
     * the right-to-be-forgotten leg of the maintained tier. Cost ∝
     * |deleted|: ONE append to a `_deleted` side table; no index rewrite

@@ -847,6 +847,26 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q198: DESCRIBE INDEX, driver-checked — the operational numbers an
+    // operator watches on maintained state (coverage, asserted pairs,
+    // deletion debt), derived from the index's OWN tables under the
+    // same replay/tombstone collapses every serve applies, and
+    // hash-matched against scan-time SQL over the source corpus: the
+    // index's self-report == the truth, as a theorem. Runs over the
+    // memoized build/extend/delete ladder (IncPairGraph
+    // .tableWithDeletes), so the row times the stats read itself.
+    GraftQuery(
+      "q198_index_stats",
+      Some(s"""
+        SELECT
+          CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 != 3) AS BIGINT) AS live_docs,
+          CAST((SELECT COUNT(*) FROM (${jaccardPairsSqlOver("doc_id % 7 != 3")})) AS BIGINT) AS live_pairs,
+          CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 3) AS BIGINT) AS tombstoned
+      """.trim),
+      (spark, dir) => Dedup.pairIndexStats(
+        spark, IncPairGraph.tableWithDeletes(spark, dir, threshold = 0.8))),
+
+    // ------------------------------------------------------------------
     // q188: AS-OF on the LSH tier — q186's version-pinned read on the
     // MinHash index: the memoized ladder (AsOfFixtures.lsh: build evens
     // / extend odds / tombstone doc_id % 7 = 3) serves its full pair
