@@ -752,4 +752,39 @@ class StreamingSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("a crashed join-stream epoch replays exactly-once") {
+    import spark.implicits._
+    import graft.operators.IvmJoin
+    val table = "ivmjoin_stream_crash"
+    val path = graft.core.Scratch.path(table)
+    try {
+      val fact = Seq((1L, 101L, 10.0), (2L, 201L, 30.0))
+        .toDF("custkey", "o_orderkey", "o_totalprice")
+      val dim = Seq((1L, "A"), (2L, "B")).toDF("custkey", "c_mktsegment")
+      IvmJoin.build(fact, dim, "custkey", table, path)
+      // epoch 0 (stamp 1) CRASHES after its data appends: the fact
+      // insert lands in all three logs, the marker does not
+      val delta = Seq((2L, 202L, 5.0)).toDF("custkey", "o_orderkey", "o_totalprice")
+      IvmJoin.applyDeltaData(spark, table, "custkey",
+        delta.withColumn("dn", lit(1L)),
+        dim.limit(0).withColumn("dn", lit(1L)), batchId = 1L)
+      // the restarted stream replays epoch 0 through the SAME fold the
+      // foreachBatch calls — re-appends are byte-identical and the
+      // serve collapse folds them: the insert lands exactly once
+      graft.streaming.IvmJoinStream.foldEpoch(
+        delta.withColumn("c_mktsegment", lit(""))
+          .withColumn("side", lit("fact")).withColumn("dn", lit(1L)),
+        epochId = 0L, table, "custkey",
+        factCols = Seq("custkey", "o_orderkey", "o_totalprice"),
+        dimCols = Seq("custkey", "c_mktsegment"))
+      val got = IvmJoin.serve(spark, table).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      assert(got == Set((1L, 101L, 10.0, "A"),
+        (2L, 201L, 30.0, "B"), (2L, 202L, 5.0, "B")), got.toString)
+    } finally {
+      Seq(table, s"${table}_fact", s"${table}_dim", s"${table}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
