@@ -39,4 +39,46 @@ class VerifyGuardSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("b") && e.getMessage.contains("c"))
   }
+
+  // ---- oracle_sql.json strict round-trip (round-7 lesson: the driver's
+  // t2 record arrived as `{}` once; the builder-side failure mode must
+  // be ruled out mechanically, not by eyeballing the emitted file) ----
+
+  private val nasty = Map(
+    "q1_agg" -> "SELECT 1 AS a",
+    "q2_quotes" -> """SELECT 'it''s "quoted"' AS s""",
+    "q3_ctl" -> "SELECT\n\t'tabandctl' AS s,\r\n '\\back\\slash'")
+
+  test("oracleJson → strict parse round-trips keys and values exactly") {
+    Verify.assertOracleRoundTrip(Verify.oracleJson(nasty), nasty)
+  }
+
+  test("round-trip check names missing / extra / drifted entries") {
+    val emitted = Verify.oracleJson((nasty - "q1_agg") ++
+      Map("q2_quotes" -> "SELECT 2", "q_extra" -> "SELECT 3"))
+    val e = intercept[IllegalArgumentException] {
+      Verify.assertOracleRoundTrip(emitted, nasty)
+    }
+    assert(e.getMessage.contains("q1_agg"), "missing key named")
+    assert(e.getMessage.contains("q_extra"), "extra key named")
+    assert(e.getMessage.contains("q2_quotes"), "drifted key named")
+  }
+
+  test("a malformed emit fails the strict parse loudly") {
+    intercept[Exception] {
+      Verify.assertOracleRoundTrip("""{"q1": "SELECT 1",}""", nasty)
+    }
+    intercept[Exception] { // the round-7 driver symptom: a non-object
+      Verify.assertOracleRoundTrip("null", nasty)
+    }
+    intercept[Exception] { // value not a string
+      Verify.assertOracleRoundTrip("""{"q1": 42}""", Map("q1" -> "42"))
+    }
+  }
+
+  test("the real SparkEntry oracle map round-trips (all entries)") {
+    val m = SparkEntry.oracleSql
+    assert(m.size > 150, s"oracle map unexpectedly small: ${m.size}")
+    Verify.assertOracleRoundTrip(Verify.oracleJson(m), m)
+  }
 }
