@@ -65,6 +65,7 @@ object IvfIndex {
     val committed = spark.table(s"${table}_batches")
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
     if (committed.contains(batchId)) return
+    graft.core.WriterFence(committed, batchId, "IvfIndex")
     applyExtend(spark, batch, table, batchId, nBuckets)
     import spark.implicits._
     Seq(batchId).toDF("batch_id")
@@ -128,6 +129,7 @@ object IvfIndex {
     val committed = spark.table(s"${table}_batches")
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
     if (committed.contains(batchId)) return
+    graft.core.WriterFence(committed, batchId, "IvfIndex")
     applyDeleteIds(spark, ids, table, path, batchId)
     import spark.implicits._
     Seq(batchId).toDF("batch_id")

@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *
   * Cost model (the known IVM asymmetry, stated rather than hidden):
   * a FACT delta costs ∝ batch — the dim side is collapsed current
-  * state, small by the dimension argument, and broadcast. A DIM delta
+  * state, broadcast only under a MEASURED size gate (past it, a plain
+  * join the bucketed dim log serves exchange-free). A DIM delta
   * costs a fact-log scan (broadcast ΔD keys, no shuffle) + output ∝
   * matched facts — the honest fan-out a payload change implies; at
   * 100 TB the fact log's join-key bucketing bounds the rewrite the way
@@ -124,17 +125,15 @@ object IvmJoin {
   def applyDelta(spark: SparkSession, table: String, keys: Seq[String],
       factDelta: DataFrame, dimDelta: DataFrame, batchId: Long,
       nBuckets: Int): Unit = {
-    if (committed(spark, table).contains(batchId)) return
+    val committedSet = committed(spark, table)
+    if (committedSet.contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
-    // single-writer fence: batches commit in sequence, so a second
+    // single-writer fence (the shared [[graft.core.WriterFence]], which
+    // this site originated): batches commit in sequence, so a second
     // writer racing ahead (whose pre-state would silently include this
     // batch's partial appends) fails HERE instead of corrupting deltas;
     // a crashed batch replays with max+1 == its own id and passes.
-    val maxCommitted = committed(spark, table).max
-    require(batchId == maxCommitted + 1,
-      s"IvmJoin: batch $batchId applied out of sequence (last committed " +
-        s"$maxCommitted) — interleaved writers corrupt pre-state reads; " +
-        "one writer owns one view")
+    graft.core.WriterFence(committedSet, batchId, "IvmJoin")
     applyDeltaData(spark, table, keys, factDelta, dimDelta, batchId, nBuckets)
     import spark.implicits._
     // the commit stamp — LAST, after every data append of the batch
@@ -153,28 +152,62 @@ object IvmJoin {
       batchId: Long, nBuckets: Int = 16): Unit =
     applyDeltaData(spark, table, Seq(key), factDelta, dimDelta, batchId, nBuckets)
 
+  /** Broadcast-gate bound for the dim PRE-STATE term, in rows of the
+    * `_dim` LOG (an upper bound on the collapsed state — conservative
+    * in the safe direction, and countable from parquet footers alone).
+    * The house MaxBroadcastRows figure ([[Dedup]]).
+    */
+  private[graft] val MaxBroadcastDimRows = 100000L
+
+  /** The batch's view delta ΔV = ΔF⋈D_pre ∪ F_pre⋈ΔD ∪ ΔF⋈ΔD — split
+    * out so [[IvmJoinSpec]] can assert both plan shapes of the gate
+    * below without running the appends. `dF`/`dD` arrive pinned and
+    * dn-renamed; a bilinear term with an empty side is empty and is
+    * skipped, so a fact-only batch never scans the fact log (and vice
+    * versa) — the pinned deltas make the emptiness probe a metadata
+    * question.
+    *
+    * The DELTA sides of a term are hinted `broadcast(...)` — they are
+    * batch-sized by the changelog contract. The dim PRE-STATE is NOT
+    * unconditionally hinted: an explicit hint overrides Spark's size
+    * checks, so on a genuinely large dimension (a 100M-row customer at
+    * 100×) it would OOM rather than degrade. It broadcasts only under a
+    * MEASURED gate ([[MaxBroadcastDimRows]]); past the gate the term
+    * falls back to a plain join, which stays cheap by construction: the
+    * `_dim` log is bucketed by the join key, so its netted pre-state
+    * arrives exchange-free and only the batch-sized fact delta shuffles.
+    */
+  private[graft] def deltaView(spark: SparkSession, table: String,
+      keys: Seq[String], dF: DataFrame, dD: DataFrame,
+      batchId: Long): Option[DataFrame] = {
+    val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
+    def cross(f: DataFrame, d: DataFrame, hint: Boolean): DataFrame =
+      f.join(if (hint) broadcast(d) else d, keys)
+        .withColumn("dn", col("dn_f") * col("dn_d"))
+        .drop("dn_f", "dn_d")
+    val terms =
+      (if (hasF) {
+        val dimOk = // measured, not assumed: count-star reads footers only
+          spark.table(s"${table}_dim").count() <= MaxBroadcastDimRows
+        Seq(cross(dF,
+          preState(spark, s"${table}_dim", batchId).withColumnRenamed("dn", "dn_d"),
+          hint = dimOk))
+       } else Seq.empty) ++
+      (if (hasD) Seq(cross(
+        preState(spark, s"${table}_fact", batchId).withColumnRenamed("dn", "dn_f"),
+        dD, hint = true))
+       else Seq.empty) ++
+      (if (hasF && hasD) Seq(cross(dF, dD, hint = true)) else Seq.empty)
+    terms.reduceOption(_ unionByName _)
+  }
+
   private[graft] def applyDeltaData(spark: SparkSession, table: String,
       keys: Seq[String], factDelta: DataFrame, dimDelta: DataFrame,
       batchId: Long, nBuckets: Int): Unit = {
     val dF = factDelta.withColumnRenamed("dn", "dn_f").localCheckpoint()
     val dD = dimDelta.withColumnRenamed("dn", "dn_d").localCheckpoint()
-    // a bilinear term with an empty side is empty: skip it so a
-    // fact-only batch never scans the fact log (and vice versa) — the
-    // pinned deltas make the emptiness probe a metadata question
     val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
-    def cross(f: DataFrame, d: DataFrame): DataFrame =
-      f.join(broadcast(d), keys) // dim state / dim deltas are the small side
-        .withColumn("dn", col("dn_f") * col("dn_d"))
-        .drop("dn_f", "dn_d")
-    val terms =
-      (if (hasF) Seq(cross(dF,
-        preState(spark, s"${table}_dim", batchId).withColumnRenamed("dn", "dn_d")))
-       else Seq.empty) ++
-      (if (hasD) Seq(cross(
-        preState(spark, s"${table}_fact", batchId).withColumnRenamed("dn", "dn_f"), dD))
-       else Seq.empty) ++
-      (if (hasF && hasD) Seq(cross(dF, dD)) else Seq.empty)
-    val dView = terms.reduceOption(_ unionByName _)
+    val dView = deltaView(spark, table, keys, dF, dD, batchId)
     def append(df: DataFrame, t: String): Unit = {
       val idCols = df.columns.filterNot(_ == "dn")
       df.groupBy(idCols.map(col): _*).agg(sum(col("dn")).as("dn"))

@@ -122,15 +122,19 @@ object RetrievalIndex {
     * N is never double-counted: the meta row is the final write and its
     * presence gates the no-op. Stamps must be unique per batch — the
     * single-writer contract ([[graft.streaming.RetrievalStream]] derives
-    * them from the checkpoint's epoch); a document indexed under two
-    * different stamps is a caller-contract violation and its duplicate
-    * postings survive the collapse to fail audits loudly.
+    * them from the checkpoint's epoch) — and the contract is FENCED, not
+    * just documented ([[graft.core.WriterFence]]): a fresh stamp must be
+    * max(committed) + 1, so two writers interleaving fresh ids (which
+    * would double-index documents under two stamps no read-side
+    * collapse can fold) fail loudly here.
     */
   def extend(docs: DataFrame, table: String, batchId: Long,
       nBuckets: Int = 16): Unit = {
     val d = docs.localCheckpoint()
     val spark = d.sparkSession
-    if (committedBatches(spark, table).contains(batchId)) return
+    val committed = committedBatches(spark, table)
+    if (committed.contains(batchId)) return
+    graft.core.WriterFence(committed, batchId, "RetrievalIndex")
     applyExtend(d, table, batchId, nBuckets)
     import spark.implicits._
     Seq((d.count(), batchId)).toDF("n_docs", "batch_id")
@@ -168,7 +172,9 @@ object RetrievalIndex {
   def deleteDocs(spark: SparkSession, ids: DataFrame, table: String,
       path: String, batchId: Long): Unit = {
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
-    if (committedBatches(spark, table).contains(batchId)) return
+    val committed = committedBatches(spark, table)
+    if (committed.contains(batchId)) return
+    graft.core.WriterFence(committed, batchId, "RetrievalIndex")
     val n = applyDeleteDocs(spark, ids, table, path, batchId)
     import spark.implicits._
     Seq((-n, batchId)).toDF("n_docs", "batch_id")
@@ -352,6 +358,7 @@ object RetrievalIndex {
     val committed = spark.table(s"${table}_pbatches")
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
     if (committed.contains(batchId)) return
+    graft.core.WriterFence(committed, batchId, "RetrievalIndex.positions")
     applyExtendPositions(docs, table, batchId, nBuckets)
     import spark.implicits._
     Seq(batchId).toDF("batch_id")
@@ -382,6 +389,7 @@ object RetrievalIndex {
     val committed = spark.table(s"${table}_pbatches")
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
     if (committed.contains(batchId)) return
+    graft.core.WriterFence(committed, batchId, "RetrievalIndex.positions")
     applyDeletePositionDocs(spark, ids, table, path, batchId)
     import spark.implicits._
     Seq(batchId).toDF("batch_id")

@@ -55,20 +55,24 @@ object CurationStream {
         // the pipeline runs several actions over the batch (stats, CC,
         // probes) — pin the micro-batch once
         val b = batch.localCheckpoint()
-        if (!b.isEmpty) {
-          val keep =
-            if (sp.catalog.tableExists(s"${indexTable}_batches"))
-              // runIncremental already pins keep before the index append
-              DedupPipeline.runIncremental(sp, b, indexTable, batchId + 1,
-                threshold, k = k, numHashes = numHashes, bands = bands).keep
-            else {
-              val keep0 = DedupPipeline.run(sp, b, threshold).keep
-                .localCheckpoint() // consumed by the index build AND the sink
-              Dedup.buildNearDupIndex(keep0, indexTable, indexPath,
-                k, numHashes, bands, commitAlias = batchId + 1)
-              keep0
-            }
-          keepSink(keep, batchId)
+        if (sp.catalog.tableExists(s"${indexTable}_batches")) {
+          if (b.isEmpty)
+            // an EMPTY epoch still stamps its marker (zero data rows):
+            // the writer fence requires max(committed) + 1, and a
+            // skipped epoch would read as a racing second writer
+            Dedup.extendNearDupIndex(sp, b, indexTable, batchId + 1,
+              k, numHashes, bands)
+          else
+            // runIncremental already pins keep before the index append
+            keepSink(DedupPipeline.runIncremental(sp, b, indexTable,
+              batchId + 1, threshold, k = k, numHashes = numHashes,
+              bands = bands).keep, batchId)
+        } else if (!b.isEmpty) {
+          val keep0 = DedupPipeline.run(sp, b, threshold).keep
+            .localCheckpoint() // consumed by the index build AND the sink
+          Dedup.buildNearDupIndex(keep0, indexTable, indexPath,
+            k, numHashes, bands, commitAlias = batchId + 1)
+          keepSink(keep0, batchId)
         }
       }
       .start()

@@ -42,13 +42,15 @@ object RetrievalStream {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val sp = batch.sparkSession
         val b = batch.localCheckpoint() // existence probe + postings share it
-        if (!b.isEmpty) {
-          if (sp.catalog.tableExists(s"${table}_meta"))
-            RetrievalIndex.extend(b, table, batchId = epochId + 1)
-          else
-            RetrievalIndex.build(b, table, path, nBuckets,
-              commitAlias = epochId + 1)
-        }
+        if (sp.catalog.tableExists(s"${table}_meta"))
+          // an EMPTY epoch still extends: zero postings plus a (0, stamp)
+          // meta row, so N is unchanged and the stamp ledger stays
+          // contiguous — the writer fence requires max(committed) + 1,
+          // and a skipped epoch would read as a racing second writer
+          RetrievalIndex.extend(b, table, batchId = epochId + 1)
+        else if (!b.isEmpty)
+          RetrievalIndex.build(b, table, path, nBuckets,
+            commitAlias = epochId + 1)
         ()
       }
       .start()

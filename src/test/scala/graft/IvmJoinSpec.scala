@@ -137,6 +137,55 @@ class IvmJoinSpec extends SparkSpec {
     assert(got == want, s"got=$got")
   }
 
+  test("the dim pre-state broadcast is gated on MEASURED size, both plan shapes") {
+    import spark.implicits._
+    def shape(dimRows: Long, t: String): String = {
+      val p = graft.core.Scratch.path(t)
+      val f = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      val d = spark.range(dimRows).select(col("id").as("k"),
+        concat(lit("seg_"), col("id") % 7).as("label"))
+      IvmJoin.build(f, d, "k", t, p, 4)
+      val dF = Seq((2L, 20.0, -1L), (3L, 5.0, 1L)).toDF("k", "v", "dn")
+        .withColumnRenamed("dn", "dn_f").localCheckpoint()
+      val dD = d.limit(0).withColumn("dn", lit(1L))
+        .withColumnRenamed("dn", "dn_d").localCheckpoint()
+      val dv = IvmJoin.deltaView(spark, t, Seq("k"), dF, dD, batchId = 1L).get
+      dv.queryExecution.executedPlan.toString
+    }
+    // keep Spark's own stats-based auto-broadcast out of the experiment:
+    // only the explicit (gated) hint may produce a BroadcastExchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // under the gate: the hint fires, the fact delta probes map-side
+      val small = shape(dimRows = 1000L, "ivmjoin_gate_small")
+      assert(small.contains("BroadcastExchange"),
+        s"small dim must broadcast:\n$small")
+      // over the gate: NO broadcast — an explicit hint would override
+      // size checks and OOM at a genuinely large dimension; the plain
+      // join must also read the bucketed dim log WITHOUT an exchange
+      // under it (only the delta side shuffles)
+      val big = shape(IvmJoin.MaxBroadcastDimRows + 1L, "ivmjoin_gate_big")
+      assert(!big.contains("BroadcastExchange"),
+        s"oversized dim must NOT broadcast:\n$big")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(big).size
+      assert(exchanges == 1,
+        s"fallback must shuffle ONLY the fact delta (dim log is bucketed), " +
+          s"got $exchanges exchanges:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // and the gated path is what applyDelta ships: the small-dim family
+    // still folds and serves correctly end to end
+    val t = "ivmjoin_gate_small"
+    IvmJoin.applyDelta(spark, t, "k",
+      Seq((2L, 20.0, -1L), (3L, 5.0, 1L)).toDF("k", "v", "dn"),
+      spark.table(s"${t}_dim").limit(0).drop("batch_id").drop("dn")
+        .withColumn("dn", lit(1L)),
+      batchId = 1L)
+    val got = IvmJoin.serve(spark, t).collect().map(_.mkString("|")).toSet
+    assert(got.contains("1|10.0|seg_1"), s"got=$got")
+    assert(!got.exists(_.startsWith("2|")), s"deleted fact must drop: $got")
+  }
+
   test("asOf pins a log prefix: 0 = the built snapshot view") {
     buildAndFold()
     val base = asSet(fact.join(dim, "custkey"))

@@ -208,4 +208,37 @@ class RetrievalIndexSpec extends SparkSpec {
     RetrievalIndex.extendPositions(odds, "rix_pi", batchId = 1L)
     assert(spark.table("rix_pi_positions").count() == rows)
   }
+
+  test("the writer fence rejects an out-of-sequence stamp loudly, on both tiers") {
+    drop("rix_fn")
+    Seq("rix_fn_deleted", "rix_fnp_positions", "rix_fnp_pbatches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val p = freshPath("fn")
+    RetrievalIndex.build(evens, "rix_fn", p)
+    // a second writer racing ahead with a FRESH stamp fails loudly…
+    val e = intercept[IllegalArgumentException] {
+      RetrievalIndex.extend(odds, "rix_fn", batchId = 5L)
+    }
+    assert(e.getMessage.contains("out of sequence"))
+    // …while the in-sequence batch passes, including its crashed replay
+    RetrievalIndex.applyExtend(odds, "rix_fn", batchId = 1L)
+    RetrievalIndex.extend(odds, "rix_fn", batchId = 1L)
+    // deletes share the ledger: same fence, same sequence
+    val victims = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val e2 = intercept[IllegalArgumentException] {
+      RetrievalIndex.deleteDocs(spark, victims, "rix_fn", p, batchId = 9L)
+    }
+    assert(e2.getMessage.contains("out of sequence"))
+    RetrievalIndex.deleteDocs(spark, victims, "rix_fn", p, batchId = 2L)
+    assert(RetrievalIndex.topK(spark, "rix_fn", CurationOps.rankQueries).count() > 0)
+    // the positional tier fences its own `_pbatches` ledger
+    RetrievalIndex.buildPositions(evens, "rix_fnp", freshPath("fnp"))
+    val e3 = intercept[IllegalArgumentException] {
+      RetrievalIndex.extendPositions(odds, "rix_fnp", batchId = 3L)
+    }
+    assert(e3.getMessage.contains("out of sequence"))
+    RetrievalIndex.extendPositions(odds, "rix_fnp", batchId = 1L)
+  }
 }

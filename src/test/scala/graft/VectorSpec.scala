@@ -158,6 +158,37 @@ class VectorSpec extends SparkSpec {
     } finally { drop("ivf_a"); drop("ivf_b"); drop("ivf_c") }
   }
 
+  test("IvfIndex: the writer fence rejects an out-of-sequence stamp loudly") {
+    import graft.operators.IvfIndex
+    def drop(t: String): Unit =
+      Seq(s"${t}_centroids", s"${t}_cells", s"${t}_batches", s"${t}_deleted")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivffence").toString
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    try {
+      drop("ivf_fn")
+      IvfIndex.build(corpus.filter(col("id") % 2 === 0), "ivf_fn", tmp)
+      val odds = corpus.filter(col("id") % 2 === 1)
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.extend(spark, odds, "ivf_fn", batchId = 3L)
+      }
+      assert(e.getMessage.contains("out of sequence"))
+      // in-sequence passes, including the crashed replay of the same id
+      IvfIndex.applyExtend(spark, odds, "ivf_fn", batchId = 1L)
+      IvfIndex.extend(spark, odds, "ivf_fn", batchId = 1L)
+      // deletes share the ledger
+      val victims = corpus.filter(col("id") % 7 === 3).select("id")
+      val e2 = intercept[IllegalArgumentException] {
+        IvfIndex.deleteIds(spark, victims, "ivf_fn", tmp, batchId = 6L)
+      }
+      assert(e2.getMessage.contains("out of sequence"))
+      IvfIndex.deleteIds(spark, victims, "ivf_fn", tmp, batchId = 2L)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      assert(IvfIndex.topK(spark, "ivf_fn", queries, k = 5, nProbe = 8).count() > 0)
+    } finally drop("ivf_fn")
+  }
+
   test("PQ top-k: ADC candidates + exact re-rank give useful recall, true scores") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.filter(col("vec_id") < 20)
