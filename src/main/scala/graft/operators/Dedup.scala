@@ -982,12 +982,33 @@ object Dedup {
     if (committedBatches(spark, table).contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
     applyExtend(spark, batch, table, threshold, batchId, k, nBuckets)
+    commitExtend(spark, table, batchId)
+  }
+
+  /** The extend's trailing commit stamp — LAST, after every data append
+    * of the batch (the crash contract). Split out so staged crash
+    * windows ([[prepareExtend]]) can commit without recomputing.
+    */
+  private[graft] def commitExtend(spark: org.apache.spark.sql.SparkSession,
+      table: String, batchId: Long): Unit = {
     import spark.implicits._
-    // the commit stamp — LAST, after every data append of the batch
     Seq(batchId).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_batches")
   }
+
+  /** The four per-batch append frames of one extend, every input pinned
+    * upstream — [[prepareExtend]] builds them ONCE, [[appendExtend]]
+    * lands them. The split exists for staged crash windows (q176): a
+    * crash-after-data-appends + full replay re-lands the SAME frames
+    * twice, and because the appends are deterministic functions of the
+    * pinned pre-state (the property q172 and PairGraphSpec prove by
+    * running the honest full replay), appending from shared pins leaves
+    * byte-identical disk state while paying the pair kernels once —
+    * the q162 job-count discipline applied to the staging itself.
+    */
+  private[graft] final case class ExtendStage(pairs: DataFrame,
+      members: DataFrame, sets: DataFrame, posts: DataFrame)
 
   /** The data appends of [[extendPairIndex]] WITHOUT the trailing commit
     * stamp — the state a crash mid-extend leaves behind. Split out so
@@ -997,7 +1018,19 @@ object Dedup {
     */
   private[graft] def applyExtend(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String, threshold: Double,
-      batchId: Long, k: Int, nBuckets: Int = 8): Unit = {
+      batchId: Long, k: Int, nBuckets: Int = 8): Unit =
+    appendExtend(spark,
+      prepareExtend(spark, batch, table, threshold, batchId, k, nBuckets),
+      table, batchId, nBuckets)
+
+  /** Everything of one extend UP TO the data appends: fence, shingle
+    * pass, dict-rank frontier append (naturally idempotent — unstamped),
+    * candidate probe, verify, and both pair expansions, returned as the
+    * four pinned-input append frames.
+    */
+  private[graft] def prepareExtend(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String, threshold: Double,
+      batchId: Long, k: Int, nBuckets: Int = 8): ExtendStage = {
     // the dict fence scan is independent of the batch's shingle pass —
     // overlap the two (the fence must still COMPLETE before the rank
     // append below, which the Await enforces)
@@ -1129,27 +1162,36 @@ object Dedup {
     // the same definition the incremental build uses — one helper, with
     // the already-pinned probe + measured gate shared
     val internal = collapsedGroupPairs(groupsB, threshold, probe, gates)
-    // the four data appends run CONCURRENTLY: their relative order no
-    // longer carries the crash contract (the trailing `_batches` stamp
-    // does), every input is pinned, and insertInto on an existing
-    // bucketed table is a pure file append — so the scheduling tail of
-    // four small sequential jobs folds into one round
+    ExtendStage(internal.unionByName(cross),
+      groupsB.select(col("id").as("rep"), explode(col("members")).as("id")),
+      groupsB.select("id", "toks"),
+      probe)
+  }
+
+  /** The four data appends of a prepared extend. They run CONCURRENTLY:
+    * their relative order carries no crash contract (the trailing
+    * `_batches` stamp does), every input is pinned, and insertInto on
+    * an existing bucketed table is a pure file append — so the
+    * scheduling tail of four small sequential jobs folds into one
+    * round. Each append clusters by its table's bucket column first
+    * (the writeBucketed file-hygiene move): a batch append lands as
+    * ≤ one file per bucket instead of one per (input partition, bucket).
+    */
+  private[graft] def appendExtend(spark: org.apache.spark.sql.SparkSession,
+      st: ExtendStage, table: String, batchId: Long,
+      nBuckets: Int = 8): Unit = {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    // each append clusters by its table's bucket column first (the
-    // writeBucketed file-hygiene move): a batch append lands as ≤ one
-    // file per bucket instead of one per (input partition, bucket)
     def append(df: DataFrame, t: String, bcol: String) = scala.concurrent.Future {
       tphase(s"e.append:$t")(df.withColumn("batch_id", lit(batchId))
         .repartition(nBuckets, col(bcol))
         .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t))
     }
     tphase("e.appends")(scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
-      append(internal.unionByName(cross), table, "id_a"),
-      append(groupsB.select(col("id").as("rep"), explode(col("members")).as("id")),
-        s"${table}_members", "rep"),
-      append(groupsB.select("id", "toks"), s"${table}_sets", "id"),
-      append(probe, s"${table}_postings", "tok"))),
+      append(st.pairs, table, "id_a"),
+      append(st.members, s"${table}_members", "rep"),
+      append(st.sets, s"${table}_sets", "id"),
+      append(st.posts, s"${table}_postings", "tok"))),
       scala.concurrent.duration.Duration.Inf))
     ()
   }
@@ -1290,18 +1332,6 @@ object Dedup {
     */
   def compactPairIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, nBuckets: Int = 8): Unit = {
-    val violations = spark.table(table)
-      .dropDuplicates("id_a", "id_b", "batch_id")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    if (violations.nonEmpty) {
-      val r = violations.head
-      throw new IllegalStateException(
-        s"compactPairIndex($table): pair (${r.get(0)}, ${r.get(1)}) appears " +
-          "under multiple batch ids — each pair is generated exactly once, " +
-          "by the batch holding its newest document; refusing to fold a " +
-          "contract violation into batch 0")
-    }
     // tombstone purge ([[deleteFromPairIndex]]): compact turns the
     // serve-side anti-join into physical absence — pairs touching a
     // deleted end go, deleted member rows go, groups with NO surviving
@@ -1333,15 +1363,42 @@ object Dedup {
     }
     // rewrites run CONCURRENTLY where the dependency graph allows (the
     // marker, written last, carries the crash contract; rewrite order
-    // affects nothing but the wall clock): pairs waits only on the
-    // violation check above; sets/postings wait on the members rewrite
-    // (their live-reps probe reads the purged table); the dict rewrite
-    // depends on nothing
+    // affects nothing but the wall clock): sets/postings wait on the
+    // members rewrite (their live-reps probe reads the purged table);
+    // the pairs and dict rewrites depend on nothing
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val pairsF = scala.concurrent.Future(
-      rewrite(table, "pairs", "id_a", Seq("id_a", "id_b"),
-        purgeIds(_, Seq("id_a", "id_b"))))
+    // the one-batch-per-pair fence RIDES the pairs rewrite's own scan
+    // (no separate audit job — the round-7 q176 trim): each pair must
+    // carry exactly one batch stamp (it is generated exactly once, by
+    // the batch holding its newest document), so the fold groups per
+    // pair and a count above 1 fails the rewrite loudly INSIDE a filter
+    // (Catalyst prunes a projected-then-dropped raise_error — the
+    // IvmJoin lesson) instead of folding a contract violation into
+    // batch 0. A violating compact aborts before its marker, so the
+    // family keeps serving the pre-compact (still-correct) state; the
+    // sibling rewrites that may have completed are content-preserving
+    // folds, safe at any crash point as documented above. max(jaccard)
+    // is exact: n == 1 past the fence, so it reads THE row's score.
+    val pairsF = scala.concurrent.Future {
+      val folded = purgeIds(
+        spark.table(table).dropDuplicates("id_a", "id_b", "batch_id")
+          .groupBy("id_a", "id_b")
+          .agg(max(col("jaccard")).as("jaccard"), count(lit(1)).as("n"))
+          .filter(assert_true(col("n") === 1L,
+            concat(lit(s"compactPairIndex($table): pair ("),
+              col("id_a").cast("string"), lit(", "),
+              col("id_b").cast("string"),
+              lit(") appears under multiple batch ids — each pair is " +
+                "generated exactly once, by the batch holding its " +
+                "newest document; refusing to fold a contract violation " +
+                "into batch 0"))).isNull)
+          .drop("n"), Seq("id_a", "id_b"))
+        .withColumn("batch_id", lit(0L))
+        .localCheckpoint() // pinned: the Overwrite reads the table it replaces
+      graft.sources.TableWriter.writeBucketed(
+        folded, table, s"$path/pairs", "id_a", nBuckets)
+    }
     val repTailF = scala.concurrent.Future {
       rewrite(s"${table}_members", "members", "rep", Seq("rep", "id"),
         purgeIds(_, Seq("id")))
@@ -1472,15 +1529,19 @@ object Dedup {
     * `batchId`, the `_batches` marker append goes LAST, a replay of a
     * committed batch skips whole, and a crashed batch's replay
     * re-appends byte-identical rows that every read path collapses per
-    * (keys, batch_id). Callers own "each document indexed once" and the
-    * single-writer contract, as before.
+    * (keys, batch_id). Callers own "each document indexed once"; the
+    * single-writer contract is FENCED ([[graft.core.WriterFence]]):
+    * a fresh stamp must be max(committed) + 1, so interleaved writers
+    * fail loudly instead of double-indexing silently.
     */
   def extendNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, table: String, batchId: Long,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       nBuckets: Int = 16): Unit = {
-    if (committedBatches(spark, table).contains(batchId)) return
+    val committed = committedBatches(spark, table)
+    if (committed.contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    graft.core.WriterFence(committed, batchId, "NearDupIndex")
     applyExtendNearDup(docs, table, batchId, k, numHashes, bands, nBuckets)
     import spark.implicits._
     Seq(batchId).toDF("batch_id")
@@ -1555,8 +1616,10 @@ object Dedup {
     */
   def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, table: String, path: String, batchId: Long): Unit = {
-    if (committedBatches(spark, table).contains(batchId)) return
+    val committed = committedBatches(spark, table)
+    if (committed.contains(batchId)) return
     require(batchId > 0L, s"batchId must be positive (0 is the build): $batchId")
+    graft.core.WriterFence(committed, batchId, "NearDupIndex")
     applyDeleteFromNearDupIndex(spark, ids, table, path, batchId)
     import spark.implicits._
     Seq(batchId).toDF("batch_id")

@@ -681,29 +681,44 @@ object LlmOps {
     // q176: the pair index's COMPACT lifecycle — q175's theorem for the
     // near-dup tier, with the crash window inside it. The corpus
     // arrives as three batches (doc_id mod 3): build, then an extend
-    // that CRASHES after its data appends and replays in full (every
-    // batch-1 row lands twice), then compactPairIndex folds the whole
-    // family back to batch 0 — the replayed duplicates collapse away
+    // that CRASHES after its data appends and replays (every batch-1
+    // row lands twice), then compactPairIndex folds the whole family
+    // back to batch 0 — the replayed duplicates collapse away
     // PHYSICALLY, each table rewrites to one file per bucket, and the
     // replay namespace resets — then a THIRD batch extends onto the
-    // compacted state and the audit serves. Oracle = q154's
-    // whole-corpus scan-time SQL, so the hash compare is "build →
-    // crash → replay → compact → extend → serve == from-scratch scan",
-    // cross-engine. Rebuilds each invocation into a fixed path.
+    // compacted state and the audit serves. The crash + replay are
+    // staged from ONE set of pinned intermediates (prepareExtend →
+    // appendExtend ×2 → commitExtend — the round-7 verdict's q162
+    // job-count trim applied to the staging): the on-disk state is
+    // byte-identical to the honest full replay because the appends are
+    // deterministic functions of the pinned pre-state — the property
+    // q172 and PairGraphSpec keep proving by running that full replay
+    // — so the compact theorem tested here is unchanged while the row
+    // pays the batch-1 pair kernels once instead of twice. Oracle =
+    // q154's whole-corpus scan-time SQL, so the hash compare is "build
+    // → crash → replay → compact → extend → serve == from-scratch
+    // scan", cross-engine. Rebuilds each invocation into a fixed path.
     GraftQuery(
       "q176_compacted_index",
       Some(splitLeakageSql),
       (spark, dir) => {
+        // pinned: three batch filters + the leakage scan share ONE
+        // corpus read + spread instead of re-shuffling parquet thrice
         val docs = Tables(spark, dir).documents
           .select(col("doc_id").as("id"), col("text"))
           .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
         val table = "graft_q176_pairs"
         val path = graft.core.Scratch.path(table)
         Dedup.buildPairIndex(docs.filter(col("id") % 3 === 0), table, path,
           threshold = 0.8, incremental = true)
         val b1 = docs.filter(col("id") % 3 === 1)
-        Dedup.applyExtend(spark, b1, table, threshold = 0.8, batchId = 1L, k = 5)
-        Dedup.extendPairIndex(spark, b1, table, threshold = 0.8, batchId = 1L)
+        val st = Dedup.prepareExtend(spark, b1, table, threshold = 0.8,
+          batchId = 1L, k = 5)
+        val pinned = st.copy(pairs = st.pairs.localCheckpoint())
+        Dedup.appendExtend(spark, pinned, table, batchId = 1L) // the crash…
+        Dedup.appendExtend(spark, pinned, table, batchId = 1L) // …the replay
+        Dedup.commitExtend(spark, table, batchId = 1L)         // …the marker
         Dedup.compactPairIndex(spark, table, path)
         Dedup.extendPairIndex(spark, docs.filter(col("id") % 3 === 2),
           table, threshold = 0.8, batchId = 1L) // namespace reset by compact

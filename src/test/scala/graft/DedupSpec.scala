@@ -256,6 +256,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("near-dup index: the writer fence rejects an out-of-sequence stamp loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("ndfence").toString
+    val evens = docs.select("id", "text").filter(col("id") % 2 === 0)
+    val odds = docs.select("id", "text").filter(col("id") % 2 === 1)
+    try {
+      Dedup.buildNearDupIndex(evens, "nd_fn", s"$tmp/idx")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.extendNearDupIndex(spark, odds, "nd_fn", batchId = 4L)
+      }
+      assert(e.getMessage.contains("out of sequence"))
+      // in-sequence passes, including the crashed replay of the same id
+      Dedup.applyExtendNearDup(odds, "nd_fn", batchId = 1L,
+        k = 5, numHashes = 32, bands = 8)
+      Dedup.extendNearDupIndex(spark, odds, "nd_fn", batchId = 1L)
+      // deletes share the ledger
+      val victims = docs.select(col("id")).filter(col("id") % 7 === 3)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.deleteFromNearDupIndex(spark, victims, "nd_fn", s"$tmp/idx", batchId = 7L)
+      }
+      assert(e2.getMessage.contains("out of sequence"))
+      Dedup.deleteFromNearDupIndex(spark, victims, "nd_fn", s"$tmp/idx", batchId = 2L)
+      assert(Dedup.serveNearDupPairs(spark, "nd_fn", threshold = 0.8).count() > 0)
+    } finally {
+      Seq("nd_fn_postings", "nd_fn_sets", "nd_fn_batches", "nd_fn_deleted")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("crossNearDup equals brute-force bipartite jaccard, and is bipartite only") {
     import spark.implicits._
     val reference = Seq(

@@ -161,10 +161,16 @@ class PairGraphSpec extends SparkSpec {
     val forged = spark.table("pg_cptv").limit(1)
       .withColumn("batch_id", lit(99L)).localCheckpoint()
     forged.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto("pg_cptv")
-    val e = intercept[IllegalStateException] {
+    // the fence rides the pairs rewrite's scan (assert_true in a
+    // filter), so the violation surfaces as the rewrite job's failure —
+    // check the message through the cause chain, the IvmJoin idiom
+    val e = intercept[Exception] {
       Dedup.compactPairIndex(spark, "pg_cptv", tmp("cptv"))
     }
-    assert(e.getMessage.contains("multiple batch ids"), e.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple batch ids")), messages(e))
   }
 
   test("tombstoned docs vanish from serve; compact purges them physically") {
