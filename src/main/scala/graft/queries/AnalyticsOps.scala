@@ -1139,6 +1139,62 @@ object AnalyticsOps {
     GROUP BY c.c_mktsegment""".trim
 
   // --------------------------------------------------------------------
+  // q199: the join view's STREAM verb, driver-checked — the q185 move
+  // for IvmJoinStream: ONE union-schema changelog (side ∈ {fact, dim},
+  // signed dn) folds through the stream's exact epoch fold (foldEpoch),
+  // so the verb matrix's stream column reads "driver" for the join
+  // family. Epoch 0 carries the fact deletes; epoch 1 is MIXED — the
+  // key-shifted fact inserts AND the dim segment rewrite in one batch,
+  // which exercises the full trilinear delta (the ΔF⋈ΔD term: an
+  // inserted order of a %13 customer must surface with the NEW segment
+  // exactly once — q192's two-batch fold never runs that term against
+  // real churn). Epoch 1 is staged as a CRASH (its data appends land,
+  // the marker does not) + a full re-delivery of the epoch — the
+  // foreachBatch restart contract — whose byte-identical re-appends the
+  // serve collapse folds. Oracle = q192's net-state join SQL, so the
+  // hash compare is "streamed changelog across a crashed epoch ==
+  // recompute", cross-engine.
+  private def ivmJoinStreamFold(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmJoin
+    val t = Tables(spark, dir)
+    val fact = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = t.customer.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    val table = "graft_q199_jv"
+    val path = graft.core.Scratch.path(table)
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    val factCols = Seq("o_orderkey", "custkey", "o_totalprice")
+    val dimCols = Seq("custkey", "c_mktsegment")
+    // the union changelog schema: both sides' columns, each row tagged
+    def asFact(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("c_mktsegment", lit(null).cast("string"))
+      .withColumn("side", lit("fact"))
+    def asDim(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .withColumn("side", lit("dim"))
+    val del = fact.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("dn", lit(-1L))
+    val ins = fact.filter(col("o_orderkey") % 103 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("dn", lit(1L))
+    val dimChange = dim.filter(col("custkey") % 13 === 0)
+      .withColumn("dn", lit(-1L))
+      .unionByName(dim.filter(col("custkey") % 13 === 0)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+        .withColumn("dn", lit(1L)))
+    graft.streaming.IvmJoinStream.foldEpoch(
+      asFact(del), epochId = 0L, table, "custkey", factCols, dimCols)
+    IvmJoin.applyDeltaData(spark, table, "custkey", // crash: marker missing…
+      ins, dimChange, batchId = 2L)
+    graft.streaming.IvmJoinStream.foldEpoch(       // …the epoch re-delivers
+      asFact(ins).unionByName(asDim(dimChange)),
+      epochId = 1L, table, "custkey", factCols, dimCols)
+    IvmJoin.serve(spark, table)
+  }
+
+  // --------------------------------------------------------------------
   // q165: deletion APPLY + referential-integrity audit — q151 plans the
   // right-to-be-forgotten cascade (which buckets to rewrite); this
   // EXECUTES it and audits the RESULT: survivors of the customer →
@@ -1226,6 +1282,7 @@ object AnalyticsOps {
     GraftQuery("q195_join_lifecycle", Some(ivmJoinSql), ivmJoinLifecycle),
     GraftQuery("q196_asof_join", Some(ivmJoinAsOfSql), ivmJoinAsOf),
     GraftQuery("q197_asof_pipeline", Some(ivmPipelineAsOfSql), ivmPipelineAsOf),
+    GraftQuery("q199_join_stream", Some(ivmJoinSql), ivmJoinStreamFold),
     GraftQuery("q151_deletion_plan", Some(deletionPlanSql), deletionPlan),
     GraftQuery("q121_ewma_value", Some(ewmaValueSql), ewmaValue),
     GraftQuery("q89_transition_matrix", Some(transitionMatrixSql), transitionMatrix),
