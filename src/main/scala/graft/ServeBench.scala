@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serve-path scaling measurement (round-8 verdict task: the 3×/10×
+  * study covers the GENERATORS; this isolates the maintained READS).
+  * For each maintained family it builds the same corpus twice — once
+  * as many batches since the last compact (including one crash-replayed
+  * batch, so the log carries real duplicates), once compacted — and
+  * times the serve on each, min-of-3, plus the same serve at a 10×
+  * smaller fixture. The claims under test, one line each in
+  * BENCH_NOTES:
+  *
+  *  - serve cost is FLAT in batches-since-compact (the stamp collapse
+  *    is one bucket-local aggregate over the log — more batches mean
+  *    more appended files and replay duplicates to fold, not more
+  *    passes), and a compact restores the log to data size;
+  *  - serve cost is ∝ matched data (sf0.01 → sf0.1 moves it ~linearly).
+  *
+  * Measurement tooling, not library surface: the serves it times are
+  * the public APIs (servePairIndex / RetrievalIndex.topK /
+  * IvmJoin.serve) — nothing here is reachable from SparkEntry.
+  */
+object ServeBench {
+
+  private def timeMin3(f: => Long): (Double, Long) = {
+    var rows = 0L
+    val ts = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      rows = f
+      (System.nanoTime() - t0) / 1e9
+    }
+    (ts.min, rows)
+  }
+
+  private def docsOf(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables(spark, dir).documents
+      .select(col("doc_id").as("id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+
+  /** Pair index: build batch 0, extend 7 more (one of them crashed +
+    * replayed so the log holds byte-identical duplicates), serve; then
+    * compact and serve again.
+    */
+  private def pairIndex(spark: SparkSession, dir: String, tag: String): Unit = {
+    import graft.operators.Dedup
+    val docs = docsOf(spark, dir)
+    val table = s"graft_sb_pairs_$tag"
+    val path = graft.core.Scratch.path(table)
+    Dedup.buildPairIndex(docs.filter(col("id") % 8 === 0), table, path,
+      threshold = 0.8, incremental = true)
+    (1 to 7).foreach { b =>
+      if (b == 4) // one honest crash window: appends land twice
+        Dedup.applyExtend(spark, docs.filter(col("id") % 8 === b), table,
+          threshold = 0.8, batchId = b.toLong, k = 5)
+      Dedup.extendPairIndex(spark, docs.filter(col("id") % 8 === b), table,
+        threshold = 0.8, batchId = b.toLong)
+    }
+    val (tPre, nPre) = timeMin3(Dedup.servePairIndex(spark, table).count())
+    Dedup.compactPairIndex(spark, table, path)
+    val (tPost, nPost) = timeMin3(Dedup.servePairIndex(spark, table).count())
+    println(f"SERVEBENCH pairs $tag pre=$tPre%.2f post=$tPost%.2f rows=$nPre/$nPost")
+  }
+
+  /** Retrieval tf index: the same 8-batch ladder (batch 4 crashed +
+    * replayed), topK served pre- and post-compact.
+    */
+  private def retrieval(spark: SparkSession, dir: String, tag: String): Unit = {
+    import graft.operators.RetrievalIndex
+    val docs = graft.core.Tables(spark, dir).documents.localCheckpoint()
+    val table = s"graft_sb_rix_$tag"
+    val path = graft.core.Scratch.path(table)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 8 === 0), table, path)
+    (1 to 7).foreach { b =>
+      if (b == 4)
+        RetrievalIndex.applyExtend(docs.filter(col("doc_id") % 8 === b),
+          table, batchId = b.toLong)
+      RetrievalIndex.extend(docs.filter(col("doc_id") % 8 === b), table,
+        batchId = b.toLong)
+    }
+    val qs = graft.queries.CurationOps.rankQueries
+    val (tPre, nPre) = timeMin3(RetrievalIndex.topK(spark, table, qs).count())
+    RetrievalIndex.compact(spark, table, path)
+    val (tPost, nPost) = timeMin3(RetrievalIndex.topK(spark, table, qs).count())
+    println(f"SERVEBENCH retrieval $tag pre=$tPre%.2f post=$tPost%.2f rows=$nPre/$nPost")
+  }
+
+  /** Join view: build from snapshots, fold 4 fact-churn batches (batch 2
+    * crashed + replayed), serve pre- and post-compact.
+    */
+  private def joinView(spark: SparkSession, dir: String, tag: String): Unit = {
+    import graft.operators.IvmJoin
+    val t = graft.core.Tables(spark, dir)
+    val fact = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = t.customer.select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val table = s"graft_sb_jv_$tag"
+    val path = graft.core.Scratch.path(table)
+    IvmJoin.build(fact, dim, "custkey", table, path)
+    val noDim = dim.limit(0).withColumn("dn", lit(1L))
+    (1 to 4).foreach { b =>
+      val churn = fact.filter(col("o_orderkey") % 97 === b)
+        .withColumn("o_orderkey", col("o_orderkey") + b * 10000000L)
+        .withColumn("dn", lit(1L))
+      if (b == 2)
+        IvmJoin.applyDeltaData(spark, table, Seq("custkey"), churn, noDim,
+          b.toLong, 16)
+      IvmJoin.applyDelta(spark, table, "custkey", churn, noDim, batchId = b.toLong)
+    }
+    val (tPre, nPre) = timeMin3(IvmJoin.serve(spark, table).count())
+    IvmJoin.compact(spark, table, path, "custkey")
+    val (tPost, nPost) = timeMin3(IvmJoin.serve(spark, table).count())
+    println(f"SERVEBENCH joinview $tag pre=$tPre%.2f post=$tPost%.2f rows=$nPre/$nPost")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 10× apart in data: serve ∝ matched data shows as ~10× between tags
+    Seq("/root/testdata/sf0.01" -> "sf001", "/root/testdata/sf0.1" -> "sf01")
+      .foreach { case (dir, tag) =>
+        pairIndex(spark, dir, tag)
+        retrieval(spark, dir, tag)
+        joinView(spark, dir, tag)
+      }
+    spark.stop()
+  }
+}

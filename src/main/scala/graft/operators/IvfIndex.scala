@@ -25,8 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** `commitAlias` (streaming): record the given stamp as committed in
+    * the same marker write, so a cold-start epoch's replay after a
+    * crash between the marker and the checkpoint commit no-ops as an
+    * extend — the [[graft.streaming.IvfStream]] contract, exactly as
+    * in [[RetrievalIndex.build]].
+    */
   def build(corpus: DataFrame, table: String, path: String,
-      nCells: Int = 16, iters: Int = 3, nBuckets: Int = 16): Unit = {
+      nCells: Int = 16, iters: Int = 3, nBuckets: Int = 16,
+      commitAlias: Long = -1L): Unit = {
     val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
       .localCheckpoint() // training iterations + the assignment share it
     val centroids = VectorOps.trainIvfCentroids(c, nCells, iters)
@@ -46,7 +53,7 @@ object IvfIndex {
         .withColumn("batch_id", lit(0L)),
       s"${table}_cells", s"$path/cells", "cell", nBuckets)
     import spark.implicits._
-    Seq(0L).toDF("batch_id")
+    (Seq(0L) ++ Option(commitAlias).filter(_ > 0L)).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/batches").format("parquet")
       .saveAsTable(s"${table}_batches")

@@ -787,4 +787,45 @@ class StreamingSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("streaming IVF ingest: cold-start train + frozen-quantizer extends equal the static ladder") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    // deterministic synthetic vectors (house rule: no randomness)
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(d => math.abs(math.sin(i * 31.0 + d * 7.0)))
+    val b1 = (0L until 32L).map(i => (i, vec(i)))
+    val b2 = (32L until 48L).map(i => (i, vec(i)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    def drop(t: String): Unit =
+      Seq(s"${t}_centroids", s"${t}_cells", s"${t}_batches")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    drop("ivf_stream"); drop("ivf_sb")
+    val q = graft.streaming.IvfStream.start(
+      in.toDF().toDF("id", "vec"), "ivf_stream", s"$tmp/idx", nCells = 4)
+    try {
+      in.addData(b1: _*); q.processAllAvailable() // epoch 0: trains + builds
+      in.addData(b2: _*); q.processAllAvailable() // epoch 1: frozen assign
+      // static ladder over the same cold batch → the same trained
+      // quantizer (training is deterministic), so the streamed index
+      // must equal it cell for cell and result for result
+      IvfIndex.build(b1.toDF("id", "vec"), "ivf_sb", s"$tmp/static", nCells = 4)
+      IvfIndex.extend(spark, b2.toDF("id", "vec"), "ivf_sb", batchId = 1L)
+      val queries = b1.take(4).map { case (i, v) => (i, v) }
+        .toDF("qid", "qvec")
+      def key(t: String) = IvfIndex.topK(spark, t, queries, k = 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(key("ivf_stream") == key("ivf_sb"))
+      assert(key("ivf_stream").nonEmpty)
+      // the quantizer stayed frozen across the streamed extend, and the
+      // cold-start alias stamped: epoch 1's stamp is exactly max+1
+      assert(spark.table("ivf_stream_centroids").count() == 4)
+      assert(spark.table("ivf_stream_batches").collect().map(_.getLong(0)).toSet
+        == Set(0L, 1L, 2L)) // build 0 + cold-start alias 1 + epoch-1 stamp 2
+    } finally {
+      q.stop(); drop("ivf_stream"); drop("ivf_sb")
+    }
+  }
 }
