@@ -1592,6 +1592,33 @@ object Dedup {
       spark.table(s"${table}_sets")
         .dropDuplicates("id", "batch_id").drop("batch_id"))
 
+  /** DESCRIBE INDEX on the LSH tier — the [[pairIndexStats]] verb for
+    * this family: (live_docs, distinct_shingles, band_postings,
+    * tombstoned), each from the index's OWN tables under the same
+    * replay/tombstone collapses the probes apply. distinct_shingles
+    * counts the digest vocabulary (digest equality == shingle-string
+    * equality on every gate-checked corpus — the jaccard oracles prove
+    * it each round); band_postings must read exactly bands × live_docs
+    * (every indexed doc hashes to one key per band), so the row doubles
+    * as a partial-hash integrity check. Bounded scalar aggregates via
+    * 1×1 crossJoins, no corpus rescan.
+    */
+  def describeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    import spark.implicits._
+    val sets = indexSets(spark, table)
+    val tombstoned =
+      if (spark.catalog.tableExists(s"${table}_deleted"))
+        spark.table(s"${table}_deleted").select("id").distinct().count()
+      else 0L
+    sets.agg(count(lit(1)).as("live_docs"))
+      .crossJoin(sets.select(explode(col("toks")).as("d"))
+        .agg(count_distinct(col("d")).as("distinct_shingles")))
+      .crossJoin(indexPostings(spark, table)
+        .agg(count(lit(1)).as("band_postings")))
+      .crossJoin(Seq(tombstoned).toDF("tombstoned"))
+  }
+
   /** Tombstone filter on an index read ([[deleteFromNearDupIndex]]):
     * deleted ids drop at the read, so every downstream join/expansion
     * sees corpus-minus-deleted in ONE place. The frontier is small by

@@ -153,6 +153,27 @@ object IvfIndex {
       .option("path", s"$path/deleted")
       .format("parquet").saveAsTable(s"${table}_deleted")
 
+  /** DESCRIBE INDEX on the IVF tier — (live_vectors, n_cells,
+    * tombstoned): the inverted file's coverage under the same
+    * replay/tombstone collapses [[topK]] applies, plus the frozen
+    * quantizer's size (extends must never change it — the row doubles
+    * as a freeze check). Bounded aggregates, no corpus rescan.
+    */
+  def describe(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val live = dropDeleted(spark, table,
+      spark.table(s"${table}_cells")
+        .dropDuplicates("id", "cell", "batch_id"))
+      .select("id").distinct()
+    val tombstoned =
+      if (spark.catalog.tableExists(s"${table}_deleted"))
+        spark.table(s"${table}_deleted").select("id").distinct().count()
+      else 0L
+    live.agg(count(lit(1)).as("live_vectors"))
+      .crossJoin(Seq(spark.table(s"${table}_centroids").count()).toDF("n_cells"))
+      .crossJoin(Seq(tombstoned).toDF("tombstoned"))
+  }
+
   /** Fold the inverted file back to batch 0 — replay duplicates and
     * tombstoned vectors leave physically, one file per bucket,
     * tombstones clear after the data rewrite, the marker rewrites LAST

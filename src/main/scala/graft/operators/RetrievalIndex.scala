@@ -221,6 +221,34 @@ object RetrievalIndex {
         Seq("doc_id"), "left_anti")
     else df
 
+  /** DESCRIBE INDEX on the tf tier — the [[Dedup.pairIndexStats]]
+    * observability verb for this family: one row of (live_docs,
+    * distinct_terms, live_postings, tombstoned), every number derived
+    * from the index's OWN tables under the same replay/tombstone
+    * collapses the serves apply. live_docs reads the `_meta` ledger
+    * (the negative delete rows already net it — the q180 exactness),
+    * never the corpus; postings numbers are the collapsed, tombstone-
+    * filtered live rows; a pair of bounded scalar aggregates assembles
+    * via 1×1 crossJoins (the broadcast-scalar shape). A doc indexed
+    * under two stamps (a fence-bypassing contract violation) inflates
+    * live_postings and fails the audit loudly rather than folding.
+    */
+  def describe(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val live = dropDeletedDocs(spark, table,
+      collapseReplays(spark.table(s"${table}_postings"))
+        .select("term", "doc_id"))
+    val tombstoned =
+      if (spark.catalog.tableExists(s"${table}_deleted"))
+        spark.table(s"${table}_deleted").select("doc_id").distinct().count()
+      else 0L
+    Seq(corpusN(spark, table)).toDF("live_docs")
+      .crossJoin(live.agg(
+        count_distinct(col("term")).as("distinct_terms"),
+        count(lit(1)).as("live_postings")))
+      .crossJoin(Seq(tombstoned).toDF("tombstoned"))
+  }
+
   /** Replayed-append collapse over a (possibly term-filtered) postings
     * frame: a crashed extend's replay re-appends byte-identical rows,
     * so per (term, doc_id, batch_id) duplicates fold to one. Applied

@@ -1097,6 +1097,34 @@ object CurationOps {
     GraftQuery("q189_asof_retrieval", Some(keywordTopKSql),
       (spark, dir) => graft.operators.RetrievalIndex.topK(
         spark, AsOfFixtures.retrieval(spark, dir), rankQueries, asOf = 1L)),
+    // q200: DESCRIBE INDEX on the retrieval tier — q198's observability
+    // theorem for this family: live_docs (the `_meta` ledger, which the
+    // negative delete rows already net — never a corpus rescan),
+    // distinct_terms and live_postings (the collapsed, tombstone-
+    // filtered posting rows), and the deletion debt, each hash-matched
+    // against scan-time SQL that RE-TOKENIZES the surviving corpus in
+    // DuckDB — so "the index's self-report == the truth" holds for the
+    // retrieval tier's own vocabulary and posting counts, cross-engine.
+    // Runs over the memoized build/extend/delete ladder
+    // (AsOfFixtures.retrieval), so the row times the stats read itself.
+    GraftQuery("q200_retrieval_stats",
+      Some("""
+        SELECT
+          CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 != 3) AS BIGINT) AS live_docs,
+          CAST((SELECT COUNT(DISTINCT term) FROM (
+                  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                  FROM documents WHERE doc_id % 7 != 3)
+                WHERE length(term) > 0) AS BIGINT) AS distinct_terms,
+          CAST((SELECT COUNT(*) FROM (
+                  SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                    FROM documents WHERE doc_id % 7 != 3)
+                  WHERE length(term) > 0)) AS BIGINT) AS live_postings,
+          CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 3) AS BIGINT) AS tombstoned
+      """.trim),
+      (spark, dir) => graft.operators.RetrievalIndex.describe(
+        spark, AsOfFixtures.retrieval(spark, dir))),
     // q190: AS-OF on the POSITIONAL tier — phrase search pinned to a
     // version: the ladder (AsOfFixtures.positions) is probed AT batch 1,
     // so adjacency answers include documents a batch-2 tombstone later

@@ -899,6 +899,36 @@ object LlmOps {
         spark, AsOfFixtures.lsh(spark, dir), threshold = 0.8, asOf = 1L)),
 
     // ------------------------------------------------------------------
+    // q201: DESCRIBE INDEX on the LSH tier — the q198/q200 observability
+    // theorem for the MinHash family: live_docs (collapsed sets minus
+    // tombstones — exactly the corpus slice with ≥1 shingle), the digest
+    // VOCABULARY (distinct shingles; digest equality == shingle-string
+    // equality on every gate-checked corpus, the premise the jaccard
+    // oracles re-prove each round), band_postings (which must read
+    // exactly bands × live_docs — every indexed doc hashes one key per
+    // band, so the row doubles as a partial-hash integrity check), and
+    // the deletion debt. Oracle re-derives all four from the source
+    // corpus in DuckDB (shinglesSql twin), so the self-report == truth
+    // theorem covers the LSH tier's own encoding. Memoized ladder
+    // (AsOfFixtures.lsh); the row times the stats read.
+    GraftQuery(
+      "q201_lsh_stats",
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, ${graft.functions.TextFunctions.shinglesSql("text")} AS s
+          FROM documents)
+        SELECT
+          CAST((SELECT COUNT(*) FROM sh WHERE len(s) > 0 AND doc_id % 7 != 3) AS BIGINT) AS live_docs,
+          CAST((SELECT COUNT(DISTINCT g) FROM (
+                  SELECT unnest(s) AS g FROM sh
+                  WHERE len(s) > 0 AND doc_id % 7 != 3)) AS BIGINT) AS distinct_shingles,
+          CAST(8 * (SELECT COUNT(*) FROM sh WHERE len(s) > 0 AND doc_id % 7 != 3) AS BIGINT) AS band_postings,
+          CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 3) AS BIGINT) AS tombstoned
+      """.trim),
+      (spark, dir) => Dedup.describeNearDupIndex(
+        spark, AsOfFixtures.lsh(spark, dir))),
+
+    // ------------------------------------------------------------------
     // q179: the LSH index's FULL lifecycle — build → crashed extend +
     // replay → crashed tombstone delete + replay → COMPACT (replay
     // duplicates AND deleted docs leave physically, tombstones clear,
@@ -1129,6 +1159,28 @@ object LlmOps {
           spark, AsOfFixtures.ivf(spark, dir), queries,
           k = 5, nProbe = 8, asOf = 1L)
       }),
+
+    // ------------------------------------------------------------------
+    // q202: DESCRIBE INDEX on the IVF tier — coverage of the inverted
+    // file under the same replay/tombstone collapses topK applies
+    // (live_vectors), the frozen quantizer's size (n_cells: extends
+    // must NEVER change it, so the self-report doubles as a freeze
+    // check — the oracle pins the configured 16, and a k-means collapse
+    // to fewer cells on this corpus would be a training bug worth
+    // failing the hash on), and the deletion debt. Completes the
+    // DESCRIBE verb across all four index families (pair q198,
+    // retrieval q200, LSH q201, IVF q202). Memoized ladder
+    // (AsOfFixtures.ivf); the row times the stats read.
+    GraftQuery(
+      "q202_ivf_stats",
+      Some("""
+        SELECT
+          CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 != 3) AS BIGINT) AS live_vectors,
+          CAST(16 AS BIGINT) AS n_cells,
+          CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 3) AS BIGINT) AS tombstoned
+      """.trim),
+      (spark, dir) => graft.operators.IvfIndex.describe(
+        spark, AsOfFixtures.ivf(spark, dir))),
 
     // ------------------------------------------------------------------
     // q183: the IVF index's FULL lifecycle — build (train+freeze on
