@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Strict round-trip of the emitted bench line — the
+    * [[Verify.assertOracleRoundTrip]] discipline applied to the perf
+    * record: the driver json.loads this line, so a malformed emit (or
+    * a queries map that silently lost rows) would zero the round's
+    * bench record the same way an unparseable oracle_sql.json zeroes
+    * correctness. Checked BEFORE anything is printed or persisted.
+    */
+  private[graft] def assertBenchRoundTrip(line: String,
+      expected: Set[String]): Unit = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    require(node != null && node.isObject,
+      "bench line: top level is not a JSON object")
+    val qs = node.get("queries")
+    require(qs != null && qs.isObject, "bench line: no queries object")
+    import scala.jdk.CollectionConverters._
+    val got = qs.properties().asScala.map(_.getKey).toSet
+    val missing = expected -- got; val extra = got -- expected
+    require(missing.isEmpty && extra.isEmpty,
+      s"bench line round-trip drift: missing=${missing.toSeq.sorted.take(5)} " +
+        s"extra=${extra.toSeq.sorted.take(5)} (of ${expected.size})")
+    require(qs.properties().asScala.forall(_.getValue.isNumber),
+      "bench line: non-numeric per-query value")
+    require(node.get("value") != null && node.get("value").isNumber,
+      "bench line: total is not numeric")
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,6 +82,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"method":"per-query min of $reps runs (steady-state; run 1 pays codegen+JIT warmup)","queries":$qs,"sf":"$sfDir"}"""
+    assertBenchRoundTrip(line, wanted.keySet) // fail loudly, not a zeroed record
     println(line)
     // the stdout line is one giant JSON object and a tail-capture can
     // truncate it (round 3 lost q01-q14 + the total that way) — persist

@@ -249,6 +249,34 @@ object RetrievalIndex {
       .crossJoin(Seq(tombstoned).toDF("tombstoned"))
   }
 
+  /** DESCRIBE INDEX on the POSITIONAL tier — [[describe]]'s sibling
+    * over the phrase index (which has no `_meta` ledger: phrase search
+    * carries no idf, so coverage reads the position rows themselves):
+    * live_docs (docs with ≥1 token), distinct_terms, posting_rows
+    * ((term, doc) pairs), total_positions (Σ positions-array lengths ==
+    * the surviving corpus's total token count — the invariant that
+    * pins the index stores every occurrence exactly once), deletion
+    * debt. One scan of the collapsed tombstone-filtered positions +
+    * the frontier distinct; no corpus rescan.
+    */
+  def describePositions(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val live = dropDeletedDocs(spark, table,
+      spark.table(s"${table}_positions")
+        .dropDuplicates("term", "doc_id", "batch_id")
+        .select(col("term"), col("doc_id"), col("positions")))
+    val tombstoned =
+      if (spark.catalog.tableExists(s"${table}_deleted"))
+        spark.table(s"${table}_deleted").select("doc_id").distinct().count()
+      else 0L
+    live.agg(
+        count_distinct(col("doc_id")).as("live_docs"),
+        count_distinct(col("term")).as("distinct_terms"),
+        count(lit(1)).as("posting_rows"),
+        sum(size(col("positions"))).cast("long").as("total_positions"))
+      .crossJoin(Seq(tombstoned).toDF("tombstoned"))
+  }
+
   /** Replayed-append collapse over a (possibly term-filtered) postings
     * frame: a crashed extend's replay re-appends byte-identical rows,
     * so per (term, doc_id, batch_id) duplicates fold to one. Applied

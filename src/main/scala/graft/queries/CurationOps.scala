@@ -1107,6 +1107,32 @@ object CurationOps {
     // retrieval tier's own vocabulary and posting counts, cross-engine.
     // Runs over the memoized build/extend/delete ladder
     // (AsOfFixtures.retrieval), so the row times the stats read itself.
+    // q203: DESCRIBE INDEX on the POSITIONAL tier — completes the verb
+    // across every maintained index family (pair q198, retrieval q200,
+    // LSH q201, IVF q202, positions q203). The phrase index has no
+    // `_meta` ledger (no idf), so coverage reads the position rows
+    // themselves; total_positions must equal the surviving corpus's
+    // total token count — the oracle re-tokenizes in DuckDB, so the
+    // hash pins "every occurrence stored exactly once" cross-engine.
+    // Memoized ladder (AsOfFixtures.positions); the row times the read.
+    GraftQuery("q203_positions_stats",
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             t -> length(t) > 0) AS ts
+          FROM documents WHERE doc_id % 7 != 3)
+        SELECT
+          CAST((SELECT COUNT(*) FROM tk WHERE len(ts) > 0) AS BIGINT) AS live_docs,
+          CAST((SELECT COUNT(DISTINCT t) FROM (SELECT unnest(ts) AS t FROM tk)) AS BIGINT) AS distinct_terms,
+          CAST((SELECT COUNT(*) FROM (
+                  SELECT DISTINCT doc_id, t FROM (
+                    SELECT doc_id, unnest(ts) AS t FROM tk))) AS BIGINT) AS posting_rows,
+          CAST((SELECT SUM(len(ts)) FROM tk) AS BIGINT) AS total_positions,
+          CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 3) AS BIGINT) AS tombstoned
+      """.trim),
+      (spark, dir) => graft.operators.RetrievalIndex.describePositions(
+        spark, AsOfFixtures.positions(spark, dir))),
     GraftQuery("q200_retrieval_stats",
       Some("""
         SELECT

@@ -81,4 +81,31 @@ class VerifyGuardSpec extends AnyFunSuite {
     assert(m.size > 150, s"oracle map unexpectedly small: ${m.size}")
     Verify.assertOracleRoundTrip(Verify.oracleJson(m), m)
   }
+
+  // ---- the same discipline on the perf record: the driver json.loads
+  // the bench line, so a malformed emit would zero the round's bench ----
+
+  test("a well-formed bench line round-trips") {
+    Bench.assertBenchRoundTrip(
+      """{"metric":"total","value":1.5,"unit":"sec","failed":[],"queries":{"q1":1.0,"q2":0.5},"sf":"x"}""",
+      Set("q1", "q2"))
+  }
+
+  test("bench-line drift and malformation fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Bench.assertBenchRoundTrip(
+        """{"value":1.0,"queries":{"q1":1.0}}""", Set("q1", "q_gone"))
+    }
+    assert(e.getMessage.contains("q_gone"))
+    intercept[Exception] { // malformed JSON
+      Bench.assertBenchRoundTrip("""{"queries":{"q1":1.0},}""", Set("q1"))
+    }
+    intercept[IllegalArgumentException] { // missing queries object
+      Bench.assertBenchRoundTrip("""{"value":1.0}""", Set("q1"))
+    }
+    intercept[IllegalArgumentException] { // non-numeric per-query value
+      Bench.assertBenchRoundTrip(
+        """{"value":1.0,"queries":{"q1":"NaN"}}""", Set("q1"))
+    }
+  }
 }
