@@ -30,6 +30,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ Verify
+  test("oracle JSON round-trip holds for arbitrary keys/values: control chars, quotes, unicode (300 samples)") {
+    def randAny(max: Int): String =
+      Iterator.fill(rnd.nextInt(max + 1)) {
+        rnd.nextInt(6) match {
+          case 0 => (rnd.nextInt(0x20)).toChar // the control range the escaper must cover
+          case 1 => Seq('"', '\\', '\n', '\r', '\t')(rnd.nextInt(5))
+          case 2 => (0xa0 + rnd.nextInt(0x300)).toChar // non-ascii (no surrogates)
+          case _ => (' ' + rnd.nextInt(95)).toChar
+        }
+      }.mkString
+    for (i <- 1 to 300) {
+      val m = (0 until 1 + rnd.nextInt(5))
+        .map(j => s"q${i}_$j${randAny(6)}" -> randAny(60)).toMap
+      Verify.assertOracleRoundTrip(Verify.oracleJson(m), m)
+    }
+  }
+
   test("indel distance within [len diff, len sum] (500 samples)") {
     for (_ <- 1 to 500) {
       val a = randStr(20); val b = randStr(20)
