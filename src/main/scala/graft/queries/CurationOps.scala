@@ -896,7 +896,61 @@ object CurationOps {
       FROM scored)
     WHERE rnk <= $capPerSource""".trim
 
+  /** q204/q205 fixture: the documents table dumped as JSON-lines and
+    * CONTAMINATED with seven structurally-malformed lines (truncated
+    * objects, unbalanced braces, non-JSON garbage — syntax breakage
+    * only: Spark's PERMISSIVE reader coerces scalar-type surprises,
+    * so a type-level "corrupt" line would not be a deterministic
+    * quarantine member), then read back through the tolerant
+    * quarantine reader with the table's EXPLICIT schema — inference
+    * is a second full pass over a 100 TB feed.
+    */
+  private def jsonlIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(spark, dir).documents
+    val path = graft.core.Scratch.path("graft_q204_jsonl")
+    docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+    val corrupt = java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "truncated""",
+      """{"doc_id": 2, "text":""",
+      """not json at all""",
+      """{"doc_id": 3,,}""",
+      """[{"doc_id": 4}""",
+      """{"doc_id": 5 "text": "missing comma"}""",
+      """{{""")
+    java.nio.file.Files.write( // injected AFTER the clean overwrite
+      java.nio.file.Paths.get(s"$path/corrupt-injected.json"), corrupt)
+    graft.sources.JsonlSource.readWithQuarantine(spark, path, docs.schema)
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q204: tolerant JSONL ingest, driver-checked — the production
+    // entry format of every training corpus (crawl dumps arrive as
+    // JSON-lines with a malformed fraction). The documents table
+    // round-trips through a dump contaminated with seven broken lines,
+    // read back via sources.JsonlSource (PERMISSIVE + quarantine,
+    // explicit schema). Result = the GOOD frame; oracle = the table
+    // itself, so the hash compare is "tolerant ingest of a dirty dump
+    // == the clean table, content-exact, zero silent drops or
+    // fabrications" — a malformed line can neither vanish a good row
+    // nor smuggle a null row in. q205 checks the ledger side.
+    GraftQuery("q204_jsonl_ingest",
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents"),
+      (spark, dir) => jsonlIngest(spark, dir)._1),
+    // q205: the quarantine LEDGER of q204's ingest — nothing dropped
+    // silently: exactly the table's row count survives and exactly the
+    // seven injected breakages land in quarantine with their raw text
+    // (the evidence a 100 TB feed needs when 0.001% of it is garbage).
+    GraftQuery("q205_jsonl_quarantine",
+      Some("""
+        SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_good,
+               CAST(7 AS BIGINT) AS n_quarantined""".trim),
+      (spark, dir) => {
+        val (good, quarantine) = jsonlIngest(spark, dir)
+        good.agg(count(lit(1)).as("n_good"))
+          .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
+      }),
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
     GraftQuery("q112_source_cap", Some(sourceCapSql), sourceCap),
     GraftQuery("q86_shard_manifest", Some(shardManifestSql), shardManifest),
