@@ -7,7 +7,13 @@ canonical ORDER BY must make both engines agree), and dtype divergence
 (e.g. DuckDB HUGEINT -> float64 vs Spark int64) is flagged — that dtype
 path is what broke q15/q49/q51 in round 1 despite equal values.
 
-    python3 dev/oracle_check.py <verify_out_dir> <sf_dir> [query ...]
+    python3 dev/oracle_check.py <verify_out_dir> <sf_dir> [--json <path>] [query ...]
+
+--json <path> additionally emits the round's machine-readable record in
+the driver's CORRECTNESS_r*.json schema (per-query {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}) so every gate
+leaves a diffable artifact (docs/correctness_latest.json) even when the
+driver's own file arrives empty — as it did in rounds 7 and 8.
 """
 import glob
 import hashlib
@@ -68,7 +74,21 @@ def fingerprint(df):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    json_path = None
+    if "--json" in rest:
+        i = rest.index("--json")
+        json_path = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    only = set(rest)
+    record = {}
+
+    def rec(name, rows_match, schema_match, hash_match,
+            spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -82,6 +102,7 @@ def main():
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
+            rec(name, False, False, False, err="no spark output")
             n_fail += 1
             continue
         got_tbl = pq.read_table(files[0] if len(files) == 1
@@ -92,6 +113,8 @@ def main():
             exp = exp_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            rec(name, False, False, False, spark_rows=len(got),
+                err=f"oracle sql error: {e}")
             n_fail += 1
             continue
         gc, gd, gn, ghe, ghs, grows = fingerprint(got)
@@ -105,19 +128,26 @@ def main():
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: column ORDER spark={list(got.columns)} "
                   f"duckdb={list(exp.columns)} — canonical sort keys diverge")
+            rec(name, gn == en, gc == ec, False, gn, en,
+                err="column order diverges from oracle SELECT list")
             n_fail += 1
             continue
         if gc != ec:
             print(f"FAIL {name}: schema spark={gc} duckdb={ec}")
+            rec(name, gn == en, False, False, gn, en,
+                err=f"schema spark={gc} duckdb={ec}")
             n_fail += 1
         elif gn != en:
             print(f"FAIL {name}: rows spark={gn} duckdb={en}")
+            rec(name, False, True, False, gn, en, err="row count mismatch")
             n_fail += 1
         elif ghe != ehe:
             kind = "ORDER-ONLY" if ghs == ehs else "VALUES"
             diff = [(a, b) for a, b in zip(grows, erows) if a != b][:3]
             print(f"FAIL {name}: {kind} mismatch; dtypes spark={gd} "
                   f"duckdb={ed}; first diffs: {diff}")
+            rec(name, True, True, False, gn, en,
+                err=f"{kind} hash mismatch; first diffs: {diff}")
             n_fail += 1
         else:
             note = "" if gd == ed else f"  [dtype note: spark={gd} duckdb={ed}]"
@@ -126,8 +156,16 @@ def main():
                 note += (f"  [NaN/NULL note: spark={gp} duckdb={ep} "
                          f"(null_count, nan_count) diverge — hash treats them alike]")
             print(f"PASS {name} ({gn} rows){note}")
+            rec(name, True, True, True, gn, en)
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if json_path:
+        # strict round trip (the Verify.main discipline): what lands on
+        # disk must read back as exactly the record just built
+        with open(json_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        assert json.load(open(json_path)) == record, "correctness JSON round-trip"
+        print(f"wrote {json_path} ({len(record)} queries)")
     sys.exit(1 if n_fail else 0)
 
 

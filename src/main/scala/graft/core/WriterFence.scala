@@ -11,13 +11,30 @@ package graft.core
   * can fold). A crashed batch's replay passes: its marker never landed,
   * so max(committed) + 1 is still its own id. Callers no-op committed
   * replays BEFORE this fence.
+  *
+  * COMPAT NOTE (round-8 behavior change): the fence requires a
+  * CONTIGUOUS ledger. Pre-fence indexes written with sparse-but-unique
+  * stamps — or stream checkpoints whose empty epochs skipped stamping —
+  * will fail the fence on their next extend. The migration is one
+  * compact: every family's compact folds the log to batch 0 and resets
+  * the stamp namespace, after which extends resume at 1. The error
+  * message says so, so the operator's next move is in the failure.
   */
 object WriterFence {
   def apply(committed: Set[Long], batchId: Long, family: String): Unit = {
+    // an existing-but-empty marker is a recoverable crash artifact
+    // (e.g. death mid-Overwrite of the marker file), not a sequencing
+    // bug — name it instead of throwing a bare empty.max
+    require(committed.nonEmpty,
+      s"$family: empty commit ledger — the _batches marker exists but " +
+        "holds no stamps (crash mid-overwrite of the marker?); rebuild " +
+        "the index or repair the marker table")
     val maxCommitted = committed.max // every build commits stamp 0
     require(batchId == maxCommitted + 1,
       s"$family: batch $batchId applied out of sequence (last committed " +
         s"$maxCommitted) — interleaved writers break the single-writer " +
-        "contract; one writer owns one index")
+        "contract; one writer owns one index. If this ledger predates " +
+        "the fence (sparse stamps / skipped empty epochs), one compact " +
+        "migrates it: compact resets the stamp namespace to 0")
   }
 }

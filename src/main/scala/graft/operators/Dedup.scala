@@ -1376,26 +1376,33 @@ object Dedup {
     // (Catalyst prunes a projected-then-dropped raise_error — the
     // IvmJoin lesson) instead of folding a contract violation into
     // batch 0. A violating compact aborts before its marker, so the
-    // family keeps serving the pre-compact (still-correct) state; the
-    // sibling rewrites that may have completed are content-preserving
-    // folds, safe at any crash point as documented above. max(jaccard)
-    // is exact: n == 1 past the fence, so it reads THE row's score.
+    // family keeps serving the pre-compact (still-correct) state.
+    // max(jaccard) is exact: n == 1 past the fence, so it reads THE
+    // row's score.
+    //
+    // The fold is MATERIALIZED (eager localCheckpoint) BEFORE any
+    // sibling rewrite launches: the checkpoint runs the fenced scan, so
+    // a violation aborts while members/sets/postings still carry their
+    // ORIGINAL batch stamps — without this ordering a sibling fold
+    // could already have flattened its stamps to 0, leaving asOf reads
+    // between the failed compact and the fix an inconsistent version
+    // history (pairs stamped, members not).
+    val folded = purgeIds(
+      spark.table(table).dropDuplicates("id_a", "id_b", "batch_id")
+        .groupBy("id_a", "id_b")
+        .agg(max(col("jaccard")).as("jaccard"), count(lit(1)).as("n"))
+        .filter(assert_true(col("n") === 1L,
+          concat(lit(s"compactPairIndex($table): pair ("),
+            col("id_a").cast("string"), lit(", "),
+            col("id_b").cast("string"),
+            lit(") appears under multiple batch ids — each pair is " +
+              "generated exactly once, by the batch holding its " +
+              "newest document; refusing to fold a contract violation " +
+              "into batch 0"))).isNull)
+        .drop("n"), Seq("id_a", "id_b"))
+      .withColumn("batch_id", lit(0L))
+      .localCheckpoint() // pinned (fence runs HERE): Overwrite reads the table it replaces
     val pairsF = scala.concurrent.Future {
-      val folded = purgeIds(
-        spark.table(table).dropDuplicates("id_a", "id_b", "batch_id")
-          .groupBy("id_a", "id_b")
-          .agg(max(col("jaccard")).as("jaccard"), count(lit(1)).as("n"))
-          .filter(assert_true(col("n") === 1L,
-            concat(lit(s"compactPairIndex($table): pair ("),
-              col("id_a").cast("string"), lit(", "),
-              col("id_b").cast("string"),
-              lit(") appears under multiple batch ids — each pair is " +
-                "generated exactly once, by the batch holding its " +
-                "newest document; refusing to fold a contract violation " +
-                "into batch 0"))).isNull)
-          .drop("n"), Seq("id_a", "id_b"))
-        .withColumn("batch_id", lit(0L))
-        .localCheckpoint() // pinned: the Overwrite reads the table it replaces
       graft.sources.TableWriter.writeBucketed(
         folded, table, s"$path/pairs", "id_a", nBuckets)
     }

@@ -178,17 +178,20 @@ object IvmJoin {
     * arrives exchange-free and only the batch-sized fact delta shuffles.
     */
   private[graft] def deltaView(spark: SparkSession, table: String,
-      keys: Seq[String], dF: DataFrame, dD: DataFrame,
-      batchId: Long): Option[DataFrame] = {
-    val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
+      keys: Seq[String], dF: DataFrame, dD: DataFrame, batchId: Long,
+      hasF: Boolean, hasD: Boolean): Option[DataFrame] = {
     def cross(f: DataFrame, d: DataFrame, hint: Boolean): DataFrame =
       f.join(if (hint) broadcast(d) else d, keys)
         .withColumn("dn", col("dn_f") * col("dn_d"))
         .drop("dn_f", "dn_d")
     val terms =
       (if (hasF) {
-        val dimOk = // measured, not assumed: count-star reads footers only
-          spark.table(s"${table}_dim").count() <= MaxBroadcastDimRows
+        // measured, not assumed — and SHORT-CIRCUITED: the gate only
+        // asks "≤ bound?", so the probe scans at most bound + 1 rows
+        // (LocalLimit early-stops) instead of counting a dim log whose
+        // FILE count grows unboundedly between compacts
+        val dimOk = spark.table(s"${table}_dim")
+          .limit(MaxBroadcastDimRows.toInt + 1).count() <= MaxBroadcastDimRows
         Seq(cross(dF,
           preState(spark, s"${table}_dim", batchId).withColumnRenamed("dn", "dn_d"),
           hint = dimOk))
@@ -206,8 +209,11 @@ object IvmJoin {
       batchId: Long, nBuckets: Int): Unit = {
     val dF = factDelta.withColumnRenamed("dn", "dn_f").localCheckpoint()
     val dD = dimDelta.withColumnRenamed("dn", "dn_d").localCheckpoint()
+    // each pinned delta is emptiness-probed ONCE, here, and the answers
+    // flow into deltaView — probing again inside it would run two
+    // duplicate (if metadata-cheap) jobs per batch
     val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
-    val dView = deltaView(spark, table, keys, dF, dD, batchId)
+    val dView = deltaView(spark, table, keys, dF, dD, batchId, hasF, hasD)
     def append(df: DataFrame, t: String): Unit = {
       val idCols = df.columns.filterNot(_ == "dn")
       df.groupBy(idCols.map(col): _*).agg(sum(col("dn")).as("dn"))

@@ -149,7 +149,8 @@ class IvmJoinSpec extends SparkSpec {
         .withColumnRenamed("dn", "dn_f").localCheckpoint()
       val dD = d.limit(0).withColumn("dn", lit(1L))
         .withColumnRenamed("dn", "dn_d").localCheckpoint()
-      val dv = IvmJoin.deltaView(spark, t, Seq("k"), dF, dD, batchId = 1L).get
+      val dv = IvmJoin.deltaView(spark, t, Seq("k"), dF, dD, batchId = 1L,
+        hasF = true, hasD = false).get
       dv.queryExecution.executedPlan.toString
     }
     // keep Spark's own stats-based auto-broadcast out of the experiment:
