@@ -374,14 +374,18 @@ object RetrievalIndex {
     * the price of answering adjacency without touching raw text.
     */
   def buildPositions(docs: DataFrame, table: String, path: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, commitAlias: Long = -1L): Unit = {
     graft.sources.TableWriter.writeBucketed(
       positionRows(docs).withColumn("batch_id", lit(0L)),
       s"${table}_positions", s"$path/positions", "term", nBuckets)
     // `_pbatches` — the positional tier's committed-batch ledger and
-    // commit marker, written LAST (the `_meta` protocol): build = {0}
+    // commit marker, written LAST (the `_meta` protocol): build = {0}.
+    // `commitAlias` records a streaming cold-start epoch's own stamp in
+    // the SAME marker write (the [[build]] move), so a crash after this
+    // marker but before the checkpoint commit replays into a no-op
+    // extend instead of indexing the batch twice.
     import docs.sparkSession.implicits._
-    Seq(0L).toDF("batch_id")
+    (Seq(0L) ++ Option(commitAlias).filter(_ > 0L)).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/pbatches").format("parquet")
       .saveAsTable(s"${table}_pbatches")

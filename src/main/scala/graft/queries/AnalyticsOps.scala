@@ -727,6 +727,47 @@ object AnalyticsOps {
   }
 
   // --------------------------------------------------------------------
+  // q210: the rollup's STREAM verb, driver-checked — the q199 move for
+  // IvmStream: the changelog arrives as two epochs through the
+  // stream's exact fold (foldEpoch). Epoch 0 is the COLD START — the
+  // table does not exist, so the fold writes the EMPTY batch-0 base
+  // (the stream owns the whole history) and folds the full orders
+  // snapshot in as delta 1. Epoch 1 carries q160's churn (deletes
+  // %101 and key-shifted inserts %103) in ONE mixed batch, staged as a
+  // CRASH — applyDelta lands the epoch's aggregated rows, then the
+  // epoch re-delivers in full, appending byte-identical rows under the
+  // same stamp (deterministic long/decimal aggregates keyed by (key,
+  // batch_id)) that serve's replay collapse folds; the rollup's
+  // exactly-once needs no marker, the stamp IS the storage key.
+  // Oracle = q152's recompute-from-snapshot-B SQL, so the hash compare
+  // is "streamed changelog, cold start and crashed epoch included ==
+  // recompute", cross-engine.
+  private def ivmRollupStream(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.IvmRollup
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = "graft_q210_ivm"
+    val path = graft.core.Scratch.path(table)
+    // the cold-start probe must see absence (bench reps rebuild)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.streaming.IvmStream.foldEpoch(
+      o.select(col("o_custkey").as("key"), lit(1L).as("dn"),
+        col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+      id = 0L, table, path)
+    val churn = o.filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_custkey").as("key"), lit(-1L).as("dn"),
+        (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr"))
+      .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+          col("o_totalprice").cast(DecimalType(38, 2)).as("dr")))
+    IvmRollup.applyDelta(spark, table, churn, batchId = 2L) // crash: rows land…
+    graft.streaming.IvmStream.foldEpoch(churn, id = 1L, table, path) // …re-delivery
+    IvmRollup.serve(spark, table)
+      .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  // --------------------------------------------------------------------
   // q175: the IVM COMPACT lifecycle, driver-checked — q160 proves
   // build → deltas → serve == recompute; this proves the edge q160
   // leaves to the in-JVM spec (IvmRollupSpec): a compaction in the
@@ -1274,6 +1315,7 @@ object AnalyticsOps {
     GraftQuery("q165_deletion_apply", Some(deletionApplySql), deletionApply),
     GraftQuery("q152_ivm_agg", Some(ivmAggSql), ivmAgg),
     GraftQuery("q160_ivm_rollup", Some(ivmAggSql), ivmRollup),
+    GraftQuery("q210_rollup_stream", Some(ivmAggSql), ivmRollupStream),
     GraftQuery("q175_ivm_compact", Some(ivmAggSql), ivmCompact),
     GraftQuery("q187_asof_rollup", Some(ivmAsOfSql), ivmAsOf),
     GraftQuery("q192_ivm_join", Some(ivmJoinSql), ivmJoinView),

@@ -1023,6 +1023,36 @@ object CurationOps {
         graft.operators.RetrievalIndex.extendPositions(odds, table, batchId = 1L)
         graft.operators.RetrievalIndex.phrase(spark, table, phraseQueries)
       }),
+    // q208: the POSITIONAL tier's STREAM verb, driver-checked — the
+    // q207 move on adjacency search (RetrievalStream.foldEpochPositions,
+    // static-staged): epoch 0 cold-starts the phrase index (no
+    // `_pbatches` → buildPositions, commitAlias records the epoch's
+    // stamp); epoch 1 is staged as a CRASH (applyExtendPositions: the
+    // position rows land, the marker does not) + a full re-delivery,
+    // whose byte-identical re-appends phrase()'s per-(term, doc_id,
+    // batch_id) collapse folds. Positions are 0-based per document, so
+    // the streamed increment renumbers nothing. Oracle = q169's
+    // token-level phrase scan, occurrence counts included — "streamed
+    // positional ingest across a crashed epoch == from-scratch scan",
+    // cross-engine.
+    GraftQuery("q208_positions_stream",
+      Some(phraseSearchSql),
+      (spark, dir) => {
+        val docsAll = Tables(spark, dir).documents
+        val table = "graft_q208_pix"
+        val path = graft.core.Scratch.path(table)
+        // the cold-start probe must see absence (bench reps rebuild)
+        Seq("positions", "pbatches").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$sfx"))
+        graft.streaming.RetrievalStream.foldEpochPositions(
+          docsAll.filter(col("doc_id") % 2 === 0), epochId = 0L, table, path)
+        val odds = docsAll.filter(col("doc_id") % 2 === 1)
+        graft.operators.RetrievalIndex.applyExtendPositions(odds, table, // crash…
+          batchId = 2L)
+        graft.streaming.RetrievalStream.foldEpochPositions(              // …re-delivery
+          odds, epochId = 1L, table, path)
+        graft.operators.RetrievalIndex.phrase(spark, table, phraseQueries)
+      }),
     // q184: the POSITIONAL tier's full lifecycle — q182's ladder on
     // adjacency search: build → crashed extend + replay → crashed
     // tombstone delete + replay → compactPositions (replay duplicates
@@ -1075,6 +1105,36 @@ object CurationOps {
         val odds = docs.filter(col("doc_id") % 2 === 1)
         graft.operators.RetrievalIndex.applyExtend(odds, table, batchId = 1L)
         graft.operators.RetrievalIndex.extend(odds, table, batchId = 1L)
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
+    // q207: the tf-retrieval tier's STREAM verb, driver-checked — the
+    // q199 move for RetrievalStream: the corpus arrives as two epochs
+    // through the stream's exact fold (foldEpoch). Epoch 0 is the cold
+    // start — the existence probe reads no `_meta`, so the fold BUILDS
+    // and records its own stamp via commitAlias (a 0-docs meta row,
+    // neutral to N). Epoch 1's extend is staged as a CRASH
+    // (applyExtend: postings land, the trailing meta commit does not)
+    // + a full re-delivery of the epoch, whose byte-identical
+    // re-appends the serve path collapses per (term, doc_id, batch_id)
+    // — and N is never double-counted because the meta row is the
+    // trailing commit. Oracle = q88's ranking SQL, so the hash compare
+    // is "streamed ingest across a crashed epoch == from-scratch
+    // index", idf arithmetic included, cross-engine.
+    GraftQuery("q207_retrieval_stream", Some(keywordTopKSql),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q207_rix"
+        val path = graft.core.Scratch.path(table)
+        // the cold-start probe must see absence (bench reps rebuild)
+        Seq("postings", "meta").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        graft.streaming.RetrievalStream.foldEpoch(
+          docs.filter(col("doc_id") % 2 === 0), epochId = 0L, table, path)
+        val odds = docs.filter(col("doc_id") % 2 === 1)
+        graft.operators.RetrievalIndex.applyExtend(odds, table, // crash…
+          batchId = 2L)
+        graft.streaming.RetrievalStream.foldEpoch(              // …re-delivery
+          odds, epochId = 1L, table, path)
         graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
       }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,

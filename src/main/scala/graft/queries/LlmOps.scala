@@ -862,6 +862,42 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q206: the LSH tier's STREAM verb, driver-checked — the q199 move
+    // for NearDupStream (the INDEX stream of the family; CurationStream
+    // remains the curation-pipeline stream): the corpus arrives as two
+    // epochs through the stream's exact fold (foldEpoch). Epoch 0 is
+    // the cold start — the existence probe reads no `_batches`, so the
+    // fold BUILDS and records its own stamp via commitAlias. Epoch 1's
+    // extend is staged as a CRASH (applyExtendNearDup: band postings +
+    // digest sets land, the marker does not) + a full re-delivery of
+    // the epoch — the foreachBatch restart contract — whose
+    // byte-identical re-appends (batch-stable hashedSets encoding)
+    // every read path collapses. Oracle = q173's exact brute-force
+    // pair SQL over the whole corpus, so the driver's hash compare is
+    // "streamed LSH ingest across a crashed epoch == from-scratch
+    // scan", cross-engine.
+    GraftQuery(
+      "q206_lsh_stream",
+      Some(s"SELECT id_a, id_b, jaccard FROM ($jaccardPairsSql)"),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+          .select(col("doc_id").as("id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val table = "graft_q206_lsh"
+        val path = graft.core.Scratch.path(table)
+        // the cold-start probe must see absence (bench reps rebuild)
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_batches")
+        graft.streaming.NearDupStream.foldEpoch(
+          docs.filter(col("id") % 2 === 0), epochId = 0L, table, path)
+        val odds = docs.filter(col("id") % 2 === 1)
+        Dedup.applyExtendNearDup(odds, table, batchId = 2L, // crash: marker missing…
+          k = 5, numHashes = 32, bands = 8)
+        graft.streaming.NearDupStream.foldEpoch(            // …the epoch re-delivers
+          odds, epochId = 1L, table, path)
+        Dedup.serveNearDupPairs(spark, table, threshold = 0.8)
+      }),
+
+    // ------------------------------------------------------------------
     // q198: DESCRIBE INDEX, driver-checked — the operational numbers an
     // operator watches on maintained state (coverage, asserted pairs,
     // deletion debt), derived from the index's OWN tables under the
@@ -1132,6 +1168,44 @@ object LlmOps {
         val odds = corpus.filter(col("id") % 2 === 1)
         graft.operators.IvfIndex.applyExtend(spark, odds, table, batchId = 1L)
         graft.operators.IvfIndex.extend(spark, odds, table, batchId = 1L)
+        graft.operators.IvfIndex.topK(spark, table, queries, k = 5, nProbe = 8)
+      }),
+
+    // ------------------------------------------------------------------
+    // q209: the IVF tier's STREAM verb, driver-checked — the q199 move
+    // for IvfStream: vectors arrive as two epochs through the stream's
+    // exact fold. Epoch 0 is the cold start — no `_batches`, so the
+    // fold TRAINS the quantizer on its own batch (even vec_ids),
+    // freezes it, and records its stamp via commitAlias; epoch 1 (odd
+    // vec_ids) assigns under the FROZEN centroids, staged as a CRASH
+    // (applyExtend: cell rows land, marker missing) + full re-delivery
+    // whose re-appends are byte-identical (assignment is a pure
+    // function of frozen centroids and batch) and collapse per
+    // (id, batch_id) in topK. Oracle = q181's trainFilter'd unrolled-
+    // Lloyd twin, so the hash compare is "streamed cold-start train +
+    // crashed frozen-quantizer epoch == from-scratch index under the
+    // same quantizer", cross-engine.
+    GraftQuery(
+      "q209_ivf_stream",
+      Some(annIvfOracleSql(nCells = 16, nProbe = 8, k = 5, iters = 3,
+        dim = 64, trainFilter = "vec_id % 2 = 0")),
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val table = "graft_q209_ivf"
+        val path = graft.core.Scratch.path(table)
+        // the cold-start probe must see absence (bench reps rebuild)
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_batches")
+        graft.streaming.IvfStream.foldEpoch(
+          corpus.filter(col("id") % 2 === 0), epochId = 0L, table, path,
+          nCells = 16, iters = 3)
+        val odds = corpus.filter(col("id") % 2 === 1)
+        graft.operators.IvfIndex.applyExtend(spark, odds, table, // crash…
+          batchId = 2L)
+        graft.streaming.IvfStream.foldEpoch(                     // …re-delivery
+          odds, epochId = 1L, table, path, nCells = 16, iters = 3)
         graft.operators.IvfIndex.topK(spark, table, queries, k = 5, nProbe = 8)
       }),
 

@@ -36,14 +36,24 @@ object IvfStream {
       nCells: Int = 16, iters: Int = 3, nBuckets: Int = 16): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val sp = batch.sparkSession
-        val b = batch.localCheckpoint() // existence probe + assignment share it
-        if (sp.catalog.tableExists(s"${table}_batches"))
-          IvfIndex.extend(sp, b, table, batchId = epochId + 1, nBuckets)
-        else if (!b.isEmpty)
-          IvfIndex.build(b, table, path, nCells, iters, nBuckets,
-            commitAlias = epochId + 1)
-        ()
+        foldEpoch(batch, epochId, table, path, nCells, iters, nBuckets)
       }
       .start()
+
+  /** One epoch's fold — exposed for static staging (the
+    * [[PairIndexStream.foldCdc]] move): the driver contract and specs
+    * replay epochs and crash windows without a streaming runtime.
+    */
+  def foldEpoch(batch: DataFrame, epochId: Long, table: String,
+      path: String, nCells: Int = 16, iters: Int = 3,
+      nBuckets: Int = 16): Unit = {
+    val sp = batch.sparkSession
+    val b = batch.localCheckpoint() // existence probe + assignment share it
+    if (sp.catalog.tableExists(s"${table}_batches"))
+      IvfIndex.extend(sp, b, table, batchId = epochId + 1, nBuckets)
+    else if (!b.isEmpty)
+      IvfIndex.build(b, table, path, nCells, iters, nBuckets,
+        commitAlias = epochId + 1)
+    ()
+  }
 }

@@ -31,16 +31,29 @@ object IvmStream {
       nBuckets: Int = 16): StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val sp = batch.sparkSession
-        val b = batch.localCheckpoint() // existence probe + fold share it
-        if (!b.isEmpty) {
-          if (!sp.catalog.tableExists(table))
-            IvmRollup.build(
-              b.select(col("key"), lit(0.0).as("value")).limit(0),
-              col("key"), col("value"), table, path, nBuckets)
-          IvmRollup.applyDelta(sp, table, b, id + 1)
-        }
-        ()
+        foldEpoch(batch, id, table, path, nBuckets)
       }
       .start()
+
+  /** One epoch's fold — exposed for static staging (the
+    * [[PairIndexStream.foldCdc]] move): the driver contract and specs
+    * replay epochs and crash windows without a streaming runtime.
+    * Empty epochs are SKIPPED without stamping — legal here, uniquely
+    * among the families, because the rollup has no marker ledger to
+    * keep contiguous: exactly-once is the per-(key, batch_id)
+    * deterministic-row collapse, not a fence.
+    */
+  def foldEpoch(batch: DataFrame, id: Long, table: String,
+      path: String, nBuckets: Int = 16): Unit = {
+    val sp = batch.sparkSession
+    val b = batch.localCheckpoint() // existence probe + fold share it
+    if (!b.isEmpty) {
+      if (!sp.catalog.tableExists(table))
+        IvmRollup.build(
+          b.select(col("key"), lit(0.0).as("value")).limit(0),
+          col("key"), col("value"), table, path, nBuckets)
+      IvmRollup.applyDelta(sp, table, b, id + 1)
+    }
+    ()
+  }
 }

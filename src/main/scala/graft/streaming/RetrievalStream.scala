@@ -40,18 +40,60 @@ object RetrievalStream {
       nBuckets: Int = 16): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val sp = batch.sparkSession
-        val b = batch.localCheckpoint() // existence probe + postings share it
-        if (sp.catalog.tableExists(s"${table}_meta"))
-          // an EMPTY epoch still extends: zero postings plus a (0, stamp)
-          // meta row, so N is unchanged and the stamp ledger stays
-          // contiguous — the writer fence requires max(committed) + 1,
-          // and a skipped epoch would read as a racing second writer
-          RetrievalIndex.extend(b, table, batchId = epochId + 1)
-        else if (!b.isEmpty)
-          RetrievalIndex.build(b, table, path, nBuckets,
-            commitAlias = epochId + 1)
-        ()
+        foldEpoch(batch, epochId, table, path, nBuckets)
       }
       .start()
+
+  /** One epoch's fold — exposed for static staging (the
+    * [[PairIndexStream.foldCdc]] / [[IvmJoinStream.foldEpoch]] move):
+    * the driver contract and specs replay epochs and crash windows
+    * without a streaming runtime.
+    */
+  def foldEpoch(batch: DataFrame, epochId: Long, table: String,
+      path: String, nBuckets: Int = 16): Unit = {
+    val sp = batch.sparkSession
+    val b = batch.localCheckpoint() // existence probe + postings share it
+    if (sp.catalog.tableExists(s"${table}_meta"))
+      // an EMPTY epoch still extends: zero postings plus a (0, stamp)
+      // meta row, so N is unchanged and the stamp ledger stays
+      // contiguous — the writer fence requires max(committed) + 1,
+      // and a skipped epoch would read as a racing second writer
+      RetrievalIndex.extend(b, table, batchId = epochId + 1)
+    else if (!b.isEmpty)
+      RetrievalIndex.build(b, table, path, nBuckets,
+        commitAlias = epochId + 1)
+    ()
+  }
+
+  /** The POSITIONAL tier's streaming ingest — same shape, phrase-search
+    * index: each micro-batch tokenizes only itself and appends position
+    * rows through the bucket spec ([[RetrievalIndex.extendPositions]]).
+    * Positions are 0-based over each document's OWN token sequence, so
+    * streamed increments never renumber anything already indexed.
+    */
+  def startPositions(docs: DataFrame, table: String, path: String,
+      nBuckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        foldEpochPositions(batch, epochId, table, path, nBuckets)
+      }
+      .start()
+
+  /** One positional epoch's fold, static-stageable like [[foldEpoch]].
+    * Cold start probes `_pbatches` (the tier's marker, written LAST by
+    * [[RetrievalIndex.buildPositions]]) and records the epoch's own
+    * stamp via `commitAlias`; extends stamp `epochId + 1`, and EMPTY
+    * epochs still stamp to keep the fence's ledger contiguous.
+    */
+  def foldEpochPositions(batch: DataFrame, epochId: Long, table: String,
+      path: String, nBuckets: Int = 16): Unit = {
+    val sp = batch.sparkSession
+    val b = batch.localCheckpoint() // existence probe + positions share it
+    if (sp.catalog.tableExists(s"${table}_pbatches"))
+      RetrievalIndex.extendPositions(b, table, batchId = epochId + 1)
+    else if (!b.isEmpty)
+      RetrievalIndex.buildPositions(b, table, path, nBuckets,
+        commitAlias = epochId + 1)
+    ()
+  }
 }

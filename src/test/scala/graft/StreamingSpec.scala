@@ -395,6 +395,86 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup ingest: cold-start build + extends equal a from-scratch index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lshstream").toString
+    // two shared phrases so near-dup pairs span the epoch boundary
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about spark shuffle partitions and joins"
+    val batch1 = Seq((1L, a), (2L, a + " ok"), (3L, b))
+    val batch2 = Seq((4L, b + " ok"), (5L, a))
+    Seq("lsh_stream", "lsh_scratch").foreach { t =>
+      Seq("postings", "sets", "batches").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_$s"))
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.NearDupStream.start(
+      in.toDF().toDF("id", "text"), "lsh_stream", s"$tmp/idx")
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData() // an EMPTY epoch must stamp, not break the fence
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      graft.operators.Dedup.buildNearDupIndex(
+        (batch1 ++ batch2).toDF("id", "text"), "lsh_scratch", s"$tmp/scratch")
+      def pairs(t: String) = graft.operators.Dedup
+        .serveNearDupPairs(spark, t, threshold = 0.8)
+        .collect().map(_.toSeq).toSet
+      val streamed = pairs("lsh_stream")
+      assert(streamed == pairs("lsh_scratch"))
+      assert(streamed.nonEmpty) // (1,2), (1,5), (2,5), (3,4) candidates
+    } finally {
+      q.stop()
+      Seq("lsh_stream", "lsh_scratch").foreach { t =>
+        Seq("postings", "sets", "batches").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t}_$s"))
+      }
+    }
+  }
+
+  test("streaming positional ingest: phrase search equals a from-scratch index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("pixstream").toString
+    val batch1 = Seq(
+      (1L, "merge sort beats quick sort here"),
+      (2L, "quick sort quick sort quick sort"))
+    val batch2 = Seq((3L, "nothing relevant"), (4L, "a quick sort at the end"))
+    Seq("pix_stream", "pix_scratch").foreach { t =>
+      Seq("positions", "pbatches").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_$s"))
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.RetrievalStream.startPositions(
+      in.toDF().toDF("doc_id", "text"), "pix_stream", s"$tmp/idx")
+    val phrases = Seq(1 -> Seq("quick", "sort"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData() // an EMPTY epoch must stamp, not break the fence
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      graft.operators.RetrievalIndex.buildPositions(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "pix_scratch", s"$tmp/scratch")
+      def hits(t: String) = graft.operators.RetrievalIndex
+        .phrase(spark, t, phrases).collect().map(_.toSeq).toSet
+      val streamed = hits("pix_stream")
+      assert(streamed == hits("pix_scratch"))
+      // occurrence counts cross the epochs: doc 2 has 3, docs 1 and 4 one each
+      assert(streamed.size == 3, streamed.toString)
+    } finally {
+      q.stop()
+      Seq("pix_stream", "pix_scratch").foreach { t =>
+        Seq("positions", "pbatches").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t}_$s"))
+      }
+    }
+  }
+
   test("streaming stats rollup: foreachBatch-maintained rows equal from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
