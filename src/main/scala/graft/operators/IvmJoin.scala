@@ -260,6 +260,43 @@ object IvmJoin {
       .drop("dn")
   }
 
+  /** DESCRIBE for the maintained join view — the [[IvmRollup.describe]]
+    * numbers across the family's THREE logs, in bounded scans of the
+    * logs themselves (never the source tables):
+    *
+    *  - `live_view_rows` / `live_fact_rows` / `live_dim_rows`: net-live
+    *    rows per log (the replay-collapsed, multiplicity-summed count
+    *    every serve would emit);
+    *  - `view_log_entries`: collapsed (identity, batch_id) entries in
+    *    the VIEW log — the read amplification serve pays over a
+    *    compacted base, deliberately replay-collapsed so a crashed
+    *    batch's byte-identical duplicates don't inflate the
+    *    self-report;
+    *  - `batches_since_compact`: max COMMITTED stamp (the `_batches`
+    *    marker; [[compact]] resets it to {0}).
+    *
+    * Plan shape: each log's netting sits on its own key buckets, the
+    * five scalars assemble by 1×1 crossJoins — the q198 DESCRIBE
+    * pattern.
+    */
+  def describe(spark: SparkSession, table: String): DataFrame = {
+    def live(t: String, as: String): DataFrame = {
+      val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
+      netted(spark.table(t), cols).filter(col("dn") > 0)
+        .agg(count(lit(1)).as(as))
+    }
+    val viewCols = spark.table(table).columns
+      .filterNot(Seq("dn", "batch_id").contains)
+    live(table, "live_view_rows")
+      .crossJoin(live(s"${table}_fact", "live_fact_rows"))
+      .crossJoin(live(s"${table}_dim", "live_dim_rows"))
+      .crossJoin(spark.table(table)
+        .dropDuplicates(viewCols :+ "batch_id")
+        .agg(count(lit(1)).as("view_log_entries")))
+      .crossJoin(spark.table(s"${table}_batches")
+        .agg(max(col("batch_id")).as("batches_since_compact")))
+  }
+
   /** Fold all three logs back to batch-0 bases — the house compact:
     * replay duplicates and dead rows leave physically, one file per
     * bucket, marker rewrites LAST to {0} (namespace reset; requires

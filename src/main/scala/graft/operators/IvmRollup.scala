@@ -111,6 +111,38 @@ object IvmRollup {
       .filter(col("n") > 0)
   }
 
+  /** DESCRIBE for the maintained rollup — the operational numbers an
+    * operator reads before scheduling maintenance, derived from the
+    * family's OWN log in one bounded pass (read cost ∝ log, never the
+    * source tables):
+    *
+    *  - `live_keys` / `dead_keys`: keys whose net count is positive /
+    *    has fallen to ≤ 0 (fully-deleted keys still occupying log rows
+    *    — exactly what the next [[compact]] purges, the debt number);
+    *  - `log_entries`: collapsed (key, batch_id) entries — the read
+    *    amplification every [[serve]] pays over a compacted base. The
+    *    REPLAY-COLLAPSED count, deliberately, like every read in the
+    *    family: a crash-replayed batch's byte-identical duplicates
+    *    don't inflate the self-report;
+    *  - `batches_since_compact`: max stamp in the log ([[compact]]
+    *    folds to 0 and resets it).
+    *
+    * Plan shape: both groupBys sit on the table's key buckets (zero
+    * exchanges), then one scalar fold; the marker-side max rides a
+    * 1×1 crossJoin — the q198 DESCRIBE pattern.
+    */
+  def describe(spark: SparkSession, table: String): DataFrame = {
+    val perKey = spark.table(table)
+      .groupBy("key", "batch_id").agg(min(col("dn")).as("dn"))
+      .groupBy("key").agg(sum(col("dn")).as("n"), count(lit(1)).as("entries"))
+    perKey.agg(
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("live_keys"),
+        sum(when(col("n") <= 0, 1L).otherwise(0L)).as("dead_keys"),
+        sum(col("entries")).as("log_entries"))
+      .crossJoin(spark.table(table)
+        .agg(max(col("batch_id")).as("batches_since_compact")))
+  }
+
   /** Fold the delta log back into a single batch-0 base — same table,
     * same bucket layout, read cost back to one row per live key. The
     * fold is pinned (localCheckpoint) before the Overwrite because the

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The maintenance loop — turns the per-family lifecycle verbs from
+  * operator-invoked calls into the policy-driven loop a production
+  * deploy actually runs: read the family's DESCRIBE self-report
+  * (bounded, cost ∝ log — never a corpus rescan), decide against a
+  * [[CompactPolicy]], compact only when due.
+  *
+  * The decision inputs are exactly the two debt axes the DESCRIBE verbs
+  * expose: how many batches of un-compacted log a serve must fold
+  * (`batches_since_compact` — read amplification), and how much of the
+  * log is DEAD weight a compact would purge (`dead_keys` on the rollup;
+  * `view_log_entries − live_view_rows` on the join view). Compaction
+  * correctness is the families' own theorem (q175/q195 prove compact ==
+  * recompute); what the policy layer adds — and q213 hash-checks — is
+  * that a POLICY-triggered compact is the same operation, not a
+  * different code path.
+  */
+object Maintenance {
+
+  /** `maxBatches`: compact when more than this many delta batches have
+    * accumulated since the last compact (serve-side read amplification
+    * bound). `maxDeadFraction`: compact when more than this fraction of
+    * the log's entries are dead weight (space/scan bound). Either
+    * trigger suffices — the standard OR of a time-like and a size-like
+    * threshold.
+    */
+  final case class CompactPolicy(maxBatches: Long = 16L,
+      maxDeadFraction: Double = 0.2) {
+    require(maxBatches >= 0L && maxDeadFraction >= 0.0 && maxDeadFraction <= 1.0,
+      s"degenerate policy: maxBatches=$maxBatches maxDeadFraction=$maxDeadFraction")
+  }
+
+  private def due(batches: Long, dead: Long, total: Long,
+      policy: CompactPolicy): Boolean =
+    batches > policy.maxBatches ||
+      (total > 0L && dead.toDouble / total > policy.maxDeadFraction)
+
+  /** The rollup's compact decision, from one [[IvmRollup.describe]]
+    * read: dead weight = keys whose net count fell to ≤ 0.
+    */
+  def shouldCompactRollup(spark: SparkSession, table: String,
+      policy: CompactPolicy): Boolean = {
+    val r = IvmRollup.describe(spark, table).head()
+    due(r.getAs[Long]("batches_since_compact"), r.getAs[Long]("dead_keys"),
+      r.getAs[Long]("live_keys") + r.getAs[Long]("dead_keys"), policy)
+  }
+
+  /** Read → decide → maybe compact; returns whether the compact ran
+    * (so a scheduler can log/meter the loop). The read is the bounded
+    * DESCRIBE; a not-due call touches nothing.
+    */
+  def compactRollupIfDue(spark: SparkSession, table: String, path: String,
+      policy: CompactPolicy, nBuckets: Int = 16): Boolean = {
+    val go = shouldCompactRollup(spark, table, policy)
+    if (go) IvmRollup.compact(spark, table, path, nBuckets)
+    go
+  }
+
+  /** The join view's compact decision, from one [[IvmJoin.describe]]
+    * read: dead weight = collapsed view-log entries that net to
+    * nothing servable (`view_log_entries − live_view_rows`).
+    */
+  def shouldCompactJoin(spark: SparkSession, table: String,
+      policy: CompactPolicy): Boolean = {
+    val r = IvmJoin.describe(spark, table).head()
+    val entries = r.getAs[Long]("view_log_entries")
+    due(r.getAs[Long]("batches_since_compact"),
+      entries - r.getAs[Long]("live_view_rows"), entries, policy)
+  }
+
+  def compactJoinIfDue(spark: SparkSession, table: String, path: String,
+      keys: Seq[String], policy: CompactPolicy,
+      nBuckets: Int = 16): Boolean = {
+    val go = shouldCompactJoin(spark, table, policy)
+    if (go) IvmJoin.compact(spark, table, path, keys, nBuckets)
+    go
+  }
+}

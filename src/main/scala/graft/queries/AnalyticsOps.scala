@@ -804,6 +804,49 @@ object AnalyticsOps {
   }
 
   // --------------------------------------------------------------------
+  // q213: the AUTO-COMPACT policy loop, driver-checked — q175 proves a
+  // manual mid-stream compact is neutral; this row proves the compact a
+  // POLICY triggers from the DESCRIBE self-report is the SAME
+  // operation: build the base, fold batch 1 (q81's deletes), then run
+  // the maintenance loop (Maintenance.compactRollupIfDue) under
+  // maxBatches = 0 — the accumulated batch makes it due, so the
+  // DESCRIBE numbers, not the caller, decide. The loop must then
+  // SETTLE: a second probe on the freshly compacted log reads
+  // batches_since_compact = 0 / zero dead keys and must NOT fire
+  // (require — a flapping policy would compact forever). Fold batch 2
+  // (key-shifted inserts) onto the compacted base under the reset
+  // namespace and serve. Oracle = q152's recompute SQL — the SAME
+  // oracle as the manual-compact row q175, so the driver's two hash
+  // compares together read "policy-triggered compact == manual compact
+  // == recompute", cross-engine.
+  private def ivmAutoCompact(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.{IvmRollup, Maintenance}
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = "graft_q213_ivm"
+    val path = graft.core.Scratch.path(table)
+    IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), table, path)
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_custkey").as("key"), lit(-1L).as("dn"),
+          (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr")),
+      batchId = 1L)
+    val policy = Maintenance.CompactPolicy(maxBatches = 0L)
+    require(Maintenance.compactRollupIfDue(spark, table, path, policy),
+      "q213: one accumulated batch under maxBatches = 0 must be due")
+    require(!Maintenance.compactRollupIfDue(spark, table, path, policy),
+      "q213: a freshly compacted log must NOT be due — the loop settles")
+    IvmRollup.applyDelta(spark, table,
+      o.filter(col("o_orderkey") % 103 === 0)
+        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+          col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+      batchId = 1L) // ids restart after compact: the log is batch 0 again
+    IvmRollup.serve(spark, table)
+      .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+        col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
+  }
+
+  // --------------------------------------------------------------------
   // q187: AS-OF reads on the maintained rollup — the q186 move for the
   // IVM tier. The stamped delta log is a version history (prefix sums
   // of a changelog are the changelog's prefix; valid back to the last
@@ -837,6 +880,70 @@ object AnalyticsOps {
       .select(col("key").as("o_custkey"), col("n").as("n_orders"),
         col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
   }
+
+  // --------------------------------------------------------------------
+  // q211: DESCRIBE on the maintained ROLLUP — the q198/q200 observability
+  // theorem brought to the view tier (the two families an operator most
+  // needs to interrogate before scheduling maintenance): live_keys /
+  // dead_keys (net count > 0 / fallen to ≤ 0 — the rows the next
+  // compact purges, the debt number), log_entries (collapsed (key,
+  // batch) rows — the read amplification every serve pays), and
+  // batches_since_compact (max stamp; compact resets to 0). All four in
+  // one bounded pass over the family's OWN log (both groupBys ride the
+  // key buckets, zero exchanges), while the ORACLE re-derives every
+  // number from the source orders table under q160's churn — so the
+  // driver's hash compare is "the rollup's self-report == the truth",
+  // as a theorem. Memoized ladder (AsOfFixtures.rollup); the row times
+  // the stats read.
+  private def ivmRollupStats(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.IvmRollup.describe(spark, AsOfFixtures.rollup(spark, dir))
+
+  private val ivmRollupStatsSql: String = """
+    SELECT
+      CAST((SELECT COUNT(*) FROM (
+          SELECT o_custkey FROM orders GROUP BY o_custkey
+          HAVING SUM(CASE WHEN o_orderkey % 101 != 0 THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN o_orderkey % 103 = 0 THEN 1 ELSE 0 END) > 0)) AS BIGINT) AS live_keys,
+      CAST((SELECT COUNT(*) FROM (
+          SELECT o_custkey FROM orders GROUP BY o_custkey
+          HAVING SUM(CASE WHEN o_orderkey % 101 != 0 THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN o_orderkey % 103 = 0 THEN 1 ELSE 0 END) = 0)) AS BIGINT) AS dead_keys,
+      CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders)
+         + (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 101 = 0)
+         + (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 103 = 0) AS BIGINT) AS log_entries,
+      CAST(2 AS BIGINT) AS batches_since_compact""".trim
+
+  // --------------------------------------------------------------------
+  // q212: DESCRIBE on the maintained JOIN VIEW — q211's theorem across
+  // the family's THREE logs: net-live rows per log (view/fact/dim; the
+  // dim's −old/+new update is count-neutral and the view's fan-out
+  // rewrite must also net to one row per surviving order — both facts
+  // are hash-checked, not assumed), view_log_entries (collapsed
+  // (identity, batch) rows: base + batch-1 churn + 2× the batch-2
+  // segment-rewrite fan-out — the honest IVM cost of a dim payload
+  // change, visible in the self-report), and batches_since_compact
+  // from the `_batches` marker. Oracle re-derives all five from orders
+  // ⋈ customer under q192's churn. Memoized ladder
+  // (AsOfFixtures.joinView, shared with q196); the row times the
+  // stats read.
+  private def ivmJoinStats(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.IvmJoin.describe(spark, AsOfFixtures.joinView(spark, dir))
+
+  private val ivmJoinStatsSql: String = """
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 101 != 0)
+         + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 103 = 0) AS BIGINT) AS live_view_rows,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 101 != 0)
+         + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 103 = 0) AS BIGINT) AS live_fact_rows,
+      CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS live_dim_rows,
+      CAST((SELECT COUNT(*) FROM orders)
+         + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 101 = 0)
+         + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 103 = 0)
+         + 2 * (SELECT SUM(CASE WHEN o.o_orderkey % 101 != 0 THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN o.o_orderkey % 103 = 0 THEN 1 ELSE 0 END)
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey % 13 = 0) AS BIGINT) AS view_log_entries,
+      CAST(2 AS BIGINT) AS batches_since_compact""".trim
 
   private val ivmAsOfSql: String = """
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1317,7 +1424,10 @@ object AnalyticsOps {
     GraftQuery("q160_ivm_rollup", Some(ivmAggSql), ivmRollup),
     GraftQuery("q210_rollup_stream", Some(ivmAggSql), ivmRollupStream),
     GraftQuery("q175_ivm_compact", Some(ivmAggSql), ivmCompact),
+    GraftQuery("q213_autocompact", Some(ivmAggSql), ivmAutoCompact),
     GraftQuery("q187_asof_rollup", Some(ivmAsOfSql), ivmAsOf),
+    GraftQuery("q211_rollup_stats", Some(ivmRollupStatsSql), ivmRollupStats),
+    GraftQuery("q212_join_stats", Some(ivmJoinStatsSql), ivmJoinStats),
     GraftQuery("q192_ivm_join", Some(ivmJoinSql), ivmJoinView),
     GraftQuery("q193_ivm_composed", Some(ivmComposedSql), ivmComposed),
     GraftQuery("q194_ivm_pipeline", Some(ivmPipelineSql), ivmPipeline),

@@ -76,6 +76,30 @@ object AsOfFixtures {
         name, graft.core.Scratch.path(name), batchId = 2L)
     }
 
+  /** Maintained rollup over orders (q160's ladder, memoized): base at
+    * stamp 0, the %101 deletes at stamp 1, the key-shifted %103
+    * inserts at stamp 2 — the clean (crash-free) history the DESCRIBE
+    * row (q211) reads its operational numbers from.
+    */
+  def rollup(spark: SparkSession, dir: String): String =
+    once("ivm", dir) { name =>
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.operators.IvmRollup.build(o, col("o_custkey"),
+        col("o_totalprice"), name, graft.core.Scratch.path(name))
+      graft.operators.IvmRollup.applyDelta(spark, name,
+        o.filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_custkey").as("key"), lit(-1L).as("dn"),
+            (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr")),
+        batchId = 1L)
+      graft.operators.IvmRollup.applyDelta(spark, name,
+        o.filter(col("o_orderkey") % 103 === 0)
+          .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+            col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+        batchId = 2L)
+    }
+
   /** Maintained join view over orders ⋈ customer with q192's two
     * churn batches: fact churn at stamp 1, the dim segment update at
     * stamp 2 — so `asOf = 1` pins the net FACT state under the

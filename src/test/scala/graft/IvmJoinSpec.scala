@@ -192,4 +192,32 @@ class IvmJoinSpec extends SparkSpec {
     val base = asSet(fact.join(dim, "custkey"))
     assert(asSet(IvmJoin.serve(spark, table, asOf = 0L)) == base)
   }
+
+  test("describe + auto-compact policy on the join view") {
+    import graft.operators.Maintenance
+    import Maintenance.CompactPolicy
+    buildAndFold()
+    val r = IvmJoin.describe(spark, table).head()
+    val live = r.getAs[Long]("live_view_rows")
+    assert(live == recomputed().count(), r.toString)
+    assert(r.getAs[Long]("live_fact_rows") == live, r.toString)
+    assert(r.getAs[Long]("live_dim_rows") == dim.count(), r.toString)
+    assert(r.getAs[Long]("batches_since_compact") == 2L, r.toString)
+    val entries = r.getAs[Long]("view_log_entries")
+    assert(entries > live, "the churn batches must show as log debt")
+    // batches boundary ("more than"): 2 batches not due at 2, due at 1
+    assert(!Maintenance.shouldCompactJoin(spark, table,
+      CompactPolicy(maxBatches = 2L, maxDeadFraction = 1.0)))
+    assert(Maintenance.compactJoinIfDue(spark, table, path, Seq("custkey"),
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
+    // the policy-run compact is the manual one: folded to batch 0, debt
+    // gone, serve still == recompute, and the loop settles
+    val r2 = IvmJoin.describe(spark, table).head()
+    assert(r2.getAs[Long]("batches_since_compact") == 0L, r2.toString)
+    assert(r2.getAs[Long]("view_log_entries") == live, r2.toString)
+    assert(asSet(IvmJoin.serve(spark, table)) ==
+      asSet(recomputed().select(IvmJoin.serve(spark, table).columns.map(col): _*)))
+    assert(!Maintenance.shouldCompactJoin(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
+  }
 }

@@ -127,4 +127,71 @@ class IvmRollupSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("describe reports live/dead keys, log entries, batches since compact") {
+    import spark.implicits._
+    val t = "ivm_spec_describe"
+    IvmRollup.build(
+      Seq((1L, 10.0), (1L, 5.0), (2L, 7.0), (3L, 1.0)).toDF("k", "v"),
+      col("k"), col("v"), t, graft.core.Scratch.path(t))
+    // batch 1 fully deletes key 3 (dead weight) and touches key 1
+    IvmRollup.applyDelta(spark, t,
+      Seq((3L, -1L, "-1.00"), (1L, 1L, "2.00")).toDF("key", "dn", "dr")
+        .select(col("key"), col("dn"), col("dr").cast(DecimalType(38, 2)).as("dr")), 1L)
+    val r = IvmRollup.describe(spark, t).head()
+    assert(r.getAs[Long]("live_keys") == 2L, r.toString)
+    assert(r.getAs[Long]("dead_keys") == 1L, r.toString)
+    assert(r.getAs[Long]("log_entries") == 5L, r.toString) // 3 base + 2 touched
+    assert(r.getAs[Long]("batches_since_compact") == 1L, r.toString)
+    // a crash-replayed batch must NOT inflate the self-report: re-append
+    // the same deterministic rows under the same stamp, numbers unchanged
+    spark.table(t).filter(col("batch_id") === 1L)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
+    assert(IvmRollup.describe(spark, t).head().toSeq == r.toSeq)
+  }
+
+  test("auto-compact policy: boundary semantics, not-due leaves the log, due == manual") {
+    import graft.operators.Maintenance
+    import Maintenance.CompactPolicy
+    buildAndFold() // base + 2 delta batches, no dead keys on this fixture
+    // batches boundary: 2 accumulated batches — maxBatches = 2 is NOT
+    // due (bound is "more than"), 1 is
+    val lax = CompactPolicy(maxBatches = 2L, maxDeadFraction = 1.0)
+    assert(!Maintenance.shouldCompactRollup(spark, table, lax))
+    assert(!Maintenance.compactRollupIfDue(spark, table, path, lax))
+    assert(spark.table(table).agg(max("batch_id")).head.getLong(0) == 2L,
+      "a not-due probe must leave the log untouched")
+    val strict = CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)
+    assert(Maintenance.compactRollupIfDue(spark, table, path, strict))
+    assert(spark.table(table).agg(max("batch_id")).head.getLong(0) == 0L,
+      "the policy-run compact folds to batch 0, like the manual one")
+    assert(served() == recomputed(), "policy compact == recompute")
+    // and the loop settles: the compacted log is not due under ANY
+    // batches threshold (0 > 0 is false) with no dead weight
+    assert(!Maintenance.shouldCompactRollup(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
+  }
+
+  test("auto-compact dead-fraction trigger fires independently of batch count") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    import Maintenance.CompactPolicy
+    val t = "ivm_spec_deadfrac"
+    val p = graft.core.Scratch.path(t)
+    IvmRollup.build(Seq((1L, 1.0), (2L, 1.0)).toDF("k", "v"),
+      col("k"), col("v"), t, p)
+    // kill key 2: 1 dead of 2 keys = 0.5 dead fraction, 1 batch
+    IvmRollup.applyDelta(spark, t,
+      Seq((2L, -1L, "-1.00")).toDF("key", "dn", "dr")
+        .select(col("key"), col("dn"), col("dr").cast(DecimalType(38, 2)).as("dr")), 1L)
+    // at the boundary (0.5) not due — the bound is "more than"
+    assert(!Maintenance.shouldCompactRollup(spark, t,
+      CompactPolicy(maxBatches = 99L, maxDeadFraction = 0.5)))
+    // just under it, due, even though the batch bound is slack
+    assert(Maintenance.compactRollupIfDue(spark, t, p,
+      CompactPolicy(maxBatches = 99L, maxDeadFraction = 0.49)))
+    // the dead key left physically; nothing is due anymore
+    val r = IvmRollup.describe(spark, t).head()
+    assert(r.getAs[Long]("dead_keys") == 0L && r.getAs[Long]("live_keys") == 1L)
+  }
 }
