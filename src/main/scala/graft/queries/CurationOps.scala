@@ -923,6 +923,59 @@ object CurationOps {
     graft.sources.JsonlSource.readWithQuarantine(spark, path, docs.schema)
   }
 
+  /** q214 fixture: the q204 dump COMPRESSED — written as a directory of
+    * gzip shards (the 100 TB contract: many .gz files parallelize by
+    * file; ONE gzip stream is unsplittable and would serialize the
+    * whole decompress into a single task), with a gzip shard of three
+    * broken lines injected so the quarantine path is exercised through
+    * the codec too.
+    */
+  private def jsonlGzIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(spark, dir).documents
+    val path = graft.core.Scratch.path("graft_q214_jsonl_gz")
+    docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "gzip").json(path)
+    val corrupt = Seq("""{"doc_id": 1, "text": "truncated""",
+      """not json at all""", """{{""")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(s"$path/corrupt-injected.json.gz")))
+    out.write((corrupt.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    graft.sources.JsonlSource.readWithQuarantine(spark, path, docs.schema)
+  }
+
+  /** q215/q216 fixture: syntax breakage AND contract breakage in one
+    * dump — three unparseable lines plus five lines that are VALID
+    * JSON but violate the data contract (doc_id/text absent or
+    * explicitly null: exactly the rows PERMISSIVE waves through with
+    * silently nulled fields). Read through the two-stage
+    * [[graft.sources.JsonlSource.readWithContract]].
+    */
+  private def jsonlContractIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(spark, dir).documents
+    val path = graft.core.Scratch.path("graft_q215_jsonl")
+    docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+    val bad = java.util.Arrays.asList(
+      // three syntax breakages → stage-1 quarantine
+      """{"doc_id": 901, "text": "truncated""",
+      """not json at all""",
+      """{{""",
+      // five contract breakages (valid JSON!) → stage-2 quarantine
+      """{"doc_id": null, "text": "explicit null id", "lang": "en", "source": "inj", "n_chars": 15}""",
+      """{"text": "id absent entirely", "lang": "en", "source": "inj", "n_chars": 18}""",
+      """{"doc_id": 900000001, "text": null, "lang": "en", "source": "inj", "n_chars": 0}""",
+      """{"doc_id": 900000002, "lang": "en", "source": "inj", "n_chars": 0}""",
+      """{"doc_id": 900000003}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/bad-injected.json"), bad)
+    graft.sources.JsonlSource.readWithContract(spark, path, docs.schema,
+      col("doc_id").isNotNull && col("text").isNotNull)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // q204: tolerant JSONL ingest, driver-checked — the production
@@ -950,6 +1003,58 @@ object CurationOps {
         val (good, quarantine) = jsonlIngest(spark, dir)
         good.agg(count(lit(1)).as("n_good"))
           .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
+      }),
+    // q214: q204 through gzip — crawl dumps arrive COMPRESSED, and the
+    // reader must keep both halves of the tolerant contract through
+    // the codec: the dump is a directory of .gz shards (many files =
+    // file-parallel decompress; one gzip stream would serialize — the
+    // documented 100 TB contract) plus one injected .gz shard of three
+    // broken lines. Result = the good frame, content-exact against the
+    // table; the quarantine side is fenced in-row (require == 3, so a
+    // codec-path quarantine regression fails loudly, not silently).
+    GraftQuery("q214_jsonl_gz",
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents"),
+      (spark, dir) => {
+        val (good, quarantine) = jsonlGzIngest(spark, dir)
+        val nq = quarantine.count()
+        require(nq == 3L, s"q214: expected 3 quarantined lines through gzip, got $nq")
+        good
+      }),
+    // q215: the POST-PARSE contract audit — the hole PERMISSIVE leaves:
+    // a line that is valid JSON with a missing/null required field
+    // parses cleanly and sails into the good frame (measured in q204's
+    // fixture notes). readWithContract routes rows violating the
+    // declared contract (doc_id AND text non-null) to a SECOND
+    // quarantine; the result is the good frame, content-exact against
+    // the table even though five such lines were injected — none
+    // smuggled in, no real row lost. The oracle carries the same
+    // contract predicate, so a table that legitimately held nulls
+    // would stay hash-matched rather than fake a pass.
+    GraftQuery("q215_jsonl_contract",
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL""".trim),
+      (spark, dir) => jsonlContractIngest(spark, dir)._1),
+    // q216: the two-ledger evidence of q215's ingest — every input line
+    // lands in exactly one of three places and the counts prove it:
+    // the table's rows survive, exactly the three syntax breakages in
+    // quarantine 1 (raw line), exactly the five contract breakages in
+    // quarantine 2 (re-rendered row). The oracle derives n_good and
+    // n_contract from the same predicate over the table, so the split
+    // arithmetic (good + contract-violations == parsed lines) is
+    // checked cross-engine, not assumed.
+    GraftQuery("q216_contract_ledger",
+      Some("""
+        SELECT CAST((SELECT COUNT(*) FROM documents
+                     WHERE doc_id IS NOT NULL AND text IS NOT NULL) AS BIGINT) AS n_good,
+               CAST(3 AS BIGINT) AS n_syntax_quarantined,
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE doc_id IS NULL OR text IS NULL) + 5 AS BIGINT) AS n_contract_quarantined""".trim),
+      (spark, dir) => {
+        val (good, syntaxQ, contractQ) = jsonlContractIngest(spark, dir)
+        good.agg(count(lit(1)).as("n_good"))
+          .crossJoin(syntaxQ.agg(count(lit(1)).as("n_syntax_quarantined")))
+          .crossJoin(contractQ.agg(count(lit(1)).as("n_contract_quarantined")))
       }),
     GraftQuery("q85_mixture_resample", Some(mixtureResampleSql), mixtureResample),
     GraftQuery("q112_source_cap", Some(sourceCapSql), sourceCap),

@@ -373,6 +373,33 @@ class OperatorSpec extends SparkSpec {
     assert(good.count() + bad.count() == 5)
   }
 
+  test("jsonl contract audit: valid-JSON contract violations land in the second quarantine") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("jsonlc")
+    java.nio.file.Files.write(tmp.resolve("feed.jsonl"), java.util.Arrays.asList(
+      """{"id": 1, "text": "ok row"}""",
+      """{"id": null, "text": "null id — valid JSON, violates contract"}""",
+      """{"text": "id absent — PERMISSIVE nulls it silently"}""",
+      """{"id": 2}""",
+      """{"id": 3 "text": "broken syntax"}""",
+      """{"id": 4, "text": "fine"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val (good, syntaxQ, contractQ) = graft.sources.JsonlSource.readWithContract(
+      spark, tmp.toString, schema,
+      col("id").isNotNull && col("text").isNotNull)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    assert(syntaxQ.count() == 1)
+    val rendered = contractQ.collect().map(_.getString(0))
+    assert(rendered.length == 3, rendered.mkString("\n"))
+    // the re-rendered evidence keeps the fields that DID parse — and a
+    // NULL-valued contract predicate (null operand) is a violation,
+    // never a silent pass into the good frame
+    assert(rendered.exists(_.contains("id absent")))
+    assert(good.count() + syntaxQ.count() + contractQ.count() == 6)
+  }
+
   test("scd2: runs collapse, change closes, incremental apply == from-scratch") {
     import org.apache.spark.sql.functions._
     import graft.operators.Merge
