@@ -154,8 +154,11 @@ object IvmJoin {
 
   /** Broadcast-gate bound for the dim PRE-STATE term, in rows of the
     * `_dim` LOG (an upper bound on the collapsed state — conservative
-    * in the safe direction, and countable from parquet footers alone).
-    * The house MaxBroadcastRows figure ([[Dedup]]).
+    * in the safe direction). Probed with a limit(bound + 1) count, so
+    * the gate reads at most bound + 1 rows however many files the log
+    * has accumulated between compacts (round-9 advice fix: a plain
+    * count-star is footer-only per file, but the FILE count itself is
+    * unbounded). The house MaxBroadcastRows figure ([[Dedup]]).
     */
   private[graft] val MaxBroadcastDimRows = 100000L
 

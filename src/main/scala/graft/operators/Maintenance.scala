@@ -78,4 +78,42 @@ object Maintenance {
     if (go) IvmJoin.compact(spark, table, path, keys, nBuckets)
     go
   }
+
+  /** The exact pair index's compact decision. Deliberately NOT
+    * [[Dedup.pairIndexStats]] (whose live_pairs re-serves the whole
+    * pair graph — an audit read, too heavy for a policy probe): the
+    * probe reads only the two debt axes — max committed stamp from the
+    * `_batches` marker, and the tombstone fraction over the collapsed
+    * member set. Cost: one bounded marker collect + one distinct over
+    * members/deleted — ∝ index, never corpus.
+    *
+    * The same two-axis policy fits every index family (each compact
+    * purges its tombstones and resets its namespace); the pair index
+    * gets the verb because it is the tier's flagship — the others
+    * follow the identical shape when a deployment needs them.
+    */
+  def shouldCompactPairs(spark: SparkSession, table: String,
+      policy: CompactPolicy): Boolean = {
+    val batches = spark.table(s"${table}_batches")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("batch_id"))).head().getLong(0)
+    val members = spark.table(s"${table}_members")
+      .select("id").distinct() // replay duplicates collapse
+    val dead =
+      if (spark.catalog.tableExists(s"${table}_deleted"))
+        spark.table(s"${table}_deleted").select("id").distinct().count()
+      else 0L
+    // fraction base = distinct indexed ids; a tombstone aimed at a
+    // never-indexed id (legal, it just never matches) can push the
+    // fraction past 1 — which still reads as "compact", the only
+    // sensible answer for a ledger dominated by dead weight
+    due(batches, dead, members.count(), policy)
+  }
+
+  def compactPairsIfDue(spark: SparkSession, table: String, path: String,
+      policy: CompactPolicy, nBuckets: Int = 8): Boolean = {
+    val go = shouldCompactPairs(spark, table, policy)
+    if (go) Dedup.compactPairIndex(spark, table, path, nBuckets)
+    go
+  }
 }

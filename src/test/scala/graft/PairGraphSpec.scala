@@ -207,6 +207,34 @@ class PairGraphSpec extends SparkSpec {
     assert(Dedup.servePairIndex(spark, "pg_del").collect().map(key).toSet == want)
   }
 
+  test("auto-compact policy on the pair index: debt axes, boundary, policy == manual") {
+    import graft.operators.Maintenance
+    import Maintenance.CompactPolicy
+    drop("pg_auto")
+    Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_auto",
+      tmp("auto"), 0.8, incremental = true)
+    Dedup.extendPairIndex(spark, docs.filter(col("id") % 2 === 1), "pg_auto",
+      0.8, batchId = 1L)
+    val victims = docs.filter(col("id") % 7 === 3).select(col("id"))
+    Dedup.deleteFromPairIndex(spark, victims, "pg_auto", tmp("auto"), batchId = 2L)
+    // batches boundary ("more than"): max committed stamp is 2
+    assert(!Maintenance.shouldCompactPairs(spark, "pg_auto",
+      CompactPolicy(maxBatches = 2L, maxDeadFraction = 1.0)))
+    // dead-fraction trigger: every 7th doc tombstoned ≈ 1/7 > 0.1
+    assert(Maintenance.shouldCompactPairs(spark, "pg_auto",
+      CompactPolicy(maxBatches = 99L, maxDeadFraction = 0.1)))
+    val want = Dedup.jaccardPairs(docs.filter(col("id") % 7 =!= 3), threshold = 0.8)
+      .collect().map(key).toSet
+    assert(Maintenance.compactPairsIfDue(spark, "pg_auto", tmp("auto"),
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
+    // the policy-run compact is the manual one: tombstones purged,
+    // namespace reset, serve == recompute — and the loop settles
+    assert(spark.table("pg_auto_deleted").isEmpty)
+    assert(Dedup.servePairIndex(spark, "pg_auto").collect().map(key).toSet == want)
+    assert(!Maintenance.shouldCompactPairs(spark, "pg_auto",
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
+  }
+
   test("the dict density fence fails a lost read-then-append update loudly") {
     drop("pg_fence")
     Dedup.buildPairIndex(docs.filter(col("id") % 2 === 0), "pg_fence",
