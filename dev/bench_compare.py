@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison (dev tooling only).
+
+Compares two bench JSON records (the lossless per-query maps) over
+their SHARED query set, prints formal regressions/improvements by the
+house rule (>1.4x AND >0.5 s = formal), plus the new-row costs.
+
+    python3 dev/bench_compare.py <old.json> <new.json>
+"""
+import json
+import sys
+
+
+def main():
+    old = json.load(open(sys.argv[1]))["queries"]
+    new = json.load(open(sys.argv[2]))["queries"]
+    shared = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    so, sn = sum(old[q] for q in shared), sum(new[q] for q in shared)
+    print(f"shared {len(shared)}: {so:.1f} -> {sn:.1f} s ({sn/so:.2f}x)")
+    reg = [(q, old[q], new[q]) for q in shared
+           if new[q] > 1.4 * old[q] and new[q] - old[q] > 0.5]
+    imp = [(q, old[q], new[q]) for q in shared
+           if old[q] > 1.4 * new[q] and old[q] - new[q] > 0.5]
+    print(f"\nformal regressions ({len(reg)}):")
+    for q, a, b in sorted(reg, key=lambda t: t[1] - t[2]):
+        print(f"  {q}: {a:.2f} -> {b:.2f}")
+    print(f"\nformal improvements ({len(imp)}):")
+    for q, a, b in sorted(imp, key=lambda t: t[2] - t[1]):
+        print(f"  {q}: {a:.2f} -> {b:.2f}")
+    print(f"\nnew rows ({len(added)}, {sum(new[q] for q in added):.1f} s):")
+    for q in added:
+        print(f"  {q}: {new[q]:.2f}")
+    slow = sorted(new.items(), key=lambda kv: -kv[1])[:5]
+    print("\nslowest five at HEAD:")
+    for q, v in slow:
+        print(f"  {q}: {v:.2f}")
+
+
+if __name__ == "__main__":
+    main()
