@@ -12,11 +12,16 @@ import sys
 
 
 def main():
+    if len(sys.argv) != 3:
+        sys.exit("usage: bench_compare.py <old.json> <new.json>")
     old = json.load(open(sys.argv[1]))["queries"]
     new = json.load(open(sys.argv[2]))["queries"]
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     so, sn = sum(old[q] for q in shared), sum(new[q] for q in shared)
+    if not shared or so <= 0:
+        sys.exit(f"no comparable shared queries (shared={len(shared)}) — "
+                 "are these records from the same suite?")
     print(f"shared {len(shared)}: {so:.1f} -> {sn:.1f} s ({sn/so:.2f}x)")
     reg = [(q, old[q], new[q]) for q in shared
            if new[q] > 1.4 * old[q] and new[q] - old[q] > 0.5]

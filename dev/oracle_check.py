@@ -78,7 +78,13 @@ def main():
     json_path = None
     if "--json" in rest:
         i = rest.index("--json")
+        if i + 1 >= len(rest):
+            sys.exit("usage: --json requires a path argument")
         json_path = rest[i + 1]
+        if json_path.startswith("q") and not os.sep in json_path \
+                and "." not in json_path:
+            sys.exit(f"--json argument {json_path!r} looks like a query "
+                     "name, not a path — did you forget the path?")
         rest = rest[:i] + rest[i + 2:]
     only = set(rest)
     record = {}

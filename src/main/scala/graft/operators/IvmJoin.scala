@@ -275,8 +275,11 @@ object IvmJoin {
     *    compacted base, deliberately replay-collapsed so a crashed
     *    batch's byte-identical duplicates don't inflate the
     *    self-report;
-    *  - `batches_since_compact`: max COMMITTED stamp (the `_batches`
-    *    marker; [[compact]] resets it to {0}).
+    *  - `batches_since_compact`: COUNT of distinct non-zero COMMITTED
+    *    stamps (the `_batches` marker; [[compact]] resets it to {0}).
+    *    A count, not max(stamp) — stream feeds stamp epoch-derived
+    *    ids, and a max would read "due" forever after a compact
+    *    (the [[IvmRollup.describe]] rationale).
     *
     * Plan shape: each log's netting sits on its own key buckets, the
     * five scalars assemble by 1×1 crossJoins — the q198 DESCRIBE
@@ -297,7 +300,8 @@ object IvmJoin {
         .dropDuplicates(viewCols :+ "batch_id")
         .agg(count(lit(1)).as("view_log_entries")))
       .crossJoin(spark.table(s"${table}_batches")
-        .agg(max(col("batch_id")).as("batches_since_compact")))
+        .agg(count_distinct(when(col("batch_id") =!= 0L, col("batch_id")))
+          .as("batches_since_compact")))
   }
 
   /** Fold all three logs back to batch-0 bases — the house compact:

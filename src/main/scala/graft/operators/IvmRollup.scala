@@ -124,23 +124,42 @@ object IvmRollup {
     *    REPLAY-COLLAPSED count, deliberately, like every read in the
     *    family: a crash-replayed batch's byte-identical duplicates
     *    don't inflate the self-report;
-    *  - `batches_since_compact`: max stamp in the log ([[compact]]
-    *    folds to 0 and resets it).
+    *  - `batches_since_compact`: COUNT of distinct non-zero stamps in
+    *    the log — a batch count, deliberately NOT max(stamp): stream
+    *    feeds ([[graft.streaming.IvmStream]]) stamp monotonic epoch
+    *    ids that skip empty epochs and never reset, so a max-based
+    *    number would read "due" forever after the first compact and
+    *    flap the maintenance loop; the distinct count is 0 right after
+    *    any compact (the log folds to batch 0) whatever the stamps.
+    *
+    * The replay collapse applies [[serve]]'s loud-fence discipline to
+    * the column it consumes (dn): divergent duplicates under one
+    * (key, batch_id) are a contract violation, and DESCRIBE numbers
+    * feed compaction decisions — a silently-wrong self-report is
+    * exactly as bad here as a silently-wrong total there. All aggregates are null-safe on an
+    * EMPTY log (a fully-deleted rollup compacts to zero rows): counts,
+    * not sums of nothing.
     *
     * Plan shape: both groupBys sit on the table's key buckets (zero
-    * exchanges), then one scalar fold; the marker-side max rides a
+    * exchanges), then one scalar fold; the batch-count side rides a
     * 1×1 crossJoin — the q198 DESCRIBE pattern.
     */
   def describe(spark: SparkSession, table: String): DataFrame = {
     val perKey = spark.table(table)
-      .groupBy("key", "batch_id").agg(min(col("dn")).as("dn"))
-      .groupBy("key").agg(sum(col("dn")).as("n"), count(lit(1)).as("entries"))
+      .groupBy("key", "batch_id")
+      .agg(min(col("dn")).as("dn_lo"), max(col("dn")).as("dn_hi"))
+      .filter(assert_true(col("dn_lo") === col("dn_hi"),
+        concat(lit("IvmRollup.describe: divergent replayed dn for key "),
+          col("key").cast("string"),
+          lit(" — different deltas appended under one batch_id"))).isNull)
+      .groupBy("key").agg(sum(col("dn_lo")).as("n"), count(lit(1)).as("entries"))
     perKey.agg(
-        sum(when(col("n") > 0, 1L).otherwise(0L)).as("live_keys"),
-        sum(when(col("n") <= 0, 1L).otherwise(0L)).as("dead_keys"),
-        sum(col("entries")).as("log_entries"))
+        count(when(col("n") > 0, 1L)).as("live_keys"),
+        count(when(col("n") <= 0, 1L)).as("dead_keys"),
+        coalesce(sum(col("entries")), lit(0L)).as("log_entries"))
       .crossJoin(spark.table(table)
-        .agg(max(col("batch_id")).as("batches_since_compact")))
+        .agg(count_distinct(when(col("batch_id") =!= 0L, col("batch_id")))
+          .as("batches_since_compact")))
   }
 
   /** Fold the delta log back into a single batch-0 base — same table,

@@ -20,12 +20,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
-  /** `maxBatches`: compact when more than this many delta batches have
+  /** `maxBatches`: compact when more than this many delta BATCHES have
     * accumulated since the last compact (serve-side read amplification
-    * bound). `maxDeadFraction`: compact when more than this fraction of
-    * the log's entries are dead weight (space/scan bound). Either
-    * trigger suffices — the standard OR of a time-like and a size-like
-    * threshold.
+    * bound). The families report this as a distinct-stamp COUNT, never
+    * max(stamp) — stream feeds stamp monotonic epoch ids that skip
+    * empty epochs and survive compacts, so a max would mis-trigger
+    * forever on any stream-fed table (and then re-trigger after every
+    * compact: permanent flapping). `maxDeadFraction`: compact when more
+    * than this fraction of the log's entries are dead weight
+    * (space/scan bound). Either trigger suffices — the standard OR of
+    * a time-like and a size-like threshold.
     */
   final case class CompactPolicy(maxBatches: Long = 16L,
       maxDeadFraction: Double = 0.2) {
@@ -94,20 +98,27 @@ object Maintenance {
     */
   def shouldCompactPairs(spark: SparkSession, table: String,
       policy: CompactPolicy): Boolean = {
+    import org.apache.spark.sql.functions.{col, count_distinct, when}
+    // the batches axis first — a distinct-stamp count (the
+    // [[IvmRollup.describe]] rationale: stream stamps are epoch-derived)
+    // over the tiny marker table; when it alone decides, the probe
+    // never pays the member/tombstone distinct scans
     val batches = spark.table(s"${table}_batches")
-      .agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("batch_id"))).head().getLong(0)
-    val members = spark.table(s"${table}_members")
-      .select("id").distinct() // replay duplicates collapse
+      .agg(count_distinct(when(col("batch_id") =!= 0L, col("batch_id"))))
+      .head().getLong(0)
+    if (batches > policy.maxBatches) return true
     val dead =
       if (spark.catalog.tableExists(s"${table}_deleted"))
         spark.table(s"${table}_deleted").select("id").distinct().count()
       else 0L
+    if (dead == 0L) return false // no tombstones → nothing to purge
     // fraction base = distinct indexed ids; a tombstone aimed at a
     // never-indexed id (legal, it just never matches) can push the
     // fraction past 1 — which still reads as "compact", the only
     // sensible answer for a ledger dominated by dead weight
-    due(batches, dead, members.count(), policy)
+    val total = spark.table(s"${table}_members")
+      .select("id").distinct().count() // replay duplicates collapse
+    due(batches, dead, total, policy)
   }
 
   def compactPairsIfDue(spark: SparkSession, table: String, path: String,

@@ -857,29 +857,15 @@ object AnalyticsOps {
   // LATER batch invisible. Oracle = the recompute over exactly that
   // prefix (orders minus the deletes, no inserts), so the driver's
   // hash compare is "snapshot read of a longer log == recompute at the
-  // pinned version", cross-engine. Same fixed-path rebuild discipline
-  // as q160.
-  private def ivmAsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    import graft.operators.IvmRollup
-    val o = Tables(spark, dir).orders
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val table = "graft_q187_ivm"
-    val path = graft.core.Scratch.path(table)
-    IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), table, path)
-    IvmRollup.applyDelta(spark, table,
-      o.filter(col("o_orderkey") % 101 === 0)
-        .select(col("o_custkey").as("key"), lit(-1L).as("dn"),
-          (-col("o_totalprice")).cast(DecimalType(38, 2)).as("dr")),
-      batchId = 1L)
-    IvmRollup.applyDelta(spark, table,
-      o.filter(col("o_orderkey") % 103 === 0)
-        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
-          col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
-      batchId = 2L)
-    IvmRollup.serve(spark, table, asOf = 1L)
+  // pinned version", cross-engine. Serve-time row over the memoized
+  // ladder (AsOfFixtures.rollup — the identical build/%101/%103
+  // history q211 describes; one ladder per JVM, the q186-q191
+  // discipline: the fold costs stay honestly owned by q160/q175).
+  private def ivmAsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.IvmRollup.serve(spark,
+        AsOfFixtures.rollup(spark, dir), asOf = 1L)
       .select(col("key").as("o_custkey"), col("n").as("n_orders"),
         col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
-  }
 
   // --------------------------------------------------------------------
   // q211: DESCRIBE on the maintained ROLLUP — the q198/q200 observability

@@ -172,6 +172,69 @@ class IvmRollupSpec extends SparkSpec {
       CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
   }
 
+  test("describe counts BATCHES, not max stamp: epoch-derived ids don't flap the policy") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    import Maintenance.CompactPolicy
+    val t = "ivm_spec_epochstamps"
+    val p = graft.core.Scratch.path(t)
+    IvmRollup.build(Seq((1L, 1.0), (2L, 1.0)).toDF("k", "v"),
+      col("k"), col("v"), t, p)
+    // a stream feed stamps monotonic epoch ids with gaps (skipped empty
+    // epochs): two DATA batches arrive as stamps 5 and 9
+    def delta(key: Long, stamp: Long): Unit = IvmRollup.applyDelta(spark, t,
+      Seq((key, 1L, "1.00")).toDF("key", "dn", "dr")
+        .select(col("key"), col("dn"), col("dr").cast(DecimalType(38, 2)).as("dr")), stamp)
+    delta(1L, 5L); delta(2L, 9L)
+    assert(IvmRollup.describe(spark, t).head()
+      .getAs[Long]("batches_since_compact") == 2L,
+      "two data batches, whatever their stamps")
+    IvmRollup.compact(spark, t, p)
+    // the next epoch keeps counting upward — the policy must see ONE
+    // batch since compact, not stamp 10, or it would compact forever
+    delta(1L, 10L)
+    val r = IvmRollup.describe(spark, t).head()
+    assert(r.getAs[Long]("batches_since_compact") == 1L, r.toString)
+    assert(!Maintenance.shouldCompactRollup(spark, t,
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)),
+      "no post-compact flapping under epoch-derived stamps")
+  }
+
+  test("describe and the policy survive an EMPTY log (fully-deleted rollup)") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    import Maintenance.CompactPolicy
+    val t = "ivm_spec_emptylog"
+    val p = graft.core.Scratch.path(t)
+    IvmRollup.build(Seq((1L, 1.0)).toDF("k", "v"), col("k"), col("v"), t, p)
+    IvmRollup.applyDelta(spark, t,
+      Seq((1L, -1L, "-1.00")).toDF("key", "dn", "dr")
+        .select(col("key"), col("dn"), col("dr").cast(DecimalType(38, 2)).as("dr")), 1L)
+    IvmRollup.compact(spark, t, p) // every key dead → zero-row base
+    assert(spark.table(t).isEmpty)
+    val r = IvmRollup.describe(spark, t).head()
+    assert(Seq("live_keys", "dead_keys", "log_entries", "batches_since_compact")
+      .forall(c => r.getAs[Long](c) == 0L), r.toString)
+    assert(!Maintenance.shouldCompactRollup(spark, t,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)),
+      "an empty log is never due — and never an NPE")
+  }
+
+  test("describe fences divergent replayed dn like serve does") {
+    import spark.implicits._
+    val t = "ivm_spec_descfence"
+    IvmRollup.build(Seq((1L, 1.0)).toDF("k", "v"), col("k"), col("v"),
+      t, graft.core.Scratch.path(t))
+    def delta(dn: Long): Unit = IvmRollup.applyDelta(spark, t,
+      Seq((1L, dn, "1.00")).toDF("key", "dn", "dr")
+        .select(col("key"), col("dn"), col("dr").cast(DecimalType(38, 2)).as("dr")), 1L)
+    delta(1L); delta(2L) // two DIFFERENT deltas under one stamp
+    val e = intercept[Throwable] { IvmRollup.describe(spark, t).collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("divergent replayed"), msgs)
+  }
+
   test("auto-compact dead-fraction trigger fires independently of batch count") {
     import spark.implicits._
     import graft.operators.Maintenance

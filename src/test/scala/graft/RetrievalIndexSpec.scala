@@ -241,4 +241,23 @@ class RetrievalIndexSpec extends SparkSpec {
     assert(e3.getMessage.contains("out of sequence"))
     RetrievalIndex.extendPositions(odds, "rix_fnp", batchId = 1L)
   }
+
+  test("the writer fence diagnoses an empty commit ledger and names the migration") {
+    // pure-function checks on the shared fence (no tables needed):
+    // an existing-but-empty marker (crash mid-overwrite) must read as a
+    // named recoverable state, not a bare empty.max
+    val e = intercept[IllegalArgumentException] {
+      graft.core.WriterFence(Set.empty[Long], 1L, "SpecFamily")
+    }
+    assert(e.getMessage.contains("empty commit ledger"), e.getMessage)
+    assert(e.getMessage.contains("SpecFamily"))
+    // and the out-of-sequence error tells a pre-fence sparse ledger its
+    // migration path (one compact resets the namespace)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.core.WriterFence(Set(0L, 1L), 5L, "SpecFamily")
+    }
+    assert(e2.getMessage.contains("compact"), e2.getMessage)
+    // in-sequence passes
+    graft.core.WriterFence(Set(0L, 1L), 2L, "SpecFamily")
+  }
 }
