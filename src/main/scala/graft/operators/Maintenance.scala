@@ -17,6 +17,24 @@ import org.apache.spark.sql.SparkSession
   * recompute); what the policy layer adds — and q213 hash-checks — is
   * that a POLICY-triggered compact is the same operation, not a
   * different code path.
+  *
+  * OPERATIONAL CONTRACT with streams: every compact requires
+  * quiescence (the families' own documented rule), and for the FENCED
+  * families (join view, pair/LSH/retrieval/positional/IVF indexes) a
+  * compact also resets the stamp namespace to {0} — so a paused
+  * checkpointed stream whose epoch counter kept its old value would
+  * fail the writer fence on resume (its next stamp is epoch-derived,
+  * not max+1). After compacting a stream-fed fenced table, restart the
+  * stream from a FRESH checkpoint positioned at the source's current
+  * offsets: epochs restart at 0, the first post-compact fold stamps 1
+  * = max({0}) + 1, and the fence is satisfied. The markerless rollup
+  * family has no fence and tolerates resumed epoch counters as-is
+  * (which is why q213 drives the loop on it, and why
+  * `batches_since_compact` is a distinct-stamp COUNT — a resumed
+  * stream's stamps stay monotonic across the reset). The schedulable
+  * loop without a stream restart is batch-fed maintenance; a future
+  * epoch→stamp ledger in the markers would lift this, at the cost of
+  * a marker schema change across all seven families.
   */
 object Maintenance {
 
