@@ -110,9 +110,43 @@ object ServeBench {
       IvmJoin.applyDelta(spark, table, "custkey", churn, noDim, batchId = b.toLong)
     }
     val (tPre, nPre) = timeMin3(IvmJoin.serve(spark, table).count())
+    // the round-9 DESCRIBE read on the same pre-compact log: the policy
+    // probe a scheduler pays — must be serve-class flat, never worse
+    val (tDesc, _) = timeMin3(IvmJoin.describe(spark, table).count())
     IvmJoin.compact(spark, table, path, "custkey")
     val (tPost, nPost) = timeMin3(IvmJoin.serve(spark, table).count())
-    println(f"SERVEBENCH joinview $tag pre=$tPre%.2f post=$tPost%.2f rows=$nPre/$nPost")
+    println(f"SERVEBENCH joinview $tag pre=$tPre%.2f post=$tPost%.2f " +
+      f"describe=$tDesc%.2f rows=$nPre/$nPost")
+  }
+
+  /** Rollup: build + 7 delta batches (batch 4 applied twice — the
+    * markerless family's crash shape), then time the round-9 reads:
+    * describe on the long log, the policy probe, serve pre/post.
+    */
+  private def rollup(spark: SparkSession, dir: String, tag: String): Unit = {
+    import graft.operators.{IvmRollup, Maintenance}
+    import org.apache.spark.sql.types.DecimalType
+    val o = graft.core.Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = s"graft_sb_roll_$tag"
+    val path = graft.core.Scratch.path(table)
+    IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), table, path)
+    (1 to 7).foreach { b =>
+      val delta = o.filter(col("o_orderkey") % 97 === b)
+        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+          col("o_totalprice").cast(DecimalType(38, 2)).as("dr"))
+      IvmRollup.applyDelta(spark, table, delta, b.toLong)
+      if (b == 4) IvmRollup.applyDelta(spark, table, delta, b.toLong) // no-marker replay
+    }
+    val (tPre, nPre) = timeMin3(IvmRollup.serve(spark, table).count())
+    val (tDesc, _) = timeMin3(IvmRollup.describe(spark, table).count())
+    val (tProbe, _) = timeMin3(
+      if (Maintenance.shouldCompactRollup(spark, table,
+        Maintenance.CompactPolicy(maxBatches = 99L, maxDeadFraction = 1.0))) 1L else 0L)
+    IvmRollup.compact(spark, table, path)
+    val (tPost, nPost) = timeMin3(IvmRollup.serve(spark, table).count())
+    println(f"SERVEBENCH rollup $tag pre=$tPre%.2f post=$tPost%.2f " +
+      f"describe=$tDesc%.2f probe=$tProbe%.2f rows=$nPre/$nPost")
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,6 +164,7 @@ object ServeBench {
         pairIndex(spark, dir, tag)
         retrieval(spark, dir, tag)
         joinView(spark, dir, tag)
+        rollup(spark, dir, tag)
       }
     spark.stop()
   }

@@ -445,4 +445,42 @@ class PropertySpec extends SparkSpec {
       assert(trueMatches.subsetOf(kept), s"round $round: lost ${trueMatches -- kept}")
     }
   }
+
+  test("jsonl two-stage ingest partitions EVERY line exactly once (5 rounds)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    for (round <- 0 until 5) {
+      // a feed of random good lines, contract breakers (valid JSON,
+      // null/absent required field), and syntax garbage — in random order
+      val good = (0 until 20 + rnd.nextInt(30)).map(i =>
+        s"""{"id": ${round * 1000 + i}, "text": "${randStr(12)}"}""")
+      val contractBad = (0 until rnd.nextInt(10)).map { i =>
+        if (i % 3 == 0) s"""{"id": null, "text": "${randStr(8)}"}"""
+        else if (i % 3 == 1) s"""{"text": "${randStr(8)}"}"""
+        else s"""{"id": ${90000 + i}}"""
+      }
+      val syntaxBad = (0 until rnd.nextInt(8)).map { i =>
+        if (i % 3 == 0) s"""{"id": $i, "text": "unterminated"""
+        else if (i % 3 == 1) "garbage line " + randStr(6)
+        else s"""{"id": $i,,}"""
+      }
+      val lines = rnd.shuffle(good ++ contractBad ++ syntaxBad)
+      val tmp = java.nio.file.Files.createTempDirectory(s"jsonlprop$round")
+      java.nio.file.Files.write(tmp.resolve("feed.jsonl"),
+        scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+      val (g, sq, cq) = graft.sources.JsonlSource.readWithContract(
+        spark, tmp.toString, schema,
+        col("id").isNotNull && col("text").isNotNull)
+      // the conservation law: three disjoint destinations, no line
+      // dropped or double-counted, and the splits land exactly
+      assert(g.count() == good.size, s"round $round good")
+      assert(sq.count() == syntaxBad.size, s"round $round syntax")
+      assert(cq.count() == contractBad.size, s"round $round contract")
+      assert(g.count() + sq.count() + cq.count() == lines.size)
+      // good rows are EXACTLY the good ids, values intact
+      val ids = g.collect().map(_.getLong(0)).toSet
+      assert(ids == good.indices.map(i => (round * 1000 + i).toLong).toSet)
+    }
+  }
 }
