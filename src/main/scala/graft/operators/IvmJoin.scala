@@ -275,11 +275,14 @@ object IvmJoin {
     *    compacted base, deliberately replay-collapsed so a crashed
     *    batch's byte-identical duplicates don't inflate the
     *    self-report;
-    *  - `batches_since_compact`: COUNT of distinct non-zero COMMITTED
-    *    stamps (the `_batches` marker; [[compact]] resets it to {0}).
-    *    A count, not max(stamp) — stream feeds stamp epoch-derived
-    *    ids, and a max would read "due" forever after a compact
-    *    (the [[IvmRollup.describe]] rationale).
+    *  - `batches_since_compact`: COUNT of distinct non-zero stamps in
+    *    the VIEW LOG — data batches, exactly as [[IvmRollup.describe]]
+    *    counts them. Not max(stamp) (epoch-derived stream stamps would
+    *    read "due" forever after a compact) and not the `_batches`
+    *    marker (streams stamp EMPTY epochs to keep the fence ledger
+    *    contiguous, and a quiet stream's 100 empty markers are zero
+    *    read amplification — counting them would schedule compacts
+    *    that have nothing to fold).
     *
     * Plan shape: each log's netting sits on its own key buckets, the
     * five scalars assemble by 1×1 crossJoins — the q198 DESCRIBE
@@ -298,10 +301,9 @@ object IvmJoin {
       .crossJoin(live(s"${table}_dim", "live_dim_rows"))
       .crossJoin(spark.table(table)
         .dropDuplicates(viewCols :+ "batch_id")
-        .agg(count(lit(1)).as("view_log_entries")))
-      .crossJoin(spark.table(s"${table}_batches")
-        .agg(count_distinct(when(col("batch_id") =!= 0L, col("batch_id")))
-          .as("batches_since_compact")))
+        .agg(count(lit(1)).as("view_log_entries"),
+          count_distinct(when(col("batch_id") =!= 0L, col("batch_id")))
+            .as("batches_since_compact")))
   }
 
   /** Fold all three logs back to batch-0 bases — the house compact:

@@ -205,6 +205,12 @@ class IvmJoinSpec extends SparkSpec {
     assert(r.getAs[Long]("batches_since_compact") == 2L, r.toString)
     val entries = r.getAs[Long]("view_log_entries")
     assert(entries > live, "the churn batches must show as log debt")
+    // an EMPTY stream epoch stamps the marker but adds zero read
+    // amplification — it must NOT count as a batch of debt
+    IvmJoin.applyDelta(spark, table, "custkey", noFact, noDim, batchId = 3L)
+    assert(IvmJoin.describe(spark, table).head()
+      .getAs[Long]("batches_since_compact") == 2L,
+      "empty epochs are fence bookkeeping, not compactable debt")
     // batches boundary ("more than"): 2 batches not due at 2, due at 1
     assert(!Maintenance.shouldCompactJoin(spark, table,
       CompactPolicy(maxBatches = 2L, maxDeadFraction = 1.0)))
