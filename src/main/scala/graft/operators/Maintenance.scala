@@ -117,11 +117,15 @@ object Maintenance {
   def shouldCompactPairs(spark: SparkSession, table: String,
       policy: CompactPolicy): Boolean = {
     import org.apache.spark.sql.functions.{col, count_distinct, when}
-    // the batches axis first — a distinct-stamp count (the
-    // [[IvmRollup.describe]] rationale: stream stamps are epoch-derived)
-    // over the tiny marker table; when it alone decides, the probe
-    // never pays the member/tombstone distinct scans
-    val batches = spark.table(s"${table}_batches")
+    // the batches axis first — a distinct DATA-BEARING stamp count
+    // over the members log, the [[IvmRollup.describe]] rationale twice
+    // over: epoch-derived stream stamps rule out max(), and the
+    // MARKER rules itself out because streams stamp empty epochs for
+    // fence contiguity — a quiet stream's markers are zero fold-able
+    // debt. (Delete batches append no members; their debt is the dead
+    // axis below.) When this axis alone decides, the probe never pays
+    // the tombstone scans.
+    val batches = spark.table(s"${table}_members")
       .agg(count_distinct(when(col("batch_id") =!= 0L, col("batch_id"))))
       .head().getLong(0)
     if (batches > policy.maxBatches) return true

@@ -217,16 +217,17 @@ class PairGraphSpec extends SparkSpec {
       0.8, batchId = 1L)
     val victims = docs.filter(col("id") % 7 === 3).select(col("id"))
     Dedup.deleteFromPairIndex(spark, victims, "pg_auto", tmp("auto"), batchId = 2L)
-    // batches boundary ("more than"): max committed stamp is 2
+    // batches axis counts DATA-BEARING stamps: one extend (the delete's
+    // marker stamp and any empty-epoch stamps are not fold-able debt)
     assert(!Maintenance.shouldCompactPairs(spark, "pg_auto",
-      CompactPolicy(maxBatches = 2L, maxDeadFraction = 1.0)))
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
     // dead-fraction trigger: every 7th doc tombstoned ≈ 1/7 > 0.1
     assert(Maintenance.shouldCompactPairs(spark, "pg_auto",
       CompactPolicy(maxBatches = 99L, maxDeadFraction = 0.1)))
     val want = Dedup.jaccardPairs(docs.filter(col("id") % 7 =!= 3), threshold = 0.8)
       .collect().map(key).toSet
     assert(Maintenance.compactPairsIfDue(spark, "pg_auto", tmp("auto"),
-      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 1.0)))
     // the policy-run compact is the manual one: tombstones purged,
     // namespace reset, serve == recompute — and the loop settles
     assert(spark.table("pg_auto_deleted").isEmpty)
