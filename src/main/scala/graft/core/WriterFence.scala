@@ -21,6 +21,26 @@ package graft.core
   * message says so, so the operator's next move is in the failure.
   */
 object WriterFence {
+
+  /** The stamps a compact's marker rewrite keeps BEYOND the batch-0
+    * base: empty for the default full namespace reset, or the max
+    * committed stamp under the NAMESPACE-PRESERVING mode (the round-9
+    * PLANS.md "epoch→stamp ledger" lift, option 1) — the marker becomes
+    * {0, maxCommitted}, so a stopped-but-checkpointed stream resumes
+    * over the compacted family: its next epoch-derived stamp is
+    * maxCommitted + 1 and passes [[apply]], and a re-delivery of its
+    * LAST committed epoch (the only one foreachBatch can replay) no-ops
+    * on the preserved stamp. Interior stamps (1..max−1) are forgotten
+    * deliberately: no replay of them can arrive from the single
+    * checkpoint that owns the index, and a MANUAL replay of one now
+    * fails the fence loudly instead of re-applying as a fresh batch.
+    * A never-extended family (max == 0) preserves nothing — both modes
+    * write exactly {0}.
+    */
+  def compactKeepStamps(committed: Set[Long], preserve: Boolean): Seq[Long] =
+    if (preserve && committed.nonEmpty) Seq(committed.max).filter(_ > 0L)
+    else Seq.empty
+
   def apply(committed: Set[Long], batchId: Long, family: String): Unit = {
     // an existing-but-empty marker is a recoverable crash artifact
     // (e.g. death mid-Overwrite of the marker file), not a sequencing

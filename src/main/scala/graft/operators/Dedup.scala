@@ -1331,7 +1331,13 @@ object Dedup {
     * everything to 0 would silently launder it into a single row.
     */
   def compactPairIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, path: String, nBuckets: Int = 8): Unit = {
+      table: String, path: String, nBuckets: Int = 8,
+      preserveNamespace: Boolean = false): Unit = {
+    // preserveNamespace: marker {0, maxCommitted} instead of {0}, so a
+    // stopped-but-checkpointed PairIndexStream resumes over the compacted
+    // family — graft.core.WriterFence.compactKeepStamps states the contract
+    val keepStamp = graft.core.WriterFence.compactKeepStamps(
+      committedBatches(spark, table), preserveNamespace)
     // tombstone purge ([[deleteFromPairIndex]]): compact turns the
     // serve-side anti-join into physical absence — pairs touching a
     // deleted end go, deleted member rows go, groups with NO surviving
@@ -1442,7 +1448,7 @@ object Dedup {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
-    writeBatchMarker(spark, table, s"$path/batches", Seq(0L))
+    writeBatchMarker(spark, table, s"$path/batches", Seq(0L) ++ keepStamp)
   }
 
   /** Persist a near-dup index over a document corpus — the MinHash-LSH
@@ -1681,7 +1687,12 @@ object Dedup {
     * converges.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, path: String, nBuckets: Int = 16): Unit = {
+      table: String, path: String, nBuckets: Int = 16,
+      preserveNamespace: Boolean = false): Unit = {
+    // see compactPairIndex: {0, maxCommitted} keeps a checkpointed
+    // NearDupStream resumable over the compacted family
+    val keepStamp = graft.core.WriterFence.compactKeepStamps(
+      committedBatches(spark, table), preserveNamespace)
     def rewrite(t: String, sub: String, bcol: String, keys: Seq[String]): Unit = {
       val collapsed = dropDeleted(spark, table,
           spark.table(t).dropDuplicates(keys :+ "batch_id"))
@@ -1703,7 +1714,7 @@ object Dedup {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
-    writeBatchMarker(spark, table, s"$path/batches", Seq(0L))
+    writeBatchMarker(spark, table, s"$path/batches", Seq(0L) ++ keepStamp)
   }
 
   /** The FULL verified pair graph of a [[buildNearDupIndex]] table —

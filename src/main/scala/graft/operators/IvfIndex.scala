@@ -179,10 +179,16 @@ object IvfIndex {
     * tombstones clear after the data rewrite, the marker rewrites LAST
     * (namespace reset; quiescence required). The frozen centroids are
     * untouched — compaction never moves a cell boundary. Restartable
-    * by the house content-equivalence argument.
+    * by the house content-equivalence argument. `preserveNamespace`
+    * keeps the max committed stamp in the marker so a checkpointed
+    * [[graft.streaming.IvfStream]] resumes over the compacted file —
+    * [[graft.core.WriterFence.compactKeepStamps]] states the contract.
     */
   def compact(spark: SparkSession, table: String, path: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, preserveNamespace: Boolean = false): Unit = {
+    val keepStamp = graft.core.WriterFence.compactKeepStamps(
+      spark.table(s"${table}_batches").select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet, preserveNamespace)
     val collapsed = dropDeleted(spark, table,
         spark.table(s"${table}_cells")
           .dropDuplicates("id", "cell", "batch_id"))
@@ -196,7 +202,7 @@ object IvfIndex {
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
     import spark.implicits._
-    Seq(0L).toDF("batch_id")
+    (Seq(0L) ++ keepStamp).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/batches").format("parquet")
       .saveAsTable(s"${table}_batches")

@@ -94,12 +94,22 @@ object IvmJoin {
     * except (dn, batch_id).
     */
   private def netted(df: DataFrame, cols: Seq[String]): DataFrame =
+    collapsed(df, cols)
+      .groupBy(cols.map(col): _*).agg(sum(col("dn_lo")).as("dn"))
+
+  /** The fenced per-(identity, batch) collapse [[netted]] sums — one row
+    * per collapsed log entry, divergence raising inside the aggregate.
+    * Split out so [[describe]]'s `view_log_entries` counts the SAME
+    * loud-fenced groups the serve path folds (a dropDuplicates count
+    * would silently absorb a divergent-dn single-writer violation into
+    * one entry instead of failing).
+    */
+  private def collapsed(df: DataFrame, cols: Seq[String]): DataFrame =
     df.groupBy((cols :+ "batch_id").map(col): _*)
       .agg(min(col("dn")).as("dn_lo"), max(col("dn")).as("dn_hi"))
       .filter(assert_true(col("dn_lo") === col("dn_hi"),
         lit("IvmJoin: divergent replayed dn under one (identity, batch_id)" +
           " — two different deltas appended under one stamp")).isNull)
-      .groupBy(cols.map(col): _*).agg(sum(col("dn_lo")).as("dn"))
 
   /** A log's net state as of just before `batchId`: exclude the
     * applying batch's own crashed rows, then net — keep live rows.
@@ -274,7 +284,10 @@ object IvmJoin {
     *    the VIEW log — the read amplification serve pays over a
     *    compacted base, deliberately replay-collapsed so a crashed
     *    batch's byte-identical duplicates don't inflate the
-    *    self-report;
+    *    self-report. Counted over the [[collapsed]] pre-aggregate, so
+    *    the count shares the serve path's loud divergence fence
+    *    (round-9 advice: a bare dropDuplicates would quietly fold a
+    *    divergent-dn contract violation into one entry);
     *  - `batches_since_compact`: COUNT of distinct non-zero stamps in
     *    the VIEW LOG — data batches, exactly as [[IvmRollup.describe]]
     *    counts them. Not max(stamp) (epoch-derived stream stamps would
@@ -299,24 +312,58 @@ object IvmJoin {
     live(table, "live_view_rows")
       .crossJoin(live(s"${table}_fact", "live_fact_rows"))
       .crossJoin(live(s"${table}_dim", "live_dim_rows"))
-      .crossJoin(spark.table(table)
-        .dropDuplicates(viewCols :+ "batch_id")
+      .crossJoin(collapsed(spark.table(table), viewCols)
         .agg(count(lit(1)).as("view_log_entries"),
           count_distinct(when(col("batch_id") =!= 0L, col("batch_id")))
             .as("batches_since_compact")))
+  }
+
+  /** One log's compaction-debt axes for the policy probe — (data
+    * batches since compact, dead collapsed entries, total collapsed
+    * entries), from the same loud-fenced [[collapsed]] pre-aggregate
+    * the serves and [[describe]] read. Dead entries = collapsed log
+    * entries beyond one per net-live row: replay-duplicate-free rows a
+    * compact would physically fold away (round-9 advice: the VIEW log
+    * alone misses a dim-only churn stream whose keys match no facts —
+    * its `_dim` log still grows files without ever making the view
+    * due, so the policy must read every log's own debt).
+    */
+  private[graft] def logDebt(spark: SparkSession, t: String): (Long, Long, Long) = {
+    val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
+    val c = collapsed(spark.table(t), cols).localCheckpoint() // two aggs, one scan
+    val row = c.agg(
+        count(lit(1)).as("entries"),
+        count_distinct(when(col("batch_id") =!= 0L, col("batch_id")))
+          .as("batches"))
+      .crossJoin(c.groupBy(cols.map(col): _*).agg(sum(col("dn_lo")).as("dn"))
+        .filter(col("dn") > 0).agg(count(lit(1)).as("live")))
+      .head()
+    val entries = row.getAs[Long]("entries")
+    (row.getAs[Long]("batches"), entries - row.getAs[Long]("live"), entries)
   }
 
   /** Fold all three logs back to batch-0 bases — the house compact:
     * replay duplicates and dead rows leave physically, one file per
     * bucket, marker rewrites LAST to {0} (namespace reset; requires
     * quiescence). Each fold is pinned before its Overwrite.
+    * `preserveNamespace` keeps the max committed stamp in the marker so
+    * a checkpointed [[graft.streaming.IvmJoinStream]] resumes over the
+    * compacted family — [[graft.core.WriterFence.compactKeepStamps]]
+    * states the contract.
     */
   def compact(spark: SparkSession, table: String, path: String,
-      key: String, nBuckets: Int = 16): Unit =
-    compact(spark, table, path, Seq(key), nBuckets)
+      key: String, nBuckets: Int = 16,
+      preserveNamespace: Boolean = false): Unit =
+    compact(spark, table, path, Seq(key), nBuckets, preserveNamespace)
 
   def compact(spark: SparkSession, table: String, path: String,
-      keys: Seq[String], nBuckets: Int): Unit = {
+      keys: Seq[String], nBuckets: Int): Unit =
+    compact(spark, table, path, keys, nBuckets, preserveNamespace = false)
+
+  def compact(spark: SparkSession, table: String, path: String,
+      keys: Seq[String], nBuckets: Int, preserveNamespace: Boolean): Unit = {
+    val keepStamp = graft.core.WriterFence.compactKeepStamps(
+      committed(spark, table), preserveNamespace)
     def fold(t: String, sub: String): Unit = {
       val cols = spark.table(t).columns.filterNot(Seq("dn", "batch_id").contains)
       val base = netted(spark.table(t), cols)
@@ -335,7 +382,7 @@ object IvmJoin {
       scala.concurrent.Future(fold(s"${table}_dim", "dim")))),
       scala.concurrent.duration.Duration.Inf)
     import spark.implicits._
-    Seq(0L).toDF("batch_id")
+    (Seq(0L) ++ keepStamp).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/batches").format("parquet")
       .saveAsTable(s"${table}_batches")

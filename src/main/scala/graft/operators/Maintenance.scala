@@ -19,22 +19,24 @@ import org.apache.spark.sql.SparkSession
   * different code path.
   *
   * OPERATIONAL CONTRACT with streams: every compact requires
-  * quiescence (the families' own documented rule), and for the FENCED
+  * quiescence (the families' own documented rule — for a stream, a
+  * clean stop with the last delivered epoch COMMITTED). For the FENCED
   * families (join view, pair/LSH/retrieval/positional/IVF indexes) a
-  * compact also resets the stamp namespace to {0} — so a paused
+  * DEFAULT compact also resets the stamp namespace to {0}, so a
   * checkpointed stream whose epoch counter kept its old value would
-  * fail the writer fence on resume (its next stamp is epoch-derived,
-  * not max+1). After compacting a stream-fed fenced table, restart the
-  * stream from a FRESH checkpoint positioned at the source's current
-  * offsets: epochs restart at 0, the first post-compact fold stamps 1
-  * = max({0}) + 1, and the fence is satisfied. The markerless rollup
-  * family has no fence and tolerates resumed epoch counters as-is
-  * (which is why q213 drives the loop on it, and why
-  * `batches_since_compact` is a distinct-stamp COUNT — a resumed
-  * stream's stamps stay monotonic across the reset). The schedulable
-  * loop without a stream restart is batch-fed maintenance; a future
-  * epoch→stamp ledger in the markers would lift this, at the cost of
-  * a marker schema change across all seven families.
+  * fail the writer fence on resume — which is why every fenced-family
+  * `compact*IfDue` here passes `preserveNamespace = true`: the marker
+  * rewrites to {0, maxCommitted} ([[graft.core.WriterFence
+  * .compactKeepStamps]], the round-9 PLANS.md lift), the resumed
+  * stream's next epoch-derived stamp is maxCommitted + 1 and passes
+  * the fence, and a re-delivery of the last committed epoch no-ops on
+  * the preserved stamp — the scheduler-driven loop composes with live
+  * (paused-not-restarted) streams on all seven families (q217/q219
+  * drive it end to end). Manual batch ladders that want ids restarting
+  * at 1 keep the default reset by calling the family compacts
+  * directly. The markerless rollup family has no fence and tolerates
+  * resumed epoch counters as-is; `batches_since_compact` is a
+  * distinct-stamp COUNT everywhere, so neither mode flaps the loop.
   */
 object Maintenance {
 
@@ -81,23 +83,30 @@ object Maintenance {
     go
   }
 
-  /** The join view's compact decision, from one [[IvmJoin.describe]]
-    * read: dead weight = collapsed view-log entries that net to
-    * nothing servable (`view_log_entries − live_view_rows`).
+  /** The join view's compact decision, across ALL THREE of the
+    * family's logs (round-9 advice: the view log alone misses a
+    * dim-only churn stream whose keys match no facts — its `_dim` log
+    * grows batches and files without ever adding a view entry, so the
+    * family would never come due while the very debt the limit-probe
+    * broadcast gate works around keeps accumulating). Each log reports
+    * its own two axes through the loud-fenced [[IvmJoin.logDebt]]
+    * read (batches = distinct non-zero data stamps; dead = collapsed
+    * entries beyond one per net-live row), and ANY log being due makes
+    * the family due — compact rewrites all three together.
     */
   def shouldCompactJoin(spark: SparkSession, table: String,
-      policy: CompactPolicy): Boolean = {
-    val r = IvmJoin.describe(spark, table).head()
-    val entries = r.getAs[Long]("view_log_entries")
-    due(r.getAs[Long]("batches_since_compact"),
-      entries - r.getAs[Long]("live_view_rows"), entries, policy)
-  }
+      policy: CompactPolicy): Boolean =
+    Seq(table, s"${table}_fact", s"${table}_dim").exists { t =>
+      val (batches, dead, total) = IvmJoin.logDebt(spark, t)
+      due(batches, dead, total, policy)
+    }
 
   def compactJoinIfDue(spark: SparkSession, table: String, path: String,
       keys: Seq[String], policy: CompactPolicy,
       nBuckets: Int = 16): Boolean = {
     val go = shouldCompactJoin(spark, table, policy)
-    if (go) IvmJoin.compact(spark, table, path, keys, nBuckets)
+    if (go) IvmJoin.compact(spark, table, path, keys, nBuckets,
+      preserveNamespace = true) // the loop must not strand a checkpointed stream
     go
   }
 
@@ -110,43 +119,120 @@ object Maintenance {
     * members/deleted — ∝ index, never corpus.
     *
     * The same two-axis policy fits every index family (each compact
-    * purges its tombstones and resets its namespace); the pair index
-    * gets the verb because it is the tier's flagship — the others
-    * follow the identical shape when a deployment needs them.
+    * purges its tombstones); [[indexDebtDue]] is that shared shape,
+    * and the remaining families' verbs below instantiate it over
+    * their own data log and id column.
     */
   def shouldCompactPairs(spark: SparkSession, table: String,
-      policy: CompactPolicy): Boolean = {
+      policy: CompactPolicy): Boolean =
+    indexDebtDue(spark, s"${table}_members", "id", s"${table}_deleted", policy)
+
+  /** The index-family debt probe, shared by the five stamped-log
+    * index families (pairs / LSH / retrieval tf / positional / IVF):
+    *
+    *  - the batches axis first — a distinct DATA-BEARING stamp count
+    *    over the family's data log, the [[IvmRollup.describe]]
+    *    rationale twice over: epoch-derived stream stamps rule out
+    *    max(), and the MARKER rules itself out because streams stamp
+    *    empty epochs for fence contiguity — a quiet stream's markers
+    *    are zero fold-able debt. (Delete batches append no data rows;
+    *    their debt is the dead axis below.) When this axis alone
+    *    decides, the probe never pays the tombstone scans.
+    *  - the dead axis: distinct tombstoned ids over distinct indexed
+    *    ids. A tombstone aimed at a never-indexed id (legal, it just
+    *    never matches) can push the fraction past 1 — which still
+    *    reads as "compact", the only sensible answer for a ledger
+    *    dominated by dead weight.
+    */
+  private def indexDebtDue(spark: SparkSession, dataLog: String,
+      idCol: String, deletedTable: String, policy: CompactPolicy): Boolean = {
     import org.apache.spark.sql.functions.{col, count_distinct, when}
-    // the batches axis first — a distinct DATA-BEARING stamp count
-    // over the members log, the [[IvmRollup.describe]] rationale twice
-    // over: epoch-derived stream stamps rule out max(), and the
-    // MARKER rules itself out because streams stamp empty epochs for
-    // fence contiguity — a quiet stream's markers are zero fold-able
-    // debt. (Delete batches append no members; their debt is the dead
-    // axis below.) When this axis alone decides, the probe never pays
-    // the tombstone scans.
-    val batches = spark.table(s"${table}_members")
+    val batches = spark.table(dataLog)
       .agg(count_distinct(when(col("batch_id") =!= 0L, col("batch_id"))))
       .head().getLong(0)
     if (batches > policy.maxBatches) return true
     val dead =
-      if (spark.catalog.tableExists(s"${table}_deleted"))
-        spark.table(s"${table}_deleted").select("id").distinct().count()
+      if (spark.catalog.tableExists(deletedTable))
+        spark.table(deletedTable).select(idCol).distinct().count()
       else 0L
     if (dead == 0L) return false // no tombstones → nothing to purge
-    // fraction base = distinct indexed ids; a tombstone aimed at a
-    // never-indexed id (legal, it just never matches) can push the
-    // fraction past 1 — which still reads as "compact", the only
-    // sensible answer for a ledger dominated by dead weight
-    val total = spark.table(s"${table}_members")
-      .select("id").distinct().count() // replay duplicates collapse
+    val total = spark.table(dataLog)
+      .select(idCol).distinct().count() // replay duplicates collapse
     due(batches, dead, total, policy)
   }
 
   def compactPairsIfDue(spark: SparkSession, table: String, path: String,
       policy: CompactPolicy, nBuckets: Int = 8): Boolean = {
     val go = shouldCompactPairs(spark, table, policy)
-    if (go) Dedup.compactPairIndex(spark, table, path, nBuckets)
+    if (go) Dedup.compactPairIndex(spark, table, path, nBuckets,
+      preserveNamespace = true)
+    go
+  }
+
+  /** The LSH near-dup index's decision: data log = `_sets` (one row
+    * per indexed doc per batch — the cheaper of the family's two logs,
+    * and every extend writes both, so its stamps ARE the family's).
+    */
+  def shouldCompactLsh(spark: SparkSession, table: String,
+      policy: CompactPolicy): Boolean =
+    indexDebtDue(spark, s"${table}_sets", "id", s"${table}_deleted", policy)
+
+  def compactLshIfDue(spark: SparkSession, table: String, path: String,
+      policy: CompactPolicy, nBuckets: Int = 16): Boolean = {
+    val go = shouldCompactLsh(spark, table, policy)
+    if (go) Dedup.compactNearDupIndex(spark, table, path, nBuckets,
+      preserveNamespace = true)
+    go
+  }
+
+  /** The tf-retrieval index's decision: data log = `_postings`. The
+    * `_meta` ledger is deliberately NOT the batches source — streams
+    * stamp EMPTY epochs there (fence contiguity), which are zero
+    * fold-able debt.
+    */
+  def shouldCompactRetrieval(spark: SparkSession, table: String,
+      policy: CompactPolicy): Boolean =
+    indexDebtDue(spark, s"${table}_postings", "doc_id",
+      s"${table}_deleted", policy)
+
+  def compactRetrievalIfDue(spark: SparkSession, table: String, path: String,
+      policy: CompactPolicy, nBuckets: Int = 16): Boolean = {
+    val go = shouldCompactRetrieval(spark, table, policy)
+    if (go) RetrievalIndex.compact(spark, table, path, nBuckets,
+      preserveNamespace = true)
+    go
+  }
+
+  /** The positional tier's decision: data log = `_positions`; the
+    * `_deleted` frontier is SHARED with the tf tier when both live on
+    * one table family (one deletion hits every tier), which the probe
+    * reads as-is.
+    */
+  def shouldCompactPositions(spark: SparkSession, table: String,
+      policy: CompactPolicy): Boolean =
+    indexDebtDue(spark, s"${table}_positions", "doc_id",
+      s"${table}_deleted", policy)
+
+  def compactPositionsIfDue(spark: SparkSession, table: String,
+      path: String, policy: CompactPolicy, nBuckets: Int = 16): Boolean = {
+    val go = shouldCompactPositions(spark, table, policy)
+    if (go) RetrievalIndex.compactPositions(spark, table, path, nBuckets,
+      preserveNamespace = true)
+    go
+  }
+
+  /** The IVF index's decision: data log = `_cells` (the inverted
+    * file); the frozen `_centroids` carry no debt by construction.
+    */
+  def shouldCompactIvf(spark: SparkSession, table: String,
+      policy: CompactPolicy): Boolean =
+    indexDebtDue(spark, s"${table}_cells", "id", s"${table}_deleted", policy)
+
+  def compactIvfIfDue(spark: SparkSession, table: String, path: String,
+      policy: CompactPolicy, nBuckets: Int = 16): Boolean = {
+    val go = shouldCompactIvf(spark, table, policy)
+    if (go) IvfIndex.compact(spark, table, path, nBuckets,
+      preserveNamespace = true)
     go
   }
 }

@@ -315,10 +315,29 @@ object RetrievalIndex {
     * (tombstones stay active until the data is purged), rerun
     * converges. The positional tier ([[buildPositions]]) keeps its own
     * lifecycle and is untouched.
+    *
+    * `preserveNamespace` (the round-9 PLANS.md "epoch→stamp ledger"
+    * lift, option 1): write the marker as {0, maxCommitted} instead of
+    * {0}, so a STOPPED-but-checkpointed stream can resume over the
+    * compacted index — its next epoch-derived stamp is maxCommitted + 1
+    * and passes the [[graft.core.WriterFence]], and a replay of its
+    * LAST committed epoch (the only epoch foreachBatch can re-deliver)
+    * no-ops on the preserved stamp. Forgetting the INTERIOR stamps
+    * (1..max−1) is safe for exactly that reason — no replay of them can
+    * arrive from the one checkpoint that owns this index — and it is
+    * the feature for everyone else: a MANUAL replay of a pre-compact
+    * batch id now fails the fence loudly instead of re-applying as a
+    * fresh batch (spec-pinned). Quiescence is still required, in the
+    * strong sense: the stream must be stopped with its last delivered
+    * epoch COMMITTED (no orphaned data-without-marker appends — those
+    * would fold into batch 0 and then re-deliver). Default stays the
+    * full reset: manual ladders restart at batchId = 1 (q182's shape).
     */
   def compact(spark: SparkSession, table: String, path: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, preserveNamespace: Boolean = false): Unit = {
     val n = corpusN(spark, table) // exact survivors, BEFORE meta rewrites
+    val keepStamp = graft.core.WriterFence.compactKeepStamps(
+      committedBatches(spark, table), preserveNamespace)
     val hasDeletes = spark.catalog.tableExists(s"${table}_deleted")
     val collapsed = dropDeletedDocs(spark, table,
         spark.table(s"${table}_postings")
@@ -333,7 +352,9 @@ object RetrievalIndex {
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
     import spark.implicits._
-    Seq((n, 0L)).toDF("n_docs", "batch_id")
+    // the preserved stamp rides as an n_docs = 0 row — neutral to N,
+    // exactly the commitAlias encoding the stream cold-start uses
+    (Seq((n, 0L)) ++ keepStamp.map((0L, _))).toDF("n_docs", "batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/meta").format("parquet")
       .saveAsTable(s"${table}_meta")
@@ -470,10 +491,14 @@ object RetrievalIndex {
     * tombstoned docs leave physically, one file per bucket, tombstones
     * clear after the data rewrite, `_pbatches` rewrites LAST to {0}
     * (namespace reset; quiescence required). Restartable by the house
-    * content-equivalence argument.
+    * content-equivalence argument. `preserveNamespace` keeps the max
+    * committed stamp in the marker — see [[compact]]'s contract note.
     */
   def compactPositions(spark: SparkSession, table: String, path: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, preserveNamespace: Boolean = false): Unit = {
+    val keepStamp = graft.core.WriterFence.compactKeepStamps(
+      spark.table(s"${table}_pbatches").select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet, preserveNamespace)
     val collapsed = dropDeletedDocs(spark, table,
         spark.table(s"${table}_positions")
           .dropDuplicates("term", "doc_id", "batch_id"))
@@ -487,7 +512,7 @@ object RetrievalIndex {
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
     import spark.implicits._
-    Seq(0L).toDF("batch_id")
+    (Seq(0L) ++ keepStamp).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/pbatches").format("parquet")
       .saveAsTable(s"${table}_pbatches")

@@ -874,7 +874,9 @@ object AnalyticsOps {
   // dead_keys (net count > 0 / fallen to ≤ 0 — the rows the next
   // compact purges, the debt number), log_entries (collapsed (key,
   // batch) rows — the read amplification every serve pays), and
-  // batches_since_compact (max stamp; compact resets to 0). All four in
+  // batches_since_compact (distinct non-zero DATA stamps — never max,
+  // which epoch-derived stream stamps would pin past any compact;
+  // compact folds the log to batch 0 so the count resets). All four in
   // one bounded pass over the family's OWN log (both groupBys ride the
   // key buckets, zero exchanges), while the ORACLE re-derives every
   // number from the source orders table under q160's churn — so the

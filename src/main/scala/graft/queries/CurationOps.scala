@@ -1242,6 +1242,74 @@ object CurationOps {
           odds, epochId = 1L, table, path)
         graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
       }),
+    // q217: a POLICY-triggered compact UNDER a live stream — the round-9
+    // verdict's top lift, driver-checked. The corpus arrives as three
+    // stream epochs through RetrievalStream's exact fold; after epoch 1
+    // the maintenance loop fires (maxBatches = 0 — one data-bearing
+    // batch of debt makes the family due) and compactRetrievalIfDue
+    // runs the NAMESPACE-PRESERVING compact (marker {0, maxCommitted} —
+    // WriterFence.compactKeepStamps), then must SETTLE (a freshly
+    // folded log reads zero debt). Epoch 2 then resumes the SAME
+    // checkpointed epoch counter: its stamp is maxCommitted + 1 and
+    // passes the writer fence that the default reset would fail —
+    // before this round, the documented answer was "restart from a
+    // fresh checkpoint". Oracle = q88's whole-corpus ranking SQL, so
+    // the hash compare is "stream → policy compact → resumed stream ==
+    // from-scratch index", idf arithmetic included, cross-engine.
+    GraftQuery("q217_stream_policy_compact", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.Maintenance
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q217_rix"
+        val path = graft.core.Scratch.path(table)
+        // the cold-start probe must see absence (bench reps rebuild)
+        Seq("postings", "meta").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        graft.streaming.RetrievalStream.foldEpoch(
+          docs.filter(col("doc_id") % 3 === 0), epochId = 0L, table, path)
+        graft.streaming.RetrievalStream.foldEpoch(
+          docs.filter(col("doc_id") % 3 === 1), epochId = 1L, table, path)
+        val policy = Maintenance.CompactPolicy(maxBatches = 0L)
+        require(Maintenance.compactRetrievalIfDue(spark, table, path, policy),
+          "q217: one data-bearing batch under maxBatches = 0 must be due")
+        require(!Maintenance.compactRetrievalIfDue(spark, table, path, policy),
+          "q217: a freshly compacted index must NOT be due — the loop settles")
+        graft.streaming.RetrievalStream.foldEpoch( // resumed epoch counter
+          docs.filter(col("doc_id") % 3 === 2), epochId = 2L, table, path)
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
+    // q219: the maintenance loop END TO END — q217 proves one policy
+    // compact composes with one resumed epoch; this row proves the
+    // LOOP composes: five stream epochs with compactRetrievalIfDue run
+    // after every one (the scheduler cadence), policy maxBatches = 1.
+    // The due pattern is pinned in-row — epochs 0 (cold build = batch-0
+    // data, zero debt) and 1 leave ≤ 1 batch of debt (not due), epoch 2
+    // makes 2 (due → compact, namespace preserved), epochs 3/4 repeat
+    // the cycle — so the policy boundary, the preserving compact, and
+    // the fence survive TWO mid-stream compacts, and every later epoch
+    // keeps stamping off the same checkpointed counter. Oracle = q88's
+    // whole-corpus SQL: "N epochs + the scheduled loop == from-scratch
+    // index", cross-engine.
+    GraftQuery("q219_maintenance_loop", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.Maintenance
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q219_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq("postings", "meta").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        val policy = Maintenance.CompactPolicy(maxBatches = 1L)
+        val expectDue = Seq(false, false, true, false, true)
+        (0L to 4L).foreach { epoch =>
+          graft.streaming.RetrievalStream.foldEpoch(
+            docs.filter(col("doc_id") % 5 === epoch), epochId = epoch,
+            table, path)
+          val ran = Maintenance.compactRetrievalIfDue(spark, table, path, policy)
+          require(ran == expectDue(epoch.toInt),
+            s"q219: epoch $epoch due=$ran, expected ${expectDue(epoch.toInt)}")
+        }
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped

@@ -1210,6 +1210,56 @@ object LlmOps {
       }),
 
     // ------------------------------------------------------------------
+    // q218: the AUTO-COMPACT policy loop on an INDEX family — q213's
+    // theorem (policy compact == manual compact == recompute) carried
+    // from the markerless rollup to the fenced IVF tier, with the two
+    // round-10 lifts both load-bearing: the DEAD-FRACTION axis decides
+    // (1/7 of the file tombstoned > 0.1, probed from the family's own
+    // logs — never pairIndexStats-class audit reads), and the policy
+    // compact PRESERVES the stamp namespace, so the post-compact extend
+    // stamps maxCommitted + 1 through the same fence a resumed stream
+    // would. Ladder: train+freeze on evens → extend vec_id % 4 = 1 →
+    // tombstone vec_id % 7 = 3 → compactIvfIfDue (dead-axis due; must
+    // then settle) → extend vec_id % 4 = 3 onto the compacted file →
+    // topK. Oracle = the trainFilter'd unrolled-Lloyd twin whose
+    // candidates are (survivors of the pre-compact corpus) ∪ (the
+    // post-compact batch — tombstones were PURGED, so its %7=3 members
+    // serve): "the scheduled loop's compact mid-lifecycle == a
+    // from-scratch inverted file under the same frozen quantizer".
+    GraftQuery(
+      "q218_ivf_policy",
+      Some(annIvfOracleSql(nCells = 16, nProbe = 8, k = 5, iters = 3,
+        dim = 64, trainFilter = "vec_id % 2 = 0",
+        candFilter = "vec_id % 4 = 3 OR vec_id % 7 != 3")),
+      (spark, dir) => {
+        import graft.operators.{IvfIndex, Maintenance}
+        val e = Tables(spark, dir).embeddings
+        val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val table = "graft_q218_ivf"
+        val path = graft.core.Scratch.path(table)
+        Seq("centroids", "cells", "batches", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        IvfIndex.build(corpus.filter(col("id") % 2 === 0), table, path,
+          nCells = 16, iters = 3)
+        IvfIndex.extend(spark, corpus.filter(col("id") % 4 === 1), table,
+          batchId = 1L)
+        IvfIndex.deleteIds(spark,
+          corpus.filter(col("id") % 7 === 3).select("id"), table, path,
+          batchId = 2L)
+        val policy = Maintenance.CompactPolicy(
+          maxBatches = 99L, maxDeadFraction = 0.1)
+        require(Maintenance.compactIvfIfDue(spark, table, path, policy),
+          "q218: 1/7 of the file tombstoned must trip the dead axis")
+        require(!Maintenance.compactIvfIfDue(spark, table, path, policy),
+          "q218: a freshly compacted file must NOT be due — the loop settles")
+        IvfIndex.extend(spark, corpus.filter(col("id") % 4 === 3), table,
+          batchId = 3L) // maxCommitted(2) + 1 through the preserved fence
+        IvfIndex.topK(spark, table, queries, k = 5, nProbe = 8)
+      }),
+
+    // ------------------------------------------------------------------
     // q191: AS-OF on the IVF tier — a vector search pinned to a data
     // version: the memoized ladder (AsOfFixtures.ivf: train+freeze on
     // even vec_ids / extend odds / tombstone vec_id % 7 = 3) runs topK

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, IvfIndex, IvmJoin, Maintenance, RetrievalIndex}
+import graft.operators.Maintenance.CompactPolicy
+import graft.queries.CurationOps
+import graft.streaming.RetrievalStream
+
+/** The maintenance loop's round-10 lifts: the NAMESPACE-PRESERVING
+  * compact (a checkpointed stream survives a policy compact — the
+  * PLANS.md "epoch→stamp ledger" option 1), the policy verbs on the
+  * four remaining index families, and the join decision reading all
+  * three of its logs. Rollup/join/pairs policy boundaries live in
+  * IvmRollupSpec/IvmJoinSpec/PairGraphSpec.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sfDir).documents
+
+  private def drop(table: String, sfx: Seq[String]): Unit =
+    sfx.foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  private def marker(t: String): Set[Long] =
+    spark.table(t).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  // --------------------------------------------------------------------
+  // namespace-preserving compact: the stream-compat contract
+
+  test("preserving compact keeps {0, maxCommitted}; a resumed epoch passes the fence") {
+    val table = "mnt_rix_preserve"
+    drop(table, Seq("postings", "meta"))
+    val path = graft.core.Scratch.path(table)
+    // two stream epochs through the stream's exact fold (stamps 1, 2)
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 3 === 0),
+      epochId = 0L, table, path)
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 3 === 1),
+      epochId = 1L, table, path)
+    RetrievalIndex.compact(spark, table, path, preserveNamespace = true)
+    assert(marker(s"${table}_meta") == Set(0L, 2L),
+      "preserving compact must write exactly {0, maxCommitted}")
+    // N must be untouched by the alias row (n_docs = 0)
+    assert(spark.table(s"${table}_meta").agg(sum("n_docs")).head.getLong(0)
+      == docs.filter(col("doc_id") % 3 <= 1).count())
+    // the stream resumes its OWN epoch counter: epoch 2 stamps 3 =
+    // max({0, 2}) + 1 — the fence that a default compact would fail
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 3 === 2),
+      epochId = 2L, table, path)
+    val got = RetrievalIndex.topK(spark, table, CurationOps.rankQueries)
+    drop("mnt_rix_scratch", Seq("postings", "meta"))
+    RetrievalIndex.build(docs, "mnt_rix_scratch",
+      graft.core.Scratch.path("mnt_rix_scratch"))
+    val want = RetrievalIndex.topK(spark, "mnt_rix_scratch", CurationOps.rankQueries)
+    assert(asSet(got) == asSet(want),
+      "stream -> preserving compact -> resumed stream == from-scratch index")
+  }
+
+  test("after a preserving compact, the last committed epoch's re-delivery no-ops") {
+    val table = "mnt_rix_redeliver"
+    drop(table, Seq("postings", "meta"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 2 === 0),
+      epochId = 0L, table, path)
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 2 === 1),
+      epochId = 1L, table, path)
+    RetrievalIndex.compact(spark, table, path, preserveNamespace = true)
+    val rows = spark.table(s"${table}_postings").count()
+    // a crash between the epoch-1 commit and the checkpoint commit
+    // re-delivers epoch 1 on resume; its stamp (2) is preserved → no-op
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 2 === 1),
+      epochId = 1L, table, path)
+    assert(spark.table(s"${table}_postings").count() == rows,
+      "the preserved stamp must absorb the re-delivered epoch")
+  }
+
+  test("after a preserving compact, a MANUAL replay of a pre-compact batch fails loudly") {
+    val table = "mnt_rix_manual"
+    drop(table, Seq("postings", "meta"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), table, path)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 3 === 1), table, batchId = 1L)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 3 === 2), table, batchId = 2L)
+    RetrievalIndex.compact(spark, table, path, preserveNamespace = true)
+    // batch 1 was committed pre-compact, but only maxCommitted survives
+    // the fold — replaying an INTERIOR id must hit the fence, not
+    // re-apply as a fresh batch (the silent double-index the default
+    // reset is documented to allow only under its quiescence rule)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalIndex.extend(docs.filter(col("doc_id") % 3 === 1), table,
+        batchId = 1L)
+    }
+    assert(e.getMessage.contains("out of sequence"), e.getMessage)
+  }
+
+  test("a never-extended family preserves nothing: both modes write {0}") {
+    assert(graft.core.WriterFence.compactKeepStamps(Set(0L), preserve = true)
+      .isEmpty)
+    assert(graft.core.WriterFence.compactKeepStamps(Set(0L, 5L), preserve = true)
+      == Seq(5L))
+    assert(graft.core.WriterFence.compactKeepStamps(Set(0L, 5L), preserve = false)
+      .isEmpty)
+  }
+
+  test("default compact still resets: the resumed epoch counter fails the fence") {
+    val table = "mnt_rix_reset"
+    drop(table, Seq("postings", "meta"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 2 === 0),
+      epochId = 0L, table, path)
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 2 === 1),
+      epochId = 1L, table, path)
+    RetrievalIndex.compact(spark, table, path) // the manual-ladder default
+    assert(marker(s"${table}_meta") == Set(0L))
+    val e = intercept[IllegalArgumentException] {
+      RetrievalStream.foldEpoch(docs.limit(0), epochId = 2L, table, path)
+    }
+    assert(e.getMessage.contains("out of sequence"), e.getMessage)
+    // the documented manual restart: ids resume at 1
+    RetrievalIndex.extend(docs.limit(0), table, batchId = 1L)
+  }
+
+  // --------------------------------------------------------------------
+  // policy verbs on the four remaining families
+
+  test("LSH policy: batches axis counts data-bearing stamps; dead axis triggers; settles") {
+    val table = "mnt_lsh"
+    drop(table, Seq("postings", "sets", "batches", "deleted"))
+    val path = graft.core.Scratch.path(table)
+    val d = docs.select(col("doc_id").as("id"), col("text"))
+    Dedup.buildNearDupIndex(d.filter(col("id") % 2 === 0), table, path)
+    Dedup.extendNearDupIndex(spark, d.filter(col("id") % 2 === 1),
+      table, batchId = 1L)
+    Dedup.deleteFromNearDupIndex(spark,
+      d.filter(col("id") % 7 === 3).select("id"),
+      table, path, batchId = 2L)
+    // one data-bearing batch (the delete's stamp is not fold-able debt)
+    assert(!Maintenance.shouldCompactLsh(spark, table,
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
+    assert(Maintenance.shouldCompactLsh(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 1.0)))
+    // dead axis: ~1/7 tombstoned > 0.1
+    assert(Maintenance.shouldCompactLsh(spark, table,
+      CompactPolicy(maxBatches = 99L, maxDeadFraction = 0.1)))
+    assert(Maintenance.compactLshIfDue(spark, table, path,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 1.0)))
+    assert(!Maintenance.shouldCompactLsh(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)),
+      "a freshly compacted family must settle")
+    // the policy compact preserved the namespace for a live stream
+    assert(marker(s"${table}_batches") == Set(0L, 2L))
+  }
+
+  test("retrieval policy: empty stream epochs are fence bookkeeping, not debt") {
+    val table = "mnt_rix_policy"
+    drop(table, Seq("postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 2 === 0),
+      epochId = 0L, table, path)
+    RetrievalStream.foldEpoch(docs.limit(0), epochId = 1L, table, path) // empty
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 2 === 1),
+      epochId = 2L, table, path)
+    // stamps {1, 2, 3} committed, but only 3 carries postings (1 is a
+    // cold-start build = batch-0 data; 2 is empty): ONE batch of debt
+    assert(!Maintenance.shouldCompactRetrieval(spark, table,
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
+    assert(Maintenance.compactRetrievalIfDue(spark, table, path,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 1.0)))
+    assert(!Maintenance.shouldCompactRetrieval(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
+    // and the stream can keep going (the IfDue verbs preserve)
+    RetrievalStream.foldEpoch(docs.limit(0), epochId = 3L, table, path)
+  }
+
+  test("positions policy: boundary + settle on the phrase tier") {
+    val table = "mnt_pix_policy"
+    drop(table, Seq("positions", "pbatches", "deleted"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalIndex.buildPositions(docs.filter(col("doc_id") % 2 === 0), table, path)
+    RetrievalIndex.extendPositions(docs.filter(col("doc_id") % 2 === 1),
+      table, batchId = 1L)
+    assert(!Maintenance.shouldCompactPositions(spark, table,
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
+    assert(Maintenance.compactPositionsIfDue(spark, table, path,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 1.0)))
+    assert(!Maintenance.shouldCompactPositions(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
+    assert(marker(s"${table}_pbatches") == Set(0L, 1L))
+  }
+
+  test("IVF policy: boundary + settle, centroids untouched") {
+    val table = "mnt_ivf_policy"
+    drop(table, Seq("centroids", "cells", "batches", "deleted"))
+    val path = graft.core.Scratch.path(table)
+    val vecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    IvfIndex.build(vecs.filter(col("id") % 2 === 0), table, path, nCells = 4)
+    IvfIndex.extend(spark, vecs.filter(col("id") % 2 === 1), table, batchId = 1L)
+    IvfIndex.deleteIds(spark, vecs.filter(col("id") % 5 === 0).select("id"),
+      table, path, batchId = 2L)
+    val cents = asSet(spark.table(s"${table}_centroids"))
+    assert(!Maintenance.shouldCompactIvf(spark, table,
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)))
+    // dead axis: 1/5 tombstoned > 0.1
+    assert(Maintenance.shouldCompactIvf(spark, table,
+      CompactPolicy(maxBatches = 99L, maxDeadFraction = 0.1)))
+    assert(Maintenance.compactIvfIfDue(spark, table, path,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 1.0)))
+    assert(!Maintenance.shouldCompactIvf(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
+    assert(asSet(spark.table(s"${table}_centroids")) == cents,
+      "compaction never moves a cell boundary")
+  }
+
+  // --------------------------------------------------------------------
+  // the join decision reads all three logs (round-9 advice)
+
+  test("dim-only churn makes the join family due — the view log alone would miss it") {
+    val table = "mnt_join_dimchurn"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    drop(table, Seq("fact", "dim", "batches"))
+    val path = graft.core.Scratch.path(table)
+    import spark.implicits._
+    val fact = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (9L, "z")).toDF("k", "seg")
+    IvmJoin.build(fact, dim, "k", table, path, 4)
+    val noFact = fact.limit(0).withColumn("dn", lit(1L))
+    // churn ONLY the factless dim key, twice (each batch a −old/+new
+    // pair): the view delta is empty (no matching facts), so the VIEW
+    // log records nothing — all debt lives in the _dim log
+    Seq((1L, "z", "z1"), (2L, "z1", "z2")).foreach { case (b, old, nw) =>
+      IvmJoin.applyDelta(spark, table, "k", noFact,
+        Seq((9L, old, -1L), (9L, nw, 1L)).toDF("k", "seg", "dn"),
+        batchId = b)
+    }
+    assert(IvmJoin.describe(spark, table).head()
+      .getAs[Long]("batches_since_compact") == 0L,
+      "fixture sanity: the view log must have seen nothing")
+    assert(Maintenance.shouldCompactJoin(spark, table,
+      CompactPolicy(maxBatches = 1L, maxDeadFraction = 1.0)),
+      "2 dim-log batches must make the family due at maxBatches = 1")
+    assert(!Maintenance.shouldCompactJoin(spark, table,
+      CompactPolicy(maxBatches = 2L, maxDeadFraction = 1.0)))
+    // dead axis on the dim log: 2 churned-away entries + 1 live of 3
+    // collapsed identities... entries − live > 0 must trigger a tight
+    // dead-fraction policy even with a generous batches bound
+    assert(Maintenance.shouldCompactJoin(spark, table,
+      CompactPolicy(maxBatches = 99L, maxDeadFraction = 0.1)))
+    assert(Maintenance.compactJoinIfDue(spark, table, path, Seq("k"),
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 1.0)))
+    assert(!Maintenance.shouldCompactJoin(spark, table,
+      CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)),
+      "the loop settles after folding all three logs")
+  }
+}
