@@ -46,6 +46,54 @@ object Ranks {
       sorted.schema.add("global_rank", LongType, nullable = false))
   }
 
+  /** Global INCLUSIVE running sums of long columns under `sortCols`
+    * WITHOUT a one-task window — the [[graft.operators.Packing]]
+    * two-pass scan generalized to arbitrary sort keys and multiple
+    * accumulators: range-repartition + in-partition sort, pinned
+    * (localCheckpoint — both passes must see one layout, and an
+    * eviction-recompute would re-draw range bounds SILENTLY), pass 1
+    * collects one subtotal vector per partition (bounded metadata),
+    * pass 2 adds each partition's base offsets in a partition-local
+    * scan. `sortCols` must be a total order for the sums to be
+    * well-defined per row; `valueCols` must be non-null LongType.
+    * Bit-identical to `sum(c) OVER (ORDER BY sortCols ROWS UNBOUNDED
+    * PRECEDING)` — integer addition is associative, so the numbers
+    * don't depend on where the range sampler cuts partitions.
+    *
+    * @return the input columns + `<valueCol>_cum` (inclusive, long)
+    */
+  def globalRunningSums(df: DataFrame, sortCols: Seq[Column],
+      valueCols: Seq[String]): DataFrame = {
+    require(sortCols.nonEmpty && valueCols.nonEmpty)
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
+    val idx = valueCols.map(sorted.schema.fieldIndex)
+    val rdd = sorted.rdd
+    // pass 1: one long vector per partition to the driver
+    val partTotals = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val s = new Array[Long](idx.length)
+      it.foreach(r => idx.indices.foreach(i => s(i) += r.getLong(idx(i))))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(
+      partTotals.scanLeft(new Array[Long](idx.length)) { (acc, t) =>
+        Array.tabulate(idx.length)(i => acc(i) + t(i))
+      })
+    // pass 2: partition-local running sums on top of the base offsets
+    val withCum = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val run = bases.value(pid).clone()
+      it.map { r =>
+        idx.indices.foreach(i => run(i) += r.getLong(idx(i)))
+        Row.fromSeq(r.toSeq ++ run.toList) // toList copies the mutable run
+      }
+    }
+    spark.createDataFrame(withCum,
+      valueCols.foldLeft(sorted.schema)((s, c) =>
+        s.add(s"${c}_cum", LongType, nullable = false)))
+  }
+
   def ntileOfRank(r: Column, n: Long, k: Int): Column = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val q = n / k

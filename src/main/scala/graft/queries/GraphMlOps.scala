@@ -202,9 +202,10 @@ object GraphMlOps {
   // integers, the sums are exact longs, and the one IEEE division is
   // the last op. (Tie-broken-by-id is a deterministic AUC estimator;
   // exact-tie mass would need midranks, and scores here are continuous
-  // doubles.) The global rank window is the oracle-checkable twin (the
-  // q129 precedent); the 100 TB variant ranks by range partition +
-  // Packing-style prefix offsets — same integers, no single task.
+  // doubles.) The engine ranks on the SCALE path (Ranks.globalRowNumber
+  // — range-partitioned sort + zipWithIndex, no single-task window);
+  // the global rank window survives as q171's in-engine twin and as
+  // the DuckDB oracle, both proven bit-identical every round.
   // On this fixture the embeddings barely separate labels (q115 is
   // 13/93 vs 9.3/93 chance), so the reported AUC sits near the 0.5
   // null (0.375 at sf0.01, within ~1.2 null-σ of 0.5 at P=8) — the
@@ -245,10 +246,25 @@ object GraphMlOps {
         (col("d2_neg") - col("d2_pos")).as("score"))
   }
 
-  private def aucEval(spark: SparkSession, dir: String) = {
-    val d2 = discriminantScores(spark, dir)
-    val w = Window.orderBy(col("score").asc, col("vec_id").asc)
-    d2.withColumn("rank", row_number().over(w).cast("long"))
+  // Engine path = the SCALE path (round-10: the last one-task global
+  // windows left the executed plans): the rank comes from
+  // Ranks.globalRowNumber — range-partitioned sort + zipWithIndex, no
+  // WindowExec anywhere (PlanSpec pins it). The global-window
+  // formulation survives as q171's in-engine twin, so the
+  // window == scan equality stays driver-checked cross-engine.
+  private def aucEval(spark: SparkSession, dir: String) =
+    aucOfRanked(graft.core.Ranks.globalRowNumber(
+        discriminantScores(spark, dir),
+        Seq(col("score").asc, col("vec_id").asc))
+      .withColumnRenamed("global_rank", "rank"))
+
+  /** The Mann–Whitney rank-sum fold over a (is_pos, rank) frame —
+    * shared by q157 (scale-path ranks) and q171 (window-twin ranks):
+    * one definition, so the two rows can only differ in WHERE the
+    * integers come from.
+    */
+  private def aucOfRanked(ranked: org.apache.spark.sql.DataFrame) =
+    ranked
       .agg(
         sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
@@ -256,7 +272,6 @@ object GraphMlOps {
       .select(col("n_pos"), col("n_neg"), col("rank_sum_pos"),
         (expr("rank_sum_pos - (n_pos * (n_pos + 1)) div 2").cast(DoubleType)
           / (col("n_pos") * col("n_neg")).cast(DoubleType)).as("auc"))
-  }
 
   /** CTE chain ending in `scored (vec_id, is_pos, score)` — the SQL twin
     * of [[discriminantScores]], shared by q157's and q164's oracles.
@@ -319,13 +334,20 @@ object GraphMlOps {
   // the per-bin SUM order-free). A calibrated ranker shows monotone
   // pos_rate across bins; this fixture's embeddings carry no label
   // signal (the q115/q157 readout), so the table reads flat — reported,
-  // not hidden. Scale shape: the global NTILE is the oracle twin (q129
-  // precedent); at 100 TB the same bins come from a range-partitioned
-  // sort + Packing-style prefix offsets — identical integers.
+  // not hidden. Scale shape (round-10: the engine EXECUTES it): bins
+  // come from Ranks.globalRowNumber (range-partitioned sort +
+  // zipWithIndex) + Ranks.ntileOfRank — NTILE's exact
+  // remainder-spreading arithmetic over the 1-based rank, bit-identical
+  // to the oracle's global NTILE window under the same (score, vec_id)
+  // total order, with no WindowExec in the plan (PlanSpec pins it).
   private def calibrationBins(spark: SparkSession, dir: String) = {
-    val d2 = discriminantScores(spark, dir)
-    val w = Window.orderBy(col("score").asc, col("vec_id").asc)
-    d2.withColumn("bin", ntile(10).over(w))
+    val ranked = graft.core.Ranks.globalRowNumber(
+        discriminantScores(spark, dir),
+        Seq(col("score").asc, col("vec_id").asc))
+      .localCheckpoint() // the bucket-count probe + the binning share it
+    val n = ranked.count() // one bounded job on the pinned frame
+    ranked
+      .withColumn("bin", graft.core.Ranks.ntileOfRank(col("global_rank"), n, 10))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
@@ -1119,27 +1141,19 @@ object GraphMlOps {
     GraftQuery("q115_centroid_classify", Some(centroidClassifySql), centroidClassify),
     GraftQuery("q157_auc_eval", Some(aucEvalSql), aucEval),
     GraftQuery("q164_calibration_bins", Some(calibrationBinsSql), calibrationBins),
-    // q171: q157's AUC computed on the SCALE PATH — the global ranking
-    // comes from Ranks.globalRowNumber (range-partitioned sort +
-    // zipWithIndex: no one-task window anywhere in the plan) while the
-    // oracle stays q157's global-window SQL. Four window twins
-    // (q129/q157/q164/q166) promise "same integers at 100 TB from a
-    // range-partitioned sort"; this row makes the driver CHECK that
-    // promise cross-engine every round: rank totals, and therefore the
-    // AUC, must be bit-identical to the window formulation under the
-    // same (score, vec_id) total order.
+    // q171: the WINDOW-FORMULATION twin of q157's AUC — the equality
+    // theorem, sides swapped since round 10: q157's ENGINE path is now
+    // the scale path (Ranks.globalRowNumber — no one-task window in
+    // its executed plan), and this row keeps the global ROW_NUMBER
+    // window formulation alive in-engine so the driver still CHECKS,
+    // every round and cross-engine, that the two rankings produce
+    // bit-identical integers (and therefore the identical AUC) under
+    // the same (score, vec_id) total order. Fixture-sized input only —
+    // the one-task window is this row's POINT, not a scale hazard.
     GraftQuery("q171_scaled_rank_auc", Some(aucEvalSql), (spark, dir) => {
-      val ranked = graft.core.Ranks.globalRowNumber(
-        discriminantScores(spark, dir),
-        Seq(col("score").asc, col("vec_id").asc))
-        .withColumnRenamed("global_rank", "rank")
-      ranked.agg(
-          sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
-          sum(when(!col("is_pos"), 1L).otherwise(0L)).as("n_neg"),
-          sum(when(col("is_pos"), col("rank")).otherwise(0L)).as("rank_sum_pos"))
-        .select(col("n_pos"), col("n_neg"), col("rank_sum_pos"),
-          (expr("rank_sum_pos - (n_pos * (n_pos + 1)) div 2").cast(DoubleType)
-            / (col("n_pos") * col("n_neg")).cast(DoubleType)).as("auc"))
+      val w = Window.orderBy(col("score").asc, col("vec_id").asc)
+      aucOfRanked(discriminantScores(spark, dir)
+        .withColumn("rank", row_number().over(w).cast("long")))
     }),
     GraftQuery("q116_shard_diversity", Some(shardDiversitySql), shardDiversity),
     GraftQuery("q118_lpa_communities", Some(lpaCommunitiesSql), lpaCommunities),

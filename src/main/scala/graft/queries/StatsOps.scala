@@ -431,10 +431,12 @@ object StatsOps {
   // EVERY observed value and reports the largest CDF gap, catching a
   // shift PSI's binning straddles). Same time-half split as q153. The
   // statistic stays in EXACT integers to the last step: collapse to
-  // distinct values (the Zipf rule) with per-half counts, one global
-  // cumulative window ordered by value (the q129/q157 oracle-twin
-  // shape; at scale the identical integers come from a range-
-  // partitioned sort + prefix offsets), then
+  // distinct values (the Zipf rule) with per-half counts, then the two
+  // cumulative counts come from the SCALE path (round-10:
+  // Ranks.globalRunningSums — the Packing two-pass range-partitioned
+  // scan; no single-task WindowExec in the plan, PlanSpec pins it;
+  // the oracle keeps the global-window SQL, bit-identical because
+  // integer prefix sums depend only on the (value) total order), then
   //   D·nₐ·n_b = max over v of |cumₐ(v)·n_b − cum_b(v)·nₐ|
   // — an integer argmax, so the winning row and the (d_num desc,
   // value asc) tie-break are float-free; the one IEEE division at the
@@ -449,15 +451,14 @@ object StatsOps {
       .groupBy("value")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
-    val tot = byVal.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val w = Window.orderBy(col("value").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    byVal
-      .select(col("value"), sum(col("ca")).over(w).as("cca"),
-        sum(col("cb")).over(w).as("ccb"))
+    val cum = graft.core.Ranks.globalRunningSums(
+      byVal, Seq(col("value").asc), Seq("ca", "cb"))
+    // totals read the PINNED scan frame, not a second byVal evaluation
+    val tot = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum
       .crossJoin(broadcast(tot))
       .select(col("value"), col("na"), col("nb"),
-        abs(col("cca") * col("nb") - col("ccb") * col("na")).as("d_num"))
+        abs(col("ca_cum") * col("nb") - col("cb_cum") * col("na")).as("d_num"))
       .orderBy(col("d_num").desc, col("value").asc)
       .limit(1)
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),

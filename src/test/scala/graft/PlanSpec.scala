@@ -336,11 +336,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q171's scaled ranking plan contains no Window operator") {
-    // the query's reason to exist: the global ROW_NUMBER comes from a
-    // range-partitioned sort + zipWithIndex, never a one-task window
-    val p = plan("q171_scaled_rank_auc")
-    assert(!p.contains("Window"), p)
+  test("q157/q164/q166 execute the scale path: no Window operator anywhere") {
+    // round-10: the last three one-task global windows left the ENGINE
+    // plans — q157/q164 rank via Ranks.globalRowNumber, q166's prefix
+    // sums via Ranks.globalRunningSums. q171 keeps the window
+    // formulation (the in-engine equality theorem), so these three must
+    // stay window-free or the scale promise is silently broken.
+    Seq("q157_auc_eval", "q164_calibration_bins", "q166_ks_drift").foreach { q =>
+      assert(!plan(q).contains("Window"), s"$q grew a Window operator")
+    }
+  }
+
+  test("q171 (the window twin) still formulates the rank as a global window") {
+    // the equality theorem needs both sides alive: q171's point IS the
+    // one-task window, checked bit-identical to q157's scan every round
+    assert(plan("q171_scaled_rank_auc").contains("Window"))
   }
 
   test("q163's benchmark span set joins by broadcast (the eval side is small by definition)") {
