@@ -946,6 +946,41 @@ object CurationOps {
     graft.sources.JsonlSource.readWithQuarantine(spark, path, docs.schema)
   }
 
+  /** q220 fixture: the q214 dump through ZSTD — the dump is written
+    * uncompressed by Spark, each shard re-compressed as one .zst frame
+    * (zstd-jni, the library the read path itself uses; Spark has no
+    * zstd TEXT writer — the very gap readZstdWithQuarantine closes),
+    * plus one injected .zst shard of three broken lines so the
+    * quarantine path is exercised through this codec too.
+    */
+  private def jsonlZstIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(spark, dir).documents
+    val plain = graft.core.Scratch.path("graft_q220_jsonl_plain")
+    docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(plain)
+    val dst = java.nio.file.Paths.get(graft.core.Scratch.path("graft_q220_jsonl_zst"))
+    if (java.nio.file.Files.exists(dst)) // bench reps rebuild in place
+      java.nio.file.Files.list(dst).forEach(p => java.nio.file.Files.delete(p))
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.list(java.nio.file.Paths.get(plain))
+      .filter(_.toString.endsWith(".json"))
+      .forEach { p =>
+        val out = new com.github.luben.zstd.ZstdOutputStream(
+          java.nio.file.Files.newOutputStream(
+            dst.resolve(s"${p.getFileName}.zst")))
+        java.nio.file.Files.copy(p, out)
+        out.close()
+      }
+    val corrupt = Seq("""{"doc_id": 1, "text": "truncated""",
+      """not json at all""", """{{""")
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(
+        dst.resolve("corrupt-injected.json.zst")))
+    out.write((corrupt.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    graft.sources.JsonlSource.readZstdWithQuarantine(spark, dst.toString, docs.schema)
+  }
+
   /** q215/q216 fixture: syntax breakage AND contract breakage in one
     * dump — three unparseable lines plus five lines that are VALID
     * JSON but violate the data contract (doc_id/text absent or
@@ -1018,6 +1053,25 @@ object CurationOps {
         val (good, quarantine) = jsonlGzIngest(spark, dir)
         val nq = quarantine.count()
         require(nq == 3L, s"q214: expected 3 quarantined lines through gzip, got $nq")
+        good
+      }),
+    // q220: q214 through ZSTD — the codec crawl dumps increasingly ship,
+    // and the one Spark's text sources DON'T decode (builtin codecs stop
+    // at gzip/lz4; Hadoop zstd wants a native lib). The entry path
+    // decodes explicitly with the zstd-jni already on every Spark
+    // classpath: binaryFile scan (one row per shard, so parallelism =
+    // shard files, the same splittability contract as gzip — one frame
+    // is one task) → per-shard streaming ZstdInputStream → the SAME
+    // pinned PERMISSIVE parse + quarantine split as the gzip/plain
+    // paths. Result = the good frame, content-exact against the table;
+    // the quarantine side fenced in-row (require == 3) so a codec-path
+    // regression fails loudly.
+    GraftQuery("q220_jsonl_zstd",
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents"),
+      (spark, dir) => {
+        val (good, quarantine) = jsonlZstIngest(spark, dir)
+        val nq = quarantine.count()
+        require(nq == 3L, s"q220: expected 3 quarantined lines through zstd, got $nq")
         good
       }),
     // q215: the POST-PARSE contract audit — the hole PERMISSIVE leaves:

@@ -373,6 +373,33 @@ class OperatorSpec extends SparkSpec {
     assert(good.count() + bad.count() == 5)
   }
 
+  test("zstd jsonl shards decode per-file and keep the full quarantine contract") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("jsonlzst")
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val out = new com.github.luben.zstd.ZstdOutputStream(
+        java.nio.file.Files.newOutputStream(tmp.resolve(name)))
+      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    // MANY shard files — the splittability contract the reader documents
+    shard("a.json.zst", Seq("""{"id": 1, "text": "ok row"}""",
+      """{"id": 3 "text": "missing comma"}"""))
+    shard("b.json.zst", Seq("""{"id": 2, "text": "also fine"}"""))
+    shard("c.json.zst", Seq("""not json at all""",
+      """{"id": 4, "text": "fine again"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val (good, bad) = graft.sources.JsonlSource.readZstdWithQuarantine(
+      spark, tmp.toString, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    val rawLines = bad.collect().map(_.getString(0))
+    assert(rawLines.length == 2, rawLines.mkString("\n"))
+    assert(rawLines.exists(_.contains("missing comma")))
+    assert(rawLines.exists(_.contains("not json")), "raw evidence preserved")
+    assert(good.count() + bad.count() == 5)
+  }
+
   test("jsonl contract audit: valid-JSON contract violations land in the second quarantine") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col
