@@ -82,9 +82,17 @@ object ServeBench {
     }
     val qs = graft.queries.CurationOps.rankQueries
     val (tPre, nPre) = timeMin3(RetrievalIndex.topK(spark, table, qs).count())
+    // the round-10 policy probe on the same pre-compact log — the
+    // per-schedule overhead the q219 maintenance loop pays (a not-due
+    // read: batches axis only, never the tombstone scans)
+    val (tProbe, _) = timeMin3(
+      if (graft.operators.Maintenance.shouldCompactRetrieval(spark, table,
+        graft.operators.Maintenance.CompactPolicy(
+          maxBatches = 99L, maxDeadFraction = 1.0))) 1L else 0L)
     RetrievalIndex.compact(spark, table, path)
     val (tPost, nPost) = timeMin3(RetrievalIndex.topK(spark, table, qs).count())
-    println(f"SERVEBENCH retrieval $tag pre=$tPre%.2f post=$tPost%.2f rows=$nPre/$nPost")
+    println(f"SERVEBENCH retrieval $tag pre=$tPre%.2f post=$tPost%.2f " +
+      f"probe=$tProbe%.2f rows=$nPre/$nPost")
   }
 
   /** Join view: build from snapshots, fold 4 fact-churn batches (batch 2

@@ -27,10 +27,10 @@ object Ranks {
     * the id tie-break) — then the ranks are bit-identical to
     * `ROW_NUMBER() OVER (ORDER BY sortCols)` regardless of where the
     * range sampler happens to place partition bounds, because the rank
-    * depends only on the order, not the cuts. This is the "at 100 TB the
-    * same integers come from a range-partitioned sort + prefix offsets"
-    * path that the q129/q157/q164/q166 window twins promise — made
-    * concrete, and driver-checked by q171 (window-oracle equality).
+    * depends only on the order, not the cuts. Since round 10 this IS
+    * the executed path of the eval arc (q157 ranks, q164 bins via
+    * [[ntileOfRank]]); the one-task window formulation survives as
+    * q171's in-engine twin, driver-checked bit-identical every round.
     *
     * @return the input columns + `global_rank` (1-based long)
     */

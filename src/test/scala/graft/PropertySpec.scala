@@ -221,6 +221,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSums equals the window prefix sums on random data, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val n = 150 + rnd.nextInt(300)
+      // duplicate-free sort key (total order), two accumulators with
+      // zeros and bursts — the q166 (ca, cb) shape
+      val rows = (1 to n).map(i => (i.toLong * 7 + rnd.nextInt(3),
+        rnd.nextInt(5).toLong, if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(9).toLong))
+      val df = rows.toDF("k", "a", "b").repartition(1 + rnd.nextInt(8))
+      val got = graft.core.Ranks.globalRunningSums(df,
+          Seq(col("k").asc), Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+      val ref = df.withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got == ref, s"trial $trial (n=$n)")
+    }
+  }
+
   test("CharShingles equals the HOF substring formulation incl. multibyte UTF-8 (300 samples)") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     // mixed-width alphabet: 1-byte ASCII, 2-byte accents, 3-byte CJK, 4-byte emoji
