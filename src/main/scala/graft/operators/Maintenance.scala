@@ -235,4 +235,132 @@ object Maintenance {
       preserveNamespace = true)
     go
   }
+
+  // ------------------------------------------------------------------
+  // fsck — the structural ledger audit
+  // ------------------------------------------------------------------
+
+  /** Which tables make up a family, for [[fsck]]: its commit-marker
+    * table (None for the markerless rollup) and its stamped logs. The
+    * `_deleted` frontiers are listed where they are APPEND-mode stamped
+    * ledgers (the pair graph); the overwrite-merged frontiers
+    * (retrieval/positions/IVF rewrite the whole frontier per delete)
+    * carry no per-row history to audit and the runtime unstamped-column
+    * guard skips them with an informational row either way.
+    */
+  private def familyTables(table: String, kind: String):
+      (Option[String], Seq[String]) = kind match {
+    case "pairs" => (Some(s"${table}_batches"),
+      Seq(table, s"${table}_members", s"${table}_sets",
+        s"${table}_postings", s"${table}_deleted"))
+    case "lsh" => (Some(s"${table}_batches"),
+      Seq(s"${table}_postings", s"${table}_sets", s"${table}_deleted"))
+    case "retrieval" => (Some(s"${table}_meta"),
+      Seq(s"${table}_postings", s"${table}_deleted"))
+    case "positions" => (Some(s"${table}_pbatches"),
+      Seq(s"${table}_positions", s"${table}_deleted"))
+    case "ivf" => (Some(s"${table}_batches"),
+      Seq(s"${table}_cells", s"${table}_deleted"))
+    case "join" => (Some(s"${table}_batches"),
+      Seq(table, s"${table}_fact", s"${table}_dim"))
+    case "rollup" => (None, Seq(table))
+    case other => throw new IllegalArgumentException(
+      s"fsck: unknown family kind '$other' (pairs|lsh|retrieval|" +
+        "positions|ivf|join|rollup)")
+  }
+
+  /** FSCK — audit the STRUCTURAL invariants every family's crash/replay
+    * protocol rests on, without serving anything. The serve paths
+    * already fail loudly on DIVERGENT replays and DESCRIBE reports the
+    * debt numbers; what nothing checked until now is the ledger shape
+    * itself — the thing a botched manual repair, a restored backup, or
+    * a second writer that somehow bypassed the fence would corrupt:
+    *
+    *  1. `marker_present` / `marker_base`: the commit marker exists,
+    *     is non-empty, and contains the build's stamp 0.
+    *  2. `marker_shape`: the non-zero committed stamps form ONE
+    *     contiguous run ending at max — the only two shapes the
+    *     protocol can write are {0..max} (build + fenced extends) and
+    *     {0, m..max} (a namespace-preserving compact at m, then
+    *     extends), and both satisfy this; a HOLE (a stamp missing
+    *     mid-run) can only mean ledger corruption, because the fence
+    *     admits exactly max+1 and compact rewrites the whole marker.
+    *  3. `log_stamps:<table>`: every stamped log's distinct batch ids
+    *     are ⊆ committed ∪ {max+1} — at most ONE uncommitted stamp may
+    *     exist and it must be exactly max+1 (the crash window between a
+    *     batch's data appends and its marker commit). Two uncommitted
+    *     stamps, or an uncommitted stamp below max, cannot be produced
+    *     by the protocol.
+    *
+    * Cost: bounded — the marker collect is one row per batch, and each
+    * log check is a column-pruned distinct over its `batch_id` column
+    * (map-side partial agg; ∝ log, never corpus). Logs without a
+    * `batch_id` column (overwrite-style deletion frontiers, the IVF's
+    * frozen centroids) and absent optional tables report informational
+    * ok rows, so a clean family always reads 100% ok.
+    *
+    * Returns one row per check: (check, target, ok, detail). Callers
+    * gate on `ok`; q221 requires a clean report across four families
+    * and MaintenanceSpec proves each invariant trips on a staged
+    * corruption.
+    */
+  def fsck(spark: SparkSession, table: String, kind: String):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (markerOpt, logs) = familyTables(table, kind)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String, Boolean, String)]
+    // committed stamps (rollup: derived from the log itself, no marker)
+    val committed: Set[Long] = markerOpt match {
+      case Some(marker) =>
+        if (!spark.catalog.tableExists(marker)) {
+          rows += (("marker_present", marker, false, "marker table absent"))
+          Set.empty
+        } else {
+          val stamps = spark.table(marker).select("batch_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          rows += (("marker_present", marker, stamps.nonEmpty,
+            s"${stamps.size} committed stamps"))
+          if (stamps.nonEmpty) {
+            rows += (("marker_base", marker, stamps.contains(0L),
+              "build stamp 0 " +
+                (if (stamps.contains(0L)) "present" else "MISSING")))
+            val nz = stamps.filter(_ != 0L).toSeq.sorted
+            val contiguous = nz.isEmpty ||
+              nz == (nz.head to nz.max)
+            rows += (("marker_shape", marker, contiguous,
+              if (contiguous) s"non-zero run ${nz.headOption.getOrElse(0L)}..${nz.lastOption.getOrElse(0L)}"
+              else s"HOLE in committed run: ${nz.take(12).mkString(",")}"))
+          }
+          stamps
+        }
+      case None => Set.empty
+    }
+    val maxCommitted = if (committed.nonEmpty) committed.max else -1L
+    logs.foreach { t =>
+      if (!spark.catalog.tableExists(t))
+        rows += ((s"log_stamps:$t", t, true, "absent (optional)"))
+      else if (!spark.table(t).columns.contains("batch_id"))
+        rows += ((s"log_stamps:$t", t, true, "unstamped (no batch_id)"))
+      else {
+        val stamps = spark.table(t).select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        if (markerOpt.isEmpty)
+          // markerless rollup: stamps carry no cross-table contract;
+          // audit only that the log is non-degenerate
+          rows += ((s"log_stamps:$t", t, stamps.forall(_ >= 0L),
+            s"${stamps.size} distinct stamps"))
+        else {
+          val unknown = stamps -- committed
+          val ok = unknown.isEmpty || unknown == Set(maxCommitted + 1L)
+          rows += ((s"log_stamps:$t", t, ok,
+            if (unknown.isEmpty) s"${stamps.size} stamps, all committed"
+            else if (ok) s"one in-flight stamp ${maxCommitted + 1L} (crash window)"
+            else s"ORPHAN stamps beyond the crash window: ${unknown.toSeq.sorted.take(12).mkString(",")}"))
+        }
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("check", "target", "ok", "detail")
+  }
 }

@@ -1364,6 +1364,71 @@ object CurationOps {
         }
         graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
       }),
+    // q221: FSCK — the structural ledger audit across four maintained
+    // families (round 10). The serve paths fail loudly on divergent
+    // replays and DESCRIBE reports debt; what nothing audited until now
+    // is the LEDGER SHAPE the crash/replay protocol rests on: marker
+    // present with build stamp 0, the non-zero committed run contiguous
+    // (the only two shapes the protocol writes — {0..max}, or
+    // {0, m..max} after a namespace-preserving compact), and every
+    // stamped log's ids ⊆ committed ∪ {max+1} (at most ONE in-flight
+    // crash-window stamp). The row fscks the memoized LSH / retrieval /
+    // positional / rollup ladders (each carrying build + extend +
+    // delete history) and REQUIRES 100% ok — MaintenanceSpec proves
+    // each invariant trips on staged corruption — then serves the
+    // retrieval family's live ranking, so the oracle hash also pins
+    // that the audited index still answers exactly like a from-scratch
+    // index of the surviving corpus. Bounded: marker collects + one
+    // distinct-stamp scan per log, never a corpus read.
+    GraftQuery("q221_fsck_families",
+      Some(keywordTopKSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        import graft.operators.Maintenance
+        val fams = Seq(
+          AsOfFixtures.lsh(spark, dir) -> "lsh",
+          AsOfFixtures.retrieval(spark, dir) -> "retrieval",
+          AsOfFixtures.positions(spark, dir) -> "positions",
+          AsOfFixtures.rollup(spark, dir) -> "rollup")
+        fams.foreach { case (name, kind) =>
+          val bad = Maintenance.fsck(spark, name, kind)
+            .filter(!col("ok")).collect()
+          require(bad.isEmpty,
+            s"q221: fsck($kind) flagged ${bad.mkString("; ")}")
+        }
+        graft.operators.RetrievalIndex.topK(
+          spark, AsOfFixtures.retrieval(spark, dir), rankQueries)
+      }),
+    // q222: SNAPSHOT → RESTORE — the backup verb, driver-checked end to
+    // end: export the retrieval family's full ladder (build + extend +
+    // tombstone delete + signed `_meta` ledger) to a self-describing
+    // snapshot directory (distributed columnar copy, manifest written
+    // LAST as the commit marker), restore it under a NEW name and path
+    // (bucket layout re-established from the manifest, per-table row
+    // counts verified against it), fsck the restored family (ledger
+    // shape survived the round trip — so the writer fence still admits
+    // the next extend), and serve the RESTORED index. Oracle = the
+    // from-scratch ranking SQL of the surviving corpus, so the hash
+    // compare is "restored-from-backup == never-backed-up", scores and
+    // idf arithmetic included, cross-engine.
+    GraftQuery("q222_snapshot_restore",
+      Some(keywordTopKSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        import graft.operators.{Maintenance, Snapshot}
+        val src = AsOfFixtures.retrieval(spark, dir)
+        val dest = graft.core.Scratch.path("q222_snap")
+        val restored = "graft_q222_restored"
+        // bench reps re-run in-process: the restore target must be absent
+        Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $restored$s"))
+        val exported = Snapshot.export(spark, src, dest)
+        require(exported > 0L, "q222: empty snapshot")
+        Snapshot.restore(spark, dest, restored,
+          graft.core.Scratch.path(restored))
+        val bad = Maintenance.fsck(spark, restored, "retrieval")
+          .filter(!col("ok")).collect()
+        require(bad.isEmpty, s"q222: restored fsck flagged ${bad.mkString("; ")}")
+        graft.operators.RetrievalIndex.topK(spark, restored, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped

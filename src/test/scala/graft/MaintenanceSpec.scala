@@ -256,4 +256,67 @@ class MaintenanceSpec extends SparkSpec {
       CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)),
       "the loop settles after folding all three logs")
   }
+
+  // --------------------------------------------------------------------
+  // fsck: the structural ledger audit (round 10)
+
+  private def fsckBad(table: String, kind: String) =
+    Maintenance.fsck(spark, table, kind).filter(!col("ok"))
+      .select("check").collect().map(_.getString(0)).toSeq
+
+  test("fsck: a clean build+extend+delete ladder reads 100% ok") {
+    val table = "mnt_fsck_clean"
+    drop(table, Seq("postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), table, path)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), table,
+      batchId = 1L)
+    RetrievalIndex.deleteDocs(spark,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), table, path,
+      batchId = 2L)
+    assert(fsckBad(table, "retrieval").isEmpty)
+    // and after a namespace-preserving compact: marker {0, 2} has a
+    // non-zero run starting past 1 — the OTHER legal shape
+    RetrievalIndex.compact(spark, table, path, preserveNamespace = true)
+    assert(fsckBad(table, "retrieval").isEmpty,
+      "the {0, maxCommitted} marker is a legal fsck shape")
+  }
+
+  test("fsck: one in-flight crash-window stamp is legal; an orphan beyond it is not") {
+    val table = "mnt_fsck_inflight"
+    drop(table, Seq("postings", "meta"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), table, path)
+    // crash window: data appended at max+1 = 1, marker never written
+    RetrievalIndex.applyExtend(docs.filter(col("doc_id") % 3 === 1),
+      table, batchId = 1L)
+    assert(fsckBad(table, "retrieval").isEmpty,
+      "the single max+1 stamp is the legal crash window")
+    // an orphan BEYOND the window (stamp 5 over committed {0}) can't be
+    // produced by the fenced protocol — fsck must flag the log
+    RetrievalIndex.applyExtend(docs.filter(col("doc_id") % 3 === 2),
+      table, batchId = 5L)
+    val bad = fsckBad(table, "retrieval")
+    assert(bad.exists(_.startsWith("log_stamps:")),
+      s"orphan stamp must trip the log check, got $bad")
+  }
+
+  test("fsck: marker corruption trips marker_base / marker_shape") {
+    import spark.implicits._
+    def fakeMarker(stamps: Seq[Long]): Unit = {
+      spark.sql("DROP TABLE IF EXISTS mnt_fsckfake_batches")
+      stamps.toDF("batch_id").write
+        .option("path", graft.core.Scratch.path("mnt_fsckfake_batches"))
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable("mnt_fsckfake_batches")
+    }
+    fakeMarker(Seq(1L, 2L)) // lost its build stamp
+    assert(fsckBad("mnt_fsckfake", "lsh").contains("marker_base"))
+    fakeMarker(Seq(0L, 1L, 3L)) // hole mid-run: not a compact, not a fence
+    assert(fsckBad("mnt_fsckfake", "lsh").contains("marker_shape"))
+    fakeMarker(Seq(0L, 4L, 5L, 6L)) // preserving-compact shape: legal
+    assert(fsckBad("mnt_fsckfake", "lsh").isEmpty)
+    spark.sql("DROP TABLE IF EXISTS mnt_fsckfake_batches")
+    assert(fsckBad("mnt_fsckfake", "lsh").contains("marker_present"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{IvmRollup, Maintenance, RetrievalIndex, Snapshot}
+import graft.queries.CurationOps
+
+/** Snapshot export/restore (round 10): the backup verb must round-trip
+  * a family's rows, schema, bucket layout, and LEDGER — so the restored
+  * family serves identically AND accepts the next fenced extend.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sfDir).documents
+
+  private def drop(table: String, sfx: Seq[String]): Unit =
+    sfx.foreach { s =>
+      val t = if (s.isEmpty) table else s"${table}_$s"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  private def retrievalLadder(table: String): Unit = {
+    drop(table, Seq("postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), table, path)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), table,
+      batchId = 1L)
+    RetrievalIndex.deleteDocs(spark,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), table, path,
+      batchId = 2L)
+  }
+
+  test("export -> restore round-trips serve, ledger, and the next extend") {
+    val src = "snap_src"
+    retrievalLadder(src)
+    val dest = graft.core.Scratch.path("snap_dest")
+    val restored = "snap_restored"
+    drop(restored, Seq("", "postings", "meta", "deleted"))
+    val exported = Snapshot.export(spark, src, dest)
+    assert(exported > 0L)
+    Snapshot.restore(spark, dest, restored, graft.core.Scratch.path(restored))
+    // identical serve (scores included — the _meta ledger's signed N
+    // survived the round trip)
+    assert(asSet(RetrievalIndex.topK(spark, restored, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
+    // identical structural health
+    assert(Maintenance.fsck(spark, restored, "retrieval")
+      .filter(!col("ok")).count() == 0L)
+    // the ledger round-tripped: the SAME next extend lands on both and
+    // they stay equal — restore-from-backup is operationally live, not
+    // a read-only copy
+    val more = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    RetrievalIndex.extend(more, src, batchId = 3L)
+    RetrievalIndex.extend(more, restored, batchId = 3L)
+    assert(asSet(RetrievalIndex.topK(spark, restored, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
+  }
+
+  test("restore refuses a manifest-less directory and occupied targets") {
+    val src = "snap_src2"
+    retrievalLadder(src)
+    val dest = graft.core.Scratch.path("snap_dest2")
+    Snapshot.export(spark, src, dest)
+    // crashed export: manifest missing -> loud refusal
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/_MANIFEST.json"), false)
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshot.restore(spark, dest, "snap_never", graft.core.Scratch.path("snap_never"))
+    }
+    assert(e1.getMessage.contains("_MANIFEST.json"))
+    // occupied target: src itself still exists under its own name
+    Snapshot.export(spark, src, dest)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.restore(spark, dest, src, graft.core.Scratch.path(src))
+    }
+    assert(e2.getMessage.contains("already exists"))
+  }
+
+  test("export refuses an unknown family; rollup (markerless, single-table) round-trips") {
+    intercept[IllegalArgumentException] {
+      Snapshot.export(spark, "snap_no_such_family",
+        graft.core.Scratch.path("snap_nowhere"))
+    }
+    val src = "snap_ivm"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    val o = Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    IvmRollup.build(o, col("o_custkey"), col("o_totalprice"), src,
+      graft.core.Scratch.path(src))
+    val dest = graft.core.Scratch.path("snap_ivm_dest")
+    Snapshot.export(spark, src, dest)
+    val restored = "snap_ivm_restored"
+    spark.sql(s"DROP TABLE IF EXISTS $restored")
+    Snapshot.restore(spark, dest, restored, graft.core.Scratch.path(restored))
+    assert(asSet(IvmRollup.serve(spark, restored))
+      == asSet(IvmRollup.serve(spark, src)))
+  }
+}
