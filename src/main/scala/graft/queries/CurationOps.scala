@@ -1429,6 +1429,58 @@ object CurationOps {
         require(bad.isEmpty, s"q222: restored fsck flagged ${bad.mkString("; ")}")
         graft.operators.RetrievalIndex.topK(spark, restored, rankQueries)
       }),
+    // q223: INCREMENTAL snapshot — the 100 TB backup story: a nightly
+    // full export of a multi-TB index is waste; the stamped logs are
+    // append-only between compacts, so a DELTA snapshot exports only
+    // rows past the parent's per-table max stamp (scan-pruned on
+    // batch_id), the unstamped overwrite-style frontiers whole (they
+    // are the family's small tables by construction), and records the
+    // parent pointer. Restore walks the chain base-first: the base
+    // re-establishes the bucket layout, each delta APPENDS through it
+    // (insertInto lays the rows out co-located), the newest frontier
+    // copy wins, and every link's landed counts verify against its
+    // manifest. This row stages it end to end: build + extend →
+    // BASE export → a tombstone delete lands only in the DELTA →
+    // chain restore → fsck → serve the restored index. Oracle = the
+    // from-scratch ranking SQL of the surviving corpus, so the hash
+    // compare is "base + delta == the live family", idf arithmetic
+    // (whose N the delta's signed _meta row shifted) included,
+    // cross-engine. The in-row require pins the economics: the delta
+    // must be SMALLER than the base. Compacts break chains loudly
+    // (SnapshotSpec) — each compact starts a new full-backup epoch,
+    // the LSM/WAL-shipping contract.
+    GraftQuery("q223_incremental_snapshot",
+      Some(keywordTopKSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        import graft.operators.{Maintenance, Snapshot}
+        val docs = Tables(spark, dir).documents
+        val src = "graft_q223_src"
+        val restored = "graft_q223_chain"
+        Seq(src, restored).foreach(t =>
+          Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+            spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+        val path = graft.core.Scratch.path(src)
+        graft.operators.RetrievalIndex.build(
+          docs.filter(col("doc_id") % 2 === 0), src, path)
+        graft.operators.RetrievalIndex.extend(
+          docs.filter(col("doc_id") % 2 === 1), src, batchId = 1L)
+        val base = graft.core.Scratch.path("q223_base")
+        val baseRows = Snapshot.export(spark, src, base)
+        graft.operators.RetrievalIndex.deleteDocs(spark,
+          docs.filter(col("doc_id") % 7 === 3).select("doc_id"), src, path,
+          batchId = 2L)
+        val delta = graft.core.Scratch.path("q223_delta")
+        val deltaRows = Snapshot.export(spark, src, delta,
+          incrementalFrom = Some(base))
+        require(deltaRows < baseRows,
+          s"q223: delta $deltaRows rows >= base $baseRows — not incremental")
+        Snapshot.restore(spark, delta, restored,
+          graft.core.Scratch.path(restored))
+        val bad = Maintenance.fsck(spark, restored, "retrieval")
+          .filter(!col("ok")).collect()
+        require(bad.isEmpty, s"q223: chain fsck flagged ${bad.mkString("; ")}")
+        graft.operators.RetrievalIndex.topK(spark, restored, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped

@@ -61,6 +61,45 @@ class SnapshotSpec extends SparkSpec {
       == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
   }
 
+  test("delta chain restore == full restore; a compact breaks the chain loudly") {
+    val src = "snap_src_inc"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    val base = graft.core.Scratch.path("snap_inc_base")
+    val baseRows = Snapshot.export(spark, src, base)
+    // history AFTER the base snapshot: a tombstone delete (stamp 2 —
+    // appends a signed _meta row, and OVERWRITES the unstamped
+    // _deleted frontier, so the delta must carry that table whole)
+    RetrievalIndex.deleteDocs(spark,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), src, path,
+      batchId = 2L)
+    val delta = graft.core.Scratch.path("snap_inc_delta")
+    val deltaRows = Snapshot.export(spark, src, delta,
+      incrementalFrom = Some(base))
+    assert(deltaRows < baseRows,
+      s"the delta ($deltaRows rows) must be smaller than the base " +
+        s"($baseRows rows) — that is the whole point of incremental")
+    val viaChain = "snap_inc_chain"
+    drop(viaChain, Seq("", "postings", "meta", "deleted"))
+    Snapshot.restore(spark, delta, viaChain, graft.core.Scratch.path(viaChain))
+    assert(asSet(RetrievalIndex.topK(spark, viaChain, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)),
+      "base + delta must serve exactly like the live family")
+    assert(Maintenance.fsck(spark, viaChain, "retrieval")
+      .filter(!col("ok")).count() == 0L)
+    // compact rewrites stamp history -> the old base can no longer
+    // anchor a delta; export must refuse, not silently mis-slice
+    RetrievalIndex.compact(spark, src, path)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.export(spark, src, graft.core.Scratch.path("snap_inc_bad"),
+        incrementalFrom = Some(base))
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+  }
+
   test("restore refuses a manifest-less directory and occupied targets") {
     val src = "snap_src2"
     retrievalLadder(src)
