@@ -273,6 +273,29 @@ object IvmJoin {
       .drop("dn")
   }
 
+  /** DIFF between two served versions of the VIEW, computed without
+    * serving either — [[IvmRollup.diff]]'s verb on the denormalized
+    * tier: net the view log's stamped slice `from < batch_id <= to`
+    * per row identity and keep the non-zero rows. `dn_delta = +1` is a
+    * view row that appeared in the window, `−1` one that disappeared —
+    * a dim payload rewrite shows up as exactly its −old/+new pair per
+    * matching fact row (the honest IVM fan-out, now consumable as a
+    * changelog). Cost ∝ the intervening churn's log rows, never the
+    * view; the netting rides the view log's key buckets (zero
+    * exchanges). Same replay collapse and loud divergence fence as
+    * [[serve]]; same compact-generation horizon as `asOf`. Contract
+    * (spec-pinned): serve(from) ⊎ diff == serve(to) as a multiset.
+    */
+  def diff(spark: SparkSession, table: String, from: Long, to: Long): DataFrame = {
+    require(0L <= from && from < to,
+      s"IvmJoin.diff: need 0 <= from < to, got ($from, $to)")
+    val cols = spark.table(table).columns.filterNot(Seq("dn", "batch_id").contains)
+    netted(spark.table(table)
+        .filter(col("batch_id") > from && col("batch_id") <= to), cols)
+      .withColumnRenamed("dn", "dn_delta")
+      .filter(col("dn_delta") =!= 0L)
+  }
+
   /** DESCRIBE for the maintained join view — the [[IvmRollup.describe]]
     * numbers across the family's THREE logs, in bounded scans of the
     * logs themselves (never the source tables):

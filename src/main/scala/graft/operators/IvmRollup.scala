@@ -162,6 +162,48 @@ object IvmRollup {
           .as("batches_since_compact")))
   }
 
+  /** DIFF between two served versions, computed WITHOUT serving either:
+    * the net per-key (count, sum) change across the stamped slice
+    * `from < batch_id <= to` — because the log IS a changelog, the
+    * difference of two prefix sums is the slice between them. This is
+    * the incremental-consumer verb: a downstream job that last read
+    * version `from` asks "what changed?" and gets rows ∝ the
+    * INTERVENING CHURN, never ∝ the rollup (serve(to) ⟕ serve(from)
+    * would pay two full serves plus a key-wide join for the same
+    * answer — at 100 TB that is the difference between reading a
+    * day's deltas and re-scanning the view twice).
+    *
+    * Net-zero keys (churn that cancelled exactly within the window)
+    * are dropped: the contract is "apply this changelog to serve(from)
+    * and you hold serve(to)" (spec-pinned), and a zero row applies as
+    * a no-op. Same loud divergence fence as [[serve]]; same horizon
+    * contract as `asOf` — stamps are only comparable within a compact
+    * generation (compact folds history to batch 0, so a pre-compact
+    * `from` is unanswerable and the slice correctly reads empty).
+    * Zero-exchange: both groupBys ride the key buckets.
+    */
+  def diff(spark: SparkSession, table: String, from: Long, to: Long): DataFrame = {
+    require(0L <= from && from < to,
+      s"IvmRollup.diff: need 0 <= from < to, got ($from, $to)")
+    def one(lo: Column, hi: Column, what: String): Column =
+      when(lo === hi, lo).otherwise(raise_error(concat(
+        lit(s"IvmRollup.diff: divergent replayed $what for key "),
+        col("key").cast("string"),
+        lit(" — different deltas appended under one batch_id"))))
+    spark.table(table)
+      .filter(col("batch_id") > from && col("batch_id") <= to)
+      .groupBy("key", "batch_id")
+      .agg(min(col("dn")).as("dn_lo"), max(col("dn")).as("dn_hi"),
+        min(col("dr")).as("dr_lo"), max(col("dr")).as("dr_hi"))
+      .select(col("key"),
+        one(col("dn_lo"), col("dn_hi"), "dn").as("dn"),
+        one(col("dr_lo"), col("dr_hi"), "dr").as("dr"))
+      .groupBy("key")
+      .agg(sum(col("dn")).as("dn_delta"),
+        sum(col("dr")).cast(Dec).as("dr_delta"))
+      .filter(col("dn_delta") =!= 0L || col("dr_delta") =!= lit(0).cast(Dec))
+  }
+
   /** Fold the delta log back into a single batch-0 base — same table,
     * same bucket layout, read cost back to one row per live key. The
     * fold is pinned (localCheckpoint) before the Overwrite because the

@@ -58,7 +58,14 @@ object RetrievalIndex {
     * conf (shuffle partitions, session timezone) lives in the shared
     * SparkConf and carries over.
     */
-  private[graft] def probeSession(spark: SparkSession): SparkSession = {
+  private[graft] def probeSession(spark: SparkSession,
+      probedTable: String): SparkSession = {
+    // a temp-view family (Snapshot.attach's in-place backup reads) is
+    // SESSION-scoped — a fresh clone cannot resolve it — and a view
+    // carries no bucket metadata for the clone's one setting to act on,
+    // so the probe plans on the caller's session as-is
+    if (spark.sessionState.catalog.getTempView(probedTable).isDefined)
+      return spark
     val s = spark.newSession()
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     s
@@ -372,7 +379,7 @@ object RetrievalIndex {
     val terms = queries.flatMap(_._2).distinct
     // plan + materialize the probe on the bucket-pruning clone; once
     // pinned, downstream stages run on the caller's session as usual
-    val ps = probeSession(spark)
+    val ps = probeSession(spark, s"${table}_postings")
     val p = dropDeletedDocs(ps, table, collapseReplays(ps.table(s"${table}_postings")
       .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
       .filter(col("batch_id") <= asOf)), asOf)
@@ -536,7 +543,7 @@ object RetrievalIndex {
       phrases: Seq[(Int, Seq[String])],
       asOf: Long = Long.MaxValue): DataFrame = {
     val terms = phrases.flatMap(_._2).distinct
-    val ps = probeSession(spark)
+    val ps = probeSession(spark, s"${table}_positions")
     val p = dropDeletedDocs(ps, table,
       ps.table(s"${table}_positions")
         .filter(col("term").isin(terms: _*)) // explicit IN → bucket pruning
@@ -573,7 +580,7 @@ object RetrievalIndex {
   def boolean(spark: SparkSession, table: String,
       queries: Seq[(Int, Seq[String])]): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
-    val ps = probeSession(spark)
+    val ps = probeSession(spark, s"${table}_postings")
     val p = dropDeletedDocs(ps, table, collapseReplays(ps.table(s"${table}_postings")
       .filter(col("term").isin(terms: _*))))
     val q = broadcast(queryTermsDf(ps, queries))

@@ -192,28 +192,34 @@ object Snapshot {
     * before returning, so a restore that returns has provably rebuilt
     * what each export recorded.
     */
+  /** The snapshot chain base-first, parent pointers followed; refuses
+    * cycles (a tampered chain) and mixed-family links.
+    */
+  private def chainOf(spark: SparkSession, dest: String):
+      List[(String, com.fasterxml.jackson.databind.JsonNode)] = {
+    var links = List.empty[(String, com.fasterxml.jackson.databind.JsonNode)]
+    var cur = Option(dest)
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (cur.isDefined) {
+      val d = cur.get
+      require(seen.add(d),
+        s"Snapshot: parent cycle through $d — chain is corrupt")
+      val m = readManifest(spark, d)
+      links = (d -> m) :: links
+      cur = Option(m.get("parent")).filterNot(_.isNull).map(_.asText())
+    }
+    val srcTable = links.head._2.get("table").asText()
+    links.foreach { case (d, m) =>
+      require(m.get("table").asText() == srcTable,
+        s"Snapshot: chain link $d snapshots a different family")
+    }
+    links
+  }
+
   def restore(spark: SparkSession, dest: String, newTable: String,
       newPath: String): Unit = {
-    // follow parent pointers base-first; a cycle means a tampered chain
-    val chain = {
-      var links = List.empty[(String, com.fasterxml.jackson.databind.JsonNode)]
-      var cur = Option(dest)
-      val seen = scala.collection.mutable.Set.empty[String]
-      while (cur.isDefined) {
-        val d = cur.get
-        require(seen.add(d),
-          s"Snapshot.restore: parent cycle through $d — chain is corrupt")
-        val m = readManifest(spark, d)
-        links = (d -> m) :: links
-        cur = Option(m.get("parent")).filterNot(_.isNull).map(_.asText())
-      }
-      links
-    }
+    val chain = chainOf(spark, dest)
     val srcTable = chain.head._2.get("table").asText()
-    chain.foreach { case (d, m) =>
-      require(m.get("table").asText() == srcTable,
-        s"Snapshot.restore: chain link $d snapshots a different family")
-    }
     // occupied-target check against the FULL sibling set across links
     val allNames = chain.flatMap { case (_, m) =>
       jsonSeq(m.get("tables")).map(_.get("suffix").asText())
@@ -268,5 +274,56 @@ object Snapshot {
             "restore is torn")
       }
     }
+  }
+
+  /** Register session-scoped TEMP VIEWS over a snapshot chain — query a
+    * backup WITHOUT restoring it. Stamped logs read as the union of
+    * every link's slice (the chain is append-only between compacts, so
+    * the union IS the table); unstamped tables (overwrite-style
+    * frontiers) take the newest link's copy. Zero data is moved or
+    * shuffled at attach time — the views read the snapshot's parquet in
+    * place, so this is the DR "show me yesterday's index right now"
+    * read path and the audit path over cold backups. Family verbs work
+    * unchanged on the attached name (they resolve through
+    * `spark.table`, which sees temp views first) at PLAIN-PARQUET cost:
+    * the bucket co-location a [[restore]] re-establishes is not
+    * present, so sustained serving should restore instead. Counts are
+    * not verified here (the views are lazy); restore is the verified
+    * path. Returns the view names registered.
+    */
+  def attach(spark: SparkSession, dest: String, viewPrefix: String): Seq[String] = {
+    val chain = chainOf(spark, dest)
+    // suffix -> (schema, stamped, slices base-first); schema drift
+    // across links would union wrong, so it is refused loudly
+    val perSuffix = scala.collection.mutable.LinkedHashMap.empty[
+      String, (String, Boolean, List[String])]
+    chain.foreach { case (d, m) =>
+      jsonSeq(m.get("tables")).foreach { e =>
+        val suffix = e.get("suffix").asText()
+        val schemaJson = e.get("schema").asText()
+        val stamped = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          .fieldNames.contains("batch_id")
+        perSuffix.get(suffix) match {
+          case Some((s0, _, dirs)) =>
+            require(s0 == schemaJson,
+              s"Snapshot.attach: $suffix changed schema mid-chain at $d " +
+                "— attach cannot union drifted slices")
+            perSuffix(suffix) = (s0, stamped, dirs :+ s"$d/$suffix")
+          case None =>
+            perSuffix(suffix) = (schemaJson, stamped, List(s"$d/$suffix"))
+        }
+      }
+    }
+    perSuffix.map { case (suffix, (schemaJson, stamped, dirs)) =>
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val read = (p: String) => spark.read.schema(schema).parquet(p)
+      val df =
+        if (stamped) dirs.map(read).reduce(_ unionByName _)
+        else read(dirs.last) // newest frontier copy wins
+      val viewName = if (suffix == "base") viewPrefix
+      else s"${viewPrefix}_$suffix"
+      df.createOrReplaceTempView(viewName)
+      viewName
+    }.toSeq
   }
 }

@@ -940,6 +940,72 @@ object AnalyticsOps {
     GROUP BY o_custkey""".trim
 
   // --------------------------------------------------------------------
+  // q224: DIFF between two rollup versions — the incremental-consumer
+  // verb (round 10): a downstream job that last read version `from`
+  // asks "what changed?", and because the stamped log IS a changelog,
+  // the answer is the netted slice `from < batch_id <= to` — rows ∝ the
+  // INTERVENING CHURN, never ∝ the rollup (serving both versions and
+  // full-outer-joining them would re-scan the view twice for the same
+  // answer). Runs diff(0, 2) over q160's memoized ladder
+  // (AsOfFixtures.rollup), so the changelog nets the %101 deletes
+  // against the %103 inserts per key; the ORACLE re-derives exactly
+  // that net from the source orders table — the driver's hash compare
+  // is "the log-slice diff == the true change between the two
+  // versions", decimal arithmetic included, cross-engine. Net-zero
+  // keys drop on BOTH sides (a zero row applies as a no-op; the
+  // serve(from) + diff == serve(to) contract is spec-pinned).
+  private def ivmDiff(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.IvmRollup.diff(spark,
+        AsOfFixtures.rollup(spark, dir), from = 0L, to = 2L)
+      .select(col("key").as("o_custkey"), col("dn_delta").as("n_delta"),
+        col("dr_delta").cast(DoubleType).as("revenue_delta")) // Num.dsum rule
+
+  private val ivmDiffSql: String = """
+    SELECT o_custkey, n_delta, CAST(r_delta AS DOUBLE) AS revenue_delta FROM (
+      SELECT o_custkey,
+        CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN -1 ELSE 0 END)
+           + SUM(CASE WHEN o_orderkey % 103 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        SUM(CASE WHEN o_orderkey % 101 = 0 THEN -CAST(o_totalprice AS DECIMAL(38,2))
+                 ELSE CAST(0 AS DECIMAL(38,2)) END)
+          + SUM(CASE WHEN o_orderkey % 103 = 0 THEN CAST(o_totalprice AS DECIMAL(38,2))
+                     ELSE CAST(0 AS DECIMAL(38,2)) END) AS r_delta
+      FROM orders GROUP BY o_custkey)
+    WHERE n_delta != 0 OR r_delta != 0""".trim
+
+  // q225: DIFF on the maintained JOIN VIEW — q224's verb on the
+  // denormalized tier, where it earns its keep: the ladder's batch 2 is
+  // a DIM payload rewrite (%13 segments -> '_v2'), whose honest IVM
+  // cost fans out to every matching fact row — and diff(1, 2) exposes
+  // exactly that fan-out as a consumable changelog: one −old/+new view
+  // row pair per surviving matching fact, nothing else. The oracle
+  // re-derives the pairs from orders ⋈ customer under the ladder's net
+  // fact state (non-%101 originals plus the key-shifted %103 inserts),
+  // so the hash compare is "the view-log slice == the true row-level
+  // change between the versions", cross-engine. Cost ∝ the dim churn's
+  // log rows; the netting rides the view log's key buckets.
+  private def ivmJoinDiff(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.IvmJoin.diff(spark,
+      AsOfFixtures.joinView(spark, dir), from = 1L, to = 2L)
+
+  private val ivmJoinDiffSql: String = """
+    WITH facts AS (
+      SELECT o_custkey AS custkey, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 != 0
+      UNION ALL
+      SELECT o_custkey, o_orderkey + 10000000, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0),
+    cd AS (SELECT c_custkey AS custkey, c_mktsegment
+           FROM customer WHERE c_custkey % 13 = 0)
+    SELECT custkey, o_orderkey, o_totalprice, c_mktsegment, dn_delta FROM (
+      SELECT f.custkey, f.o_orderkey, f.o_totalprice,
+             cd.c_mktsegment, CAST(-1 AS BIGINT) AS dn_delta
+      FROM facts f JOIN cd ON f.custkey = cd.custkey
+      UNION ALL
+      SELECT f.custkey, f.o_orderkey, f.o_totalprice,
+             cd.c_mktsegment || '_v2', CAST(1 AS BIGINT)
+      FROM facts f JOIN cd ON f.custkey = cd.custkey)""".trim
+
+  // --------------------------------------------------------------------
   // q192: incrementally maintained JOIN view (operators.IvmJoin) — IVM's
   // second act: IvmRollup maintains aggregates; this maintains the
   // DENORMALIZED orders ⋈ customer view under changelogs to BOTH sides,
@@ -1414,6 +1480,8 @@ object AnalyticsOps {
     GraftQuery("q175_ivm_compact", Some(ivmAggSql), ivmCompact),
     GraftQuery("q213_autocompact", Some(ivmAggSql), ivmAutoCompact),
     GraftQuery("q187_asof_rollup", Some(ivmAsOfSql), ivmAsOf),
+    GraftQuery("q224_rollup_diff", Some(ivmDiffSql), ivmDiff),
+    GraftQuery("q225_join_diff", Some(ivmJoinDiffSql), ivmJoinDiff),
     GraftQuery("q211_rollup_stats", Some(ivmRollupStatsSql), ivmRollupStats),
     GraftQuery("q212_join_stats", Some(ivmJoinStatsSql), ivmJoinStats),
     GraftQuery("q192_ivm_join", Some(ivmJoinSql), ivmJoinView),

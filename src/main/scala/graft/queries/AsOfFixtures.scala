@@ -159,4 +159,37 @@ object AsOfFixtures {
         corpus.filter(col("id") % 7 === 3).select(col("id")),
         name, graft.core.Scratch.path(name), batchId = 2L)
     }
+
+  private val chainBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, Long, Long)]()
+
+  /** The retrieval ladder with a SNAPSHOT CHAIN cut mid-history: base
+    * export after (build + extend), then the tombstone delete (stamp
+    * 2, whose churn therefore lives only in the delta), then the delta
+    * export anchored on the base. Memoized, so the EXPORT cost is paid
+    * once and the consuming rows time their own verbs — q223 the chain
+    * RESTORE, q226 the in-place ATTACH.
+    *
+    * @return (family, baseDir, deltaDir, baseRows, deltaRows)
+    */
+  def retrievalChain(spark: SparkSession, dir: String):
+      (String, String, String, Long, Long) =
+    chainBuilt.computeIfAbsent(dir, _ => {
+      val name = "graft_chain_rix_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val d = Tables(spark, dir).documents
+      val path = graft.core.Scratch.path(name)
+      RetrievalIndex.build(d.filter(col("doc_id") % 2 === 0), name, path)
+      RetrievalIndex.extend(d.filter(col("doc_id") % 2 === 1), name,
+        batchId = 1L)
+      val base = graft.core.Scratch.path(name + "_base")
+      val baseRows = graft.operators.Snapshot.export(spark, name, base)
+      RetrievalIndex.deleteDocs(spark,
+        d.filter(col("doc_id") % 7 === 3).select("doc_id"), name, path,
+        batchId = 2L)
+      val delta = graft.core.Scratch.path(name + "_delta")
+      val deltaRows = graft.operators.Snapshot.export(spark, name, delta,
+        incrementalFrom = Some(base))
+      (name, base, delta, baseRows, deltaRows)
+    })
 }

@@ -1453,33 +1453,42 @@ object CurationOps {
       Some(keywordTopKSqlOver("doc_id % 7 != 3")),
       (spark, dir) => {
         import graft.operators.{Maintenance, Snapshot}
-        val docs = Tables(spark, dir).documents
-        val src = "graft_q223_src"
-        val restored = "graft_q223_chain"
-        Seq(src, restored).foreach(t =>
-          Seq("", "_postings", "_meta", "_deleted").foreach(s =>
-            spark.sql(s"DROP TABLE IF EXISTS $t$s")))
-        val path = graft.core.Scratch.path(src)
-        graft.operators.RetrievalIndex.build(
-          docs.filter(col("doc_id") % 2 === 0), src, path)
-        graft.operators.RetrievalIndex.extend(
-          docs.filter(col("doc_id") % 2 === 1), src, batchId = 1L)
-        val base = graft.core.Scratch.path("q223_base")
-        val baseRows = Snapshot.export(spark, src, base)
-        graft.operators.RetrievalIndex.deleteDocs(spark,
-          docs.filter(col("doc_id") % 7 === 3).select("doc_id"), src, path,
-          batchId = 2L)
-        val delta = graft.core.Scratch.path("q223_delta")
-        val deltaRows = Snapshot.export(spark, src, delta,
-          incrementalFrom = Some(base))
+        val (_, _, delta, baseRows, deltaRows) =
+          AsOfFixtures.retrievalChain(spark, dir)
         require(deltaRows < baseRows,
           s"q223: delta $deltaRows rows >= base $baseRows — not incremental")
+        val restored = "graft_q223_chain"
+        // bench reps re-run in-process: the restore target must be absent
+        Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $restored$s"))
         Snapshot.restore(spark, delta, restored,
           graft.core.Scratch.path(restored))
         val bad = Maintenance.fsck(spark, restored, "retrieval")
           .filter(!col("ok")).collect()
         require(bad.isEmpty, s"q223: chain fsck flagged ${bad.mkString("; ")}")
         graft.operators.RetrievalIndex.topK(spark, restored, rankQueries)
+      }),
+    // q226: ATTACH — query the backup WITHOUT restoring it: the chain's
+    // snapshot directories register as session temp views (stamped logs
+    // as the union of the links' slices — append-only between compacts,
+    // so the union IS the table; the newest frontier copy wins), zero
+    // rows moved, zero shuffles at attach time. The family's own serve
+    // verb then runs UNCHANGED against the attached name (table
+    // resolution sees temp views first) — the DR "show me yesterday's
+    // index right now" read path and the audit path over cold backups,
+    // at plain-parquet cost (sustained serving restores instead, to get
+    // the bucket layout back). Oracle = the same from-scratch ranking
+    // SQL of the surviving corpus, so the hash compare is "served from
+    // the attached backup == never backed up", cross-engine.
+    GraftQuery("q226_attached_snapshot",
+      Some(keywordTopKSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        val (_, _, delta, _, _) = AsOfFixtures.retrievalChain(spark, dir)
+        val att = "graft_q226_att"
+        val views = graft.operators.Snapshot.attach(spark, delta, att)
+        require(views.size >= 3,
+          s"q226: expected >= 3 attached views, got $views")
+        graft.operators.RetrievalIndex.topK(spark, att, rankQueries)
       }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the

@@ -226,4 +226,27 @@ class IvmJoinSpec extends SparkSpec {
     assert(!Maintenance.shouldCompactJoin(spark, table,
       CompactPolicy(maxBatches = 0L, maxDeadFraction = 0.0)))
   }
+
+  test("diff contract: serve(from) ⊎ diff(from, to) == serve(to) as a multiset") {
+    buildAndFold()
+    def servedAt(v: Long): Map[Seq[Any], Long] =
+      IvmJoin.serve(spark, table, asOf = v).collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for (from <- 0L to 1L; to <- (from + 1L) to 2L) {
+      val idCols = IvmJoin.serve(spark, table).columns.toSeq
+      val d = IvmJoin.diff(spark, table, from, to).collect()
+        .map(r => idCols.map(c => r.get(r.fieldIndex(c))) ->
+          r.getAs[Long]("dn_delta")).toMap
+      assert(d.nonEmpty, s"($from,$to): the ladder churns every window")
+      assert(d.values.forall(v => v == 1L || v == -1L),
+        "under the fact-pk contract a diff row flips presence, never stacks")
+      val applied = (servedAt(from).keySet ++ d.keySet).flatMap { row =>
+        val n = servedAt(from).getOrElse(row, 0L) + d.getOrElse(row, 0L)
+        if (n > 0) Some(row -> n) else None
+      }.toMap
+      assert(applied == servedAt(to),
+        s"applying diff($from,$to) to serve($from) must yield serve($to)")
+    }
+    intercept[IllegalArgumentException] { IvmJoin.diff(spark, table, 1L, 1L) }
+  }
 }

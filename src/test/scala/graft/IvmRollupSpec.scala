@@ -257,4 +257,29 @@ class IvmRollupSpec extends SparkSpec {
     val r = IvmRollup.describe(spark, t).head()
     assert(r.getAs[Long]("dead_keys") == 0L && r.getAs[Long]("live_keys") == 1L)
   }
+
+  test("diff contract: serve(from) + diff(from, to) == serve(to), every version pair") {
+    buildAndFold()
+    def servedAt(v: Long): Map[Long, (Long, java.math.BigDecimal)] =
+      IvmRollup.serve(spark, table, asOf = v).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    for (from <- 0L to 1L; to <- (from + 1L) to 2L) {
+      val d = IvmRollup.diff(spark, table, from, to).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      assert(d.nonEmpty, s"($from,$to): the ladder churns every window")
+      val applied = (servedAt(from).keySet ++ d.keySet).flatMap { k =>
+        val (n0, t0) = servedAt(from).getOrElse(k,
+          (0L, java.math.BigDecimal.ZERO))
+        val (dn, dr) = d.getOrElse(k, (0L, java.math.BigDecimal.ZERO))
+        val n = n0 + dn
+        if (n > 0) Some(k -> (n, t0.add(dr).setScale(2))) else None
+      }.toMap
+      assert(applied == servedAt(to).map { case (k, (n, t)) =>
+        k -> (n, t.setScale(2)) },
+        s"applying diff($from,$to) to serve($from) must yield serve($to)")
+    }
+    // degenerate windows are refused, not silently empty
+    intercept[IllegalArgumentException] { IvmRollup.diff(spark, table, 2L, 2L) }
+    intercept[IllegalArgumentException] { IvmRollup.diff(spark, table, -1L, 1L) }
+  }
 }

@@ -95,7 +95,7 @@ class RetrievalIndexSpec extends SparkSpec {
     // topK pins the matched probe (localCheckpoint), so the scan lives in
     // the checkpoint job's plan — assert pruning on the probe shape
     // itself, on the same bucket-pruning clone the operator plans on
-    val plan = RetrievalIndex.probeSession(spark)
+    val plan = RetrievalIndex.probeSession(spark, "rix_p_postings")
       .table("rix_p_postings").filter(col("term").isin("spark"))
       .queryExecution.executedPlan.toString
     // a single-term probe must select a strict subset of the 16 buckets

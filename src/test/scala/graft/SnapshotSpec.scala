@@ -100,6 +100,30 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("compact"), e.getMessage)
   }
 
+  test("attach serves a snapshot chain in place — no copy, same answers") {
+    val src = "snap_src_att"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    val base = graft.core.Scratch.path("snap_att_base")
+    Snapshot.export(spark, src, base)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    RetrievalIndex.deleteDocs(spark,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), src, path,
+      batchId = 2L)
+    val delta = graft.core.Scratch.path("snap_att_delta")
+    Snapshot.export(spark, src, delta, incrementalFrom = Some(base))
+    val views = Snapshot.attach(spark, delta, "snap_att_view")
+    assert(views.contains("snap_att_view_postings")
+      && views.contains("snap_att_view_meta")
+      && views.contains("snap_att_view_deleted"), views.toString)
+    // the family's serve verb runs unchanged against the attached name
+    assert(asSet(RetrievalIndex.topK(spark, "snap_att_view",
+        CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
+  }
+
   test("restore refuses a manifest-less directory and occupied targets") {
     val src = "snap_src2"
     retrievalLadder(src)
