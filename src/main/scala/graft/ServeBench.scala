@@ -151,10 +151,25 @@ object ServeBench {
     val (tProbe, _) = timeMin3(
       if (Maintenance.shouldCompactRollup(spark, table,
         Maintenance.CompactPolicy(maxBatches = 99L, maxDeadFraction = 1.0))) 1L else 0L)
+    // the round-10 diff verb vs what a consumer WITHOUT it pays for the
+    // same answer: serve both versions and full-outer-join them
+    val (tDiff, nDiff) = timeMin3(IvmRollup.diff(spark, table, 0L, 7L).count())
+    val zero = lit(0).cast(DecimalType(38, 2))
+    val (tNaive, nNaive) = timeMin3 {
+      val a = IvmRollup.serve(spark, table, asOf = 0L)
+        .select(col("key"), col("n").as("n0"), col("total").as("t0"))
+      val b = IvmRollup.serve(spark, table, asOf = 7L)
+        .select(col("key"), col("n").as("n1"), col("total").as("t1"))
+      a.join(b, Seq("key"), "full_outer")
+        .filter(coalesce(col("n0"), lit(0L)) =!= coalesce(col("n1"), lit(0L))
+          || coalesce(col("t0"), zero) =!= coalesce(col("t1"), zero))
+        .count()
+    }
     IvmRollup.compact(spark, table, path)
     val (tPost, nPost) = timeMin3(IvmRollup.serve(spark, table).count())
     println(f"SERVEBENCH rollup $tag pre=$tPre%.2f post=$tPost%.2f " +
-      f"describe=$tDesc%.2f probe=$tProbe%.2f rows=$nPre/$nPost")
+      f"describe=$tDesc%.2f probe=$tProbe%.2f rows=$nPre/$nPost " +
+      f"diff=$tDiff%.2f($nDiff) naive2serve=$tNaive%.2f($nNaive)")
   }
 
   def main(args: Array[String]): Unit = {
