@@ -339,7 +339,11 @@ object Maintenance {
     val maxCommitted = if (committed.nonEmpty) committed.max else -1L
     logs.foreach { t =>
       if (!spark.catalog.tableExists(t))
-        rows += ((s"log_stamps:$t", t, true, "absent (optional)"))
+        // only the deletion frontier is born lazily (first delete);
+        // a missing CORE log is structural damage, not an option
+        rows += ((s"log_stamps:$t", t, t.endsWith("_deleted"),
+          if (t.endsWith("_deleted")) "absent (no deletes yet)"
+          else "CORE LOG ABSENT"))
       else if (!spark.table(t).columns.contains("batch_id"))
         rows += ((s"log_stamps:$t", t, true, "unstamped (no batch_id)"))
       else {

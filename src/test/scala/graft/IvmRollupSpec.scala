@@ -128,6 +128,14 @@ class IvmRollupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("diff nets its log slice with zero exchanges, like serve") {
+    buildAndFold()
+    val df = IvmRollup.diff(spark, table, 0L, 2L)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("describe reports live/dead keys, log entries, batches since compact") {
     import spark.implicits._
     val t = "ivm_spec_describe"

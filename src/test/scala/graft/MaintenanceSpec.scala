@@ -315,7 +315,11 @@ class MaintenanceSpec extends SparkSpec {
     fakeMarker(Seq(0L, 1L, 3L)) // hole mid-run: not a compact, not a fence
     assert(fsckBad("mnt_fsckfake", "lsh").contains("marker_shape"))
     fakeMarker(Seq(0L, 4L, 5L, 6L)) // preserving-compact shape: legal
-    assert(fsckBad("mnt_fsckfake", "lsh").isEmpty)
+    // …but this synthetic family has a marker and NO data logs at all —
+    // core-log absence must read as damage, only _deleted is optional
+    val noLogs = fsckBad("mnt_fsckfake", "lsh")
+    assert(noLogs == Seq("log_stamps:mnt_fsckfake_postings",
+      "log_stamps:mnt_fsckfake_sets"), noLogs.toString)
     spark.sql("DROP TABLE IF EXISTS mnt_fsckfake_batches")
     assert(fsckBad("mnt_fsckfake", "lsh").contains("marker_present"))
   }
