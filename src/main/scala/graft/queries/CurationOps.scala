@@ -1490,6 +1490,71 @@ object CurationOps {
           s"q226: expected >= 3 attached views, got $views")
         graft.operators.RetrievalIndex.topK(spark, att, rankQueries)
       }),
+    // q227: DISASTER RECOVERY, end to end — the round's verbs composed
+    // the way a deployment actually runs them: a checkpointed stream
+    // delivers five epochs; a BACKUP runs after every epoch (full at
+    // cold start, DELTA against the previous export otherwise); the
+    // MAINTENANCE LOOP runs on its own schedule (policy maxBatches = 1
+    // — q219's cadence, due after epochs 2 and 4, namespace-preserving
+    // so the stream survives); and the one collision between the two
+    // schedules is PINNED in-row: the first export after a compact must
+    // REFUSE the delta (history rewritten — the chain-break contract)
+    // and fall back to a full export, exactly the runbook. Then the
+    // live family is DESTROYED (every table dropped), restored from the
+    // latest chain (full + delta), fsck'd, and — the part no test
+    // covered yet — the SAME checkpointed stream RESUMES on the
+    // restored family: the backup carried the fence ledger, so epoch
+    // 5's derived stamp is max+1 and passes. Oracle = the from-scratch
+    // ranking SQL of the whole corpus: "crash the world, restore from
+    // incremental backups, keep streaming == never crashed",
+    // cross-engine, scores included.
+    GraftQuery("q227_dr_scenario", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{Maintenance, Snapshot}
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q227_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        val policy = Maintenance.CompactPolicy(maxBatches = 1L)
+        val expectDue = Seq(false, false, true, false, true)
+        var lastExport: Option[String] = None
+        (0L to 4L).foreach { epoch =>
+          graft.streaming.RetrievalStream.foldEpoch(
+            docs.filter(col("doc_id") % 6 === epoch), epochId = epoch,
+            table, path)
+          val dest = graft.core.Scratch.path(s"q227_snap_$epoch")
+          val wantDelta = lastExport.isDefined
+          val gotDelta = wantDelta && (try {
+            Snapshot.export(spark, table, dest, incrementalFrom = lastExport)
+            true
+          } catch {
+            case e: IllegalArgumentException if e.getMessage.contains("compact") =>
+              false // the chain-break refusal — fall back to a full export
+          })
+          if (!gotDelta) {
+            require(epoch == 0L || expectDue(epoch.toInt - 1),
+              s"q227: delta refused at epoch $epoch without a prior compact")
+            Snapshot.export(spark, table, dest)
+          }
+          lastExport = Some(dest)
+          val ran = Maintenance.compactRetrievalIfDue(spark, table, path, policy)
+          require(ran == expectDue(epoch.toInt),
+            s"q227: epoch $epoch due=$ran, expected ${expectDue(epoch.toInt)}")
+        }
+        // disaster: the live family is gone
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        Snapshot.restore(spark, lastExport.get, table,
+          graft.core.Scratch.path(table + "_restored"))
+        val bad = Maintenance.fsck(spark, table, "retrieval")
+          .filter(!col("ok")).collect()
+        require(bad.isEmpty, s"q227: restored fsck flagged ${bad.mkString("; ")}")
+        // the same checkpointed stream resumes on the restored family
+        graft.streaming.RetrievalStream.foldEpoch(
+          docs.filter(col("doc_id") % 6 === 5), epochId = 5L, table, path)
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped
