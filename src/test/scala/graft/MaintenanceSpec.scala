@@ -301,6 +301,47 @@ class MaintenanceSpec extends SparkSpec {
       s"orphan stamp must trip the log check, got $bad")
   }
 
+  test("fsck covers the remaining families: pairs, IVF, join view") {
+    import spark.implicits._
+    // pairs: a real (small) build+extend ladder, all five logs present
+    val pt = "mnt_fsck_pairs"
+    Seq("", "_members", "_sets", "_postings", "_batches", "_deleted")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $pt$s"))
+    val d = docs.select(col("doc_id").as("id"), col("text"))
+    Dedup.buildPairIndex(d.filter(col("id") % 2 === 0), pt,
+      graft.core.Scratch.path(pt), threshold = 0.8, incremental = true)
+    Dedup.extendPairIndex(spark, d.filter(col("id") % 2 === 1), pt,
+      threshold = 0.8, batchId = 1L)
+    Dedup.deleteFromPairIndex(spark,
+      d.filter(col("id") % 7 === 3).select("id"), pt,
+      graft.core.Scratch.path(pt), batchId = 2L)
+    assert(Maintenance.fsck(spark, pt, "pairs").filter(!col("ok")).count() == 0L)
+    // IVF: the memoized ladder (build + extend + delete)
+    assert(Maintenance.fsck(spark,
+      graft.queries.AsOfFixtures.ivf(spark, sfDir), "ivf")
+      .filter(!col("ok")).count() == 0L)
+    // join view: a tiny both-sided family, three stamped logs + marker
+    val jt = "mnt_fsck_join"
+    Seq(jt, s"${jt}_fact", s"${jt}_dim", s"${jt}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fact = Seq((1L, 101L, 10.0), (2L, 201L, 30.0))
+      .toDF("k", "o", "v")
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("k", "seg")
+    IvmJoin.build(fact, dim, "k", jt, graft.core.Scratch.path(jt), 4)
+    IvmJoin.applyDelta(spark, jt, "k",
+      Seq((1L, 102L, 5.0)).toDF("k", "o", "v").withColumn("dn", lit(1L)),
+      dim.limit(0).withColumn("dn", lit(1L)), batchId = 1L)
+    assert(Maintenance.fsck(spark, jt, "join").filter(!col("ok")).count() == 0L)
+    // and a staged violation on the join: fact-log data at an orphan
+    // stamp (5 over committed {0,1}) must flag log_stamps on that log
+    IvmJoin.applyDeltaData(spark, jt, "k",
+      Seq((2L, 202L, 7.0)).toDF("k", "o", "v").withColumn("dn", lit(1L)),
+      dim.limit(0).withColumn("dn", lit(1L)), batchId = 5L)
+    val bad = Maintenance.fsck(spark, jt, "join").filter(!col("ok"))
+      .select("check").collect().map(_.getString(0))
+    assert(bad.exists(_.startsWith("log_stamps:")), bad.mkString(","))
+  }
+
   test("fsck: marker corruption trips marker_base / marker_shape") {
     import spark.implicits._
     def fakeMarker(stamps: Seq[Long]): Unit = {

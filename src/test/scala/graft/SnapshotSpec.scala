@@ -100,6 +100,35 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("compact"), e.getMessage)
   }
 
+  test("three-link chains: base + delta + delta restore AND attach == live") {
+    val src = "snap_src3l"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), src, path)
+    val l0 = graft.core.Scratch.path("snap_3l_0")
+    Snapshot.export(spark, src, l0)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 3 === 1), src,
+      batchId = 1L)
+    val l1 = graft.core.Scratch.path("snap_3l_1")
+    Snapshot.export(spark, src, l1, incrementalFrom = Some(l0))
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 3 === 2), src,
+      batchId = 2L)
+    RetrievalIndex.deleteDocs(spark,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), src, path,
+      batchId = 3L)
+    val l2 = graft.core.Scratch.path("snap_3l_2")
+    Snapshot.export(spark, src, l2, incrementalFrom = Some(l1))
+    val want = asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries))
+    val restored = "snap_3l_restored"
+    drop(restored, Seq("", "postings", "meta", "deleted"))
+    Snapshot.restore(spark, l2, restored, graft.core.Scratch.path(restored))
+    assert(asSet(RetrievalIndex.topK(spark, restored,
+      CurationOps.rankQueries)) == want)
+    Snapshot.attach(spark, l2, "snap_3l_view")
+    assert(asSet(RetrievalIndex.topK(spark, "snap_3l_view",
+      CurationOps.rankQueries)) == want)
+  }
+
   test("attach serves a snapshot chain in place — no copy, same answers") {
     val src = "snap_src_att"
     drop(src, Seq("", "postings", "meta", "deleted"))
