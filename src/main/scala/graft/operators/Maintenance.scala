@@ -236,6 +236,49 @@ object Maintenance {
     go
   }
 
+  /** One family in a [[sweep]] fleet: its catalog name, kind (the
+    * [[fsck]] vocabulary), warehouse path, join keys (join views
+    * only), and bucket count (pair graphs default 8 at their call
+    * sites; everything else 16).
+    */
+  final case class Family(table: String, kind: String, path: String,
+      joinKeys: Seq[String] = Nil, nBuckets: Int = 16)
+
+  /** One scheduler tick over a fleet — the call a cron/Airflow task
+    * actually makes: probe every family's policy (each probe is the
+    * bounded DESCRIBE-class read), compact the due ones (namespace-
+    * preserving on the fenced kinds, so live streams survive the
+    * tick), and return one report row per family for the scheduler's
+    * log. Families probe INDEPENDENTLY — one noisy family cannot
+    * starve the rest — and the tick is idempotent: a second sweep
+    * right after settles to zero compactions (q228 pins both sweeps).
+    */
+  def sweep(spark: SparkSession, families: Seq[Family],
+      policy: CompactPolicy): org.apache.spark.sql.DataFrame = {
+    require(families.nonEmpty, "sweep: empty fleet")
+    val report = families.map { f =>
+      val ran = f.kind match {
+        case "rollup" =>
+          compactRollupIfDue(spark, f.table, f.path, policy, f.nBuckets)
+        case "join" =>
+          require(f.joinKeys.nonEmpty, s"sweep: join family ${f.table} needs joinKeys")
+          compactJoinIfDue(spark, f.table, f.path, f.joinKeys, policy, f.nBuckets)
+        case "pairs" => compactPairsIfDue(spark, f.table, f.path, policy, f.nBuckets)
+        case "lsh" => compactLshIfDue(spark, f.table, f.path, policy, f.nBuckets)
+        case "retrieval" =>
+          compactRetrievalIfDue(spark, f.table, f.path, policy, f.nBuckets)
+        case "positions" =>
+          compactPositionsIfDue(spark, f.table, f.path, policy, f.nBuckets)
+        case "ivf" => compactIvfIfDue(spark, f.table, f.path, policy, f.nBuckets)
+        case other => throw new IllegalArgumentException(
+          s"sweep: unknown family kind '$other' for ${f.table}")
+      }
+      (f.table, f.kind, ran)
+    }
+    import spark.implicits._
+    report.toDF("table", "kind", "compacted")
+  }
+
   // ------------------------------------------------------------------
   // fsck — the structural ledger audit
   // ------------------------------------------------------------------

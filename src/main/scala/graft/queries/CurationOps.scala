@@ -1555,6 +1555,60 @@ object CurationOps {
           docs.filter(col("doc_id") % 6 === 5), epochId = 5L, table, path)
         graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
       }),
+    // q228: the fleet SWEEP — Maintenance.sweep is the one call a
+    // scheduler makes per tick: three families of different kinds
+    // (retrieval, LSH, rollup), each carrying two batches of debt,
+    // probed independently and compacted in one pass (namespace-
+    // preserving on the fenced kinds). The report is pinned in-row:
+    // the first tick compacts all three, the second tick settles to
+    // zero (the loop is idempotent — freshly folded logs are never
+    // due). Oracle = q88's whole-corpus ranking over the swept
+    // retrieval family, so the hash compare also proves a sweep-
+    // compacted index still answers exactly like a from-scratch one.
+    GraftQuery("q228_fleet_sweep", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{Dedup, Maintenance, RetrievalIndex}
+        import graft.operators.Maintenance.Family
+        import org.apache.spark.sql.types.DecimalType
+        val docs = Tables(spark, dir).documents
+        val rix = "graft_q228_rix"; val lsh = "graft_q228_lsh"
+        val ivm = "graft_q228_ivm"
+        Seq("postings", "meta", "sets", "batches", "deleted").foreach(s =>
+          Seq(rix, lsh).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
+        spark.sql(s"DROP TABLE IF EXISTS $ivm")
+        // two batches of debt on each family, three different kinds
+        RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), rix,
+          graft.core.Scratch.path(rix))
+        (1 to 2).foreach(b => RetrievalIndex.extend(
+          docs.filter(col("doc_id") % 3 === b), rix, batchId = b.toLong))
+        val half = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"), col("text"))
+        Dedup.buildNearDupIndex(half.filter(col("id") % 3 === 0), lsh,
+          graft.core.Scratch.path(lsh))
+        (1 to 2).foreach(b => Dedup.extendNearDupIndex(spark,
+          half.filter(col("id") % 3 === b), lsh, batchId = b.toLong))
+        val o = Tables(spark, dir).orders
+        graft.operators.IvmRollup.build(o, col("o_custkey"),
+          col("o_totalprice"), ivm, graft.core.Scratch.path(ivm))
+        (1 to 2).foreach(b => graft.operators.IvmRollup.applyDelta(spark, ivm,
+          o.filter(col("o_orderkey") % 97 === b)
+            .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+              col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+          batchId = b.toLong))
+        val fleet = Seq(
+          Family(rix, "retrieval", graft.core.Scratch.path(rix)),
+          Family(lsh, "lsh", graft.core.Scratch.path(lsh)),
+          Family(ivm, "rollup", graft.core.Scratch.path(ivm)))
+        val policy = Maintenance.CompactPolicy(maxBatches = 1L)
+        val tick1 = Maintenance.sweep(spark, fleet, policy).collect()
+        require(tick1.forall(_.getBoolean(2)),
+          s"q228: all three families carry 2 batches of debt — tick 1 " +
+            s"must compact them all, got ${tick1.mkString(";")}")
+        val tick2 = Maintenance.sweep(spark, fleet, policy).collect()
+        require(tick2.forall(!_.getBoolean(2)),
+          s"q228: tick 2 must settle, got ${tick2.mkString(";")}")
+        RetrievalIndex.topK(spark, rix, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped
