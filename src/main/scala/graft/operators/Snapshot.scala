@@ -66,6 +66,10 @@ object Snapshot {
   private def siblings(spark: SparkSession, table: String): Seq[String] = {
     val t = table.toLowerCase
     spark.catalog.listTables().collect()
+      // temp views share the listing (an [[attach]]ed chain, ad-hoc
+      // scratch views) but are not snapshot material — and
+      // getTableMetadata would throw on one mid-export
+      .filter(!_.isTemporary)
       .map(_.name)
       .filter(n => n == t || n.startsWith(t + "_"))
       .sorted.toSeq
