@@ -505,4 +505,52 @@ class PropertySpec extends SparkSpec {
       assert(ids == good.indices.map(i => (round * 1000 + i).toLong).toSet)
     }
   }
+
+  // ------------------------------------------------------------- round 10
+  test("IVM rollup diff theorem on random well-formed changelogs, every version pair (3 rounds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.IvmRollup
+    for (round <- 1 to 3) {
+      val table = s"prop_ivmdiff_$round"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // live multiset of (key, value) rows — deletes only remove rows
+      // that exist, the changelog well-formedness the IVM counting
+      // algorithm assumes (q160's churn has the same property)
+      val state = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def freshRows(n: Int): Seq[(Long, Long)] =
+        Seq.fill(n)((rnd.nextInt(6).toLong, rnd.nextInt(500).toLong + 1L))
+      val base = freshRows(40); state ++= base
+      IvmRollup.build(base.toDF("key", "v"), col("key"),
+        col("v").cast("double"), table,
+        graft.core.Scratch.path(table), nBuckets = 4)
+      (1 to 4).foreach { b =>
+        val ins = freshRows(rnd.nextInt(10))
+        val delCount = rnd.nextInt(math.min(10, state.size) + 1)
+        val dels = (1 to delCount).map(_ => state.remove(rnd.nextInt(state.size)))
+        state ++= ins
+        val delta = ins.map { case (k, v) => (k, 1L, BigDecimal(v)) } ++
+          dels.map { case (k, v) => (k, -1L, BigDecimal(-v)) }
+        IvmRollup.applyDelta(spark, table,
+          delta.toDF("key", "dn", "dr").select(col("key"), col("dn"),
+            col("dr").cast(DecimalType(38, 2)).as("dr")), b.toLong)
+      }
+      def servedAt(v: Long): Map[Long, (Long, java.math.BigDecimal)] =
+        IvmRollup.serve(spark, table, asOf = v).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      for (f <- 0L to 3L; t <- (f + 1L) to 4L) {
+        val d = IvmRollup.diff(spark, table, f, t).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+        val sf = servedAt(f)
+        val applied = (sf.keySet ++ d.keySet).flatMap { k =>
+          val (n0, t0) = sf.getOrElse(k, (0L, java.math.BigDecimal.ZERO))
+          val (dn, dr) = d.getOrElse(k, (0L, java.math.BigDecimal.ZERO))
+          val n = n0 + dn
+          if (n > 0) Some(k -> (n, t0.add(dr).setScale(2))) else None
+        }.toMap
+        assert(applied == servedAt(t).map { case (k, (n, x)) =>
+          k -> (n, x.setScale(2)) }, s"round $round: window ($f,$t)")
+      }
+    }
+  }
 }

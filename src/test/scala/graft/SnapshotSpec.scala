@@ -174,6 +174,35 @@ class SnapshotSpec extends SparkSpec {
     assert(e2.getMessage.contains("already exists"))
   }
 
+  test("join-view family (three logs + marker) snapshots and restores whole") {
+    import spark.implicits._
+    import graft.operators.IvmJoin
+    val src = "snap_jv"
+    Seq(src, s"${src}_fact", s"${src}_dim", s"${src}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fact = Seq((1L, 101L, 10.0), (2L, 201L, 30.0), (3L, 301L, 7.0))
+      .toDF("k", "o", "v")
+    val dim = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    IvmJoin.build(fact, dim, "k", src, graft.core.Scratch.path(src), 4)
+    IvmJoin.applyDelta(spark, src, "k",
+      Seq((2L, 202L, 5.0)).toDF("k", "o", "v").withColumn("dn", lit(1L)),
+      dim.limit(0).withColumn("dn", lit(1L)), batchId = 1L)
+    val dest = graft.core.Scratch.path("snap_jv_dest")
+    Snapshot.export(spark, src, dest)
+    val restored = "snap_jv_restored"
+    Seq(restored, s"${restored}_fact", s"${restored}_dim", s"${restored}_batches")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Snapshot.restore(spark, dest, restored, graft.core.Scratch.path(restored))
+    assert(asSet(IvmJoin.serve(spark, restored)) == asSet(IvmJoin.serve(spark, src)))
+    // the marker round-tripped: the SAME next delta lands on both
+    // through the writer fence and they stay equal
+    val d2f = Seq((1L, 102L, 9.0)).toDF("k", "o", "v").withColumn("dn", lit(1L))
+    val d2d = dim.limit(0).withColumn("dn", lit(1L))
+    IvmJoin.applyDelta(spark, src, "k", d2f, d2d, batchId = 2L)
+    IvmJoin.applyDelta(spark, restored, "k", d2f, d2d, batchId = 2L)
+    assert(asSet(IvmJoin.serve(spark, restored)) == asSet(IvmJoin.serve(spark, src)))
+  }
+
   test("export refuses an unknown family; rollup (markerless, single-table) round-trips") {
     intercept[IllegalArgumentException] {
       Snapshot.export(spark, "snap_no_such_family",
