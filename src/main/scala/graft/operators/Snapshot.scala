@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -187,15 +187,6 @@ object Snapshot {
     entries.map(_("rows").asInstanceOf[Long]).sum
   }
 
-  /** Re-create a family from a snapshot under `newTable`/`newPath`. A
-    * delta snapshot restores its whole parent CHAIN first (base fully,
-    * each delta appended through the restored tables' bucket layout;
-    * unstamped tables take the newest copy). Refuses manifest-less
-    * directories (crashed exports) and occupied target names; verifies
-    * every table's landed row count against the manifest of every link
-    * before returning, so a restore that returns has provably rebuilt
-    * what each export recorded.
-    */
   /** The snapshot chain base-first, parent pointers followed; refuses
     * cycles (a tampered chain) and mixed-family links.
     */
@@ -220,6 +211,15 @@ object Snapshot {
     links
   }
 
+  /** Re-create a family from a snapshot under `newTable`/`newPath`. A
+    * delta snapshot restores its whole parent CHAIN first (base fully,
+    * each delta appended through the restored tables' bucket layout;
+    * unstamped tables take the newest copy). Refuses manifest-less
+    * directories (crashed exports) and occupied target names; verifies
+    * every table's landed row count against the manifest of every link
+    * before returning, so a restore that returns has provably rebuilt
+    * what each export recorded.
+    */
   def restore(spark: SparkSession, dest: String, newTable: String,
       newPath: String): Unit = {
     val chain = chainOf(spark, dest)
