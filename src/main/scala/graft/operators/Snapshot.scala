@@ -280,6 +280,38 @@ object Snapshot {
     }
   }
 
+  /** Audit a snapshot chain WITHOUT restoring it: every link reachable
+    * base-first (manifest present, same family, no cycles — [[chainOf]]
+    * refuses the rest loudly), and every table directory still holding
+    * exactly the rows its manifest recorded — the bit-rot /
+    * partial-deletion check an operator runs before TRUSTING a backup
+    * (and the one [[restore]] would only surface mid-restore, after
+    * work). Read-only; cost ∝ snapshot bytes (one count per table
+    * directory, schema pinned from the manifest). Returns one
+    * (link, table, ok, detail) row per chain entry; q227 gates its
+    * restore on a clean report.
+    */
+  def verify(spark: SparkSession, dest: String):
+      org.apache.spark.sql.DataFrame = {
+    val rows = chainOf(spark, dest).flatMap { case (d, m) =>
+      jsonSeq(m.get("tables")).map { e =>
+        val suffix = e.get("suffix").asText()
+        val schema = DataType.fromJson(e.get("schema").asText())
+          .asInstanceOf[StructType]
+        val expected = e.get("rows").asLong()
+        val landed =
+          try spark.read.schema(schema).parquet(s"$d/$suffix").count()
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        (d, suffix, landed == expected,
+          if (landed == expected) s"$expected rows"
+          else if (landed < 0) "UNREADABLE"
+          else s"$landed of $expected rows — snapshot dir was modified")
+      }
+    }
+    import spark.implicits._
+    rows.toDF("link", "table", "ok", "detail")
+  }
+
   /** Register session-scoped TEMP VIEWS over a snapshot chain — query a
     * backup WITHOUT restoring it. Stamped logs read as the union of
     * every link's slice (the chain is append-only between compacts, so

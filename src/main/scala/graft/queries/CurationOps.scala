@@ -1542,9 +1542,14 @@ object CurationOps {
           require(ran == expectDue(epoch.toInt),
             s"q227: epoch $epoch due=$ran, expected ${expectDue(epoch.toInt)}")
         }
-        // disaster: the live family is gone
+        // disaster: the live family is gone. The runbook audits the
+        // backup chain BEFORE trusting it (bit-rot / partial-deletion
+        // check, read-only) — then restores.
         Seq("postings", "meta", "deleted").foreach(s =>
           spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        val audit = Snapshot.verify(spark, lastExport.get)
+          .filter(!col("ok")).collect()
+        require(audit.isEmpty, s"q227: backup audit flagged ${audit.mkString("; ")}")
         Snapshot.restore(spark, lastExport.get, table,
           graft.core.Scratch.path(table + "_restored"))
         val bad = Maintenance.fsck(spark, table, "retrieval")

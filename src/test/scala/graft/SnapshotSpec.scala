@@ -153,6 +153,27 @@ class SnapshotSpec extends SparkSpec {
       == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
   }
 
+  test("verify audits a chain read-only; a tampered directory is flagged by name") {
+    val src = "snap_src_vfy"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    val base = graft.core.Scratch.path("snap_vfy_base")
+    Snapshot.export(spark, src, base)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    val delta = graft.core.Scratch.path("snap_vfy_delta")
+    Snapshot.export(spark, src, delta, incrementalFrom = Some(base))
+    assert(Snapshot.verify(spark, delta).filter(!col("ok")).count() == 0L)
+    // bit-rot: one data file vanishes from the BASE link's postings dir
+    val dir = new java.io.File(s"$base/postings")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val bad = Snapshot.verify(spark, delta).filter(!col("ok"))
+      .select("link", "table").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bad.toSeq == Seq((base, "postings")), bad.mkString(","))
+  }
+
   test("restore refuses a manifest-less directory and occupied targets") {
     val src = "snap_src2"
     retrievalLadder(src)
