@@ -41,6 +41,49 @@ object WriterFence {
     if (preserve && committed.nonEmpty) Seq(committed.max).filter(_ > 0L)
     else Seq.empty
 
+  /** The SCHEMA-EVOLUTION contract on maintained families (round-10
+    * verdict task #6): an extend/delta batch must match its log's data
+    * schema EXACTLY — same column set (case-insensitive), same types.
+    * Maintained logs are written through positional `insertInto` and
+    * name-resolved selects, under which an added column would drop
+    * SILENTLY, a missing one would fail with an unresolved-attribute
+    * error naming no contract, and a widened type would cast (or
+    * ANSI-throw) row by row at task time. None of those is a migration
+    * policy — so the family REFUSES the drifted batch loudly, with the
+    * same "your next move is in the failure" discipline as the fence's
+    * compat note: a maintained family's schema migrates by rebuild (or
+    * an explicit compact-and-rebuild window), never by a batch
+    * smuggling new columns into a bucketed log.
+    *
+    * `expected` is the log's DATA schema (caller strips engine columns
+    * like `batch_id`); `incoming` is the batch's. Field ORDER is not
+    * part of the contract — the write paths name-align before the
+    * positional insert.
+    */
+  def requireSchemaCompat(incoming: org.apache.spark.sql.types.StructType,
+      expected: org.apache.spark.sql.types.StructType, family: String,
+      log: String): Unit = {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val got = shape(incoming); val want = shape(expected)
+    if (got != want) {
+      val added = (got.keySet -- want.keySet).toSeq.sorted
+      val missing = (want.keySet -- got.keySet).toSeq.sorted
+      val retyped = (got.keySet & want.keySet).toSeq.sorted
+        .filter(k => got(k) != want(k))
+        .map(k => s"$k: ${want(k).simpleString} -> ${got(k).simpleString}")
+      throw new IllegalArgumentException(
+        s"$family: batch schema drifted from log $log — " +
+          (if (added.nonEmpty) s"added ${added.mkString(",")}; " else "") +
+          (if (missing.nonEmpty) s"missing ${missing.mkString(",")}; " else "") +
+          (if (retyped.nonEmpty) s"retyped ${retyped.mkString(",")}; " else "") +
+          "maintained families do not auto-migrate schemas (positional " +
+          "inserts would drop/cast silently). Rebuild the family under " +
+          "the new schema, or land the migration explicitly in a " +
+          "compact window")
+    }
+  }
+
   def apply(committed: Set[Long], batchId: Long, family: String): Unit = {
     // an existing-but-empty marker is a recoverable crash artifact
     // (e.g. death mid-Overwrite of the marker file), not a sequencing

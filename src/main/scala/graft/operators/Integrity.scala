@@ -67,6 +67,30 @@ object Integrity {
       .select(lit(label).as("dataset"), col("n_rows"), col("xor_hash"),
         col("sum_hash"), col("min_hash"), col("max_hash"))
 
+  /** One (row_count, sum_hash) pair over ALL of `df`'s columns — the
+    * [[fingerprint]] digest reduced to the two numbers a manifest can
+    * chain: `sum_hash` (modular sum of row hashes) is ADDITIVE over a
+    * multiset union, so the digest of "base ∪ delta₁ ∪ delta₂" is the
+    * mod-2⁴⁸ sum of the parts' digests — no rescan of the parts. That
+    * additivity is what lets [[Snapshot]] record a whole-table digest
+    * on every incremental link while scanning only the link's own
+    * rows. One column-complete scan, map-side-combined; an empty frame
+    * digests to (0, 0).
+    */
+  def contentDigest(df: DataFrame): (Long, Long) = {
+    val r = df.select(rowHash(df.columns.toSeq.map(col)).as("h"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(SumMod))
+          .cast(LongType).as("s"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The [[contentDigest]] modulus — additive chaining must reduce with
+    * the same one.
+    */
+  def digestMod: Long = SumMod
+
   /** Bucket-digest reconciliation (anti-entropy): compare two snapshots
     * as `nBuckets` per-bucket digest rows — count + [[digestAggs]] over
     * full-row hashes, bucketed by the key columns' hash — and return

@@ -226,8 +226,33 @@ object IvmJoin {
     // flow into deltaView — probing again inside it would run two
     // duplicate (if metadata-cheap) jobs per batch
     val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
+    // the same fence, BEFORE any append: a drifted batch must leave
+    // NOTHING behind — its retry with a corrected delta is then a
+    // fresh apply, not a divergent replay of partial appends (the view
+    // term's schema is derived from these two, so checking the inputs
+    // covers all three logs; the per-append guard below stays as the
+    // invariant's local statement)
+    def dataSchema(t: String) = org.apache.spark.sql.types.StructType(
+      spark.table(t).schema.filterNot(_.name == "batch_id"))
+    if (hasF) graft.core.WriterFence.requireSchemaCompat(
+      dF.withColumnRenamed("dn_f", "dn").schema,
+      dataSchema(s"${table}_fact"), "IvmJoin", s"${table}_fact")
+    if (hasD) graft.core.WriterFence.requireSchemaCompat(
+      dD.withColumnRenamed("dn_d", "dn").schema,
+      dataSchema(s"${table}_dim"), "IvmJoin", s"${table}_dim")
     val dView = deltaView(spark, table, keys, dF, dD, batchId, hasF, hasD)
     def append(df: DataFrame, t: String): Unit = {
+      // schema-evolution fence (round-10 verdict #6): the three logs are
+      // written by a name-aligning select + positional insertInto, under
+      // which an ADDED delta column would drop silently and a retyped
+      // one would cast row-by-row — neither is a migration. Refuse the
+      // drifted batch loudly BEFORE any append; the batch's marker never
+      // lands, so the refusal is replay-clean like any crashed batch.
+      graft.core.WriterFence.requireSchemaCompat(
+        df.schema,
+        org.apache.spark.sql.types.StructType(
+          spark.table(t).schema.filterNot(_.name == "batch_id")),
+        "IvmJoin", t)
       val idCols = df.columns.filterNot(_ == "dn")
       df.groupBy(idCols.map(col): _*).agg(sum(col("dn")).as("dn"))
         .filter(col("dn") =!= 0L) // net-zero churn never lands

@@ -10,45 +10,86 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * on, so "copy the warehouse directory" is not a restore (the catalog
   * entries, and with them the bucket metadata Spark trusts at read
   * time, are gone). Export captures rows + schema + bucket spec + row
-  * counts into one self-describing directory; restore re-creates the
-  * family under a NEW name/path with the layout re-established, and
-  * verifies the counts it lands against the manifest.
+  * counts + CONTENT DIGESTS into one self-describing directory; restore
+  * re-creates the family under a NEW name/path with the layout
+  * re-established, and verifies the counts it lands against the
+  * manifest.
   *
   * INCREMENTAL backups ride the tier's own design: the stamped logs are
   * APPEND-ONLY between compacts, so a delta snapshot exports only rows
   * whose `batch_id` exceeds the parent snapshot's per-table max stamp —
   * backup cost ∝ what changed, never ∝ index. Unstamped tables (the
-  * overwrite-merged deletion frontiers, the IVF's frozen centroids)
-  * are copied whole each time — they are the family's SMALL tables by
-  * construction, and overwrite semantics admit no slicing. A COMPACT
-  * between snapshots rewrites history (stamps collapse to {0} or
-  * {0, m}), which [[export]] detects per table (the parent's recorded
-  * stamps are no longer a subset of the live ones) and refuses loudly:
-  * every compact starts a new full-backup epoch — the same contract
-  * LSM stores and WAL-shipping databases live with.
+  * IVF's frozen centroids) are copied whole each time — they are the
+  * family's SMALL tables by construction, and overwrite semantics admit
+  * no slicing. A COMPACT between snapshots rewrites history (stamps
+  * collapse to {0} or {0, m}), which [[export]] detects per table and
+  * refuses loudly: every compact starts a new full-backup epoch — the
+  * same contract LSM stores and WAL-shipping databases live with. The
+  * detection is two-layered (round-10 advice: the stamp-subset check
+  * alone has a {0}-parent blind spot — a default compact folds history
+  * back to exactly the stamps a fresh build recorded): the parent's
+  * recorded stamps must still be a subset of the live ones, AND the
+  * live slice at-or-below the parent's max stamp must still hold
+  * exactly the parent's recorded row count and content digest — so ANY
+  * rewrite of already-backed-up history refuses the delta, not just
+  * the ones that renumber stamps. `auditParent = false` drops the
+  * digest to a count-only probe (column-pruned `batch_id` scan) when
+  * re-reading the full history each night is the wrong price; the
+  * stamp-subset and count fences stay on.
+  *
+  * CONSISTENT-CUT exports ([[exportAtCut]], round-10 verdict #1): the
+  * quiescence requirement below exists because a mid-extend export
+  * would capture a data log's in-flight stamp without its marker row.
+  * But the ledger itself defines a consistent prefix at every instant —
+  * the fsck invariant: committed stamps plus AT MOST ONE in-flight
+  * stamp equal to max(committed) + 1. Cutting every stamped table at
+  * `batch_id <= max(committed)` therefore excludes exactly the one
+  * legal crash-window stamp and nothing else, and the result is
+  * byte-identical to an export taken at the last commit boundary. So
+  * backups no longer wait for streams: [[exportAtCut]] reads the
+  * family's commit marker, slices every stamped table (marker included)
+  * at the cut, and records the cut in the manifest — "backups run
+  * whenever", not "backups run at 3am when streams pause". The residual
+  * contract is about the UNSTAMPED tables: families whose deletion
+  * frontier is overwrite-merged (IVF, and any family with frozen side
+  * state) still must not run DELETE verbs concurrently with an export —
+  * the stamped-log families used by the streaming tier (retrieval's
+  * postings/meta/deleted are all stamped) have no such table and are
+  * covered end to end.
   *
   * Crash contract (the house marker-last move): data directories write
   * first, the `_MANIFEST.json` writes LAST — a crashed export leaves no
   * manifest, so [[restore]] refuses it loudly and a re-export
-  * overwrites cleanly. Export requires family quiescence, exactly the
-  * compact contract (a mid-extend snapshot would capture a data log's
-  * in-flight stamp without its marker row; [[Maintenance.fsck]] on the
-  * restored family reports that as the one legal crash-window stamp,
-  * which is also the honest reading of such a snapshot).
+  * overwrites cleanly. Plain [[export]] (no cut) still requires family
+  * quiescence, exactly the compact contract; [[Maintenance.fsck]] on a
+  * family restored from a quiescence-violating plain export reports the
+  * captured in-flight stamp as the one legal crash-window stamp, which
+  * is also the honest reading of such a snapshot.
+  *
+  * Retention ([[prune]]): compacts start new full-backup epochs, so
+  * chains accumulate; prune deletes superseded chains ONLY after the
+  * kept chain passes [[verify]] — and refuses to delete any directory
+  * the kept chain links through, so a mis-enumerated prune list cannot
+  * orphan the backup it is making room for.
   *
   * 100 TB judgment: export is a DISTRIBUTED columnar copy (each table
   * rewrites through its executors; the driver touches only catalog
-  * metadata, counts, stamp sets, and the manifest bytes — all bounded
-  * by batch count, never rows), and the delta slice `batch_id > since`
-  * prunes at the scan. Restore pays one ingest-class bucket shuffle
-  * per table (∝ index, never corpus) to re-establish the co-located
-  * layout — the same price the original build paid — and each delta
-  * link appends through `insertInto`, which lays rows out by the
-  * restored table's existing bucket spec. Byte-level cloning (distcp)
-  * is cheaper when source and destination share a filesystem, but
-  * carries no schema/bucket/count verification and no catalog
-  * re-registration; this verb is the engine-level restore those copies
-  * still need.
+  * metadata, counts, stamp sets, digests, and the manifest bytes — all
+  * bounded by batch count, never rows), and the delta slice
+  * `batch_id > since` prunes at the scan. The per-link content digest
+  * ([[graft.operators.Integrity.contentDigest]]) is one map-side-
+  * combined aggregate over the rows the link writes anyway, and the
+  * WHOLE-TABLE digest on every link comes free of rescans: the modular
+  * sum is additive over multiset union, so each link's `totalChecksum`
+  * is parent total + own slice digest. Restore pays one ingest-class
+  * bucket shuffle per table (∝ index, never corpus) to re-establish the
+  * co-located layout — the same price the original build paid — and
+  * each delta link appends through `insertInto`, which lays rows out by
+  * the restored table's existing bucket spec. Byte-level cloning
+  * (distcp) is cheaper when source and destination share a filesystem,
+  * but carries no schema/bucket/count/digest verification and no
+  * catalog re-registration; this verb is the engine-level restore those
+  * copies still need.
   */
 object Snapshot {
 
@@ -61,7 +102,15 @@ object Snapshot {
     * every `table_*` sibling. Prefix discovery is what keeps the verb
     * family-agnostic (pairs and join views have different sibling
     * sets); the underscore in the pattern means a family named `idx`
-    * never captures a neighbor named `idx2`.
+    * never captures a neighbor named `idx2`. NAMESPACE DISCIPLINE is
+    * the caller's side of that bargain: a family OWNS its `name_*`
+    * catalog namespace, so an unrelated table named `idx_scratch`
+    * would be captured as a sibling of `idx` — name families apart.
+    * [[export]] additionally refuses the one collision the discipline
+    * can't prevent from colliding on DISK: two captured tables whose
+    * stripped suffixes coincide (a sibling literally named
+    * `table_base`, which would share the base table's `base/` snapshot
+    * directory and clobber it).
     */
   private def siblings(spark: SparkSession, table: String): Seq[String] = {
     val t = table.toLowerCase
@@ -96,16 +145,39 @@ object Snapshot {
     buf.toSeq
   }
 
+  /** What a parent manifest recorded about one table — the anchor a
+    * delta export slices from and audits against.
+    */
+  private final case class ParentEntry(stamps: Set[Long], rowsTotal: Long,
+      totalChecksum: Long)
+
+  private def parentEntries(m: com.fasterxml.jackson.databind.JsonNode):
+      Map[String, ParentEntry] =
+    jsonSeq(m.get("tables")).map { e =>
+      e.get("name").asText() -> ParentEntry(
+        jsonSeq(e.get("stamps")).map(_.asLong()).toSet,
+        e.get("rowsTotal").asLong(),
+        e.get("totalChecksum").asLong())
+    }.toMap
+
   /** Export `table`'s family to `dest`. With `incrementalFrom = Some(
     * parentDest)`, exports a DELTA against that earlier snapshot: each
     * stamped table contributes only rows past the parent's recorded max
     * stamp, unstamped tables are copied whole, and the manifest records
     * the parent path for [[restore]] to chain through. Refuses a delta
-    * whose parent history was compacted away. Returns the rows written
-    * into THIS snapshot directory.
+    * whose parent history was rewritten — by the stamp-subset check AND
+    * by re-auditing the live slice at-or-below the parent's max stamp
+    * against the parent's recorded count + content digest
+    * (`auditParent = false` keeps the count fence but drops the digest
+    * rescan). With `cut = Some(c)` every stamped table (the commit
+    * marker included) contributes only `batch_id <= c` — [[exportAtCut]]
+    * derives `c` from the family's marker so the slice is the
+    * consistent committed prefix under a LIVE stream. Returns the rows
+    * written into THIS snapshot directory.
     */
   def export(spark: SparkSession, table: String, dest: String,
-      incrementalFrom: Option[String] = None): Long = {
+      incrementalFrom: Option[String] = None, cut: Option[Long] = None,
+      auditParent: Boolean = true): Long = {
     val names = siblings(spark, table)
     require(names.nonEmpty, s"Snapshot.export: no catalog tables match " +
       s"'$table' or '${table}_*' — nothing to snapshot")
@@ -114,15 +186,27 @@ object Snapshot {
       require(m.get("table").asText() == table.toLowerCase,
         s"Snapshot.export: parent snapshot under $pd is of " +
           s"'${m.get("table").asText()}', not '$table'")
-      pd -> jsonSeq(m.get("tables")).map(e =>
-        e.get("name").asText() ->
-          jsonSeq(e.get("stamps")).map(_.asLong()).toSet).toMap
+      pd -> parentEntries(m)
     }
     val manifestPath = new org.apache.hadoop.fs.Path(s"$dest/$ManifestName")
     val fs = fsFor(spark, manifestPath)
     // a stale manifest must not vouch for a partially re-exported dir
     fs.delete(manifestPath, false)
     val catalog = spark.sessionState.catalog
+    val suffixOf = names.map { name =>
+      name -> (if (name == table.toLowerCase) "base"
+               else name.stripPrefix(table.toLowerCase + "_"))
+    }.toMap
+    // disk-collision fence (round-10 advice): a sibling literally named
+    // `table_base` strips to the base table's own suffix; both would
+    // write `$dest/base` and the second silently clobbers the first
+    suffixOf.groupBy(_._2).collect { case (s, m) if m.size > 1 => (s, m.keys) }
+      .foreach { case (s, clash) =>
+        throw new IllegalArgumentException(
+          s"Snapshot.export: tables ${clash.toSeq.sorted.mkString(", ")} " +
+            s"collide on snapshot directory '$s' — rename the sibling; " +
+            "'base' is reserved for the family's base table")
+      }
     val entries = names.map { name =>
       val meta = catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(name))
@@ -134,32 +218,71 @@ object Snapshot {
           s"Snapshot.export: $name sorts by ${b.sortColumnNames}, " +
             s"buckets by ${b.bucketColumnNames} — unsupported layout")
       }
-      val suffix = if (name == table.toLowerCase) "base"
-      else name.stripPrefix(table.toLowerCase + "_")
+      val suffix = suffixOf(name)
       val df = spark.table(name)
       val stamped = df.columns.contains("batch_id")
+      // the CUT state — the committed prefix this snapshot captures;
+      // everything below (stamps, slices, totals) describes it, so an
+      // in-flight crash-window stamp never leaks into the manifest
+      val cutDf = cut match {
+        case Some(c) if stamped => df.filter(col("batch_id") <= c)
+        case _ => df
+      }
       val stamps: Seq[Long] =
-        if (stamped) df.select("batch_id").distinct()
+        if (stamped) cutDf.select("batch_id").distinct()
           .collect().map(_.getLong(0)).sorted.toSeq
         else Nil
-      val slice = parent match {
-        case Some((pd, parentStamps)) if stamped =>
-          parentStamps.get(name) match {
-            case Some(ps) =>
-              require(ps.subsetOf(stamps.toSet),
+      val (slice, parentTotals) = parent match {
+        case Some((pd, pe)) if stamped =>
+          pe.get(name) match {
+            case Some(p) =>
+              require(p.stamps.subsetOf(stamps.toSet),
                 s"Snapshot.export: $name no longer holds the parent " +
                   s"snapshot's stamps (a compact rewrote history since " +
                   s"$pd) — incremental chains break at compacts; take a " +
                   "full snapshot")
-              val since = if (ps.nonEmpty) ps.max else -1L
-              df.filter(col("batch_id") > since)
-            case None => df // table born after the parent: full copy
+              val since = if (p.stamps.nonEmpty) p.stamps.max else -1L
+              // the round-10 advice fix: stamps can SURVIVE a rewrite
+              // (a default compact folds history back to {0}, exactly a
+              // fresh build's stamp set) — so audit the CONTENT beneath
+              // the parent's max stamp, not just the stamp names
+              val history = df.filter(col("batch_id") <= since)
+              if (auditParent) {
+                val (hn, hsum) = Integrity.contentDigest(history)
+                require(hn == p.rowsTotal && hsum == p.totalChecksum,
+                  s"Snapshot.export: $name's history at batch_id <= " +
+                    s"$since no longer matches the parent snapshot under " +
+                    s"$pd ($hn rows / digest $hsum vs recorded " +
+                    s"${p.rowsTotal} / ${p.totalChecksum}) — a compact " +
+                    "or manual repair rewrote backed-up history; " +
+                    "incremental chains break there, take a full snapshot")
+              } else {
+                val hn = history.count()
+                require(hn == p.rowsTotal,
+                  s"Snapshot.export: $name holds $hn rows at batch_id " +
+                    s"<= $since, the parent snapshot under $pd recorded " +
+                    s"${p.rowsTotal} — a compact rewrote backed-up " +
+                    "history; incremental chains break there, take a " +
+                    "full snapshot")
+              }
+              (cutDf.filter(col("batch_id") > since), Some(p))
+            case None => (cutDf, None) // born after the parent: full copy
           }
-        case _ => df // full snapshot, or an unstamped table: whole copy
+        case _ => (cutDf, None) // full snapshot, or an unstamped table
       }
       slice.write.mode(SaveMode.Overwrite).parquet(s"$dest/$suffix")
-      val written =
-        spark.read.schema(df.schema).parquet(s"$dest/$suffix").count()
+      // digest what LANDED (not the plan): count + order-free content
+      // digest in one read-back aggregate — the numbers verify/restore
+      // audit against, so they must describe the files, not the intent
+      val (written, sliceSum) = Integrity.contentDigest(
+        spark.read.schema(df.schema).parquet(s"$dest/$suffix"))
+      // whole-cut-state totals, rescan-free on deltas: the modular-sum
+      // digest is additive over multiset union
+      val (rowsTotal, totalChecksum) = parentTotals match {
+        case Some(p) => (p.rowsTotal + written,
+          (p.totalChecksum + sliceSum) % Integrity.digestMod)
+        case None => (written, sliceSum)
+      }
       Map[String, Any](
         "name" -> name, "suffix" -> suffix,
         "schema" -> df.schema.json,
@@ -167,15 +290,18 @@ object Snapshot {
         "nBuckets" -> bucket.map(_.numBuckets).getOrElse(0),
         "stamps" -> stamps,
         "rows" -> written,
-        // what the whole table held at export time — the number each
-        // restore link verifies after applying this snapshot
-        "rowsTotal" -> (if (parent.isDefined) df.count() else written))
+        "checksum" -> sliceSum,
+        // what the whole table held at the cut — the numbers each
+        // restore link verifies and each child delta audits against
+        "rowsTotal" -> rowsTotal,
+        "totalChecksum" -> totalChecksum)
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
     val payload = Map[String, Any](
       "table" -> table.toLowerCase,
       "parent" -> parent.map(_._1).orNull,
+      "cut" -> cut.map(Long.box).orNull,
       "tables" -> entries.map(e => e.map {
         case (k, v: Seq[_]) => k -> v.asJava
         case kv => kv
@@ -185,6 +311,42 @@ object Snapshot {
     val out = fs.create(manifestPath, true) // manifest LAST = the commit
     try out.write(bytes) finally out.close()
     entries.map(_("rows").asInstanceOf[Long]).sum
+  }
+
+  /** Consistent-cut export UNDER A LIVE STREAM (round-10 verdict #1):
+    * no quiescence — the cut is the family's max COMMITTED stamp, read
+    * from its commit marker, and [[export]] slices every stamped table
+    * (marker included) at it. The fsck invariant is why this is exact:
+    * the protocol admits at most ONE stamp beyond the committed set
+    * (max + 1, the crash window of the batch in flight), so the
+    * `<= cut` slice is precisely the state the last commit boundary
+    * left — the snapshot an export at that boundary would have taken.
+    * A restore of the chain therefore lands a family whose marker max
+    * is the cut, and the SAME stream re-delivers everything after it:
+    * the first re-delivered stamp is cut + 1 and passes the writer
+    * fence (q229 drives the whole composition).
+    *
+    * `kind` names the family's marker ([[Maintenance.familyTables]]'s
+    * vocabulary); the markerless rollup has no committed cut to read —
+    * quiesce and use plain [[export]] there.
+    *
+    * @return (cut stamp, rows written into this snapshot directory)
+    */
+  def exportAtCut(spark: SparkSession, table: String, kind: String,
+      dest: String, incrementalFrom: Option[String] = None,
+      auditParent: Boolean = true): (Long, Long) = {
+    val (markerOpt, _) = Maintenance.familyTables(table, kind)
+    val marker = markerOpt.getOrElse(throw new IllegalArgumentException(
+      s"Snapshot.exportAtCut: '$kind' families have no commit marker, " +
+        "so no committed cut exists — quiesce and use export"))
+    val committed = spark.table(marker).select("batch_id").distinct()
+      .collect().map(_.getLong(0))
+    require(committed.nonEmpty,
+      s"Snapshot.exportAtCut: $marker holds no committed stamps — " +
+        "nothing consistent to cut at (crashed build?)")
+    val cut = committed.max
+    (cut, export(spark, table, dest, incrementalFrom, cut = Some(cut),
+      auditParent = auditParent))
   }
 
   /** The snapshot chain base-first, parent pointers followed; refuses
@@ -211,6 +373,12 @@ object Snapshot {
     links
   }
 
+  /** The directories a chain links through, base-first — the
+    * enumeration [[prune]] wants for a superseded chain.
+    */
+  def chainDirs(spark: SparkSession, dest: String): Seq[String] =
+    chainOf(spark, dest).map(_._1)
+
   /** Re-create a family from a snapshot under `newTable`/`newPath`. A
     * delta snapshot restores its whole parent CHAIN first (base fully,
     * each delta appended through the restored tables' bucket layout;
@@ -234,8 +402,7 @@ object Snapshot {
         s"Snapshot.restore: target table $newName already exists — " +
           "restore never overwrites; drop it first if you mean to")
     }
-    chain.zipWithIndex.foreach { case ((d, m), i) =>
-      val isBase = i == 0
+    chain.foreach { case (d, m) =>
       jsonSeq(m.get("tables")).foreach { e =>
         val suffix = e.get("suffix").asText()
         val newName = if (suffix == "base") newTable
@@ -269,8 +436,9 @@ object Snapshot {
               .option("path", s"$newPath/$suffix")
               .format("parquet").saveAsTable(newName)
         }
-        val expected =
-          if (isBase) e.get("rows").asLong() else e.get("rowsTotal").asLong()
+        // each link's cumulative cut-state count — a torn restore
+        // surfaces at the first link it diverges from
+        val expected = e.get("rowsTotal").asLong()
         val landed = spark.table(newName).count()
         require(landed == expected,
           s"Snapshot.restore: $newName landed $landed rows after link " +
@@ -283,33 +451,90 @@ object Snapshot {
   /** Audit a snapshot chain WITHOUT restoring it: every link reachable
     * base-first (manifest present, same family, no cycles — [[chainOf]]
     * refuses the rest loudly), and every table directory still holding
-    * exactly the rows its manifest recorded — the bit-rot /
-    * partial-deletion check an operator runs before TRUSTING a backup
-    * (and the one [[restore]] would only surface mid-restore, after
-    * work). Read-only; cost ∝ snapshot bytes (one count per table
-    * directory, schema pinned from the manifest). Returns one
-    * (link, table, ok, detail) row per chain entry; q227 gates its
-    * restore on a clean report.
+    * exactly what its manifest recorded — by row count AND (with
+    * `deep = true`, the default) by the order-free content digest, so
+    * count-preserving corruption (bit-rot inside a data page, a file
+    * swapped for a same-cardinality one) is caught too, not just
+    * truncation. This is the check an operator runs before TRUSTING a
+    * backup (and the one [[restore]] would only surface mid-restore,
+    * after work). Read-only; cost ∝ snapshot bytes when deep (one
+    * column-complete digest scan per table directory), parquet-footer
+    * counts only when `deep = false` (the cheap gate [[attach]] runs).
+    * Returns one (link, table, ok, detail) row per chain entry; q227
+    * gates its restore on a clean report.
     */
-  def verify(spark: SparkSession, dest: String):
-      org.apache.spark.sql.DataFrame = {
+  def verify(spark: SparkSession, dest: String,
+      deep: Boolean = true): org.apache.spark.sql.DataFrame = {
     val rows = chainOf(spark, dest).flatMap { case (d, m) =>
       jsonSeq(m.get("tables")).map { e =>
         val suffix = e.get("suffix").asText()
         val schema = DataType.fromJson(e.get("schema").asText())
           .asInstanceOf[StructType]
-        val expected = e.get("rows").asLong()
-        val landed =
-          try spark.read.schema(schema).parquet(s"$d/$suffix").count()
-          catch { case scala.util.control.NonFatal(_) => -1L }
-        (d, suffix, landed == expected,
-          if (landed == expected) s"$expected rows"
+        val expectedRows = e.get("rows").asLong()
+        val expectedSum = e.get("checksum").asLong()
+        val (landed, sum) =
+          try {
+            val df = spark.read.schema(schema).parquet(s"$d/$suffix")
+            if (deep) Integrity.contentDigest(df) else (df.count(), expectedSum)
+          } catch { case scala.util.control.NonFatal(_) => (-1L, 0L) }
+        val ok = landed == expectedRows && sum == expectedSum
+        (d, suffix, ok,
+          if (ok) s"$expectedRows rows" +
+            (if (deep) s", digest $expectedSum" else " (counts only)")
           else if (landed < 0) "UNREADABLE"
-          else s"$landed of $expected rows — snapshot dir was modified")
+          else if (landed != expectedRows)
+            s"$landed of $expectedRows rows — snapshot dir was modified"
+          else s"digest $sum != recorded $expectedSum — content changed " +
+            "under an unchanged row count (bit-rot or tamper)")
       }
     }
     import spark.implicits._
     rows.toDF("link", "table", "ok", "detail")
+  }
+
+  /** Retention (round-10 verdict #2): delete superseded snapshot chains
+    * — but only after the chain being KEPT proves itself. Compacts
+    * start new full-backup epochs, so chains accumulate forever without
+    * a prune verb; the failure this verb exists to prevent is deleting
+    * the old epoch on the strength of a new backup that turns out
+    * unreadable. Order of operations is therefore fixed: (1) refuse any
+    * `superseded` directory the kept chain actually links through
+    * (self-amputation), (2) refuse superseded directories that are not
+    * snapshots of the SAME family (a mis-pasted path must not become a
+    * recursive delete), (3) [[verify]] the kept chain (deep by default
+    * — row counts AND content digests), (4) only then delete. Returns
+    * the directories removed. Enumerate a superseded chain with
+    * [[chainDirs]] — deltas are useless without their base, so a chain
+    * prunes whole.
+    */
+  def prune(spark: SparkSession, keep: String, superseded: Seq[String],
+      deep: Boolean = true): Seq[String] = {
+    require(superseded.nonEmpty, "Snapshot.prune: nothing to prune")
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      fsFor(spark, p).makeQualified(p).toString
+    }
+    val keepChain = chainOf(spark, keep)
+    val keepDirs = keepChain.map { case (d, _) => qualified(d) }.toSet
+    val keepFamily = keepChain.head._2.get("table").asText()
+    superseded.foreach { d =>
+      require(!keepDirs.contains(qualified(d)),
+        s"Snapshot.prune: $d is a link of the kept chain under $keep — " +
+          "refusing to amputate the backup being kept")
+      val fam = readManifest(spark, d).get("table").asText()
+      require(fam == keepFamily,
+        s"Snapshot.prune: $d snapshots family '$fam', the kept chain " +
+          s"is of '$keepFamily' — refusing to delete across families")
+    }
+    val bad = verify(spark, keep, deep).filter(!col("ok")).collect()
+    require(bad.isEmpty,
+      s"Snapshot.prune: kept chain under $keep failed verification — " +
+        s"refusing to delete anything: ${bad.mkString("; ")}")
+    superseded.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      fsFor(spark, p).delete(p, true)
+      d
+    }
   }
 
   /** Register session-scoped TEMP VIEWS over a snapshot chain — query a
@@ -323,11 +548,21 @@ object Snapshot {
     * unchanged on the attached name (they resolve through
     * `spark.table`, which sees temp views first) at PLAIN-PARQUET cost:
     * the bucket co-location a [[restore]] re-establishes is not
-    * present, so sustained serving should restore instead. Counts are
-    * not verified here (the views are lazy); restore is the verified
-    * path. Returns the view names registered.
+    * present, so sustained serving should restore instead. The chain is
+    * gated by the cheap manifest-count audit first (round-10 advice:
+    * the DR read path must not silently serve a truncated backup) —
+    * `audit = false` skips it, and [[verify]] with `deep = true`
+    * remains the thorough pre-trust check. Returns the view names
+    * registered.
     */
-  def attach(spark: SparkSession, dest: String, viewPrefix: String): Seq[String] = {
+  def attach(spark: SparkSession, dest: String, viewPrefix: String,
+      audit: Boolean = true): Seq[String] = {
+    if (audit) {
+      val bad = verify(spark, dest, deep = false).filter(!col("ok")).collect()
+      require(bad.isEmpty,
+        s"Snapshot.attach: chain under $dest failed the count audit — " +
+          s"refusing to serve a damaged backup: ${bad.mkString("; ")}")
+    }
     val chain = chainOf(spark, dest)
     // suffix -> (schema, stamped, slices base-first); schema drift
     // across links would union wrong, so it is refused loudly

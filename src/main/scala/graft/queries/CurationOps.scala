@@ -1614,6 +1614,176 @@ object CurationOps {
           s"q228: tick 2 must settle, got ${tick2.mkString(";")}")
         RetrievalIndex.topK(spark, rix, rankQueries)
       }),
+    // q229: HOT BACKUP — consistent-cut snapshots UNDER the live stream
+    // (round-10 verdict #1). q227's backups ran at epoch boundaries; a
+    // real backup schedule doesn't get to choose its moment, so this
+    // row takes one MID-EPOCH: epoch 3's data append has landed but its
+    // marker has not (the one legal crash-window state). exportAtCut
+    // reads the family's commit marker, cuts every stamped table at
+    // max(committed) — the in-flight stamp is excluded by construction
+    // (SnapshotSpec pins the manifest) — and the export is byte-
+    // identical to one taken at the last commit boundary, no stream
+    // stop, no refusal. Then the full DR composition: the live family
+    // is destroyed, the chain (full + 2 cut deltas) deep-verifies and
+    // restores to the cut, and the SAME checkpointed stream re-delivers
+    // everything past it — the first re-delivered stamp is cut + 1 and
+    // passes the writer fence, exactly WAL-shipping semantics. Oracle =
+    // the whole-corpus ranking SQL: "back up mid-epoch under a live
+    // stream, lose the world, restore, keep streaming == never
+    // crashed", scores included, cross-engine.
+    GraftQuery("q229_hot_backup", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{Maintenance, Snapshot}
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q229_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        def slice(e: Long) = docs.filter(col("doc_id") % 5 === e)
+        // epoch 0 (cold build, marker {0, 1}) → full backup at cut 1
+        graft.streaming.RetrievalStream.foldEpoch(slice(0), 0L, table, path)
+        val full = graft.core.Scratch.path("q229_snap_full")
+        val (cut0, _) = Snapshot.exportAtCut(spark, table, "retrieval", full)
+        require(cut0 == 1L, s"q229: expected cut 1 after epoch 0, got $cut0")
+        // epoch 1 → cut delta while quiet (cut = its own stamp 2)
+        graft.streaming.RetrievalStream.foldEpoch(slice(1), 1L, table, path)
+        val d1 = graft.core.Scratch.path("q229_snap_d1")
+        Snapshot.exportAtCut(spark, table, "retrieval", d1,
+          incrementalFrom = Some(full))
+        // epoch 2 commits (stamp 3); epoch 3's DATA lands but its
+        // marker does not — the stream is mid-epoch, stamp 4 in flight
+        graft.streaming.RetrievalStream.foldEpoch(slice(2), 2L, table, path)
+        graft.operators.RetrievalIndex.applyExtend(slice(3), table,
+          batchId = 4L)
+        // the hot-backup moment: no quiescence, no refusal — the cut is
+        // the max COMMITTED stamp, so the backup captures epochs 0..2
+        // and excludes the in-flight appends exactly
+        val d2 = graft.core.Scratch.path("q229_snap_d2")
+        val (cut2, _) = Snapshot.exportAtCut(spark, table, "retrieval", d2,
+          incrementalFrom = Some(d1))
+        require(cut2 == 3L, s"q229: expected cut 3 mid-epoch, got $cut2")
+        // the stream finishes epoch 3 (the crashed-replay path re-runs
+        // the data append byte-identically, then commits) and epoch 4
+        graft.streaming.RetrievalStream.foldEpoch(slice(3), 3L, table, path)
+        graft.streaming.RetrievalStream.foldEpoch(slice(4), 4L, table, path)
+        // disaster — then the runbook: deep-verify the chain, restore
+        // (lands the cut state: epochs 0..2), fsck
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        val audit = Snapshot.verify(spark, d2).filter(!col("ok")).collect()
+        require(audit.isEmpty, s"q229: backup audit flagged ${audit.mkString("; ")}")
+        Snapshot.restore(spark, d2, table,
+          graft.core.Scratch.path(table + "_restored"))
+        val bad = Maintenance.fsck(spark, table, "retrieval")
+          .filter(!col("ok")).collect()
+        require(bad.isEmpty, s"q229: restored fsck flagged ${bad.mkString("; ")}")
+        // the SAME stream re-delivers everything past the cut: epoch 3's
+        // stamp is cut + 1 and passes the fence on the restored marker
+        graft.streaming.RetrievalStream.foldEpoch(slice(3), 3L, table, path)
+        graft.streaming.RetrievalStream.foldEpoch(slice(4), 4L, table, path)
+        graft.operators.RetrievalIndex.topK(spark, table, rankQueries)
+      }),
+    // q230: HETEROGENEOUS fleet policies (round-10 verdict #4) — q228's
+    // sweep applied one debt tolerance to every family, but a hot
+    // serving index and a cold archive do not share one: this fleet
+    // carries the SAME two batches of debt on both families, and the
+    // per-family policy override splits the tick — the hot family
+    // (maxBatches = 1) compacts, the cold one (maxBatches = 8) is left
+    // alone, and the second tick settles to zero (the hot family is
+    // freshly folded, the cold one is still under ITS OWN threshold,
+    // not the fleet default's). Oracle = whole-corpus ranking over the
+    // swept hot family: a policy-split sweep still serves exactly like
+    // a from-scratch index.
+    GraftQuery("q230_fleet_policies", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{Dedup, Maintenance, RetrievalIndex}
+        import graft.operators.Maintenance.{CompactPolicy, Family}
+        val docs = Tables(spark, dir).documents
+        val hot = "graft_q230_rix"; val cold = "graft_q230_lsh"
+        Seq("postings", "meta", "sets", "batches", "deleted").foreach(s =>
+          Seq(hot, cold).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
+        RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), hot,
+          graft.core.Scratch.path(hot))
+        (1 to 2).foreach(b => RetrievalIndex.extend(
+          docs.filter(col("doc_id") % 3 === b), hot, batchId = b.toLong))
+        val half = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"), col("text"))
+        Dedup.buildNearDupIndex(half.filter(col("id") % 3 === 0), cold,
+          graft.core.Scratch.path(cold))
+        (1 to 2).foreach(b => Dedup.extendNearDupIndex(spark,
+          half.filter(col("id") % 3 === b), cold, batchId = b.toLong))
+        val fleet = Seq(
+          Family(hot, "retrieval", graft.core.Scratch.path(hot),
+            policy = Some(CompactPolicy(maxBatches = 1L))),
+          Family(cold, "lsh", graft.core.Scratch.path(cold),
+            policy = Some(CompactPolicy(maxBatches = 8L))))
+        // the fleet DEFAULT would compact both — the overrides decide
+        val tick1 = Maintenance.sweep(spark, fleet,
+          CompactPolicy(maxBatches = 1L)).collect()
+          .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+        require(tick1(hot) && !tick1(cold),
+          s"q230: tick 1 must compact only the hot family, got $tick1")
+        val tick2 = Maintenance.sweep(spark, fleet,
+          CompactPolicy(maxBatches = 1L)).collect()
+        require(tick2.forall(!_.getBoolean(2)),
+          s"q230: tick 2 must settle, got ${tick2.mkString(";")}")
+        RetrievalIndex.topK(spark, hot, rankQueries)
+      }),
+    // q231: BACKUP RETENTION (round-10 verdict #2) — compacts start new
+    // full-backup epochs (q223's chain-break contract), so chains
+    // accumulate until a prune verb retires them; the failure prune
+    // must never allow is deleting the old epoch on the strength of a
+    // new backup that turns out damaged. The row stages the whole
+    // runbook: chain A (full + delta) → compact (breaks A's anchor) →
+    // chain B (the new epoch's full export) → prune(keep = B,
+    // superseded = chainDirs(A)) — which deep-verifies B (row counts
+    // AND content digests) BEFORE deleting, and is pinned in-row to
+    // REFUSE a superseded list containing B itself (self-amputation).
+    // After the prune, A's directories are gone and B restores and
+    // serves. Oracle = whole-corpus ranking over the restored family:
+    // retention never touched the surviving backup's bytes.
+    GraftQuery("q231_snapshot_prune", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{RetrievalIndex, Snapshot}
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q231_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), table, path)
+        val aFull = graft.core.Scratch.path("q231_a_full")
+        Snapshot.export(spark, table, aFull)
+        RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), table,
+          batchId = 1L)
+        val aDelta = graft.core.Scratch.path("q231_a_delta")
+        Snapshot.export(spark, table, aDelta, incrementalFrom = Some(aFull))
+        // the compact rewrites history — chain A can anchor no more
+        // deltas (q223 pins the refusal); a NEW full epoch begins
+        RetrievalIndex.compact(spark, table, path)
+        val bFull = graft.core.Scratch.path("q231_b_full")
+        Snapshot.export(spark, table, bFull)
+        // self-amputation fence: the kept chain's own links must refuse
+        val e = try {
+          Snapshot.prune(spark, bFull, Seq(bFull))
+          sys.error("q231: prune accepted its own chain as superseded")
+        } catch { case ex: IllegalArgumentException => ex }
+        require(e.getMessage.contains("kept chain"), e.getMessage)
+        val gone = Snapshot.prune(spark, bFull,
+          Snapshot.chainDirs(spark, aDelta))
+        require(gone.toSet == Set(aFull, aDelta),
+          s"q231: pruned $gone, expected chain A")
+        val fs = new org.apache.hadoop.fs.Path(aFull)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(new org.apache.hadoop.fs.Path(aFull)) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(aDelta)),
+          "q231: superseded chain directories must be gone")
+        val restored = "graft_q231_restored"
+        Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $restored$s"))
+        Snapshot.restore(spark, bFull, restored,
+          graft.core.Scratch.path(restored))
+        RetrievalIndex.topK(spark, restored, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped

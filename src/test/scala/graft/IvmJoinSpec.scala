@@ -249,4 +249,43 @@ class IvmJoinSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { IvmJoin.diff(spark, table, 1L, 1L) }
   }
+
+  test("schema-evolution fence: a drifted delta refuses loudly and leaves nothing") {
+    val t = "ivmjoin_schema"
+    Seq(t, s"${t}_fact", s"${t}_dim", s"${t}_batches")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    IvmJoin.build(fact, dim, "custkey", t, graft.core.Scratch.path(t))
+    val preFact = spark.table(s"${t}_fact").count()
+    val preView = spark.table(t).count()
+    // ADDED column: the positional write paths would drop it silently
+    val e1 = intercept[IllegalArgumentException] {
+      IvmJoin.applyDelta(spark, t, "custkey",
+        factDelta.withColumn("surprise", lit(1)), noDim, batchId = 1L)
+    }
+    assert(e1.getMessage.contains("added") && e1.getMessage.contains("surprise"),
+      e1.getMessage)
+    // RETYPED column: insertInto would cast row-by-row, not migrate
+    val e2 = intercept[IllegalArgumentException] {
+      IvmJoin.applyDelta(spark, t, "custkey",
+        factDelta.withColumn("o_totalprice", col("o_totalprice").cast("string")),
+        noDim, batchId = 1L)
+    }
+    assert(e2.getMessage.contains("retyped"), e2.getMessage)
+    // MISSING column: named before the unresolved-attribute error would be
+    val e3 = intercept[IllegalArgumentException] {
+      IvmJoin.applyDelta(spark, t, "custkey",
+        factDelta.drop("o_totalprice"), noDim, batchId = 1L)
+    }
+    assert(e3.getMessage.contains("missing"), e3.getMessage)
+    // the refusals left NOTHING behind — no data, no marker — so the
+    // corrected batch lands as a FRESH apply under the same stamp, not
+    // a divergent replay
+    assert(spark.table(s"${t}_fact").count() == preFact)
+    assert(spark.table(t).count() == preView)
+    assert(spark.table(s"${t}_batches").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(0L))
+    IvmJoin.applyDelta(spark, t, "custkey", factDelta, noDim, batchId = 1L)
+    assert(spark.table(s"${t}_batches").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
 }

@@ -364,4 +364,59 @@ class MaintenanceSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mnt_fsckfake_batches")
     assert(fsckBad("mnt_fsckfake", "lsh").contains("marker_present"))
   }
+
+  // --------------------------------------------------------------------
+  // the compact lease: the cross-SCHEDULER single-writer guard (r11)
+
+  test("lease: held-by-another refuses loudly; renew, release, expiry all work") {
+    val path = graft.core.Scratch.path("mnt_lease_fam")
+    Maintenance.acquireLease(spark, path, "schedA")
+    val e = intercept[IllegalStateException] {
+      Maintenance.acquireLease(spark, path, "schedB")
+    }
+    assert(e.getMessage.contains("schedA"), e.getMessage)
+    // the holder's next tick renews without ceremony
+    Maintenance.acquireLease(spark, path, "schedA")
+    // releasing someone else's lease is a bug, not a no-op
+    intercept[IllegalArgumentException] {
+      Maintenance.releaseLease(spark, path, "schedB")
+    }
+    Maintenance.releaseLease(spark, path, "schedA")
+    // a released lease is anyone's
+    Maintenance.acquireLease(spark, path, "schedB")
+    Maintenance.releaseLease(spark, path, "schedB")
+    // a crashed holder's EXPIRED lease is claimable after its TTL
+    Maintenance.acquireLease(spark, path, "schedA", ttlMs = 0L)
+    Thread.sleep(5)
+    Maintenance.acquireLease(spark, path, "schedB")
+    Maintenance.releaseLease(spark, path, "schedB")
+  }
+
+  test("two sweeps cannot compact one family concurrently — the loser hears it") {
+    import spark.implicits._
+    import graft.operators.IvmRollup
+    import graft.operators.Maintenance.Family
+    val t = "mnt_lease_ivm"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val path = graft.core.Scratch.path(t)
+    IvmRollup.build(
+      Seq((1L, 10.0), (2L, 20.0), (1L, 5.0)).toDF("k", "v"),
+      col("k"), col("v"), t, path)
+    val fleet = Seq(Family(t, "rollup", path))
+    // scheduler A holds the family's lease (mid-compact, say); B's
+    // sweep must fail LOUDLY at that family, not double-compact it
+    Maintenance.acquireLease(spark, path, "cronA")
+    val e = intercept[IllegalStateException] {
+      Maintenance.sweep(spark, fleet, CompactPolicy(), owner = "cronB")
+    }
+    assert(e.getMessage.contains("cronA"), e.getMessage)
+    Maintenance.releaseLease(spark, path, "cronA")
+    // lease freed: B's tick probes (a fresh build carries no debt) and
+    // leaves the lease released behind itself — A can take it again
+    val tick = Maintenance.sweep(spark, fleet, CompactPolicy(),
+      owner = "cronB").collect()
+    assert(tick.forall(!_.getBoolean(2)))
+    Maintenance.acquireLease(spark, path, "cronA")
+    Maintenance.releaseLease(spark, path, "cronA")
+  }
 }

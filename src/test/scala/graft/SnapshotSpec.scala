@@ -243,4 +243,146 @@ class SnapshotSpec extends SparkSpec {
     assert(asSet(IvmRollup.serve(spark, restored))
       == asSet(IvmRollup.serve(spark, src)))
   }
+
+  // --------------------------------------------------------------------
+  // round 11: consistent cuts, content digests, retention
+
+  test("exportAtCut: the in-flight crash-window stamp never leaks into the snapshot") {
+    val src = "snap_cut_src"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    // mid-epoch: stamp 2's DATA lands, its marker does not — the one
+    // legal crash-window state a live stream exposes at any instant
+    RetrievalIndex.applyExtend(docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L), src, batchId = 2L)
+    val dest = graft.core.Scratch.path("snap_cut_dest")
+    val (cut, rows) = Snapshot.exportAtCut(spark, src, "retrieval", dest)
+    assert(cut == 1L && rows > 0L)
+    // the snapshot holds NO stamp past the cut — the leak-free pin
+    val snapped = spark.read.parquet(s"$dest/postings")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(snapped == Set(0L, 1L), snapped.toString)
+    // restore lands the commit-boundary state exactly: it serves like a
+    // from-scratch index of the committed prefix, and fsck reads clean
+    val restored = "snap_cut_restored"
+    drop(restored, Seq("", "postings", "meta", "deleted"))
+    Snapshot.restore(spark, dest, restored, graft.core.Scratch.path(restored))
+    assert(Maintenance.fsck(spark, restored, "retrieval")
+      .filter(!col("ok")).count() == 0L)
+    drop("snap_cut_ref", Seq("postings", "meta"))
+    RetrievalIndex.build(docs, "snap_cut_ref",
+      graft.core.Scratch.path("snap_cut_ref"))
+    assert(asSet(RetrievalIndex.topK(spark, restored, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, "snap_cut_ref", CurationOps.rankQueries)))
+    // contrast: a PLAIN export of the same live family captures the
+    // in-flight stamp — which is exactly why ITS contract stays
+    // quiescence, and the cut verb exists
+    val dirty = graft.core.Scratch.path("snap_cut_dirty")
+    Snapshot.export(spark, src, dirty)
+    val dirtyStamps = spark.read.parquet(s"$dirty/postings")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(dirtyStamps == Set(0L, 1L, 2L), dirtyStamps.toString)
+    // the markerless rollup has no committed cut to read
+    intercept[IllegalArgumentException] {
+      Snapshot.exportAtCut(spark, "snap_ivm", "rollup",
+        graft.core.Scratch.path("snap_cut_nowhere"))
+    }
+  }
+
+  test("deep verify catches count-preserving corruption the count audit cannot") {
+    import spark.implicits._
+    val src = "snap_deep_src"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src,
+      graft.core.Scratch.path(src))
+    val dest = graft.core.Scratch.path("snap_deep_dest")
+    Snapshot.export(spark, src, dest)
+    // tamper: the meta dir rewrites with the SAME row count and a
+    // different N — the corruption a pre-restore count audit blesses
+    Seq((999999L, 0L)).toDF("n_docs", "batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dest/meta")
+    assert(Snapshot.verify(spark, dest, deep = false)
+      .filter(!col("ok")).count() == 0L,
+      "the count-only audit is blind to this tamper — that is the point")
+    val bad = Snapshot.verify(spark, dest).filter(!col("ok")).collect()
+    assert(bad.length == 1 && bad.head.getString(1) == "meta",
+      bad.mkString(","))
+    assert(bad.head.getString(3).contains("digest"), bad.head.getString(3))
+  }
+
+  test("a compact that reproduces the parent's stamp set still breaks the chain") {
+    val src = "snap_hole_src"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    val base = graft.core.Scratch.path("snap_hole_base") // parent stamps: {0}
+    Snapshot.export(spark, src, base)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    // the round-10 advice hole: a DEFAULT compact folds history back to
+    // exactly {0} — a fresh build's stamp set — so the stamp-subset
+    // check alone would bless a delta that silently omits the fold
+    RetrievalIndex.compact(spark, src, path)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.export(spark, src, graft.core.Scratch.path("snap_hole_d"),
+        incrementalFrom = Some(base))
+    }
+    assert(e.getMessage.contains("full snapshot"), e.getMessage)
+    // the count-only fence (auditParent = false) catches this staging too
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.export(spark, src, graft.core.Scratch.path("snap_hole_d2"),
+        incrementalFrom = Some(base), auditParent = false)
+    }
+    assert(e2.getMessage.contains("full snapshot"), e2.getMessage)
+  }
+
+  test("export refuses siblings that collide on a snapshot directory") {
+    import spark.implicits._
+    Seq("snap_clash", "snap_clash_base").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "x")).toDF("id", "v").write
+      .option("path", graft.core.Scratch.path("snap_clash"))
+      .format("parquet").saveAsTable("snap_clash")
+    Seq((2L, "y")).toDF("id", "v").write
+      .option("path", graft.core.Scratch.path("snap_clash_base"))
+      .format("parquet").saveAsTable("snap_clash_base")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.export(spark, "snap_clash",
+        graft.core.Scratch.path("snap_clash_dest"))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
+  test("prune refuses when the kept chain fails verify; attach gates on the count audit") {
+    val src = "snap_pr_src"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src,
+      graft.core.Scratch.path(src))
+    val keepDir = graft.core.Scratch.path("snap_pr_keep")
+    val oldDir = graft.core.Scratch.path("snap_pr_old")
+    Snapshot.export(spark, src, oldDir)
+    Snapshot.export(spark, src, keepDir)
+    // damage the KEPT chain: one postings file vanishes — prune must
+    // refuse and delete NOTHING (the old epoch is still the only good one)
+    val dir = new java.io.File(s"$keepDir/postings")
+    assert(dir.listFiles().filter(_.getName.endsWith(".parquet")).head.delete())
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.prune(spark, keepDir, Seq(oldDir))
+    }
+    assert(e.getMessage.contains("refusing to delete"), e.getMessage)
+    assert(new java.io.File(oldDir).exists(),
+      "superseded chain must survive a refused prune")
+    // the DR read path sees the same damage up front (count audit)...
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.attach(spark, keepDir, "snap_pr_view")
+    }
+    assert(e2.getMessage.contains("count audit"), e2.getMessage)
+    // ...and audit = false stays the explicit lazy-views escape hatch
+    assert(Snapshot.attach(spark, keepDir, "snap_pr_view",
+      audit = false).nonEmpty)
+  }
 }
