@@ -172,6 +172,60 @@ object ServeBench {
       f"diff=$tDiff%.2f($nDiff) naive2serve=$tNaive%.2f($nNaive)")
   }
 
+  /** Standby economics (round 11): a replica that re-ran `restore` per
+    * arriving backup link would pay the WHOLE-CHAIN rebuild every time;
+    * `Snapshot.applyLink` pays one link. This measures both on the same
+    * chain — primary streams 4 epochs, full cut-export + 3 cut deltas —
+    * timing each link's apply on a live standby vs a cold full-chain
+    * restore after every link (what "replication by re-restore" would
+    * cost). The claim in BENCH_NOTES: per-link apply is flat-ish and
+    * small; re-restore grows with the chain.
+    */
+  private def standby(spark: SparkSession, dir: String, tag: String): Unit = {
+    import graft.operators.Snapshot
+    import graft.streaming.RetrievalStream
+    val docs = graft.core.Tables(spark, dir).documents
+    val primary = s"graft_sb_wsp_$tag"
+    val ppath = graft.core.Scratch.path(primary)
+    Seq("postings", "meta", "deleted").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${primary}_$s"))
+    RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 4 === 0), 0L,
+      primary, ppath)
+    val full = graft.core.Scratch.path(s"sb_ws_full_$tag")
+    Snapshot.exportAtCut(spark, primary, "retrieval", full)
+    var parent = full
+    val links = (1 to 3).map { e =>
+      RetrievalStream.foldEpoch(docs.filter(col("doc_id") % 4 === e),
+        e.toLong, primary, ppath)
+      val d = graft.core.Scratch.path(s"sb_ws_d${e}_$tag")
+      Snapshot.exportAtCut(spark, primary, "retrieval", d,
+        incrementalFrom = Some(parent))
+      parent = d
+      d
+    }
+    val standbyT = s"graft_sb_wss_$tag"
+    Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $standbyT$s"))
+    val spath = graft.core.Scratch.path(standbyT)
+    Snapshot.restore(spark, full, standbyT, spath)
+    val applyTimes = links.map { d =>
+      val t0 = System.nanoTime()
+      Snapshot.applyLink(spark, d, standbyT, spath, "retrieval")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // the alternative: a cold full-chain restore at the LAST link (what
+    // each shipped link would cost if the replica re-restored instead)
+    val coldT = s"graft_sb_wsc_$tag"
+    Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $coldT$s"))
+    val t0 = System.nanoTime()
+    Snapshot.restore(spark, links.last, coldT, graft.core.Scratch.path(coldT))
+    val tRestore = (System.nanoTime() - t0) / 1e9
+    println(f"SERVEBENCH standby $tag links=" +
+      applyTimes.map(t => f"$t%.2f").mkString(",") +
+      f" rerestore=$tRestore%.2f")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -188,6 +242,7 @@ object ServeBench {
         retrieval(spark, dir, tag)
         joinView(spark, dir, tag)
         rollup(spark, dir, tag)
+        standby(spark, dir, tag)
       }
     spark.stop()
   }

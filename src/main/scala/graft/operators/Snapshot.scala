@@ -537,6 +537,128 @@ object Snapshot {
     }
   }
 
+  /** WARM STANDBY (log shipping): apply ONE delta-snapshot link to an
+    * already-restored replica family — the verb that turns the backup
+    * chain into continuous replication. [[restore]] replays a whole
+    * chain from cold; a standby that re-ran it per link would pay the
+    * full-chain rebuild every time. applyLink instead appends just the
+    * link's slices through the standby's existing bucket layout, so a
+    * replica follows a live primary at per-link cost ∝ the link — seed
+    * the standby once with [[restore]] of the full export, then ship
+    * every [[exportAtCut]] delta as it lands (q232 drives primary →
+    * cut-delta chain → standby lockstep end to end).
+    *
+    * The ORDER fence is the stamp ledger itself, not trust in the
+    * caller: each manifest records the cumulative cut-state stamps per
+    * table, so the standby must hold exactly `recorded − slice` before
+    * the append and exactly `recorded` after — a skipped link, an
+    * out-of-order link, or a standby that drifted ahead all refuse
+    * loudly with the expected-vs-found sets. RESTARTABLE per table: a
+    * table already at the link's recorded stamps skips (each table's
+    * append is one atomic Spark write, so a crash mid-link leaves whole
+    * tables applied or not, and the re-run applies only the missing
+    * ones). Within the link, data tables apply FIRST and the family's
+    * commit marker LAST (`kind` names it — the house marker-last
+    * discipline carried onto the replica, so a crashed half-applied
+    * link reads as "data without marker", the protocol's one legal
+    * window). Unstamped tables overwrite in place (newest frontier
+    * wins, idempotent by construction). Landed counts verify against
+    * the manifest's cumulative totals per table.
+    *
+    * A FULL link (no parent) refuses — the standby is seeded with
+    * [[restore]]; applyLink ships what comes after. 100 TB judgment:
+    * per link, one bounded stamp-set read per table (∝ batches) + the
+    * slice appends through `insertInto` (laid out by the standby's
+    * bucket spec, ∝ link rows) + one count per table — never a corpus
+    * rescan, never a re-restore.
+    *
+    * @return rows appended into the standby by this link
+    */
+  def applyLink(spark: SparkSession, linkDir: String, table: String,
+      path: String, kind: String): Long = {
+    val m = readManifest(spark, linkDir)
+    require(Option(m.get("parent")).exists(!_.isNull),
+      s"Snapshot.applyLink: $linkDir is a FULL snapshot — a standby is " +
+        "seeded with restore; applyLink ships the delta links after it")
+    val srcTable = m.get("table").asText()
+    val marker = Maintenance.familyTables(srcTable, kind)._1
+    val entries = jsonSeq(m.get("tables"))
+      // marker LAST: a crash mid-link must leave data-without-marker,
+      // the crash window every family's protocol already absorbs
+      .sortBy(e => marker.contains(e.get("name").asText()))
+    var appended = 0L
+    entries.foreach { e =>
+      val suffix = e.get("suffix").asText()
+      val newName = if (suffix == "base") table else s"${table}_$suffix"
+      val schema = DataType.fromJson(e.get("schema").asText())
+        .asInstanceOf[StructType]
+      val slice = spark.read.schema(schema).parquet(s"$linkDir/$suffix")
+      val stamped = schema.fieldNames.contains("batch_id")
+      val nBuckets = e.get("nBuckets").asInt()
+      val exists = spark.catalog.tableExists(newName)
+      def distinctStamps(df: org.apache.spark.sql.DataFrame) =
+        df.select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+      if (!stamped) {
+        // overwrite-style side state: the link's copy IS the newest
+        require(exists,
+          s"Snapshot.applyLink: standby table $newName is missing — " +
+            "seed the standby with restore first")
+        require(nBuckets == 0,
+          s"Snapshot.applyLink: unstamped table $newName claims a " +
+            "bucket spec — unsupported layout")
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(newName))
+          .location.toString
+        slice.localCheckpoint() // pinned: the Overwrite replaces its own source's peer
+          .write.mode(SaveMode.Overwrite).option("path", loc)
+          .format("parquet").saveAsTable(newName)
+      } else {
+        val recorded = jsonSeq(e.get("stamps")).map(_.asLong()).toSet
+        val sliceStamps = distinctStamps(slice)
+        if (!exists) {
+          // a table born in THIS link (e.g. the first delete's frontier
+          // ledger): its whole recorded state is the slice
+          require(recorded == sliceStamps,
+            s"Snapshot.applyLink: $newName is missing on the standby " +
+              s"but $linkDir is not its birth link (recorded $recorded " +
+              s"vs slice $sliceStamps) — re-seed with restore")
+          if (nBuckets > 0) {
+            val cols = jsonSeq(e.get("bucketCols")).map(_.asText())
+            graft.sources.TableWriter.writeBucketed(slice, newName,
+              s"$path/$suffix", cols, nBuckets, SaveMode.Overwrite)
+          } else
+            slice.write.mode(SaveMode.Overwrite)
+              .option("path", s"$path/$suffix")
+              .format("parquet").saveAsTable(newName)
+          appended += e.get("rows").asLong()
+        } else {
+          val standby = distinctStamps(spark.table(newName))
+          if (standby == recorded) {
+            // already applied (a re-shipped link, or the re-run after a
+            // crash mid-link): skip — restartability, not an error
+          } else {
+            require(standby == recorded -- sliceStamps,
+              s"Snapshot.applyLink: standby $newName holds stamps " +
+                s"${standby.toSeq.sorted.mkString(",")}, this link " +
+                s"expects ${(recorded -- sliceStamps).toSeq.sorted
+                  .mkString(",")} before it — ship links in export " +
+                "order (a skipped or out-of-order link cannot apply); " +
+                "re-seed with restore if the chain is gone")
+            slice.write.mode(SaveMode.Append).insertInto(newName)
+            appended += e.get("rows").asLong()
+          }
+        }
+        val landed = spark.table(newName).count()
+        val expected = e.get("rowsTotal").asLong()
+        require(landed == expected,
+          s"Snapshot.applyLink: $newName holds $landed rows after " +
+            s"$linkDir, the manifest says $expected — replica is torn; " +
+            "re-seed with restore")
+      }
+    }
+    appended
+  }
+
   /** Register session-scoped TEMP VIEWS over a snapshot chain — query a
     * backup WITHOUT restoring it. Stamped logs read as the union of
     * every link's slice (the chain is append-only between compacts, so

@@ -1784,6 +1784,57 @@ object CurationOps {
           graft.core.Scratch.path(restored))
         RetrievalIndex.topK(spark, restored, rankQueries)
       }),
+    // q232: WARM STANDBY (log shipping) — the backup chain as
+    // continuous replication: restore replays a whole chain from cold,
+    // so a replica re-running it per link would pay the full rebuild
+    // every time; Snapshot.applyLink appends ONE link's slices through
+    // the replica's bucket layout instead, fenced by the stamp ledger
+    // (the replica must hold exactly recorded − slice before, recorded
+    // after — skipped/out-of-order links refuse loudly; re-shipped
+    // links no-op). The row runs the deployment: primary streams 4
+    // epochs + a tombstone delete; a full cut-export seeds the standby
+    // once, then every subsequent exportAtCut delta ships as it lands —
+    // including the delete link, which BIRTHS the _deleted ledger on
+    // the replica and shifts its idf N through the shipped signed
+    // _meta row. Oracle = the from-scratch ranking SQL of the
+    // surviving corpus served FROM THE REPLICA: log shipping
+    // reproduced the primary exactly, scores included, cross-engine.
+    GraftQuery("q232_standby_replica",
+      Some(keywordTopKSqlOver("doc_id % 7 != 3")),
+      (spark, dir) => {
+        import graft.operators.{RetrievalIndex, Snapshot}
+        val docs = Tables(spark, dir).documents
+        val primary = "graft_q232_p"; val standby = "graft_q232_s"
+        Seq(primary, standby).foreach(t =>
+          Seq("postings", "meta", "deleted").foreach(s =>
+            spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
+        val ppath = graft.core.Scratch.path(primary)
+        val spath = graft.core.Scratch.path(standby)
+        graft.streaming.RetrievalStream.foldEpoch(
+          docs.filter(col("doc_id") % 4 === 0), 0L, primary, ppath)
+        val full = graft.core.Scratch.path("q232_full")
+        Snapshot.exportAtCut(spark, primary, "retrieval", full)
+        Snapshot.restore(spark, full, standby, spath)
+        var parent = full
+        (1 to 3).foreach { e =>
+          graft.streaming.RetrievalStream.foldEpoch(
+            docs.filter(col("doc_id") % 4 === e), e.toLong, primary, ppath)
+          val d = graft.core.Scratch.path(s"q232_d$e")
+          Snapshot.exportAtCut(spark, primary, "retrieval", d,
+            incrementalFrom = Some(parent))
+          require(Snapshot.applyLink(spark, d, standby, spath,
+            "retrieval") > 0L, s"q232: link $e shipped nothing")
+          parent = d
+        }
+        RetrievalIndex.deleteDocs(spark,
+          docs.filter(col("doc_id") % 7 === 3).select("doc_id"), primary,
+          ppath, batchId = 5L)
+        val dDel = graft.core.Scratch.path("q232_ddel")
+        Snapshot.exportAtCut(spark, primary, "retrieval", dDel,
+          incrementalFrom = Some(parent))
+        Snapshot.applyLink(spark, dDel, standby, spath, "retrieval")
+        RetrievalIndex.topK(spark, standby, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped

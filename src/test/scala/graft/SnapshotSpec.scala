@@ -357,6 +357,91 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
+  test("warm standby: cut-delta links ship to a replica in lockstep") {
+    val primary = "snap_wsp"
+    drop(primary, Seq("", "postings", "meta", "deleted"))
+    val ppath = graft.core.Scratch.path(primary)
+    val standby = "snap_wss"
+    drop(standby, Seq("", "postings", "meta", "deleted"))
+    val spath = graft.core.Scratch.path(standby)
+    // primary epoch 0, full export at the cut, restore = the seed
+    graft.streaming.RetrievalStream.foldEpoch(
+      docs.filter(col("doc_id") % 4 === 0), 0L, primary, ppath)
+    val full = graft.core.Scratch.path("snap_ws_full")
+    Snapshot.exportAtCut(spark, primary, "retrieval", full)
+    Snapshot.restore(spark, full, standby, spath)
+    // a FULL link refuses applyLink — seeding is restore's job
+    val eFull = intercept[IllegalArgumentException] {
+      Snapshot.applyLink(spark, full, standby, spath, "retrieval")
+    }
+    assert(eFull.getMessage.contains("restore"), eFull.getMessage)
+    // epochs 1..3 on the primary, one cut delta per epoch
+    var parent = full
+    val links = (1 to 3).map { e =>
+      graft.streaming.RetrievalStream.foldEpoch(
+        docs.filter(col("doc_id") % 4 === e), e.toLong, primary, ppath)
+      val d = graft.core.Scratch.path(s"snap_ws_d$e")
+      Snapshot.exportAtCut(spark, primary, "retrieval", d,
+        incrementalFrom = Some(parent))
+      parent = d
+      d
+    }
+    // shipping link 2 before link 1 refuses with the stamp arithmetic
+    val eOrder = intercept[IllegalArgumentException] {
+      Snapshot.applyLink(spark, links(1), standby, spath, "retrieval")
+    }
+    assert(eOrder.getMessage.contains("export order"), eOrder.getMessage)
+    links.foreach { d =>
+      assert(Snapshot.applyLink(spark, d, standby, spath, "retrieval") > 0L)
+      // re-shipping the same link is the restartable no-op
+      assert(Snapshot.applyLink(spark, d, standby, spath, "retrieval") == 0L)
+    }
+    assert(asSet(RetrievalIndex.topK(spark, standby, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, primary, CurationOps.rankQueries)))
+    assert(Maintenance.fsck(spark, standby, "retrieval")
+      .filter(!col("ok")).count() == 0L)
+    // a delete ships too — and BIRTHS the _deleted ledger on the replica
+    RetrievalIndex.deleteDocs(spark,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), primary, ppath,
+      batchId = 5L)
+    val dDel = graft.core.Scratch.path("snap_ws_ddel")
+    Snapshot.exportAtCut(spark, primary, "retrieval", dDel,
+      incrementalFrom = Some(parent))
+    Snapshot.applyLink(spark, dDel, standby, spath, "retrieval")
+    assert(asSet(RetrievalIndex.topK(spark, standby, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, primary, CurationOps.rankQueries)),
+      "a shipped delete must shrink the replica's ranking N too")
+  }
+
+  test("standby on the IVF family: the frozen centroids ride the overwrite branch") {
+    val e = Tables(spark, sfDir).embeddings
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val primary = "snap_ivfp"; val standby = "snap_ivfs"
+    Seq(primary, standby).foreach(t =>
+      drop(t, Seq("centroids", "cells", "batches", "deleted")))
+    val ppath = graft.core.Scratch.path(primary)
+    graft.operators.IvfIndex.build(corpus.filter(col("id") % 2 === 0),
+      primary, ppath, nCells = 8, iters = 2)
+    val full = graft.core.Scratch.path("snap_ivf_full")
+    Snapshot.exportAtCut(spark, primary, "ivf", full)
+    Snapshot.restore(spark, full, standby, graft.core.Scratch.path(standby))
+    graft.operators.IvfIndex.extend(spark, corpus.filter(col("id") % 2 === 1),
+      primary, batchId = 1L)
+    val d1 = graft.core.Scratch.path("snap_ivf_d1")
+    Snapshot.exportAtCut(spark, primary, "ivf", d1,
+      incrementalFrom = Some(full))
+    // the delta carries the UNSTAMPED centroids whole; applyLink
+    // overwrites the replica's copy in place (idempotent — frozen)
+    assert(Snapshot.applyLink(spark, d1, standby,
+      graft.core.Scratch.path(standby), "ivf") > 0L)
+    assert(asSet(graft.operators.IvfIndex.topK(spark, standby, queries,
+        k = 5, nProbe = 4))
+      == asSet(graft.operators.IvfIndex.topK(spark, primary, queries,
+        k = 5, nProbe = 4)))
+  }
+
   test("prune refuses when the kept chain fails verify; attach gates on the count audit") {
     val src = "snap_pr_src"
     drop(src, Seq("", "postings", "meta", "deleted"))
