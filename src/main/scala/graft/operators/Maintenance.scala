@@ -306,6 +306,22 @@ object Maintenance {
     finally out.close()
   }
 
+  /** Run `body` holding the family's compact lease — the bracket for
+    * out-of-band verbs that must not overlap a scheduler's compact on
+    * the same family: hot backups ([[graft.operators.Snapshot
+    * .exportAtCut]] tolerates a live STREAM by construction, but a
+    * concurrent COMPACT rewrites the very tables the export is
+    * copying), manual repairs, audits that need a still ledger. The
+    * sweep takes the same lease per family, so the two schedules
+    * mutually exclude instead of tearing each other (spec-staged both
+    * ways in MaintenanceSpec).
+    */
+  def withLease[A](spark: SparkSession, path: String, owner: String,
+      ttlMs: Long = 15L * 60 * 1000)(body: => A): A = {
+    acquireLease(spark, path, owner, ttlMs)
+    try body finally releaseLease(spark, path, owner)
+  }
+
   /** Release the caller's own lease; releasing another owner's (or a
     * missing one) is a bug worth hearing about, not a silent no-op.
     */

@@ -330,6 +330,13 @@ object Snapshot {
     * vocabulary); the markerless rollup has no committed cut to read —
     * quiesce and use plain [[export]] there.
     *
+    * Streams compose; COMPACTS do not: a compact racing the export
+    * rewrites the very tables being copied (and starts a new backup
+    * epoch anyway). The scheduler's sweep already takes the family's
+    * compact lease, so bracket out-of-band exports with
+    * [[Maintenance.withLease]] on the same family path to mutually
+    * exclude the two schedules (MaintenanceSpec stages the bracket).
+    *
     * @return (cut stamp, rows written into this snapshot directory)
     */
   def exportAtCut(spark: SparkSession, table: String, kind: String,

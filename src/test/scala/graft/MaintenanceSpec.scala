@@ -419,4 +419,40 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.acquireLease(spark, path, "cronA")
     Maintenance.releaseLease(spark, path, "cronA")
   }
+
+  test("withLease brackets a hot backup against the scheduler's compacts") {
+    import graft.operators.{Maintenance => M, RetrievalIndex, Snapshot}
+    import graft.operators.Maintenance.Family
+    val table = "mnt_lease_rix"
+    drop(table, Seq("postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(table)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), table, path)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), table,
+      batchId = 1L)
+    val fleet = Seq(Family(table, "retrieval", path))
+    // a compact due at the next tick — exactly the race window
+    val hungry = CompactPolicy(maxBatches = 0L)
+    val dest = graft.core.Scratch.path("mnt_lease_snap")
+    M.withLease(spark, path, "backup") {
+      // the sweep arriving MID-BACKUP fails loudly instead of
+      // rewriting the tables the export is copying
+      val e = intercept[IllegalStateException] {
+        M.sweep(spark, fleet, hungry, owner = "cron")
+      }
+      assert(e.getMessage.contains("backup"), e.getMessage)
+      Snapshot.exportAtCut(spark, table, "retrieval", dest)
+    }
+    // bracket closed: the sweep's compact proceeds, and the snapshot
+    // taken under the lease still verifies and restores
+    val tick = M.sweep(spark, fleet, hungry, owner = "cron").collect()
+    assert(tick.head.getBoolean(2), "the deferred compact must run now")
+    assert(Snapshot.verify(spark, dest).filter(!col("ok")).count() == 0L)
+    val restored = "mnt_lease_restored"
+    Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $restored$s"))
+    Snapshot.restore(spark, dest, restored, graft.core.Scratch.path(restored))
+    assert(asSet(RetrievalIndex.topK(spark, restored, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, table, CurationOps.rankQueries)),
+      "pre-compact backup == post-compact family (compact changes bytes, not answers)")
+  }
 }

@@ -127,6 +127,19 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.attach(spark, l2, "snap_3l_view")
     assert(asSet(RetrievalIndex.topK(spark, "snap_3l_view",
       CurationOps.rankQueries)) == want)
+    // POINT-IN-TIME restore falls out of the chain design: any interior
+    // link is itself a valid chain tip, so restoring l1 lands the
+    // family as it stood at THAT export — ranked like a from-scratch
+    // index of the first two slices
+    val pitr = "snap_3l_pitr"
+    drop(pitr, Seq("", "postings", "meta", "deleted"))
+    Snapshot.restore(spark, l1, pitr, graft.core.Scratch.path(pitr))
+    drop("snap_3l_pref", Seq("postings", "meta"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 3 <= 1), "snap_3l_pref",
+      graft.core.Scratch.path("snap_3l_pref"))
+    assert(asSet(RetrievalIndex.topK(spark, pitr, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, "snap_3l_pref",
+        CurationOps.rankQueries)))
   }
 
   test("attach serves a snapshot chain in place — no copy, same answers") {
