@@ -1448,6 +1448,7 @@ object Dedup {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
+    graft.core.CommitGuard.check() // lease-tenure fence at the commit point
     writeBatchMarker(spark, table, s"$path/batches", Seq(0L) ++ keepStamp)
   }
 
@@ -1714,6 +1715,7 @@ object Dedup {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
+    graft.core.CommitGuard.check() // lease-tenure fence at the commit point
     writeBatchMarker(spark, table, s"$path/batches", Seq(0L) ++ keepStamp)
   }
 

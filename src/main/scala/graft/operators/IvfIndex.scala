@@ -202,6 +202,7 @@ object IvfIndex {
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
     import spark.implicits._
+    graft.core.CommitGuard.check() // lease-tenure fence at the commit point
     (Seq(0L) ++ keepStamp).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/batches").format("parquet")

@@ -430,6 +430,7 @@ object IvmJoin {
       scala.concurrent.Future(fold(s"${table}_dim", "dim")))),
       scala.concurrent.duration.Duration.Inf)
     import spark.implicits._
+    graft.core.CommitGuard.check() // lease-tenure fence at the commit point
     (Seq(0L) ++ keepStamp).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/batches").format("parquet")

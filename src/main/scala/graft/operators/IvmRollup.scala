@@ -215,6 +215,9 @@ object IvmRollup {
       .select(col("key"), col("n").as("dn"), col("total").as("dr"),
         lit(0L).as("batch_id"))
       .localCheckpoint()
+    // the markerless family's commit IS the whole-table Overwrite —
+    // the lease-tenure fence sits immediately before it
+    graft.core.CommitGuard.check()
     graft.sources.TableWriter.writeBucketed(folded, table, path, "key", nBuckets)
   }
 }

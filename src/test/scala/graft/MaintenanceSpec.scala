@@ -392,6 +392,83 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.releaseLease(spark, path, "schedB")
   }
 
+  test("fencing token: a stalled holder's late commit refuses after a claim") {
+    import spark.implicits._
+    import graft.operators.{IvmRollup, Maintenance => M}
+    import graft.operators.Maintenance.Family
+    val t = "mnt_fence_ivm"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val path = graft.core.Scratch.path(t)
+    IvmRollup.build(
+      Seq((1L, 10.0), (2L, 20.0), (1L, 5.0)).toDF("k", "v"),
+      col("k"), col("v"), t, path)
+    IvmRollup.applyDelta(spark, t,
+      Seq((2L, 1L, java.math.BigDecimal.valueOf(7.0))).toDF("key", "dn", "dr"),
+      batchId = 1L)
+    val fleet = Seq(Family(t, "rollup", path))
+    // slowA's tenure starts already expired (ttl 0) — the stall. fastB
+    // claims the family mid-body and compacts it; slowA's own compact,
+    // still running under the superseded tenure, must refuse at its
+    // commit point (BEFORE the whole-table Overwrite) instead of
+    // tearing B's freshly-written state.
+    val e = intercept[IllegalStateException] {
+      M.withLease(spark, path, "slowA", ttlMs = 0L) {
+        Thread.sleep(5)
+        // B holds the claimed lease ACROSS A's late commit — the
+        // "superseded by a live tenure" flavor of the refusal
+        M.acquireLease(spark, path, "fastB")
+        IvmRollup.compact(spark, t, path)
+      }
+    }
+    assert(e.getMessage.contains("superseded") &&
+      e.getMessage.contains("fastB"), e.getMessage)
+    // A's bracket exit must NOT delete B's lease (tenure-aware release)
+    val e2 = intercept[IllegalStateException] {
+      M.acquireLease(spark, path, "schedC")
+    }
+    assert(e2.getMessage.contains("fastB"), e2.getMessage)
+    M.releaseLease(spark, path, "fastB")
+    // the tenure-ENDED flavor: B claims, compacts via sweep (which
+    // releases on exit), and A's late commit finds no lease at all
+    val e3 = intercept[IllegalStateException] {
+      M.withLease(spark, path, "slowA", ttlMs = 0L) {
+        Thread.sleep(5)
+        val tick = M.sweep(spark, fleet,
+          CompactPolicy(maxBatches = 0L), owner = "fastB").collect()
+        assert(tick.head.getBoolean(2), "B's claimed-lease compact must run")
+        IvmRollup.compact(spark, t, path)
+      }
+    }
+    assert(e3.getMessage.contains("tenure ended"), e3.getMessage)
+    // the family survives A's refused commits serving B's state exactly
+    assert(IvmRollup.serve(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (2L, 2L)))
+    // a live, unexpired tenure commits fine through the same guard
+    M.withLease(spark, path, "calmA") { IvmRollup.compact(spark, t, path) }
+  }
+
+  test("lease: a corrupt (crash-mid-create) lease file is claimable, not a brick") {
+    import graft.operators.{Maintenance => M}
+    val path = graft.core.Scratch.path("mnt_lease_corrupt")
+    val p = new org.apache.hadoop.fs.Path(path + "_COMPACT_LEASE")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a creator that died mid-write leaves an empty file
+    fs.create(p, true).close()
+    M.acquireLease(spark, path, "schedA")
+    M.releaseLease(spark, path, "schedA")
+    // ...and a truncated-JSON one (owner written, rest missing)
+    val out = fs.create(p, true)
+    out.write("""{"owner":"ghost"""".getBytes("UTF-8")); out.close()
+    M.acquireLease(spark, path, "schedB")
+    // releasing a CORRUPT lease as if it were a tenure is refused loudly
+    val out2 = fs.create(p, true); out2.close()
+    val e = intercept[IllegalArgumentException] {
+      M.releaseLease(spark, path, "schedB")
+    }
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+    fs.delete(p, false)
+  }
+
   test("two sweeps cannot compact one family concurrently — the loser hears it") {
     import spark.implicits._
     import graft.operators.IvmRollup
