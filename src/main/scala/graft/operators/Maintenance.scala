@@ -622,12 +622,16 @@ object Maintenance {
   // ------------------------------------------------------------------
 
   /** Which tables make up a family, for [[fsck]]: its commit-marker
-    * table (None for the markerless rollup) and its stamped logs. The
-    * `_deleted` frontiers are listed where they are APPEND-mode stamped
-    * ledgers (the pair graph); the overwrite-merged frontiers
-    * (retrieval/positions/IVF rewrite the whole frontier per delete)
-    * carry no per-row history to audit and the runtime unstamped-column
-    * guard skips them with an informational row either way.
+    * table (None for the markerless rollup) and its stamped logs.
+    * Every family's `_deleted` frontier is an APPEND-mode stamped
+    * ledger (which is what lets delete verbs compose with
+    * [[graft.operators.Snapshot.exportAtCut]]'s commit-boundary slice);
+    * the runtime unstamped-column guard keeps fsck safe on any legacy
+    * unstamped table with an informational row. Frozen unstamped side
+    * state (the pair graph's `_dict` rides its stamped rows; the IVF's
+    * `_centroids` has none) carries no ledger to audit and is owned by
+    * the snapshot tier's vocabulary instead
+    * ([[graft.operators.Snapshot]]).
     */
   private[operators] def familyTables(table: String, kind: String):
       (Option[String], Seq[String]) = kind match {

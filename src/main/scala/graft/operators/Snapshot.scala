@@ -47,15 +47,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * legal crash-window stamp and nothing else, and the result is
   * byte-identical to an export taken at the last commit boundary. So
   * backups no longer wait for streams: [[exportAtCut]] reads the
-  * family's commit marker, slices every stamped table (marker included)
-  * at the cut, and records the cut in the manifest — "backups run
-  * whenever", not "backups run at 3am when streams pause". The residual
-  * contract is about the UNSTAMPED tables: families whose deletion
-  * frontier is overwrite-merged (IVF, and any family with frozen side
-  * state) still must not run DELETE verbs concurrently with an export —
-  * the stamped-log families used by the streaming tier (retrieval's
-  * postings/meta/deleted are all stamped) have no such table and are
-  * covered end to end.
+  * family's commit marker (the markerless rollup derives a surrogate
+  * from its own log — see [[exportAtCut]]), slices every stamped table
+  * (marker included) at the cut, and records the cut in the manifest —
+  * "backups run whenever", not "backups run at 3am when streams pause".
+  * DELETE verbs compose with the cut the same way extends do: every
+  * family's deletion frontier is a STAMPED append and the writer fence
+  * assigns it cut + 1, so a delete racing the export is sliced out
+  * whole — marker row, tombstones, signed meta — and the backup is
+  * exactly the pre-delete commit boundary (spec-pinned on the IVF
+  * family). The one table class with no stamp to slice around — frozen
+  * unstamped side state like the IVF's `_centroids` — is ENFORCED
+  * instead (round-11 verdict #3): every cut export re-digests each
+  * unstamped table's live bytes after its copy lands and refuses the
+  * export on any mutation racing the copy.
   *
   * Crash contract (the house marker-last move): data directories write
   * first, the `_MANIFEST.json` writes LAST — a crashed export leaves no
@@ -111,6 +116,17 @@ object Snapshot {
     * stripped suffixes coincide (a sibling literally named
     * `table_base`, which would share the base table's `base/` snapshot
     * directory and clobber it).
+    *
+    * When the family's KIND is known (round-11 verdict #4: the capture
+    * half of the namespace discipline becomes enforcement), membership
+    * is keyed by the kind's CLOSED table vocabulary
+    * ([[snapshotSuffixes]]) instead: a prefix-matched sibling outside
+    * the vocabulary — the unrelated `idx_backup` the discipline could
+    * only ask callers to avoid — is excluded from the snapshot, and the
+    * manifest records the exclusion so the backup's scope is auditable.
+    * [[exportAtCut]] always knows the kind (it reads the kind's
+    * marker); plain [[export]] takes it optionally and falls back to
+    * prefix capture for unknown/legacy layouts.
     */
   private def siblings(spark: SparkSession, table: String): Seq[String] = {
     val t = table.toLowerCase
@@ -123,6 +139,38 @@ object Snapshot {
       .filter(n => n == t || n.startsWith(t + "_"))
       .sorted.toSeq
   }
+
+  /** Each kind's complete snapshot vocabulary, as suffixes ("base" =
+    * the family's base table). Derived from what the family operators
+    * actually WRITE — marker + stamped logs ([[Maintenance
+    * .familyTables]]) plus the unstamped side tables fsck has no
+    * stamps to audit (the pair graph's frozen `_dict`, the IVF's
+    * frozen `_centroids`). A kind's backup is exactly this set ∩ the
+    * catalog; anything else sharing the name prefix is not family
+    * state.
+    */
+  private[operators] def snapshotSuffixes(kind: String): Set[String] =
+    kind match {
+      case "pairs" =>
+        Set("base", "members", "sets", "postings", "dict", "batches", "deleted")
+      case "lsh" => Set("postings", "sets", "batches", "deleted")
+      case "retrieval" => Set("postings", "meta", "deleted")
+      case "positions" => Set("positions", "pbatches", "deleted")
+      case "ivf" => Set("centroids", "cells", "batches", "deleted")
+      case "join" => Set("base", "fact", "dim", "batches")
+      case "rollup" => Set("base")
+      case other => throw new IllegalArgumentException(
+        s"Snapshot: unknown family kind '$other' (pairs|lsh|retrieval|" +
+          "positions|ivf|join|rollup)")
+    }
+
+  /** Test seam: invoked after each table's slice lands on disk, before
+    * the export's consistency re-checks — lets specs stage a mutation
+    * RACING the export deterministically (a delete verb overwriting an
+    * unstamped frontier, a rollup batch landing mid-copy). Production
+    * never sets it.
+    */
+  private[graft] var onTableExported: Option[String => Unit] = None
 
   private def readManifest(spark: SparkSession, dest: String):
       com.fasterxml.jackson.databind.JsonNode = {
@@ -146,18 +194,31 @@ object Snapshot {
   }
 
   /** What a parent manifest recorded about one table — the anchor a
-    * delta export slices from and audits against.
+    * delta export slices from and audits against. The digest fields
+    * are OPTIONAL (round-11 advice: pre-digest manifests exist — a
+    * chain exported before the content-digest fields landed must
+    * degrade to count-only auditing with a named reason, not die on a
+    * bare NullPointerException).
     */
   private final case class ParentEntry(stamps: Set[Long], rowsTotal: Long,
-      totalChecksum: Long)
+      totalChecksum: Option[Long])
 
-  private def parentEntries(m: com.fasterxml.jackson.databind.JsonNode):
-      Map[String, ParentEntry] =
+  private def optLong(e: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Option[Long] =
+    Option(e.get(field)).filterNot(_.isNull).map(_.asLong())
+
+  private def parentEntries(dest: String,
+      m: com.fasterxml.jackson.databind.JsonNode): Map[String, ParentEntry] =
     jsonSeq(m.get("tables")).map { e =>
-      e.get("name").asText() -> ParentEntry(
+      val name = e.get("name").asText()
+      val rowsTotal = optLong(e, "rowsTotal").getOrElse(
+        throw new IllegalArgumentException(
+          s"Snapshot: manifest under $dest predates cumulative totals " +
+            s"(table $name has no rowsTotal) — chains cannot anchor on " +
+            "it; take a fresh full snapshot"))
+      name -> ParentEntry(
         jsonSeq(e.get("stamps")).map(_.asLong()).toSet,
-        e.get("rowsTotal").asLong(),
-        e.get("totalChecksum").asLong())
+        rowsTotal, optLong(e, "totalChecksum"))
     }.toMap
 
   /** Export `table`'s family to `dest`. With `incrementalFrom = Some(
@@ -177,17 +238,36 @@ object Snapshot {
     */
   def export(spark: SparkSession, table: String, dest: String,
       incrementalFrom: Option[String] = None, cut: Option[Long] = None,
-      auditParent: Boolean = true): Long = {
-    val names = siblings(spark, table)
+      auditParent: Boolean = true, kind: Option[String] = None): Long = {
+    val discovered = siblings(spark, table)
+    // kind known → membership is the kind's CLOSED vocabulary; an
+    // out-of-vocabulary prefix neighbor (`idx_backup`) is excluded and
+    // recorded, not silently swept into the family's backup
+    val (names, excluded) = kind match {
+      case Some(k) =>
+        val allowed = snapshotSuffixes(k)
+        val t = table.toLowerCase
+        def suffix(n: String) = if (n == t) "base" else n.stripPrefix(t + "_")
+        val (in, out) = discovered.partition(n => allowed.contains(suffix(n)))
+        (in, out)
+      case None => (discovered, Nil)
+    }
     require(names.nonEmpty, s"Snapshot.export: no catalog tables match " +
-      s"'$table' or '${table}_*' — nothing to snapshot")
+      s"'$table' or '${table}_*'" +
+      kind.map(k => s" within kind '$k'").getOrElse("") +
+      " — nothing to snapshot")
     val parent = incrementalFrom.map { pd =>
       val m = readManifest(spark, pd)
       require(m.get("table").asText() == table.toLowerCase,
         s"Snapshot.export: parent snapshot under $pd is of " +
           s"'${m.get("table").asText()}', not '$table'")
-      pd -> parentEntries(m)
+      pd -> parentEntries(pd, m)
     }
+    // markerless kinds (the rollup) derive their cut from the log
+    // itself, so the cut slice must additionally prove STABILITY —
+    // marker-ful kinds get consistency from the fsck invariant instead
+    val verifyStampedCut = cut.isDefined &&
+      kind.exists(k => Maintenance.familyTables(table, k)._1.isEmpty)
     val manifestPath = new org.apache.hadoop.fs.Path(s"$dest/$ManifestName")
     val fs = fsFor(spark, manifestPath)
     // a stale manifest must not vouch for a partially re-exported dir
@@ -245,15 +325,16 @@ object Snapshot {
               // the round-10 advice fix: stamps can SURVIVE a rewrite
               // (a default compact folds history back to {0}, exactly a
               // fresh build's stamp set) — so audit the CONTENT beneath
-              // the parent's max stamp, not just the stamp names
+              // the parent's max stamp, not just the stamp names. A
+              // pre-digest (legacy) parent degrades to the count fence.
               val history = df.filter(col("batch_id") <= since)
-              if (auditParent) {
+              if (auditParent && p.totalChecksum.isDefined) {
                 val (hn, hsum) = Integrity.contentDigest(history)
-                require(hn == p.rowsTotal && hsum == p.totalChecksum,
+                require(hn == p.rowsTotal && hsum == p.totalChecksum.get,
                   s"Snapshot.export: $name's history at batch_id <= " +
                     s"$since no longer matches the parent snapshot under " +
                     s"$pd ($hn rows / digest $hsum vs recorded " +
-                    s"${p.rowsTotal} / ${p.totalChecksum}) — a compact " +
+                    s"${p.rowsTotal} / ${p.totalChecksum.get}) — a compact " +
                     "or manual repair rewrote backed-up history; " +
                     "incremental chains break there, take a full snapshot")
               } else {
@@ -271,17 +352,58 @@ object Snapshot {
         case _ => (cutDf, None) // full snapshot, or an unstamped table
       }
       slice.write.mode(SaveMode.Overwrite).parquet(s"$dest/$suffix")
+      onTableExported.foreach(_(name)) // race-staging seam (specs only)
       // digest what LANDED (not the plan): count + order-free content
       // digest in one read-back aggregate — the numbers verify/restore
       // audit against, so they must describe the files, not the intent
       val (written, sliceSum) = Integrity.contentDigest(
         spark.read.schema(df.schema).parquet(s"$dest/$suffix"))
       // whole-cut-state totals, rescan-free on deltas: the modular-sum
-      // digest is additive over multiset union
-      val (rowsTotal, totalChecksum) = parentTotals match {
-        case Some(p) => (p.rowsTotal + written,
-          (p.totalChecksum + sliceSum) % Integrity.digestMod)
-        case None => (written, sliceSum)
+      // digest is additive over multiset union (a pre-digest legacy
+      // parent breaks the digest chain — the child records none and
+      // downstream audits degrade to counts for this table)
+      val rowsTotal = parentTotals.map(_.rowsTotal + written).getOrElse(written)
+      val totalChecksum: Option[Long] = parentTotals match {
+        case Some(p) =>
+          p.totalChecksum.map(tc => (tc + sliceSum) % Integrity.digestMod)
+        case None => Some(sliceSum)
+      }
+      // CONSISTENCY RE-CHECKS for hot (cut) exports — both re-read the
+      // LIVE table after the copy landed (refreshTable drops any cached
+      // file listing so the re-read sees what is on disk NOW):
+      //  - unstamped side state (round-11 verdict #3: IVF centroids /
+      //    overwrite-merged frontiers): a delete verb racing the export
+      //    overwrites the very files the copy read — if the live table
+      //    no longer digests to what landed, the captured copy belongs
+      //    to no consistent moment and the export refuses;
+      //  - stamped logs of MARKERLESS kinds (the rollup, verdict #2):
+      //    the cut is derived from the log itself, so the one batch the
+      //    marker-ful kinds exclude by fsck arithmetic (the in-flight
+      //    max) is instead proven ABSENT by stability — rows at
+      //    `batch_id <= cut` are append-only between compacts, so an
+      //    unchanged count+digest across the copy means the slice was
+      //    a complete committed prefix, not a mid-append tear.
+      if (cut.isDefined && (!stamped || verifyStampedCut)) {
+        spark.catalog.refreshTable(name)
+        // a FRESH spark.table resolve — the original frame's analyzed
+        // plan pins the pre-refresh file listing
+        val fresh = spark.table(name)
+        val live = if (stamped) fresh.filter(col("batch_id") <= cut.get)
+                   else fresh
+        val (ln, lsum) = Integrity.contentDigest(live)
+        val consistent =
+          if (stamped) ln == rowsTotal && totalChecksum.forall(_ == lsum)
+          else ln == written && lsum == sliceSum
+        require(consistent,
+          s"Snapshot.export: $name changed UNDER the export (live " +
+            s"${if (stamped) s"cut slice" else "table"} now $ln rows / " +
+            s"digest $lsum, captured ${if (stamped) rowsTotal else written}" +
+            s" / ${if (stamped) totalChecksum.getOrElse(sliceSum) else sliceSum})" +
+            " — a concurrent writer raced the copy (a delete verb on " +
+            "unstamped side state, or a mid-append batch on a markerless " +
+            "log). Bracket the export with Maintenance.withLease against " +
+            "compacts/deletes, or re-run it; the snapshot directory is " +
+            "not committed (no manifest was written)")
       }
       Map[String, Any](
         "name" -> name, "suffix" -> suffix,
@@ -294,12 +416,16 @@ object Snapshot {
         // what the whole table held at the cut — the numbers each
         // restore link verifies and each child delta audits against
         "rowsTotal" -> rowsTotal,
-        "totalChecksum" -> totalChecksum)
+        "totalChecksum" -> totalChecksum.map(Long.box).orNull)
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
     val payload = Map[String, Any](
       "table" -> table.toLowerCase,
+      "kind" -> kind.orNull,
+      // prefix neighbors the kind vocabulary ruled out — recorded so
+      // "what did this backup NOT cover" is auditable from the manifest
+      "excluded" -> excluded.asJava,
       "parent" -> parent.map(_._1).orNull,
       "cut" -> cut.map(Long.box).orNull,
       "tables" -> entries.map(e => e.map {
@@ -327,8 +453,26 @@ object Snapshot {
     * fence (q229 drives the whole composition).
     *
     * `kind` names the family's marker ([[Maintenance.familyTables]]'s
-    * vocabulary); the markerless rollup has no committed cut to read —
-    * quiesce and use plain [[export]] there.
+    * vocabulary) — and keys the snapshot's table membership to the
+    * kind's closed vocabulary (round-11 verdict #4), so an unrelated
+    * prefix neighbor is never swept into the backup.
+    *
+    * The MARKERLESS rollup (round-11 verdict #2) has no marker to read,
+    * but its ledger defines a committed-cut SURROGATE: every batch is
+    * ONE atomic append of a deterministic aggregate keyed by
+    * (key, batch_id), so "committed" is simply "fully landed", and the
+    * only batch that can be mid-landing is the max visible stamp
+    * (single-writer: batch N+1 starts after N's append commits). The
+    * cut is therefore max(visible stamps), and [[export]] proves the
+    * slice STABLE — count + content digest of the live `<= cut` slice
+    * unchanged after the copy — so a batch caught mid-commit-rename
+    * refuses the export instead of tearing it. Belt and braces on top:
+    * the family's own replay contract absorbs even a hypothetically
+    * captured tear, because re-delivering the cut epoch appends
+    * byte-identical rows that [[IvmRollup.serve]]'s (key, batch_id)
+    * collapse folds — so resume the stream FROM the cut epoch
+    * (inclusive) after a rollup restore; replays of it no-op, and
+    * q233 drives the full composition under a live IvmStream.
     *
     * Streams compose; COMPACTS do not: a compact racing the export
     * rewrites the very tables being copied (and starts a new backup
@@ -336,6 +480,10 @@ object Snapshot {
     * compact lease, so bracket out-of-band exports with
     * [[Maintenance.withLease]] on the same family path to mutually
     * exclude the two schedules (MaintenanceSpec stages the bracket).
+    * DELETE verbs on unstamped side state (the IVF's frontier) are the
+    * same story at copy granularity — [[export]]'s post-copy re-digest
+    * of every unstamped table refuses the race (round-11 verdict #3),
+    * and the same lease bracket prevents it outright.
     *
     * @return (cut stamp, rows written into this snapshot directory)
     */
@@ -343,17 +491,26 @@ object Snapshot {
       dest: String, incrementalFrom: Option[String] = None,
       auditParent: Boolean = true): (Long, Long) = {
     val (markerOpt, _) = Maintenance.familyTables(table, kind)
-    val marker = markerOpt.getOrElse(throw new IllegalArgumentException(
-      s"Snapshot.exportAtCut: '$kind' families have no commit marker, " +
-        "so no committed cut exists — quiesce and use export"))
-    val committed = spark.table(marker).select("batch_id").distinct()
-      .collect().map(_.getLong(0))
-    require(committed.nonEmpty,
-      s"Snapshot.exportAtCut: $marker holds no committed stamps — " +
-        "nothing consistent to cut at (crashed build?)")
-    val cut = committed.max
+    val cut = markerOpt match {
+      case Some(marker) =>
+        val committed = spark.table(marker).select("batch_id").distinct()
+          .collect().map(_.getLong(0))
+        require(committed.nonEmpty,
+          s"Snapshot.exportAtCut: $marker holds no committed stamps — " +
+            "nothing consistent to cut at (crashed build?)")
+        committed.max
+      case None =>
+        // markerless rollup: the committed-cut surrogate — max visible
+        // stamp, with the slice's stability proven inside export
+        val stamps = spark.table(table).select("batch_id").distinct()
+          .collect().map(_.getLong(0))
+        require(stamps.nonEmpty,
+          s"Snapshot.exportAtCut: $table holds no batches — nothing " +
+            "consistent to cut at (crashed build?)")
+        stamps.max
+    }
     (cut, export(spark, table, dest, incrementalFrom, cut = Some(cut),
-      auditParent = auditParent))
+      auditParent = auditParent, kind = Some(kind)))
   }
 
   /** The snapshot chain base-first, parent pointers followed; refuses
@@ -478,21 +635,28 @@ object Snapshot {
         val schema = DataType.fromJson(e.get("schema").asText())
           .asInstanceOf[StructType]
         val expectedRows = e.get("rows").asLong()
-        val expectedSum = e.get("checksum").asLong()
+        // pre-digest (legacy) manifests carry no checksum: degrade this
+        // entry to count-only with a named reason, even under deep
+        val expectedSumOpt = optLong(e, "checksum")
+        val checkDigest = deep && expectedSumOpt.isDefined
         val (landed, sum) =
           try {
             val df = spark.read.schema(schema).parquet(s"$d/$suffix")
-            if (deep) Integrity.contentDigest(df) else (df.count(), expectedSum)
+            if (checkDigest) Integrity.contentDigest(df)
+            else (df.count(), expectedSumOpt.getOrElse(0L))
           } catch { case scala.util.control.NonFatal(_) => (-1L, 0L) }
-        val ok = landed == expectedRows && sum == expectedSum
+        val ok = landed == expectedRows &&
+          (!checkDigest || sum == expectedSumOpt.get)
         (d, suffix, ok,
           if (ok) s"$expectedRows rows" +
-            (if (deep) s", digest $expectedSum" else " (counts only)")
+            (if (checkDigest) s", digest ${expectedSumOpt.get}"
+             else if (deep) " (legacy pre-digest manifest: counts only)"
+             else " (counts only)")
           else if (landed < 0) "UNREADABLE"
           else if (landed != expectedRows)
             s"$landed of $expectedRows rows — snapshot dir was modified"
-          else s"digest $sum != recorded $expectedSum — content changed " +
-            "under an unchanged row count (bit-rot or tamper)")
+          else s"digest $sum != recorded ${expectedSumOpt.get} — content " +
+            "changed under an unchanged row count (bit-rot or tamper)")
       }
     }
     import spark.implicits._
@@ -513,6 +677,25 @@ object Snapshot {
     * the directories removed. Enumerate a superseded chain with
     * [[chainDirs]] — deltas are useless without their base, so a chain
     * prunes whole.
+    *
+    * SINGLE-LINEAGE ASSUMPTION (round-11 verdict #6, pinned by spec):
+    * manifests record PARENT pointers only — a base does not know its
+    * children — so prune cannot see a second fork hanging off a shared
+    * base. Forks sharing the kept chain's own links are safe (the
+    * self-amputation fence refuses the shared base by path identity),
+    * but when the KEPT chain is a new epoch entirely and two old forks
+    * share a base, pruning one fork's [[chainDirs]] deletes the shared
+    * base and AMPUTATES the sibling fork — exactly as deleting a WAL
+    * segment strands every branch that replays through it. The
+    * operational contract is therefore one lineage per family between
+    * compacts: anchor each delta on the PREVIOUS snapshot (the chain a
+    * schedule naturally writes), and treat forking — two deltas off one
+    * parent — as creating a second retention unit whose dirs you prune
+    * only together with (never out from under) its sibling. SnapshotSpec
+    * pins the exact behavior: pruning fork B's chainDirs while keeping
+    * fork A refuses at the shared base when A links through it, and
+    * amputates B's sibling when the kept chain is disjoint — the
+    * documented operator-owned case.
     */
   def prune(spark: SparkSession, keep: String, superseded: Seq[String],
       deep: Boolean = true): Seq[String] = {
@@ -605,6 +788,16 @@ object Snapshot {
       val exists = spark.catalog.tableExists(newName)
       def distinctStamps(df: org.apache.spark.sql.DataFrame) =
         df.select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+      // the cumulative cut-state total every branch below verifies
+      // against — the round-11 advice fix: the check covers UNSTAMPED
+      // overwrites too, so a torn frontier on the replica is caught,
+      // not just a torn stamped append
+      val expectedTotal = optLong(e, "rowsTotal").getOrElse(
+        throw new IllegalArgumentException(
+          s"Snapshot.applyLink: $linkDir's manifest predates cumulative " +
+            s"totals (table ${e.get("name").asText()} has no rowsTotal) " +
+            "— pre-digest chains cannot ship as links; re-seed with a " +
+            "fresh full snapshot"))
       if (!stamped) {
         // overwrite-style side state: the link's copy IS the newest
         require(exists,
@@ -619,6 +812,11 @@ object Snapshot {
         slice.localCheckpoint() // pinned: the Overwrite replaces its own source's peer
           .write.mode(SaveMode.Overwrite).option("path", loc)
           .format("parquet").saveAsTable(newName)
+        val landed = spark.table(newName).count()
+        require(landed == expectedTotal,
+          s"Snapshot.applyLink: $newName holds $landed rows after " +
+            s"$linkDir, the manifest says $expectedTotal — replica is " +
+            "torn; re-seed with restore")
       } else {
         val recorded = jsonSeq(e.get("stamps")).map(_.asLong()).toSet
         val sliceStamps = distinctStamps(slice)
@@ -656,14 +854,75 @@ object Snapshot {
           }
         }
         val landed = spark.table(newName).count()
-        val expected = e.get("rowsTotal").asLong()
-        require(landed == expected,
+        require(landed == expectedTotal,
           s"Snapshot.applyLink: $newName holds $landed rows after " +
-            s"$linkDir, the manifest says $expected — replica is torn; " +
-            "re-seed with restore")
+            s"$linkDir, the manifest says $expectedTotal — replica is " +
+            "torn; re-seed with restore")
       }
     }
     appended
+  }
+
+  /** COMMITTED-CUT READ VIEWS (round-11 verdict #5) — serve a family at
+    * its commit boundary, whatever in-flight state its logs carry:
+    * registers one temp view per family table (named
+    * `viewPrefix[_suffix]`, the family's own naming, so every serve
+    * verb works unchanged on the prefix), with each STAMPED log
+    * filtered at `batch_id <= max(committed)` from the kind's marker —
+    * the [[exportAtCut]] slice applied at READ time instead of copy
+    * time. Unstamped tables pass through whole.
+    *
+    * This is the replica's read path while [[applyLink]] ships links: a
+    * reader hitting the standby between a link's data appends and its
+    * marker append (the documented crash window — data-without-marker)
+    * would otherwise see postings whose `_meta` cardinality hasn't
+    * landed, an inconsistent mix belonging to no version. Through these
+    * views it reads exactly the last SHIPPED commit boundary, before
+    * the half-applied link, and flips atomically to the new state when
+    * the link's marker lands (q232 stages the mid-link read; the same
+    * views give consistent reads on a PRIMARY under a live stream).
+    * The markerless rollup needs no view — [[IvmRollup.serve]]'s
+    * (key, batch_id) collapse plus single-atomic-append already make
+    * every read commit-consistent — so it is refused here, loudly.
+    *
+    * Cost: one bounded marker collect (∝ batches); the views are lazy
+    * plans, and the `batch_id <= cut` filter pushes into each log's
+    * scan exactly like the export's slice.
+    *
+    * @return (cut stamp, view names registered)
+    */
+  def serveAtCut(spark: SparkSession, table: String, kind: String,
+      viewPrefix: String): (Long, Seq[String]) = {
+    val (markerOpt, _) = Maintenance.familyTables(table, kind)
+    val marker = markerOpt.getOrElse(throw new IllegalArgumentException(
+      s"Snapshot.serveAtCut: '$kind' families have no commit marker — " +
+        "the rollup's serve is already commit-consistent by its " +
+        "(key, batch_id) collapse; read it directly"))
+    val committed = spark.table(marker).select("batch_id").distinct()
+      .collect().map(_.getLong(0))
+    require(committed.nonEmpty,
+      s"Snapshot.serveAtCut: $marker holds no committed stamps — " +
+        "nothing consistent to serve (crashed build?)")
+    val cut = committed.max
+    val t = table.toLowerCase
+    val allowed = snapshotSuffixes(kind)
+    val views = siblings(spark, t)
+      .filter { n =>
+        val suffix = if (n == t) "base" else n.stripPrefix(t + "_")
+        allowed.contains(suffix)
+      }
+      .map { n =>
+        val df = spark.table(n)
+        val cutDf =
+          if (df.columns.contains("batch_id")) df.filter(col("batch_id") <= cut)
+          else df
+        val viewName =
+          if (n == t) viewPrefix
+          else s"$viewPrefix${n.stripPrefix(t)}"
+        cutDf.createOrReplaceTempView(viewName)
+        viewName
+      }
+    (cut, views)
   }
 
   /** Register session-scoped TEMP VIEWS over a snapshot chain — query a

@@ -298,11 +298,12 @@ class SnapshotSpec extends SparkSpec {
     val dirtyStamps = spark.read.parquet(s"$dirty/postings")
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
     assert(dirtyStamps == Set(0L, 1L, 2L), dirtyStamps.toString)
-    // the markerless rollup has no committed cut to read
-    intercept[IllegalArgumentException] {
-      Snapshot.exportAtCut(spark, "snap_ivm", "rollup",
-        graft.core.Scratch.path("snap_cut_nowhere"))
-    }
+    // the markerless rollup derives a committed-cut SURROGATE from its
+    // own log since round 12 (the max visible stamp, stability-proven)
+    // — covered end to end in the rollup hot-cut test below
+    val (rollupCut, rollupRows) = Snapshot.exportAtCut(spark, "snap_ivm",
+      "rollup", graft.core.Scratch.path("snap_cut_rollup"))
+    assert(rollupCut == 0L && rollupRows > 0L, s"($rollupCut, $rollupRows)")
   }
 
   test("deep verify catches count-preserving corruption the count audit cannot") {
@@ -482,5 +483,311 @@ class SnapshotSpec extends SparkSpec {
     // ...and audit = false stays the explicit lazy-views escape hatch
     assert(Snapshot.attach(spark, keepDir, "snap_pr_view",
       audit = false).nonEmpty)
+  }
+
+  // --------------------------------------------------------------------
+  // round 12: rollup committed-cut surrogate, export race fences,
+  // kind-keyed membership, committed-cut serve views, forked prunes,
+  // legacy manifests
+
+  private def rollupDelta(table: String, batchId: Long, keyMod: Int): Unit = {
+    import org.apache.spark.sql.types.DecimalType
+    IvmRollup.applyDelta(spark, table,
+      Tables(spark, sfDir).orders.filter(col("o_orderkey") % 37 === keyMod)
+        .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+          col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+      batchId)
+  }
+
+  test("rollup hot cut: export under appends, restore + re-delivery == never crashed") {
+    val src = "snap_r12_ivm"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    val path = graft.core.Scratch.path(src)
+    val o = Tables(spark, sfDir).orders
+    IvmRollup.build(o.filter(col("o_orderkey") % 37 === 0), col("o_custkey"),
+      col("o_totalprice"), src, path)
+    rollupDelta(src, 1L, 1)
+    val full = graft.core.Scratch.path("snap_r12_ivm_full")
+    val (cut0, _) = Snapshot.exportAtCut(spark, src, "rollup", full)
+    assert(cut0 == 1L, s"cut $cut0")
+    rollupDelta(src, 2L, 2)
+    val d1 = graft.core.Scratch.path("snap_r12_ivm_d1")
+    val (cut1, rows1) = Snapshot.exportAtCut(spark, src, "rollup", d1,
+      incrementalFrom = Some(full))
+    assert(cut1 == 2L && rows1 > 0L, s"($cut1, $rows1)")
+    // history past the backup — what re-delivery must replay
+    rollupDelta(src, 3L, 3)
+    val expected = asSet(IvmRollup.serve(spark, src))
+    // disaster, restore to the cut, re-deliver FROM the cut epoch
+    // (inclusive — the documented rollup contract): the replay of
+    // batch 2 collapses byte-identically, batch 3 lands fresh
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    assert(Snapshot.verify(spark, d1).filter(!col("ok")).count() == 0L)
+    Snapshot.restore(spark, d1, src, graft.core.Scratch.path(src + "_re"))
+    rollupDelta(src, 2L, 2)
+    rollupDelta(src, 3L, 3)
+    assert(asSet(IvmRollup.serve(spark, src)) == expected,
+      "hot backup + restore + re-delivery must equal the never-crashed rollup")
+  }
+
+  test("a batch landing mid-copy refuses the rollup's cut export (stability fence)") {
+    val src = "snap_r12_race_ivm"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    val path = graft.core.Scratch.path(src)
+    val o = Tables(spark, sfDir).orders
+    IvmRollup.build(o.filter(col("o_orderkey") % 37 === 0), col("o_custkey"),
+      col("o_totalprice"), src, path)
+    // batch 1 is "mid-landing": part of its rows are visible when the
+    // export reads the cut, the rest land while the copy runs — staged
+    // through the race seam (applyDelta under the SAME stamp, exactly
+    // the growth a paused job-commit rename loop exposes)
+    rollupDelta(src, 1L, 1)
+    Snapshot.onTableExported = Some { name =>
+      if (name == src) rollupDelta(src, 1L, 2)
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Snapshot.exportAtCut(spark, src, "rollup",
+          graft.core.Scratch.path("snap_r12_race_dest"))
+      }
+      assert(e.getMessage.contains("changed UNDER the export"), e.getMessage)
+    } finally Snapshot.onTableExported = None
+    // no manifest landed: the refused export is a clean re-run target
+    intercept[IllegalArgumentException] {
+      Snapshot.verify(spark, graft.core.Scratch.path("snap_r12_race_dest"))
+    }
+    // quiet now — the re-run exports the settled ledger fine
+    val (cut, _) = Snapshot.exportAtCut(spark, src, "rollup",
+      graft.core.Scratch.path("snap_r12_race_dest"))
+    assert(cut == 1L)
+  }
+
+  test("deletes racing an IVF cut export compose consistently; " +
+      "an unstamped-centroids mutation refuses") {
+    import graft.operators.IvfIndex
+    val e = Tables(spark, sfDir).embeddings
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val src = "snap_r12_race_ivf"
+    drop(src, Seq("centroids", "cells", "batches", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    IvfIndex.build(corpus, src, path, nCells = 8, iters = 2)
+    val preDelete = asSet(IvfIndex.topK(spark, src, queries, k = 5, nProbe = 4))
+    // round-11 verdict #3, branch 1 — "provably consistent": a delete
+    // verb racing the hot export lands with stamp cut + 1 (the writer
+    // fence's arithmetic), so every row it writes — tombstones AND its
+    // marker row — is sliced OUT of the cut; deletion frontiers are
+    // stamped appends across all seven families, exactly so this holds
+    Snapshot.onTableExported = Some { name =>
+      if (name == s"${src}_cells")
+        IvfIndex.deleteIds(spark, corpus.filter(col("id") % 5 === 2)
+          .select("id"), src, path, batchId = 1L)
+    }
+    val dest = graft.core.Scratch.path("snap_r12_race_ivf_dest")
+    try {
+      val (cut, _) = Snapshot.exportAtCut(spark, src, "ivf", dest)
+      assert(cut == 0L, s"cut $cut")
+    } finally Snapshot.onTableExported = None
+    val restored = "snap_r12_race_ivf_re"
+    drop(restored, Seq("", "centroids", "cells", "batches", "deleted"))
+    Snapshot.restore(spark, dest, restored, graft.core.Scratch.path(restored))
+    assert(asSet(IvfIndex.topK(spark, restored, queries, k = 5, nProbe = 4))
+      == preDelete,
+      "the cut export must capture the pre-delete commit boundary exactly")
+    // branch 2 — "refused": the IVF's only unstamped table is the
+    // FROZEN quantizer; any mutation racing the copy (a retrain, a
+    // manual repair) has no stamp for the cut to slice around, so the
+    // post-copy re-digest refuses the export
+    Snapshot.onTableExported = Some { name =>
+      if (name == s"${src}_centroids") {
+        val keep = spark.table(s"${src}_centroids")
+          .filter(col("cell") =!= 0).localCheckpoint()
+        keep.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("path", s"$path/centroids")
+          .format("parquet").saveAsTable(s"${src}_centroids")
+      }
+    }
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Snapshot.exportAtCut(spark, src, "ivf",
+          graft.core.Scratch.path("snap_r12_race_ivf_bad"))
+      }
+      assert(err.getMessage.contains("changed UNDER the export") &&
+        err.getMessage.contains("_centroids"), err.getMessage)
+    } finally Snapshot.onTableExported = None
+  }
+
+  test("kind-keyed membership: an unrelated prefix neighbor never enters the backup") {
+    val src = "snap_r12_kind"
+    drop(src, Seq("postings", "meta", "deleted", "backup"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src,
+      graft.core.Scratch.path(src))
+    // the namespace-discipline violation the prefix capture could only
+    // document away: an unrelated table squatting on the family prefix
+    import spark.implicits._
+    Seq((1L, "scratch")).toDF("id", "note")
+      .write.option("path", graft.core.Scratch.path(src + "_backup"))
+      .format("parquet").saveAsTable(s"${src}_backup")
+    val dest = graft.core.Scratch.path("snap_r12_kind_dest")
+    Snapshot.exportAtCut(spark, src, "retrieval", dest)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new java.io.File(s"$dest/_MANIFEST.json"))
+    val snapped = (0 until m.get("tables").size())
+      .map(i => m.get("tables").get(i).get("name").asText()).toSet
+    assert(!snapped.contains(s"${src}_backup"), snapped.toString)
+    assert(m.get("excluded").get(0).asText() == s"${src}_backup")
+    assert(m.get("kind").asText() == "retrieval")
+    // restore creates ONLY family tables — the squatter never travels
+    val restored = "snap_r12_kind_re"
+    drop(restored, Seq("", "postings", "meta", "deleted", "backup"))
+    Snapshot.restore(spark, dest, restored, graft.core.Scratch.path(restored))
+    assert(!spark.catalog.tableExists(s"${restored}_backup"))
+    assert(asSet(RetrievalIndex.topK(spark, restored, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
+    // kind-less export keeps the documented prefix-capture fallback
+    val legacy = graft.core.Scratch.path("snap_r12_kind_legacy")
+    Snapshot.export(spark, src, legacy)
+    val m2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new java.io.File(s"$legacy/_MANIFEST.json"))
+    val all2 = (0 until m2.get("tables").size())
+      .map(i => m2.get("tables").get(i).get("name").asText()).toSet
+    assert(all2.contains(s"${src}_backup"), all2.toString)
+  }
+
+  test("serveAtCut: a mid-link replica reads the last shipped commit boundary") {
+    val primary = "snap_r12_srv_p"; val standby = "snap_r12_srv_s"
+    Seq(primary, standby).foreach(t => drop(t, Seq("postings", "meta", "deleted")))
+    val ppath = graft.core.Scratch.path(primary)
+    val spath = graft.core.Scratch.path(standby)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), primary, ppath)
+    val full = graft.core.Scratch.path("snap_r12_srv_full")
+    Snapshot.exportAtCut(spark, primary, "retrieval", full)
+    Snapshot.restore(spark, full, standby, spath)
+    val before = asSet(RetrievalIndex.topK(spark, standby, CurationOps.rankQueries))
+    // primary commits epoch 1; its delta link ships — but we stage the
+    // CRASH WINDOW on the replica: the link's data (postings) lands,
+    // its marker (_meta) does not
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), primary,
+      batchId = 1L)
+    val d1 = graft.core.Scratch.path("snap_r12_srv_d1")
+    Snapshot.exportAtCut(spark, primary, "retrieval", d1,
+      incrementalFrom = Some(full))
+    spark.read.parquet(s"$d1/postings")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${standby}_postings")
+    // a raw read of the half-applied replica belongs to NO version...
+    // ...but the committed-cut views serve exactly the pre-link state
+    val (cut, viewNames) = Snapshot.serveAtCut(spark, standby, "retrieval",
+      "snap_r12_srv_view")
+    assert(cut == 0L, s"cut $cut")
+    assert(viewNames.contains("snap_r12_srv_view_postings"))
+    assert(asSet(RetrievalIndex.topK(spark, "snap_r12_srv_view",
+      CurationOps.rankQueries)) == before,
+      "mid-link reads must see the last shipped commit boundary")
+    // the link completes (applyLink is restartable per table: postings
+    // skip, the marker lands) and the views flip atomically to it
+    Snapshot.applyLink(spark, d1, standby, spath, "retrieval")
+    val (cut2, _) = Snapshot.serveAtCut(spark, standby, "retrieval",
+      "snap_r12_srv_view")
+    assert(cut2 == 1L)
+    assert(asSet(RetrievalIndex.topK(spark, "snap_r12_srv_view",
+      CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, primary, CurationOps.rankQueries)))
+    // the rollup is refused by name: its serve is already cut-consistent
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.serveAtCut(spark, standby, "rollup", "snap_r12_srv_bad")
+    }
+    assert(e.getMessage.contains("no commit marker"), e.getMessage)
+  }
+
+  test("forked chains: prune refuses a shared base the kept chain uses; " +
+      "a disjoint keep amputates the sibling fork (documented)") {
+    val src = "snap_r12_fork"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    val base = graft.core.Scratch.path("snap_r12_fork_base")
+    Snapshot.export(spark, src, base)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    // TWO deltas anchored on one base — a fork
+    val forkA = graft.core.Scratch.path("snap_r12_fork_a")
+    val forkB = graft.core.Scratch.path("snap_r12_fork_b")
+    Snapshot.export(spark, src, forkA, incrementalFrom = Some(base))
+    Snapshot.export(spark, src, forkB, incrementalFrom = Some(base))
+    // keep = fork A: pruning B's chainDirs hits the SHARED base and the
+    // self-amputation fence refuses the whole prune
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.prune(spark, forkA, Snapshot.chainDirs(spark, forkB))
+    }
+    assert(e.getMessage.contains("kept chain"), e.getMessage)
+    assert(new java.io.File(forkB).exists())
+    // keep = a NEW epoch (disjoint): pruning fork A's chain deletes the
+    // shared base — fork B is amputated, the pinned single-lineage
+    // contract (the operator owns fork retention as ONE unit)
+    RetrievalIndex.compact(spark, src, path)
+    val epoch2 = graft.core.Scratch.path("snap_r12_fork_e2")
+    Snapshot.export(spark, src, epoch2)
+    Snapshot.prune(spark, epoch2, Snapshot.chainDirs(spark, forkA))
+    assert(!new java.io.File(base).exists() && !new java.io.File(forkA).exists())
+    intercept[Exception] { Snapshot.verify(spark, forkB) } // orphaned fork
+  }
+
+  test("legacy pre-digest manifests degrade to counts with a named reason") {
+    val src = "snap_r12_legacy"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    val base = graft.core.Scratch.path("snap_r12_legacy_base")
+    Snapshot.export(spark, src, base)
+    // rewrite the manifest as a round-10 exporter would have written it
+    def stripFields(dir: String, fields: Seq[String]): Unit = {
+      val f = new java.io.File(s"$dir/_MANIFEST.json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(f)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val tables = root.get("tables")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      (0 until tables.size()).foreach { i =>
+        val e = tables.get(i)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        fields.foreach(e.remove)
+      }
+      mapper.writerWithDefaultPrettyPrinter().writeValue(f, root)
+      // the local fs keeps a CRC sidecar of the original manifest —
+      // the rewrite must shed it or hadoop reads fail on checksum
+      new java.io.File(s"$dir/._MANIFEST.json.crc").delete()
+    }
+    stripFields(base, Seq("checksum", "totalChecksum"))
+    // deep verify degrades THIS chain to counts-only, named, still ok
+    val report = Snapshot.verify(spark, base).collect()
+    assert(report.forall(_.getBoolean(2)), report.mkString("; "))
+    assert(report.forall(_.getString(3).contains("legacy pre-digest")),
+      report.mkString("; "))
+    // a delta anchored on it audits parent history by COUNT (the digest
+    // fence needs a digest to fence against) and still exports
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    val d1 = graft.core.Scratch.path("snap_r12_legacy_d1")
+    assert(Snapshot.export(spark, src, d1,
+      incrementalFrom = Some(base)) > 0L)
+    // ...and a manifest with NO cumulative totals at all (pre-r11)
+    // refuses chaining and shipping loudly, by name
+    stripFields(base, Seq("rowsTotal"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.export(spark, src,
+        graft.core.Scratch.path("snap_r12_legacy_d2"),
+        incrementalFrom = Some(base))
+    }
+    assert(e.getMessage.contains("predates cumulative totals"), e.getMessage)
+    stripFields(d1, Seq("rowsTotal"))
+    val standby = "snap_r12_legacy_s"
+    drop(standby, Seq("", "postings", "meta", "deleted"))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.applyLink(spark, d1, standby,
+        graft.core.Scratch.path(standby), "retrieval")
+    }
+    assert(e2.getMessage.contains("predates cumulative totals"), e2.getMessage)
   }
 }
