@@ -1822,6 +1822,33 @@ object CurationOps {
           val d = graft.core.Scratch.path(s"q232_d$e")
           Snapshot.exportAtCut(spark, primary, "retrieval", d,
             incrementalFrom = Some(parent))
+          if (e == 3) {
+            // round-11 verdict #5: the mid-link READ. Stage the crash
+            // window on the replica — the link's postings DATA lands,
+            // its _meta marker does not — and read through the
+            // committed-cut views: they must serve the LAST SHIPPED
+            // commit boundary exactly, not the torn data-without-marker
+            // mix a raw read would see (postings indexed under an N
+            // that hasn't shifted). applyLink then completes the link
+            // restartably: the pre-landed postings skip on their
+            // stamps, the marker lands, and the views flip to the new
+            // boundary atomically.
+            val before = graft.operators.RetrievalIndex
+              .topK(spark, standby, rankQueries).collect()
+              .map(_.toSeq).toSet
+            spark.read.parquet(s"$d/postings")
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .insertInto(s"${standby}_postings")
+            val (cutS, _) = Snapshot.serveAtCut(spark, standby,
+              "retrieval", "graft_q232_view")
+            require(cutS == 3L, s"q232: expected shipped cut 3, got $cutS")
+            val mid = graft.operators.RetrievalIndex
+              .topK(spark, "graft_q232_view", rankQueries).collect()
+              .map(_.toSeq).toSet
+            require(mid == before,
+              "q232: a mid-link read through serveAtCut must equal the " +
+                "last shipped commit boundary")
+          }
           require(Snapshot.applyLink(spark, d, standby, spath,
             "retrieval") > 0L, s"q232: link $e shipped nothing")
           parent = d
@@ -1834,6 +1861,76 @@ object CurationOps {
           incrementalFrom = Some(parent))
         Snapshot.applyLink(spark, dDel, standby, spath, "retrieval")
         RetrievalIndex.topK(spark, standby, rankQueries)
+      }),
+    // q233: HOT BACKUP of the MARKERLESS family (round-11 verdict #2) —
+    // q229 covered the six marker-ful kinds; the rollup was the last
+    // family whose backups required quiescence (no marker, no committed
+    // cut to read). Its ledger defines a surrogate: every batch is ONE
+    // atomic append of a deterministic aggregate keyed by (key,
+    // batch_id), so committed == landed, the cut is the max visible
+    // stamp, and export proves the slice STABLE (live <= cut count +
+    // digest unchanged across the copy — a mid-landing batch refuses
+    // rather than tears; SnapshotSpec stages the refusal through the
+    // race seam). The row runs the full WAL-shipping composition under
+    // a live IvmStream: 3 epochs with a full + 2 cut-delta exports
+    // interleaved (the last mid-stream), 2 more epochs, disaster,
+    // deep-verify, restore to the cut, and re-delivery FROM the cut
+    // epoch inclusive — its replay appends byte-identical rows that
+    // serve's (key, batch_id) collapse folds, the documented rollup
+    // resume contract. Oracle = the from-scratch aggregate over ALL
+    // five epochs (the whole orders table): "hot-back-up a markerless
+    // family mid-stream, lose the world, restore, keep streaming ==
+    // never crashed", sums exact, cross-engine.
+    GraftQuery("q233_rollup_hot_backup",
+      Some("""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey""".trim),
+      (spark, dir) => {
+        import graft.operators.{IvmRollup, Snapshot}
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val o = Tables(spark, dir).orders
+        val table = "graft_q233_ivm"
+        val path = graft.core.Scratch.path(table)
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        def epoch(e: Int) = o.filter(col("o_orderkey") % 5 === e)
+          .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+            col("o_totalprice").cast(DecimalType(38, 2)).as("dr"))
+        // epoch 0 is the cold start (empty base 0 + delta stamp 1) →
+        // full backup at cut 1
+        graft.streaming.IvmStream.foldEpoch(epoch(0), 0L, table, path)
+        val full = graft.core.Scratch.path("q233_snap_full")
+        val (cut0, _) = Snapshot.exportAtCut(spark, table, "rollup", full)
+        require(cut0 == 1L, s"q233: expected cut 1 after epoch 0, got $cut0")
+        graft.streaming.IvmStream.foldEpoch(epoch(1), 1L, table, path)
+        val d1 = graft.core.Scratch.path("q233_snap_d1")
+        Snapshot.exportAtCut(spark, table, "rollup", d1,
+          incrementalFrom = Some(full))
+        // the hot-backup moment: the stream is live, no quiescence —
+        // the surrogate cut is the ledger's own newest atomic batch
+        graft.streaming.IvmStream.foldEpoch(epoch(2), 2L, table, path)
+        val d2 = graft.core.Scratch.path("q233_snap_d2")
+        val (cut2, _) = Snapshot.exportAtCut(spark, table, "rollup", d2,
+          incrementalFrom = Some(d1))
+        require(cut2 == 3L, s"q233: expected cut 3 mid-stream, got $cut2")
+        // the stream runs on past the backup
+        graft.streaming.IvmStream.foldEpoch(epoch(3), 3L, table, path)
+        graft.streaming.IvmStream.foldEpoch(epoch(4), 4L, table, path)
+        // disaster — deep-verify the chain, restore the cut state
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val audit = Snapshot.verify(spark, d2).filter(!col("ok")).collect()
+        require(audit.isEmpty, s"q233: backup audit flagged ${audit.mkString("; ")}")
+        Snapshot.restore(spark, d2, table,
+          graft.core.Scratch.path(table + "_restored"))
+        // re-delivery FROM the cut epoch (inclusive — the markerless
+        // resume contract): epoch 2's replay collapses byte-identically
+        // on its preserved stamp, epochs 3 and 4 land fresh
+        graft.streaming.IvmStream.foldEpoch(epoch(2), 2L, table, path)
+        graft.streaming.IvmStream.foldEpoch(epoch(3), 3L, table, path)
+        graft.streaming.IvmStream.foldEpoch(epoch(4), 4L, table, path)
+        IvmRollup.serve(spark, table)
+          .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+            col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
       }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the

@@ -358,4 +358,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("serveAtCut views push the cut filter into the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val t = "plan_cut_rix"
+    Seq("postings", "meta", "deleted").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_$s"))
+    graft.operators.RetrievalIndex.build(
+      docs.filter(col("doc_id") % 2 === 0), t, graft.core.Scratch.path(t))
+    graft.operators.RetrievalIndex.extend(
+      docs.filter(col("doc_id") % 2 === 1), t, batchId = 1L)
+    graft.operators.Snapshot.serveAtCut(spark, t, "retrieval", "plan_cut_view")
+    // the committed-cut read must be a SCAN-level slice — the replica's
+    // serve plans through the views are the family's own plans plus one
+    // pushed predicate, not a post-scan filter over the whole log
+    val p = spark.table("plan_cut_view_postings").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThanOrEqual(batch_id,1)"), p)
+  }
 }
