@@ -547,7 +547,8 @@ object Maintenance {
     */
   final case class Family(table: String, kind: String, path: String,
       joinKeys: Seq[String] = Nil, nBuckets: Int = 16,
-      policy: Option[CompactPolicy] = None)
+      policy: Option[CompactPolicy] = None,
+      backup: Option[Snapshot.BackupPolicy] = None)
 
   /** The default sweep identity: unique PER SCHEDULER PROCESS
     * (round-11 advice, medium — a shared literal default like "sweep"
@@ -581,6 +582,14 @@ object Maintenance {
     * compact that outlives its TTL fences at its marker commit; two
     * schedulers sweeping overlapping fleets fail loudly at the first
     * contended family instead of double-compacting it.
+    *
+    * Families carrying a [[graft.operators.Snapshot.BackupPolicy]] also
+    * run their backup autopilot tick ([[graft.operators.Snapshot
+    * .backupTick]]) in the same lease tenure, AFTER the compact — so
+    * the tick that rewrites history is the tick whose backup rolls the
+    * full-backup epoch, and exports never interleave with compacts.
+    * The report's `backup` column records the action per family
+    * ("full" | "delta" | "none" ± "+rebase"/"+prune"; "" = no policy).
     */
   def sweep(spark: SparkSession, families: Seq[Family],
       policy: CompactPolicy, owner: String = null,
@@ -589,14 +598,21 @@ object Maintenance {
     val me = Option(owner).getOrElse(processOwner)
     val report = families.map { f =>
       val generation = acquireLease(spark, f.path, me, leaseTtlMs)
-      val ran = try graft.core.CommitGuard.withGuard(
-        () => requireLeaseHeld(spark, f.path, me, generation))(
-        sweepOne(spark, f, f.policy.getOrElse(policy)))
-      finally releaseTenure(spark, f.path, me, generation)
-      (f.table, f.kind, ran)
+      val (ran, backup) = try graft.core.CommitGuard.withGuard(
+        () => requireLeaseHeld(spark, f.path, me, generation)) {
+        val compacted = sweepOne(spark, f, f.policy.getOrElse(policy))
+        // backup AFTER the compact, same lease tenure: the tick that
+        // rewrites history is the tick whose backup rolls the epoch
+        // (Snapshot.backupTick's delta→full fallback), and the lease
+        // means no out-of-band export can interleave with either
+        val b = f.backup.map(bp =>
+          Snapshot.backupTick(spark, f.table, f.kind, bp)).getOrElse("")
+        (compacted, b)
+      } finally releaseTenure(spark, f.path, me, generation)
+      (f.table, f.kind, ran, backup)
     }
     import spark.implicits._
-    report.toDF("table", "kind", "compacted")
+    report.toDF("table", "kind", "compacted", "backup")
   }
 
   private def sweepOne(spark: SparkSession, f: Family,

@@ -490,8 +490,21 @@ object Snapshot {
   def exportAtCut(spark: SparkSession, table: String, kind: String,
       dest: String, incrementalFrom: Option[String] = None,
       auditParent: Boolean = true): (Long, Long) = {
+    val cut = committedCut(spark, table, kind)
+    (cut, export(spark, table, dest, incrementalFrom, cut = Some(cut),
+      auditParent = auditParent, kind = Some(kind)))
+  }
+
+  /** The family's max committed stamp — the cut [[exportAtCut]] slices
+    * at: the marker's max for marker-ful kinds, the markerless rollup's
+    * surrogate (max visible stamp; committed == atomically landed
+    * there, and [[export]] proves the slice stable). One bounded
+    * collect ∝ batches.
+    */
+  def committedCut(spark: SparkSession, table: String,
+      kind: String): Long = {
     val (markerOpt, _) = Maintenance.familyTables(table, kind)
-    val cut = markerOpt match {
+    markerOpt match {
       case Some(marker) =>
         val committed = spark.table(marker).select("batch_id").distinct()
           .collect().map(_.getLong(0))
@@ -509,8 +522,6 @@ object Snapshot {
             "consistent to cut at (crashed build?)")
         stamps.max
     }
-    (cut, export(spark, table, dest, incrementalFrom, cut = Some(cut),
-      auditParent = auditParent, kind = Some(kind)))
   }
 
   /** The snapshot chain base-first, parent pointers followed; refuses
@@ -725,6 +736,138 @@ object Snapshot {
       fsFor(spark, p).delete(p, true)
       d
     }
+  }
+
+  /** SYNTHETIC FULL BACKUP (chain rebase): squash a delta chain into a
+    * NEW full snapshot equivalent to its head's cut state — built
+    * entirely from the backup directories, never touching the primary.
+    * The scale problem this verb owns: between compacts a family's
+    * chain grows one link per backup tick, and [[restore]]/standby
+    * re-seeds pay O(chain links); nightly full [[export]]s would bound
+    * that but re-read the PRIMARY's whole history every night (the
+    * exact cost deltas exist to avoid). Rebase pays the chain's bytes
+    * once, off to the side: each stamped table lands as the union of
+    * every link's slice (one multi-path parquet read per table — the
+    * chain is append-only between compacts, so the union IS the cut
+    * state), unstamped frontiers take the newest link's copy, and the
+    * result is a parent-less snapshot whose manifest records the same
+    * cumulative stamps/cut the head recorded, plus `rebaseOf` for
+    * provenance.
+    *
+    * INTEGRITY is arithmetic, not trust: the chain's per-link manifests
+    * carry additive content digests, so the head's cumulative
+    * `totalChecksum`/`rowsTotal` PREDICT what the squashed bytes must
+    * digest to — rebase re-digests what actually landed at `dest` and
+    * refuses on any mismatch (a torn union, a link modified since
+    * export, schema drift coercing columns to null). The chain is also
+    * gated by [[verify]] up front (deep by default, matching [[prune]]'s
+    * trust-before-replace discipline — rebase exists to make the old
+    * chain prunable, so it must not launder a damaged link into a
+    * clean-looking full). Per-suffix schemas must agree across links
+    * (refused loudly otherwise), and the landed stamp set must equal
+    * the head's recorded cumulative stamps.
+    *
+    * The new lineage composes with every chain verb: a later
+    * [[export]] anchors `incrementalFrom = rebased` (the cumulative
+    * totals and stamps are the head's, so the parent audit holds), a
+    * standby seeds from it with [[restore]] and follows with
+    * [[applyLink]], and [[prune]] retires the old chain against it
+    * (q234 drives the full retention cycle). 100 TB judgment: one
+    * distributed columnar copy ∝ chain bytes + one digest aggregate per
+    * table — no primary I/O, no catalog churn, driver work ∝ links ×
+    * tables. Returns rows written into the rebased snapshot.
+    */
+  def rebase(spark: SparkSession, head: String, dest: String,
+      deep: Boolean = true): Long = {
+    val chain = chainOf(spark, head)
+    require(chain.size > 1,
+      s"Snapshot.rebase: $head is already a full snapshot — nothing to " +
+        "squash; use the directory itself")
+    val bad = verify(spark, head, deep).filter(!col("ok")).collect()
+    require(bad.isEmpty,
+      s"Snapshot.rebase: chain under $head failed verification — " +
+        s"refusing to squash a damaged chain: ${bad.mkString("; ")}")
+    val (_, headM) = chain.last
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$dest/$ManifestName")
+    val fs = fsFor(spark, manifestPath)
+    fs.delete(manifestPath, false) // stale-manifest fence, as in export
+    // per-suffix slice dirs base-first, with schema drift refused (a
+    // drifted link read under the head's schema would coerce to nulls —
+    // the digest would catch it, but the refusal should name the cause)
+    val dirsOf = scala.collection.mutable.Map.empty[String, List[String]]
+    val schemaOf = scala.collection.mutable.Map.empty[String, String]
+    chain.foreach { case (d, m) =>
+      jsonSeq(m.get("tables")).foreach { e =>
+        val suffix = e.get("suffix").asText()
+        val sj = e.get("schema").asText()
+        schemaOf.get(suffix).foreach(s0 => require(s0 == sj,
+          s"Snapshot.rebase: $suffix changed schema mid-chain at $d — " +
+            "rebase cannot union drifted slices"))
+        schemaOf(suffix) = sj
+        dirsOf(suffix) = dirsOf.getOrElse(suffix, Nil) :+ s"$d/$suffix"
+      }
+    }
+    val entries = jsonSeq(headM.get("tables")).map { e =>
+      val name = e.get("name").asText()
+      val suffix = e.get("suffix").asText()
+      val schema = DataType.fromJson(e.get("schema").asText())
+        .asInstanceOf[StructType]
+      val stamped = schema.fieldNames.contains("batch_id")
+      val dirs = dirsOf(suffix)
+      val src =
+        if (stamped) spark.read.schema(schema).parquet(dirs: _*)
+        else spark.read.schema(schema).parquet(dirs.last) // newest frontier
+      src.write.mode(SaveMode.Overwrite).parquet(s"$dest/$suffix")
+      val landedDf = spark.read.schema(schema).parquet(s"$dest/$suffix")
+      val (written, sum) = Integrity.contentDigest(landedDf)
+      // the chain's digest arithmetic, checked against the squashed
+      // bytes: cumulative totals were computed additively link by link,
+      // so they must equal one honest digest of the union
+      val expectedRows = e.get("rowsTotal").asLong()
+      val expectedSum = optLong(e, "totalChecksum")
+      require(written == expectedRows && expectedSum.forall(_ == sum),
+        s"Snapshot.rebase: $name squashed to $written rows / digest " +
+          s"$sum, the head manifest's cumulative cut state says " +
+          s"$expectedRows / ${expectedSum.getOrElse(sum)} — the chain " +
+          s"under ${chain.head._1} does not reassemble; take a fresh " +
+          "full export from the primary")
+      val recordedStamps = jsonSeq(e.get("stamps")).map(_.asLong()).sorted
+      if (stamped) {
+        val landedStamps = landedDf.select("batch_id").distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        require(landedStamps == recordedStamps,
+          s"Snapshot.rebase: $name's squashed stamps $landedStamps != " +
+            s"head's recorded cumulative stamps $recordedStamps")
+      }
+      Map[String, Any](
+        "name" -> name, "suffix" -> suffix,
+        "schema" -> e.get("schema").asText(),
+        "bucketCols" -> jsonSeq(e.get("bucketCols")).map(_.asText()),
+        "nBuckets" -> e.get("nBuckets").asInt(),
+        "stamps" -> recordedStamps,
+        "rows" -> written, "checksum" -> sum,
+        "rowsTotal" -> written,
+        "totalChecksum" -> expectedSum.map(_ => Long.box(sum)).orNull)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    val payload = Map[String, Any](
+      "table" -> headM.get("table").asText(),
+      "kind" -> Option(headM.get("kind")).filterNot(_.isNull)
+        .map(_.asText()).orNull,
+      "excluded" -> Nil.asJava,
+      "parent" -> null,
+      "cut" -> optLong(headM, "cut").map(Long.box).orNull,
+      "rebaseOf" -> head, // provenance only; chain verbs ignore it
+      "tables" -> entries.map(e => e.map {
+        case (k, v: Seq[_]) => k -> v.asJava
+        case kv => kv
+      }.asJava).asJava).asJava
+    val bytes = mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(payload)
+    val out = fs.create(manifestPath, true) // manifest LAST = the commit
+    try out.write(bytes) finally out.close()
+    entries.map(_("rows").asInstanceOf[Long]).sum
   }
 
   /** WARM STANDBY (log shipping): apply ONE delta-snapshot link to an
@@ -984,5 +1127,366 @@ object Snapshot {
       df.createOrReplaceTempView(viewName)
       viewName
     }.toSeq
+  }
+
+  /** Schedule knobs for the backup AUTOPILOT ([[backupTick]]): the
+    * family's lineage lives under `root/<table>/`, a new cut delta is
+    * taken once `everyBatches` commits have landed since the head link,
+    * and the lineage rebases to a synthetic full once it exceeds
+    * `rebaseAfterLinks` links (bounding restore cost; superseded
+    * lineages then prune after the kept chain deep-verifies).
+    * `deep = false` degrades the parent audit / rebase gate / prune
+    * gate to counts when nightly digest rescans are the wrong price.
+    */
+  final case class BackupPolicy(root: String, everyBatches: Long = 4L,
+      rebaseAfterLinks: Int = 8, deep: Boolean = true) {
+    require(everyBatches >= 1L && rebaseAfterLinks >= 1,
+      s"degenerate backup policy: everyBatches=$everyBatches " +
+        s"rebaseAfterLinks=$rebaseAfterLinks (both must be >= 1 — a " +
+        "1-link chain is already a full and cannot rebase)")
+  }
+
+  /** Autopilot dir names carry a monotonic SEQUENCE number
+    * (`b<seq>_<full|link|rebase>_<cut>`): discovery orders by seq, NOT
+    * by cut, because a compact renumbers stamps and the cut can go
+    * BACKWARD across an epoch roll — max-cut discovery would resurrect
+    * the pre-compact head.
+    */
+  private def backupSeq(dir: String): Long = {
+    val name = new org.apache.hadoop.fs.Path(dir).getName
+    require(name.startsWith("b") && name.contains("_"),
+      s"Snapshot: '$name' under an autopilot root is not an autopilot " +
+        "dir (b<seq>_<full|link|rebase>_<cut>) — the root must be " +
+        "autopilot-owned")
+    name.drop(1).takeWhile(_.isDigit).toLong
+  }
+
+  /** The lineage head under an autopilot family root — the directory an
+    * operator restores from: the manifest-bearing dir with the highest
+    * sequence number (crashed exports have no manifest and are
+    * invisible). None when no backup has ever committed.
+    */
+  def latestBackup(spark: SparkSession, famRoot: String): Option[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(famRoot)
+    val fs = fsFor(spark, rootPath)
+    if (!fs.exists(rootPath)) return None
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, ManifestName)))
+      .map(_.toString).sortBy(backupSeq).lastOption
+  }
+
+  /** BACKUP AUTOPILOT — one scheduler tick of the whole backup
+    * lifecycle for one family, composed from the tier's own verbs so
+    * every fence they carry applies unchanged. What a tick does, in
+    * order:
+    *
+    *  1. GC crashed exports: a manifest-less dir under the family root
+    *     is a dead half-write (manifest-last is the commit) — deleted.
+    *     The root is autopilot-OWNED and the tick runs under the
+    *     family's compact lease (see below), so nothing live writes
+    *     there concurrently.
+    *  2. Take the due backup at the family's committed cut
+    *     ([[committedCut]] — live streams tolerated by construction):
+    *     a FULL (`b<seq>_full_<cut>`) when the root is empty, a cut
+    *     DELTA (`b<seq>_link_<cut>`) anchored on the lineage head once
+    *     `everyBatches` commits have landed since it, nothing
+    *     otherwise. COMPACTS roll the epoch automatically — the
+    *     documented "every compact starts a new full-backup epoch"
+    *     contract, enforced by schedule rather than operator memory —
+    *     through both of the shapes a compact takes: a cut BELOW the
+    *     head's (stamps renumbered) rolls immediately, and a delta
+    *     whose parent audit refuses (history rewritten under an
+    *     unchanged max stamp) falls back to a fresh FULL. The sweep
+    *     compacts and backs up in the same lease tenure, compact
+    *     first, so the epoch roll lands the same tick the compact
+    *     does. Lineage dirs are ordered by the monotonic `b<seq>`
+    *     prefix, not by cut — see [[latestBackup]].
+    *  3. Rebase when the lineage exceeds `rebaseAfterLinks` links
+    *     ([[rebase]] → `b<seq>_rebase_<cut>`): restore cost back to
+    *     one link, chain bytes only, zero primary I/O.
+    *  4. Retention: every manifest-bearing dir OUTSIDE the kept chain —
+    *     superseded lineages after a rebase or an epoch roll — prunes
+    *     through [[prune]], which deep-verifies the kept chain first
+    *     (never delete the only good backup).
+    *
+    * Call it inside [[Maintenance.withLease]] — or let
+    * [[Maintenance.sweep]] drive it via [[Maintenance.Family]]'s
+    * `backup` policy, which brackets probe + compact + backup under one
+    * lease tenure per family. Idempotent: a second tick right after
+    * settles to "none". Returns the action taken
+    * ("full" | "delta" | "none", with "+rebase" / "+prune" suffixes).
+    *
+    * 100 TB judgment: the tick's own work is bounded discovery (one
+    * directory listing + one manifest read per lineage dir + one marker
+    * collect); the heavy lifting is the verbs it schedules, each with
+    * the cost argued at its own doc — delta ∝ new batches, rebase ∝
+    * chain bytes, prune ∝ verify + metadata deletes.
+    */
+  def backupTick(spark: SparkSession, table: String, kind: String,
+      bp: BackupPolicy): String = {
+    val famRoot = s"${bp.root}/${table.toLowerCase}"
+    val rootPath = new org.apache.hadoop.fs.Path(famRoot)
+    val fs = fsFor(spark, rootPath)
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      fs.makeQualified(p).toString
+    }
+    def liveDirs(): Seq[String] =
+      if (!fs.exists(rootPath)) Nil
+      else fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, ManifestName)))
+        .map(_.toString).toSeq
+    // 1. crashed exports (dir, no manifest): dead half-writes — GC
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p, ManifestName)))
+        .foreach(p => fs.delete(p, true))
+    val cut = committedCut(spark, table, kind)
+    var head = latestBackup(spark, famRoot)
+    var seq = head.map(backupSeq).getOrElse(0L)
+    def nextDir(what: String) = { seq += 1; s"$famRoot/b${seq}_${what}_$cut" }
+    var action = "none"
+    head match {
+      case None =>
+        val dest = nextDir("full")
+        export(spark, table, dest, cut = Some(cut), kind = Some(kind))
+        head = Some(dest); action = "full"
+      case Some(hd) =>
+        val headCut = optLong(readManifest(spark, hd), "cut").getOrElse(-1L)
+        if (cut < headCut) {
+          // the cut went BACKWARD: a compact renumbered the ledger's
+          // stamps since the head link — the lineage cannot continue;
+          // roll the epoch with a fresh FULL at the new numbering
+          val dest = nextDir("full")
+          export(spark, table, dest, cut = Some(cut), kind = Some(kind))
+          head = Some(dest); action = "full"
+        } else if (cut - headCut >= bp.everyBatches) {
+          try {
+            val dest = nextDir("link")
+            export(spark, table, dest, incrementalFrom = Some(hd),
+              cut = Some(cut), auditParent = bp.deep, kind = Some(kind))
+            head = Some(dest); action = "delta"
+          } catch {
+            case _: IllegalArgumentException =>
+              // the parent audit refused (a compact rewrote backed-up
+              // history under an unchanged max stamp) — the refused
+              // export committed no manifest, so roll the epoch: a
+              // fresh FULL, and the old lineage becomes step-4 garbage
+              val dest = nextDir("full")
+              export(spark, table, dest, cut = Some(cut), kind = Some(kind))
+              head = Some(dest); action = "full"
+          }
+        }
+    }
+    // 3. bound restore cost: long lineages rebase to a synthetic full
+    head.foreach { hd =>
+      val links = chainDirs(spark, hd)
+      if (links.size > bp.rebaseAfterLinks) {
+        val dest = nextDir("rebase")
+        rebase(spark, hd, dest, bp.deep)
+        head = Some(dest)
+        action = if (action == "none") "rebase" else s"$action+rebase"
+      }
+    }
+    // 4. retention: anything outside the kept chain is a superseded
+    // lineage (or epoch-roll residue) — prune after the keep verifies
+    head.foreach { hd =>
+      val keep = chainDirs(spark, hd).map(qualified).toSet
+      val garbage = liveDirs().filterNot(d => keep.contains(qualified(d)))
+      if (garbage.nonEmpty) {
+        prune(spark, hd, garbage, bp.deep)
+        action = s"$action+prune"
+      }
+    }
+    action
+  }
+
+  /** STANDBY FOLLOWER over an autopilot lineage — the consumer side of
+    * [[backupTick]]: one follower tick discovers the lineage head under
+    * `famRoot`, seeds the replica with [[restore]] when it does not
+    * exist yet, and otherwise ships every lineage link PAST the
+    * replica's committed cut through [[applyLink]] — so a warm standby
+    * follows a scheduled-backup primary with no coordination beyond the
+    * shared backup root. Every fence is the shipped verbs' own: the
+    * stamp ledger orders links, landed counts verify per link, and the
+    * replica's readers stay commit-consistent through [[serveAtCut]].
+    *
+    * REBASES ride through transparently when the follower is CURRENT:
+    * the synthetic full records the same cumulative stamps and cut as
+    * the head it squashed, so `pending` is empty and later links anchor
+    * exactly as before. A follower that LAGS a rebase (or any epoch
+    * roll — a compact renumbering the primary's stamps) cannot ship
+    * per-link across it: the links it needed were pruned, or the stamp
+    * spaces no longer align — applyLink's ledger fence refuses, and
+    * this verb routes the refusal into reseed advice. `reseed = true`
+    * drops the replica and restores the head instead (the WAL-shipping
+    * contract: followers cross epoch rolls by re-seeding). Schedule
+    * follower ticks at least as often as backup ticks to stay in the
+    * per-link regime.
+    *
+    * Returns "seed" | "current" | "applied=<n links>" | "reseed".
+    * 100 TB judgment: discovery is one listing + one manifest read per
+    * lineage dir; shipping cost is [[applyLink]]'s — ∝ the links' rows,
+    * never a re-restore, except across epoch rolls where a re-seed is
+    * the correct (and refused-by-default) price.
+    */
+  def followLineage(spark: SparkSession, famRoot: String, table: String,
+      path: String, kind: String, reseed: Boolean = false): String = {
+    val head = latestBackup(spark, famRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"Snapshot.followLineage: no committed lineage under $famRoot"))
+    val t = table.toLowerCase
+    val names = snapshotSuffixes(kind)
+      .map(s => if (s == "base") t else s"${t}_$s")
+    def dropReplica(): Unit = names.filter(spark.catalog.tableExists)
+      .foreach(n => spark.sql(s"DROP TABLE $n"))
+    if (!names.exists(spark.catalog.tableExists)) {
+      restore(spark, head, t, path)
+      return "seed"
+    }
+    val replicaCut = committedCut(spark, t, kind)
+    val pending = chainOf(spark, head).filter { case (_, m) =>
+      optLong(m, "cut").getOrElse(-1L) > replicaCut
+    }
+    if (pending.isEmpty) return "current"
+    try {
+      pending.foreach { case (d, _) => applyLink(spark, d, t, path, kind) }
+      s"applied=${pending.size}"
+    } catch {
+      case e: IllegalArgumentException if !reseed =>
+        throw new IllegalArgumentException(
+          s"Snapshot.followLineage: replica $t cannot follow the " +
+            s"lineage under $famRoot per-link — it lagged a rebase " +
+            "(the links it needed were pruned) or the lineage rolled " +
+            "its full-backup epoch (a compact renumbered stamps): " +
+            s"${e.getMessage}. Pass reseed = true to drop the replica " +
+            "and restore the head", e)
+      case _: IllegalArgumentException =>
+        dropReplica()
+        restore(spark, head, t, path)
+        "reseed"
+    }
+  }
+
+  private val FleetManifestName = "_FLEET.json"
+
+  /** FLEET-CONSISTENT CUT EXPORT: one committed cut across SEVERAL
+    * families derived from the same upstream stream — the backup a real
+    * pipeline needs, because a 100 TB corpus never feeds one index: the
+    * same document epochs fan out to a retrieval index, an LSH dedup
+    * index, rollup aggregates… and restoring each family at its OWN
+    * max committed stamp reassembles a fleet whose members disagree
+    * about which upstream epochs happened (family A restored through
+    * epoch 5, family B through epoch 4 — cross-family joins serve a
+    * moment that never existed). This verb exports every member at ONE
+    * cut: the MINIMUM of the members' committed cuts, so each member's
+    * slice is a committed prefix it provably holds (slices of
+    * append-only stamped logs at a fixed stamp are stable even under
+    * live streams — a member racing ahead mid-export cannot move rows
+    * below the cut).
+    *
+    * ALIGNED-STAMPING CONTRACT (the caller's side): fleet consistency
+    * is only as meaningful as the members' stamp spaces — the house
+    * streams stamp batch `epochId + 1` uniformly
+    * ([[graft.streaming.RetrievalStream]], [[graft.streaming.IvmStream]]
+    * …), so "stamp s" names the same upstream epoch in every member and
+    * the min-cut IS an upstream moment. Members stamped on independent
+    * clocks have no shared cut to take; don't fleet them.
+    *
+    * Layout: each member exports under `destRoot/<table>/` (the member
+    * dirs are ordinary snapshots — every chain verb works on them
+    * individually), and `_FLEET.json` records {cut, members} LAST — the
+    * fleet-level marker-last move, so a crashed fleet export leaves
+    * member manifests but no fleet manifest and [[restoreFleet]]
+    * refuses it whole rather than restoring a partial fleet.
+    * `incrementalFrom` chains fleets: each member anchors on the parent
+    * fleet's member dir (same audit fences as any delta), and the
+    * member set must match the parent's exactly — a family added or
+    * dropped mid-chain is refused, not silently forked.
+    *
+    * @return (fleet cut, rows written across all member directories)
+    */
+  def exportFleetAtCut(spark: SparkSession, families: Seq[(String, String)],
+      destRoot: String, incrementalFrom: Option[String] = None,
+      auditParent: Boolean = true): (Long, Long) = {
+    require(families.nonEmpty, "Snapshot.exportFleetAtCut: empty fleet")
+    val tables = families.map(_._1.toLowerCase)
+    require(tables.distinct == tables,
+      s"Snapshot.exportFleetAtCut: duplicate member tables in $tables")
+    val parent = incrementalFrom.map { pd =>
+      val m = readFleetManifest(spark, pd)
+      val parentMembers = jsonSeq(m.get("members"))
+        .map(e => e.get("table").asText()).sorted
+      require(parentMembers == tables.sorted,
+        s"Snapshot.exportFleetAtCut: member set ${tables.sorted} does " +
+          s"not match the parent fleet's $parentMembers under $pd — " +
+          "fleets chain with a fixed membership; start a new fleet")
+      pd
+    }
+    val cut = families.map { case (t, k) => committedCut(spark, t, k) }.min
+    val fleetPath = new org.apache.hadoop.fs.Path(
+      s"$destRoot/$FleetManifestName")
+    val fs = fsFor(spark, fleetPath)
+    fs.delete(fleetPath, false) // stale fleet manifest must not vouch
+    var rows = 0L
+    families.foreach { case (t, k) =>
+      val tl = t.toLowerCase
+      rows += export(spark, tl, s"$destRoot/$tl",
+        incrementalFrom = parent.map(pd => s"$pd/$tl"),
+        cut = Some(cut), auditParent = auditParent, kind = Some(k))
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    val payload = Map[String, Any](
+      "cut" -> cut,
+      "parent" -> parent.orNull,
+      "members" -> families.map { case (t, k) =>
+        Map("table" -> t.toLowerCase, "kind" -> k).asJava
+      }.asJava).asJava
+    val bytes = mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(payload)
+    val out = fs.create(fleetPath, true) // fleet manifest LAST
+    try out.write(bytes) finally out.close()
+    (cut, rows)
+  }
+
+  private def readFleetManifest(spark: SparkSession, destRoot: String):
+      com.fasterxml.jackson.databind.JsonNode = {
+    val p = new org.apache.hadoop.fs.Path(s"$destRoot/$FleetManifestName")
+    val fs = fsFor(spark, p)
+    require(fs.exists(p),
+      s"Snapshot: no $FleetManifestName under $destRoot — not a fleet " +
+        "snapshot (or a crashed fleet export; re-export it)")
+    val in = fs.open(p)
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+  }
+
+  /** Restore EVERY member of a fleet snapshot — each through its own
+    * member chain ([[restore]] semantics per member: full base + delta
+    * appends, counts verified per link), named by `rename(table)` and
+    * pathed under `newPathRoot/<new name>/`. All-or-refuse up front:
+    * the occupied-target check runs across ALL members before any
+    * restores, so a half-named fleet never half-lands. Returns
+    * (cut, member table → restored name). The restored members hold the
+    * SAME upstream cut by construction — resume the shared stream from
+    * `cut + 1` (the markerless rollup: from the cut epoch, replays
+    * collapse) and every member re-delivers in lockstep (q235 drives
+    * the composition end to end).
+    */
+  def restoreFleet(spark: SparkSession, destRoot: String,
+      rename: String => String, newPathRoot: String): (Long, Map[String, String]) = {
+    val m = readFleetManifest(spark, destRoot)
+    val members = jsonSeq(m.get("members")).map(e => e.get("table").asText())
+    members.foreach { t =>
+      val nt = rename(t)
+      require(nt.nonEmpty && nt.toLowerCase != t,
+        s"Snapshot.restoreFleet: rename($t) = '$nt' — restores never " +
+          "overwrite the source family; pick a new name")
+    }
+    members.foreach { t =>
+      restore(spark, s"$destRoot/$t", rename(t), s"$newPathRoot/${rename(t)}")
+    }
+    (m.get("cut").asLong(), members.map(t => t -> rename(t)).toMap)
   }
 }

@@ -1932,6 +1932,334 @@ object CurationOps {
           .select(col("key").as("o_custkey"), col("n").as("n_orders"),
             col("total").cast(DoubleType).as("revenue")) // Num.dsum rule
       }),
+    // q234: CHAIN REBASE (synthetic full backup) — between compacts a
+    // family's backup chain grows one delta per tick, and every restore
+    // or standby re-seed pays O(links); a nightly full export would
+    // bound that but re-reads the PRIMARY's whole history (the exact
+    // cost deltas exist to avoid). Snapshot.rebase squashes the chain
+    // into a parent-less full OFF TO THE SIDE — chain bytes only, zero
+    // primary I/O — and its integrity is arithmetic, not trust: the
+    // head's additive cumulative digests PREDICT what the squashed
+    // bytes must hash to, and rebase refuses any mismatch. The row
+    // drives the full retention cycle: 3-link chain → rebase →
+    // restore-equivalence at the serve surface (chain restore ==
+    // rebased restore, ranked rows identical) → the lineage CONTINUES
+    // from the synthetic full (next cut delta anchors on it, parent
+    // audit and all) → prune retires the old chain against the new
+    // lineage → disaster → restore + re-delivery through the writer
+    // fence. Oracle = whole-corpus ranking: a lineage that passed
+    // through a rebase serves exactly like a from-scratch index.
+    GraftQuery("q234_chain_rebase", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{RetrievalIndex, Snapshot}
+        import graft.streaming.RetrievalStream
+        val docs = Tables(spark, dir).documents
+        val table = "graft_q234_rix"
+        val path = graft.core.Scratch.path(table)
+        Seq(table, s"${table}_a", s"${table}_b").foreach(t =>
+          Seq("postings", "meta", "deleted").foreach(s =>
+            spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
+        def slice(e: Long) = docs.filter(col("doc_id") % 5 === e)
+        RetrievalStream.foldEpoch(slice(0), 0L, table, path)
+        val full = graft.core.Scratch.path("q234_full")
+        Snapshot.exportAtCut(spark, table, "retrieval", full)
+        RetrievalStream.foldEpoch(slice(1), 1L, table, path)
+        val d1 = graft.core.Scratch.path("q234_d1")
+        Snapshot.exportAtCut(spark, table, "retrieval", d1,
+          incrementalFrom = Some(full))
+        RetrievalStream.foldEpoch(slice(2), 2L, table, path)
+        val d2 = graft.core.Scratch.path("q234_d2")
+        Snapshot.exportAtCut(spark, table, "retrieval", d2,
+          incrementalFrom = Some(d1))
+        // three links deep — squash to a synthetic full, off to the side
+        val rb = graft.core.Scratch.path("q234_rebase")
+        Snapshot.rebase(spark, d2, rb)
+        // equivalence at the serve surface: restoring the 3-link chain
+        // and the 1-link rebase must rank identically
+        Snapshot.restore(spark, d2, s"${table}_a",
+          graft.core.Scratch.path(s"${table}_a"))
+        Snapshot.restore(spark, rb, s"${table}_b",
+          graft.core.Scratch.path(s"${table}_b"))
+        val a = RetrievalIndex.topK(spark, s"${table}_a", rankQueries)
+          .collect().map(_.toSeq).toSet
+        val b = RetrievalIndex.topK(spark, s"${table}_b", rankQueries)
+          .collect().map(_.toSeq).toSet
+        require(a == b && a.nonEmpty,
+          "q234: rebased restore diverged from the chain restore")
+        // the lineage continues FROM the rebase: epoch 3 folds on the
+        // primary, the next cut delta anchors on the synthetic full
+        // (the parent audit holds — cumulative totals are the head's)
+        RetrievalStream.foldEpoch(slice(3), 3L, table, path)
+        val d3 = graft.core.Scratch.path("q234_d3")
+        Snapshot.exportAtCut(spark, table, "retrieval", d3,
+          incrementalFrom = Some(rb))
+        // retention: the old chain retires against the NEW lineage —
+        // prune deep-verifies [rebase, d3] before deleting anything
+        val removed = Snapshot.prune(spark, d3, Snapshot.chainDirs(spark, d2))
+        require(removed.size == 3,
+          s"q234: expected the 3 old links pruned, got $removed")
+        // disaster — restore the rebased lineage (epochs 0..3), then the
+        // stream re-delivers epoch 4 as stamp cut + 1 through the fence
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+        Snapshot.restore(spark, d3, table,
+          graft.core.Scratch.path(table + "_restored"))
+        RetrievalStream.foldEpoch(slice(4), 4L, table, path)
+        RetrievalIndex.topK(spark, table, rankQueries)
+      }),
+    // q235: FLEET-CONSISTENT SNAPSHOT — a corpus never feeds one index:
+    // the same document epochs fan out to a retrieval index AND a
+    // rollup aggregate here, and restoring each family at its OWN max
+    // committed stamp reassembles a fleet whose members disagree about
+    // which upstream epochs happened. exportFleetAtCut takes ONE cut —
+    // the minimum of the members' committed cuts, an actual upstream
+    // moment under the house epochId+1 stamping — and the row stages
+    // exactly the skew that makes it necessary: retrieval has committed
+    // epoch 2 while the rollup lags at epoch 1, so the fleet cut is the
+    // LAGGING member's. Disaster destroys both; restoreFleet lands both
+    // at the same cut (refusing half-fleets — the fleet manifest is
+    // written last), and the CROSS-FAMILY assert is the point: two
+    // independent derivations of the same upstream agree on corpus
+    // cardinality at the cut (retrieval's summed marker n_docs == the
+    // rollup's total n). The shared stream then re-delivers epochs 2..3
+    // to both members in lockstep through their writer fences. Oracle =
+    // the from-scratch aggregate over ALL docs: "lose the fleet,
+    // restore at one moment, keep streaming == never crashed".
+    GraftQuery("q235_fleet_snapshot",
+      Some("""
+        SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1""".trim),
+      (spark, dir) => {
+        import graft.operators.{IvmRollup, Snapshot}
+        import graft.streaming.{IvmStream, RetrievalStream}
+        import org.apache.spark.sql.functions.{length, lit, sum}
+        import org.apache.spark.sql.types.{DecimalType, LongType}
+        val docs = Tables(spark, dir).documents
+        val rix = "graft_q235_rix"; val roll = "graft_q235_ivm"
+        Seq(rix, s"${rix}_r").foreach(t =>
+          Seq("postings", "meta", "deleted").foreach(s =>
+            spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
+        Seq(roll, s"${roll}_r").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t"))
+        val rixPath = graft.core.Scratch.path(rix)
+        val rollPath = graft.core.Scratch.path(roll)
+        def dslice(e: Long) = docs.filter(col("doc_id") % 4 === e)
+        def change(e: Long) = dslice(e).select(
+          (col("doc_id") % 10).as("key"), lit(1L).as("dn"),
+          length(col("text")).cast(DecimalType(38, 2)).as("dr"))
+        // the same upstream epochs fan out to both families
+        Seq(0L, 1L).foreach { e =>
+          RetrievalStream.foldEpoch(dslice(e), e, rix, rixPath)
+          IvmStream.foldEpoch(change(e), e, roll, rollPath)
+        }
+        // the skew moment: retrieval commits epoch 2, the rollup lags
+        RetrievalStream.foldEpoch(dslice(2), 2L, rix, rixPath)
+        val fleet = graft.core.Scratch.path("q235_fleet")
+        val (cut, _) = Snapshot.exportFleetAtCut(spark,
+          Seq(rix -> "retrieval", roll -> "rollup"), fleet)
+        require(cut == 2L,
+          s"q235: the fleet cut should be the lagging member's 2, got $cut")
+        // the rollup catches up, both fold epoch 3 — then the disaster
+        IvmStream.foldEpoch(change(2), 2L, roll, rollPath)
+        RetrievalStream.foldEpoch(dslice(3), 3L, rix, rixPath)
+        IvmStream.foldEpoch(change(3), 3L, roll, rollPath)
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${rix}_$s"))
+        spark.sql(s"DROP TABLE IF EXISTS $roll")
+        val (rcut, renamed) = Snapshot.restoreFleet(spark, fleet,
+          t => t + "_r", graft.core.Scratch.path("q235_restored"))
+        require(rcut == 2L, s"q235: restored fleet cut $rcut, expected 2")
+        // CROSS-FAMILY consistency at the restored cut: both members
+        // describe the same upstream prefix (epochs 0..1)
+        val metaN = spark.table(s"${renamed(rix)}_meta")
+          .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+        val rollN = IvmRollup.serve(spark, renamed(roll))
+          .agg(sum(col("n"))).collect()(0).getLong(0)
+        require(metaN == rollN && metaN > 0,
+          s"q235: restored members disagree about the cut's corpus — " +
+            s"retrieval N $metaN vs rollup N $rollN")
+        // the shared stream re-delivers epochs 2..3 to BOTH members in
+        // lockstep (stamp cut + 1 first — each writer fence accepts)
+        Seq(2L, 3L).foreach { e =>
+          RetrievalStream.foldEpoch(dslice(e), e, renamed(rix),
+            graft.core.Scratch.path(renamed(rix) + "_live"))
+          IvmStream.foldEpoch(change(e), e, renamed(roll),
+            graft.core.Scratch.path(renamed(roll) + "_live"))
+        }
+        IvmRollup.serve(spark, renamed(roll)).select(
+          col("key").as("bucket"), col("n").as("n_docs"),
+          col("total").cast(LongType).as("n_chars"))
+      }),
+    // q236: BACKUP AUTOPILOT — the round's snapshot verbs, scheduled:
+    // q229-q235 drove each verb by hand; a real deployment runs a
+    // scheduler tick, and this row drives the WHOLE lifecycle through
+    // Maintenance.sweep carrying a BackupPolicy. One family, seven
+    // ticks: first tick takes the full; an idle tick settles to none
+    // (idempotence); each committed epoch takes a cut delta; the third
+    // link trips the rebase threshold (synthetic full + retention prune
+    // of the superseded lineage, deep-verified first); a HUNGRY tick
+    // compacts the family and the SAME tenure's backup rolls the
+    // full-backup epoch automatically (the delta's parent audit refuses
+    // against rewritten history — or the cut goes backward — and the
+    // autopilot answers with a fresh full instead of a stale lineage);
+    // post-roll the lineage continues with deltas. Then the disaster:
+    // the family vanishes, the runbook is ONE discovery (latestBackup
+    // on the autopilot root) + one restore + re-delivery through the
+    // writer fence. Oracle = whole-corpus ranking: an index that lived
+    // through scheduled backups, a rebase, a compact-triggered epoch
+    // roll, and a restore serves exactly like a from-scratch build.
+    GraftQuery("q236_backup_autopilot", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{Maintenance, RetrievalIndex, Snapshot}
+        import graft.operators.Maintenance.{CompactPolicy, Family}
+        import graft.streaming.RetrievalStream
+        val docs = Tables(spark, dir).documents
+        val rix = "graft_q236_rix"
+        val path = graft.core.Scratch.path(rix)
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${rix}_$s"))
+        val broot = graft.core.Scratch.path("q236_backups")
+        val rp = new org.apache.hadoop.fs.Path(broot)
+        rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(rp, true) // fresh autopilot root per run
+        val bp = Snapshot.BackupPolicy(broot, everyBatches = 1L,
+          rebaseAfterLinks = 2)
+        def tick(cp: CompactPolicy): String = Maintenance.sweep(spark,
+          Seq(Family(rix, "retrieval", path, backup = Some(bp))), cp)
+          .collect()(0).getString(3)
+        val lenient = CompactPolicy()              // compaction never due
+        val hungry = CompactPolicy(maxBatches = 1L)
+        def slice(e: Long) = docs.filter(col("doc_id") % 6 === e)
+        RetrievalStream.foldEpoch(slice(0), 0L, rix, path)
+        val t1 = tick(lenient)
+        require(t1 == "full", s"q236: first tick must take a full, got $t1")
+        val t2 = tick(lenient)
+        require(t2 == "none", s"q236: an idle tick must settle, got $t2")
+        RetrievalStream.foldEpoch(slice(1), 1L, rix, path)
+        val t3 = tick(lenient)
+        require(t3 == "delta", s"q236: one commit -> one delta, got $t3")
+        RetrievalStream.foldEpoch(slice(2), 2L, rix, path)
+        // the 3rd link exceeds rebaseAfterLinks = 2: the same tick
+        // rebases and prunes the superseded lineage (deep-verified)
+        val t4 = tick(lenient)
+        require(t4 == "delta+rebase+prune",
+          s"q236: the lineage must rebase + retire, got $t4")
+        RetrievalStream.foldEpoch(slice(3), 3L, rix, path)
+        // the hungry tick compacts — and its OWN backup rolls the epoch
+        val t5 = tick(hungry)
+        require(t5 == "full+prune",
+          s"q236: a compacting tick must roll the backup epoch, got $t5")
+        RetrievalStream.foldEpoch(slice(4), 4L, rix, path)
+        val t6 = tick(lenient)
+        require(t6 == "delta", s"q236: post-roll lineage continues, got $t6")
+        // disaster — discovery names the head, restore, re-deliver
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${rix}_$s"))
+        val head = Snapshot.latestBackup(spark, s"$broot/$rix")
+          .getOrElse(sys.error("q236: autopilot root lost its lineage"))
+        Snapshot.restore(spark, head, rix,
+          graft.core.Scratch.path(rix + "_restored"))
+        RetrievalStream.foldEpoch(slice(5), 5L, rix, path)
+        RetrievalIndex.topK(spark, rix, rankQueries)
+      }),
+    // q237: STANDBY FOLLOWER + PROMOTION — the consumer side of q236's
+    // autopilot: a warm standby follows the scheduled-backup lineage
+    // with NO coordination beyond the shared backup root (seed once,
+    // then per-link shipping of every link past the replica's cut), and
+    // the row drives every regime transition the protocol admits: seed
+    // → current (idempotent) → per-link applies → RESEED when the
+    // follower lags a rebase (the links it needed were pruned — the
+    // WAL-shipping contract; the loud reseed=false refusal is
+    // spec-pinned) → per-link again → a hungry tick compacts the
+    // primary and the next backup rolls the full-backup epoch, which
+    // per-link shipping cannot cross → reseed → per-link again. Then
+    // the PROMOTION: the primary dies, and the replica — a live family
+    // with a clean ledger, not a read-only copy — takes the next epoch
+    // directly through its own writer fence. Oracle = whole-corpus
+    // ranking SERVED FROM THE PROMOTED REPLICA: scheduled backups +
+    // follower + promotion == an index that never failed over.
+    GraftQuery("q237_standby_follower", Some(keywordTopKSql),
+      (spark, dir) => {
+        import graft.operators.{Maintenance, RetrievalIndex, Snapshot}
+        import graft.operators.Maintenance.{CompactPolicy, Family}
+        import graft.streaming.RetrievalStream
+        val docs = Tables(spark, dir).documents
+        val rix = "graft_q237_rix"; val rep = "graft_q237_rep"
+        val path = graft.core.Scratch.path(rix)
+        val rpath = graft.core.Scratch.path(rep)
+        Seq(rix, rep).foreach(t => Seq("postings", "meta", "deleted")
+          .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
+        val broot = graft.core.Scratch.path("q237_backups")
+        val bfs = new org.apache.hadoop.fs.Path(broot)
+        bfs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(bfs, true)
+        val famRoot = s"$broot/$rix"
+        val bp = Snapshot.BackupPolicy(broot, everyBatches = 1L,
+          rebaseAfterLinks = 3)
+        def tick(cp: CompactPolicy): String = Maintenance.sweep(spark,
+          Seq(Family(rix, "retrieval", path, backup = Some(bp))), cp)
+          .collect()(0).getString(3)
+        def follow(): String =
+          Snapshot.followLineage(spark, famRoot, rep, rpath, "retrieval",
+            reseed = true)
+        val lenient = CompactPolicy()
+        def slice(e: Long) = docs.filter(col("doc_id") % 8 === e)
+        RetrievalStream.foldEpoch(slice(0), 0L, rix, path)
+        require(tick(lenient) == "full", "q237: first tick takes the full")
+        require(follow() == "seed", "q237: first follow seeds the replica")
+        require(follow() == "current", "q237: an idle follow is a no-op")
+        Seq(1L, 2L).foreach { e =>
+          RetrievalStream.foldEpoch(slice(e), e, rix, path)
+          val t = tick(lenient); require(t == "delta", s"q237: $t")
+          val f = follow(); require(f == "applied=1", s"q237: $f")
+        }
+        // the replica now serves the primary's cut exactly
+        require(RetrievalIndex.topK(spark, rep, rankQueries).collect()
+          .map(_.toSeq).toSet ==
+          RetrievalIndex.topK(spark, rix, rankQueries).collect()
+            .map(_.toSeq).toSet,
+          "q237: follower must serve the primary's committed state")
+        // epoch 3's tick rebases (4 links > 3) AND prunes — a follower
+        // that lagged this tick lost its per-link path; it reseeds
+        RetrievalStream.foldEpoch(slice(3), 3L, rix, path)
+        val t3 = tick(lenient)
+        require(t3 == "delta+rebase+prune", s"q237: $t3")
+        require(follow() == "reseed",
+          "q237: a follower lagging a rebase reseeds (links were pruned)")
+        RetrievalStream.foldEpoch(slice(4), 4L, rix, path)
+        require(tick(lenient) == "delta", "q237: post-rebase delta")
+        require(follow() == "applied=1", "q237: post-rebase per-link resumes")
+        // the hungry tick compacts; no backup is due, and the replica's
+        // state is still logically the primary's commit boundary
+        val th = Maintenance.sweep(spark,
+          Seq(Family(rix, "retrieval", path, backup = Some(bp))),
+          CompactPolicy(maxBatches = 1L)).collect()(0)
+        require(th.getBoolean(2) && th.getString(3) == "none",
+          s"q237: the hungry tick compacts, backup not due: $th")
+        require(follow() == "current",
+          "q237: a compact alone does not move the lineage")
+        // the NEXT due delta refuses against compacted history and the
+        // autopilot rolls the epoch — per-link cannot cross it: reseed
+        RetrievalStream.foldEpoch(slice(5), 5L, rix, path)
+        val t5 = tick(lenient)
+        require(t5 == "full+prune", s"q237: the epoch must roll, got $t5")
+        require(follow() == "reseed",
+          "q237: per-link shipping cannot cross a full-backup epoch roll")
+        RetrievalStream.foldEpoch(slice(6), 6L, rix, path)
+        require(tick(lenient) == "delta", "q237: post-roll delta")
+        require(follow() == "applied=1", "q237: post-roll per-link resumes")
+        // PROMOTION: the primary dies; the replica is a live family —
+        // its ledger accepts the next epoch through its own writer fence
+        Seq("postings", "meta", "deleted").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS ${rix}_$s"))
+        val bad = Maintenance.fsck(spark, rep, "retrieval")
+          .filter(!col("ok")).collect()
+        require(bad.isEmpty, s"q237: promoted fsck: ${bad.mkString("; ")}")
+        RetrievalStream.foldEpoch(slice(7), 7L, rep, rpath)
+        RetrievalIndex.topK(spark, rep, rankQueries)
+      }),
     // q180: deletion on the RETRIEVAL index — unlike the pair graph,
     // deleting documents here changes SCORES, not just membership: the
     // idf's N must shrink with the corpus. deleteDocs appends stamped

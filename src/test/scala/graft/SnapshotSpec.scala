@@ -790,4 +790,199 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("predates cumulative totals"), e2.getMessage)
   }
+
+  test("rebase: a chain squashes to a synthetic full — equivalent, " +
+      "continuable, refused when damaged") {
+    val src = "snap_rb_src"
+    drop(src, Seq("", "postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    val base = graft.core.Scratch.path("snap_rb_base")
+    Snapshot.export(spark, src, base, kind = Some("retrieval"))
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 4 === 1), src,
+      batchId = 1L)
+    val d1 = graft.core.Scratch.path("snap_rb_d1")
+    Snapshot.export(spark, src, d1, incrementalFrom = Some(base),
+      kind = Some("retrieval"))
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 4 === 3), src,
+      batchId = 2L)
+    val d2 = graft.core.Scratch.path("snap_rb_d2")
+    Snapshot.export(spark, src, d2, incrementalFrom = Some(d1),
+      kind = Some("retrieval"))
+    // a full has nothing to squash — refused, not a silent copy
+    val e0 = intercept[IllegalArgumentException](
+      Snapshot.rebase(spark, base, graft.core.Scratch.path("snap_rb_x")))
+    assert(e0.getMessage.contains("already a full snapshot"), e0.getMessage)
+    val rb = graft.core.Scratch.path("snap_rb_full")
+    assert(Snapshot.rebase(spark, d2, rb) > 0L)
+    // the synthetic full IS the head's cut state: restores agree at the
+    // serve surface, and the rebased link deep-verifies standalone
+    assert(Snapshot.chainDirs(spark, rb) == Seq(rb))
+    assert(Snapshot.verify(spark, rb).filter(!col("ok")).count() == 0L)
+    drop("snap_rb_a", Seq("", "postings", "meta", "deleted"))
+    drop("snap_rb_b", Seq("", "postings", "meta", "deleted"))
+    Snapshot.restore(spark, d2, "snap_rb_a",
+      graft.core.Scratch.path("snap_rb_a"))
+    Snapshot.restore(spark, rb, "snap_rb_b",
+      graft.core.Scratch.path("snap_rb_b"))
+    assert(asSet(RetrievalIndex.topK(spark, "snap_rb_a", CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, "snap_rb_b", CurationOps.rankQueries)))
+    // the lineage continues FROM the rebase: the next delta anchors on
+    // it (the parent audit holds — cumulative totals are the head's)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 7 === 5)
+      .withColumn("doc_id", col("doc_id") + lit(2000000L)), src,
+      batchId = 3L)
+    val d3 = graft.core.Scratch.path("snap_rb_d3")
+    Snapshot.export(spark, src, d3, incrementalFrom = Some(rb),
+      kind = Some("retrieval"))
+    assert(Snapshot.chainDirs(spark, d3) == Seq(rb, d3))
+    assert(Snapshot.verify(spark, d3).filter(!col("ok")).count() == 0L)
+    // a damaged link refuses the squash — the deep-verify gate (prune's
+    // trust-before-replace discipline: rebase exists to make the old
+    // chain prunable, so it must not launder a broken link)
+    val dir = new java.io.File(s"$d1/postings")
+    // the LARGEST part file: an empty partition's file would vanish
+    // without moving the count or the digest
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .maxBy(_.length)
+    assert(part.delete())
+    val e1 = intercept[IllegalArgumentException](
+      Snapshot.rebase(spark, d2, graft.core.Scratch.path("snap_rb_y")))
+    assert(e1.getMessage.contains("failed verification"), e1.getMessage)
+  }
+
+  test("fleet snapshot: one cut at the lagging member; half-fleets and " +
+      "membership drift refuse") {
+    val rix = "snap_fleet_rix"; val roll = "snap_fleet_ivm"
+    drop(rix, Seq("postings", "meta", "deleted"))
+    drop(s"${rix}_r", Seq("postings", "meta", "deleted"))
+    Seq(roll, s"${roll}_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val rixPath = graft.core.Scratch.path(rix)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), rix, rixPath)
+    IvmRollup.build(
+      Tables(spark, sfDir).orders.filter(col("o_orderkey") % 37 === 0),
+      col("o_custkey"), col("o_totalprice"), roll,
+      graft.core.Scratch.path(roll))
+    rollupDelta(roll, 1L, 1)
+    // skew: retrieval commits batch 1 AND 2, the rollup lags at 1 — the
+    // fleet cut is the LAGGING member's committed stamp
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 4 === 1), rix,
+      batchId = 1L)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 4 === 3), rix,
+      batchId = 2L)
+    val fleet = graft.core.Scratch.path("snap_fleet_1")
+    val (cut, rows) = Snapshot.exportFleetAtCut(spark,
+      Seq(rix -> "retrieval", roll -> "rollup"), fleet)
+    assert(cut == 1L && rows > 0L, s"($cut, $rows)")
+    // member dirs are ordinary snapshots — each verifies standalone
+    Seq(rix, roll).foreach { t =>
+      assert(Snapshot.verify(spark, s"$fleet/$t")
+        .filter(!col("ok")).count() == 0L, t)
+    }
+    // an incremental fleet with a drifted member set refuses
+    val e0 = intercept[IllegalArgumentException] {
+      Snapshot.exportFleetAtCut(spark, Seq(rix -> "retrieval"),
+        graft.core.Scratch.path("snap_fleet_2"),
+        incrementalFrom = Some(fleet))
+    }
+    assert(e0.getMessage.contains("member set"), e0.getMessage)
+    // restoreFleet refuses identity renames (never overwrites a source)
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshot.restoreFleet(spark, fleet, identity,
+        graft.core.Scratch.path("snap_fleet_r0"))
+    }
+    assert(e1.getMessage.contains("pick a new name"), e1.getMessage)
+    // the happy path: both members land at the same cut
+    val (rcut, renamed) = Snapshot.restoreFleet(spark, fleet, _ + "_r",
+      graft.core.Scratch.path("snap_fleet_r1"))
+    assert(rcut == 1L)
+    assert(spark.table(s"${renamed(rix)}_meta")
+      .agg(org.apache.spark.sql.functions.max(col("batch_id")))
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.table(renamed(roll)).agg(
+      org.apache.spark.sql.functions.max(col("batch_id")))
+      .collect()(0).getLong(0) == 1L)
+    // a crashed fleet export (member manifests landed, fleet manifest
+    // did not — it writes LAST) refuses whole, never restores partially
+    val fp = new java.io.File(s"$fleet/_FLEET.json")
+    assert(fp.delete())
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.restoreFleet(spark, fleet, _ + "_r2",
+        graft.core.Scratch.path("snap_fleet_r2"))
+    }
+    assert(e2.getMessage.contains("crashed fleet export"), e2.getMessage)
+  }
+
+  test("backup autopilot: crashed exports GC, markerless surrogate cuts, " +
+      "damaged chains refuse the squash") {
+    val src = "snap_ap_ivm"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    val o = Tables(spark, sfDir).orders
+    IvmRollup.build(o.filter(col("o_orderkey") % 37 === 0), col("o_custkey"),
+      col("o_totalprice"), src, graft.core.Scratch.path(src))
+    val root = graft.core.Scratch.path("snap_ap_root")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rp, true)
+    val bp = Snapshot.BackupPolicy(root, everyBatches = 1L,
+      rebaseAfterLinks = 1)
+    // markerless family: the tick cuts at the surrogate (max stamp 0)
+    assert(Snapshot.backupTick(spark, src, "rollup", bp) == "full")
+    // a crashed export is a manifest-less dir: GC'd, never a head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$src/b7_link_99"))
+    rollupDelta(src, 1L, 1)
+    val t = Snapshot.backupTick(spark, src, "rollup", bp)
+    assert(t == "delta+rebase+prune", t) // 2 links > 1: squash + retire
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$src/b7_link_99")))
+    assert(Snapshot.backupTick(spark, src, "rollup", bp) == "none")
+    // damage the kept head: the next tick's delta lands (it reads the
+    // primary), but the rebase gate refuses the squash — the autopilot
+    // never launders a damaged chain into a clean-looking full
+    rollupDelta(src, 2L, 2)
+    val head = Snapshot.latestBackup(spark, s"$root/$src").get
+    // latestBackup returns the filesystem-qualified URI (file:/…)
+    val part = new java.io.File(s"${head.stripPrefix("file:")}/base")
+      .listFiles().filter(_.getName.endsWith(".parquet")).maxBy(_.length)
+    assert(part.delete())
+    val e = intercept[IllegalArgumentException](
+      Snapshot.backupTick(spark, src, "rollup", bp))
+    assert(e.getMessage.contains("failed verification"), e.getMessage)
+  }
+
+  test("followLineage: seed, per-link follow, and the loud reseed refusal " +
+      "when the lineage rolled past the replica") {
+    val src = "snap_fl_src"; val rep = "snap_fl_rep"
+    drop(src, Seq("postings", "meta", "deleted"))
+    drop(rep, Seq("postings", "meta", "deleted"))
+    val path = graft.core.Scratch.path(src)
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src, path)
+    val root = graft.core.Scratch.path("snap_fl_root")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    val bp = Snapshot.BackupPolicy(root, everyBatches = 1L,
+      rebaseAfterLinks = 1)
+    val famRoot = s"$root/$src"
+    assert(Snapshot.backupTick(spark, src, "retrieval", bp) == "full")
+    val rpath = graft.core.Scratch.path(rep)
+    assert(Snapshot.followLineage(spark, famRoot, rep, rpath,
+      "retrieval") == "seed")
+    assert(Snapshot.followLineage(spark, famRoot, rep, rpath,
+      "retrieval") == "current")
+    // the primary moves on and the lineage immediately rebases + prunes
+    // (rebaseAfterLinks = 1): the replica's per-link path is gone
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), src,
+      batchId = 1L)
+    assert(Snapshot.backupTick(spark, src, "retrieval", bp)
+      == "delta+rebase+prune")
+    val e = intercept[IllegalArgumentException](
+      Snapshot.followLineage(spark, famRoot, rep, rpath, "retrieval"))
+    assert(e.getMessage.contains("reseed = true"), e.getMessage)
+    // the replica was not touched by the refusal: still the old state
+    assert(Maintenance.fsck(spark, rep, "retrieval")
+      .filter(!col("ok")).count() == 0L)
+    assert(Snapshot.followLineage(spark, famRoot, rep, rpath,
+      "retrieval", reseed = true) == "reseed")
+    assert(asSet(RetrievalIndex.topK(spark, rep, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
+  }
 }
