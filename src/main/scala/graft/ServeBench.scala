@@ -172,6 +172,52 @@ object ServeBench {
       f"diff=$tDiff%.2f($nDiff) naive2serve=$tNaive%.2f($nNaive)")
   }
 
+  /** Rebase economics (round 12): restore cost grows with chain length
+    * (each delta link is one more append pass); `Snapshot.rebase`
+    * squashes the chain off to the side so restores are one-link again.
+    * This builds a 7-link retrieval chain, times (a) the full-chain
+    * restore, (b) the rebase itself, (c) the restore from the rebased
+    * full. The claims in BENCH_NOTES: restore-from-rebase ≈ the cost of
+    * restoring a fresh full (flat in the retired chain's length), and
+    * the rebase pays roughly one read of the chain's bytes — the price
+    * that buys every later restore/seed its flatness.
+    */
+  private def rebaseLeg(spark: SparkSession, dir: String, tag: String): Unit = {
+    import graft.operators.{RetrievalIndex, Snapshot}
+    val docs = graft.core.Tables(spark, dir).documents
+    val table = s"graft_sb_rb_$tag"
+    val path = graft.core.Scratch.path(table)
+    Seq("postings", "meta", "deleted").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_$s"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 8 === 0), table, path)
+    val base = graft.core.Scratch.path(s"sb_rb_base_$tag")
+    Snapshot.export(spark, table, base, kind = Some("retrieval"))
+    var parent = base
+    (1 to 6).foreach { b =>
+      RetrievalIndex.extend(docs.filter(col("doc_id") % 8 === b), table,
+        batchId = b.toLong)
+      val d = graft.core.Scratch.path(s"sb_rb_d${b}_$tag")
+      Snapshot.export(spark, table, d, incrementalFrom = Some(parent),
+        kind = Some("retrieval"))
+      parent = d
+    }
+    def restoreOnce(src: String, name: String): Double = {
+      Seq("", "_postings", "_meta", "_deleted").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+      val t0 = System.nanoTime()
+      Snapshot.restore(spark, src, name, graft.core.Scratch.path(name))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tChain = restoreOnce(parent, s"graft_sb_rbc_$tag")
+    val t0 = System.nanoTime()
+    val rb = graft.core.Scratch.path(s"sb_rb_full_$tag")
+    Snapshot.rebase(spark, parent, rb)
+    val tRebase = (System.nanoTime() - t0) / 1e9
+    val tFull = restoreOnce(rb, s"graft_sb_rbf_$tag")
+    println(f"SERVEBENCH rebase $tag links=7 chainrestore=$tChain%.2f " +
+      f"rebase=$tRebase%.2f rebasedrestore=$tFull%.2f")
+  }
+
   /** Standby economics (round 11): a replica that re-ran `restore` per
     * arriving backup link would pay the WHOLE-CHAIN rebuild every time;
     * `Snapshot.applyLink` pays one link. This measures both on the same
@@ -243,6 +289,7 @@ object ServeBench {
         joinView(spark, dir, tag)
         rollup(spark, dir, tag)
         standby(spark, dir, tag)
+        rebaseLeg(spark, dir, tag)
       }
     spark.stop()
   }

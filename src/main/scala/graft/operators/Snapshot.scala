@@ -847,7 +847,10 @@ object Snapshot {
         "stamps" -> recordedStamps,
         "rows" -> written, "checksum" -> sum,
         "rowsTotal" -> written,
-        "totalChecksum" -> expectedSum.map(_ => Long.box(sum)).orNull)
+        // a parentless full's cumulative state IS its slice — and the
+        // freshly computed digest holds even when the squashed chain
+        // was legacy pre-digest, so a rebase UPGRADES such lineages
+        "totalChecksum" -> Long.box(sum))
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
@@ -1403,6 +1406,13 @@ object Snapshot {
     * fleet's member dir (same audit fences as any delta), and the
     * member set must match the parent's exactly — a family added or
     * dropped mid-chain is refused, not silently forked.
+    *
+    * Streams compose; COMPACTS do not — the same contract as
+    * [[exportAtCut]], per member: a compact racing a member's export
+    * folds post-cut batches into stamp 0 and the old cut stops naming
+    * a real moment. Bracket each member with [[Maintenance.withLease]]
+    * (the scheduler's sweep takes the same lease), or schedule fleet
+    * exports on the sweep's quiet side.
     *
     * @return (fleet cut, rows written across all member directories)
     */
