@@ -532,4 +532,40 @@ class MaintenanceSpec extends SparkSpec {
       == asSet(RetrievalIndex.topK(spark, table, CurationOps.rankQueries)),
       "pre-compact backup == post-compact family (compact changes bytes, not answers)")
   }
+
+  test("sweep drives the backup autopilot per family, in the lease tenure") {
+    import spark.implicits._
+    import graft.operators.{IvmRollup, Snapshot}
+    import graft.operators.Maintenance.Family
+    val hot = "mnt_bk_ivm"; val cold = "mnt_bk_ivm2"
+    Seq(hot, cold).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(hot, cold).foreach { t =>
+      IvmRollup.build(
+        Seq((1L, 10.0), (2L, 20.0), (1L, 5.0)).toDF("k", "v"),
+        col("k"), col("v"), t, graft.core.Scratch.path(t))
+    }
+    val root = graft.core.Scratch.path("mnt_bk_root")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    val bp = Snapshot.BackupPolicy(root, everyBatches = 1L)
+    // only the hot family carries a policy: the report splits per family
+    val fleet = Seq(
+      Family(hot, "rollup", graft.core.Scratch.path(hot), backup = Some(bp)),
+      Family(cold, "rollup", graft.core.Scratch.path(cold)))
+    val t1 = Maintenance.sweep(spark, fleet, CompactPolicy()).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(t1 == Map(hot -> "full", cold -> ""), t1)
+    // idempotent: the second tick settles, and the lineage head exists
+    val t2 = Maintenance.sweep(spark, fleet, CompactPolicy()).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(t2 == Map(hot -> "none", cold -> ""), t2)
+    assert(Snapshot.latestBackup(spark, s"$root/$hot").isDefined)
+    assert(Snapshot.latestBackup(spark, s"$root/$cold").isEmpty)
+    // the tick runs under the family lease: a held lease blocks it
+    Maintenance.acquireLease(spark, graft.core.Scratch.path(hot), "cronX")
+    intercept[IllegalStateException] {
+      Maintenance.sweep(spark, fleet, CompactPolicy())
+    }
+    Maintenance.releaseLease(spark, graft.core.Scratch.path(hot), "cronX")
+  }
 }
