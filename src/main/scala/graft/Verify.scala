@@ -84,6 +84,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sort-writer always (see Bench: bypass-merge writes R files per
+      // map task; at production R the bypass never fires — 0 aligns
+      // local runs with that path and halves real shuffle stage time)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixture-drift preflight: a regenerated fixture should fail with a

@@ -1444,7 +1444,10 @@ object Dedup {
       scala.concurrent.Future.sequence(Seq(pairsF, repTailF, dictF)),
       scala.concurrent.duration.Duration.Inf)
     if (hasDeletes)
-      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+      // empty frontier: schema-only frame, no checkpoint job (the
+      // [[RetrievalIndex.compact]] move)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.table(s"${table}_deleted").schema)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
@@ -1711,7 +1714,10 @@ object Dedup {
         rewrite(s"${table}_sets", "sets", "id", Seq("id"))))),
       scala.concurrent.duration.Duration.Inf)
     if (spark.catalog.tableExists(s"${table}_deleted"))
-      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+      // empty frontier: schema-only frame, no checkpoint job (the
+      // [[RetrievalIndex.compact]] move)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.table(s"${table}_deleted").schema)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")

@@ -91,6 +91,48 @@ object Integrity {
     */
   def digestMod: Long = SumMod
 
+  /** [[contentDigest]] PLUS the frame's distinct `batch_id` stamps, in
+    * one scan — the "digest what landed, then collect its stamps"
+    * pattern ([[Snapshot.rebase]]) fused into a single aggregate so the
+    * landed files are read once, not twice (guide §2.4: consecutive
+    * passes over one input share a scan). Values are identical to
+    * `contentDigest(df)` + `df.select("batch_id").distinct()` sorted.
+    */
+  def contentDigestWithStamps(df: DataFrame): (Long, Long, Seq[Long]) = {
+    val r = df
+      .select(rowHash(df.columns.toSeq.map(col)).as("h"), col("batch_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(SumMod))
+          .cast(LongType).as("s"),
+        collect_set(col("batch_id")).as("st"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      r.getSeq[Long](2).sorted)
+  }
+
+  /** One scan of a stamped CUT slice answering both questions the
+    * incremental export asks of it ([[Snapshot.export]]'s delta path):
+    * the slice's distinct stamps AND the count + digest of its
+    * `batch_id <= since` prefix — the parent-history audit. Fuses what
+    * was a distinct-collect scan plus a [[contentDigest]] scan into one
+    * aggregate with conditional branches; the returned values are
+    * bit-identical to the two-scan originals (count of the prefix, its
+    * modular row-hash sum over ALL columns, sorted distinct stamps of
+    * the whole slice; an empty prefix digests to (0, 0)).
+    */
+  def cutAuditAgg(cutDf: DataFrame, since: Long): (Seq[Long], Long, Long) = {
+    val hist = col("batch_id") <= since
+    val r = cutDf
+      .select(rowHash(cutDf.columns.toSeq.map(col)).as("h"), col("batch_id"))
+      .agg(collect_set(col("batch_id")).as("st"),
+        count(when(hist, 1)).as("hn"),
+        (sum(when(hist, col("h")).cast("decimal(38,0)")) % lit(SumMod))
+          .cast(LongType).as("hs"))
+      .head()
+    (r.getSeq[Long](0).sorted, r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
   /** Bucket-digest reconciliation (anti-entropy): compare two snapshots
     * as `nBuckets` per-bucket digest rows — count + [[digestAggs]] over
     * full-row hashes, bucketed by the key columns' hash — and return

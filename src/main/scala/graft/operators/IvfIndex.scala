@@ -165,13 +165,18 @@ object IvfIndex {
       spark.table(s"${table}_cells")
         .dropDuplicates("id", "cell", "batch_id"))
       .select("id").distinct()
+    // the scalar legs ride the returned plan as 1×1 crossJoined
+    // aggregates — no eager jobs inside the verb (the
+    // [[RetrievalIndex.describe]] move); values identical
     val tombstoned =
       if (spark.catalog.tableExists(s"${table}_deleted"))
-        spark.table(s"${table}_deleted").select("id").distinct().count()
-      else 0L
+        spark.table(s"${table}_deleted")
+          .agg(count_distinct(col("id")).as("tombstoned"))
+      else Seq(0L).toDF("tombstoned")
     live.agg(count(lit(1)).as("live_vectors"))
-      .crossJoin(Seq(spark.table(s"${table}_centroids").count()).toDF("n_cells"))
-      .crossJoin(Seq(tombstoned).toDF("tombstoned"))
+      .crossJoin(spark.table(s"${table}_centroids")
+        .agg(count(lit(1)).as("n_cells")))
+      .crossJoin(tombstoned)
   }
 
   /** Fold the inverted file back to batch 0 — replay duplicates and
@@ -197,7 +202,10 @@ object IvfIndex {
     graft.sources.TableWriter.writeBucketed(
       collapsed, s"${table}_cells", s"$path/cells", "cell", nBuckets)
     if (spark.catalog.tableExists(s"${table}_deleted"))
-      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+      // empty frontier: schema-only frame, no checkpoint job (the
+      // [[RetrievalIndex.compact]] move)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.table(s"${table}_deleted").schema)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")

@@ -220,12 +220,15 @@ object IvmJoin {
   private[graft] def applyDeltaData(spark: SparkSession, table: String,
       keys: Seq[String], factDelta: DataFrame, dimDelta: DataFrame,
       batchId: Long, nBuckets: Int): Unit = {
-    val dF = factDelta.withColumnRenamed("dn", "dn_f").localCheckpoint()
-    val dD = dimDelta.withColumnRenamed("dn", "dn_d").localCheckpoint()
+    // the two pins and then the two emptiness probes are independent
+    // per-side actions — overlap each pair (guide §2.6)
+    val Seq(dF, dD) = graft.core.Par.run(Seq(
+      factDelta.withColumnRenamed("dn", "dn_f"),
+      dimDelta.withColumnRenamed("dn", "dn_d")))(_.localCheckpoint())
     // each pinned delta is emptiness-probed ONCE, here, and the answers
     // flow into deltaView — probing again inside it would run two
     // duplicate (if metadata-cheap) jobs per batch
-    val hasF = !dF.isEmpty; val hasD = !dD.isEmpty
+    val Seq(hasF, hasD) = graft.core.Par.run(Seq(dF, dD))(!_.isEmpty)
     // the same fence, BEFORE any append: a drifted batch must leave
     // NOTHING behind — its retry with a corrected delta is then a
     // fresh apply, not a divergent replay of partial appends (the view

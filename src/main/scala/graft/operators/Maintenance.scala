@@ -96,10 +96,12 @@ object Maintenance {
     */
   def shouldCompactJoin(spark: SparkSession, table: String,
       policy: CompactPolicy): Boolean =
-    Seq(table, s"${table}_fact", s"${table}_dim").exists { t =>
-      val (batches, dead, total) = IvmJoin.logDebt(spark, t)
-      due(batches, dead, total, policy)
-    }
+    // the three logs' debt probes are independent read-only aggregates
+    // — overlap their fixed per-action latency (guide §2.6); `exists`
+    // over the ordered results keeps the decision identical
+    graft.core.Par.run(Seq(table, s"${table}_fact", s"${table}_dim"))(
+      t => IvmJoin.logDebt(spark, t))
+      .exists { case (batches, dead, total) => due(batches, dead, total, policy) }
 
   def compactJoinIfDue(spark: SparkSession, table: String, path: String,
       keys: Seq[String], policy: CompactPolicy,
@@ -596,7 +598,12 @@ object Maintenance {
       leaseTtlMs: Long = 15L * 60 * 1000): org.apache.spark.sql.DataFrame = {
     require(families.nonEmpty, "sweep: empty fleet")
     val me = Option(owner).getOrElse(processOwner)
-    val report = families.map { f =>
+    // families probe/compact/backup INDEPENDENTLY (each under its own
+    // lease, with its own CommitGuard installed for its own thread's
+    // extent) — overlap them so one family's compact tail back-fills
+    // with the next family's probe (guide §2.6); report order is the
+    // fleet's, as before
+    val report = graft.core.Par.run(families) { f =>
       val generation = acquireLease(spark, f.path, me, leaseTtlMs)
       val (ran, backup) = try graft.core.CommitGuard.withGuard(
         () => requireLeaseHeld(spark, f.path, me, generation)) {
@@ -738,30 +745,33 @@ object Maintenance {
       case None => Set.empty
     }
     val maxCommitted = if (committed.nonEmpty) committed.max else -1L
-    logs.foreach { t =>
+    // per-log stamp audits are independent bounded collects — overlap
+    // their fixed per-action latency (guide §2.6); Par.run preserves
+    // input order, so the report rows are identical to the sequential
+    rows ++= graft.core.Par.run(logs) { t =>
       if (!spark.catalog.tableExists(t))
         // only the deletion frontier is born lazily (first delete);
         // a missing CORE log is structural damage, not an option
-        rows += ((s"log_stamps:$t", t, t.endsWith("_deleted"),
+        (s"log_stamps:$t", t, t.endsWith("_deleted"),
           if (t.endsWith("_deleted")) "absent (no deletes yet)"
-          else "CORE LOG ABSENT"))
+          else "CORE LOG ABSENT")
       else if (!spark.table(t).columns.contains("batch_id"))
-        rows += ((s"log_stamps:$t", t, true, "unstamped (no batch_id)"))
+        (s"log_stamps:$t", t, true, "unstamped (no batch_id)")
       else {
         val stamps = spark.table(t).select(col("batch_id")).distinct()
           .collect().map(_.getLong(0)).toSet
         if (markerOpt.isEmpty)
           // markerless rollup: stamps carry no cross-table contract;
           // audit only that the log is non-degenerate
-          rows += ((s"log_stamps:$t", t, stamps.forall(_ >= 0L),
-            s"${stamps.size} distinct stamps"))
+          (s"log_stamps:$t", t, stamps.forall(_ >= 0L),
+            s"${stamps.size} distinct stamps")
         else {
           val unknown = stamps -- committed
           val ok = unknown.isEmpty || unknown == Set(maxCommitted + 1L)
-          rows += ((s"log_stamps:$t", t, ok,
+          (s"log_stamps:$t", t, ok,
             if (unknown.isEmpty) s"${stamps.size} stamps, all committed"
             else if (ok) s"one in-flight stamp ${maxCommitted + 1L} (crash window)"
-            else s"ORPHAN stamps beyond the crash window: ${unknown.toSeq.sorted.take(12).mkString(",")}"))
+            else s"ORPHAN stamps beyond the crash window: ${unknown.toSeq.sorted.take(12).mkString(",")}")
         }
       }
     }

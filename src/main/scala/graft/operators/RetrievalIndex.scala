@@ -96,13 +96,21 @@ object RetrievalIndex {
     */
   def build(docs: DataFrame, table: String, path: String, nBuckets: Int = 16,
       commitAlias: Long = -1L): Unit = {
-    val d = docs.localCheckpoint()
+    // the cardinality rides the postings write as an observed metric
+    // (guide §2.4: the count and the postings see the SAME single scan
+    // of the batch — what the localCheckpoint+count pair this replaces
+    // pinned with two extra jobs)
+    val obs = org.apache.spark.sql.Observation()
+    val d = docs.observe(obs, count(lit(1)).as("n_docs"))
     graft.sources.TableWriter.writeBucketed(
       postings(d).withColumn("batch_id", lit(0L)),
       s"${table}_postings", s"$path/postings", "term", nBuckets)
     val spark = d.sparkSession
     import spark.implicits._
-    (Seq((d.count(), 0L)) ++ Option(commitAlias).filter(_ > 0L).map((0L, _)))
+    // a zero-task write (empty batch → zero input splits) reports an
+    // EMPTY metrics map, which is exactly a count of 0
+    (Seq((obs.get.getOrElse("n_docs", 0L).asInstanceOf[Long], 0L)) ++
+      Option(commitAlias).filter(_ > 0L).map((0L, _)))
       .toDF("n_docs", "batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/meta").format("parquet")
@@ -137,14 +145,21 @@ object RetrievalIndex {
     */
   def extend(docs: DataFrame, table: String, batchId: Long,
       nBuckets: Int = 16): Unit = {
-    val d = docs.localCheckpoint()
-    val spark = d.sparkSession
+    val spark = docs.sparkSession
     val committed = committedBatches(spark, table)
     if (committed.contains(batchId)) return
     graft.core.WriterFence(committed, batchId, "RetrievalIndex")
-    applyExtend(d, table, batchId, nBuckets)
+    // cardinality observed on the postings append's own scan — the
+    // meta row still records exactly what the postings saw (one pinned
+    // evaluation, as before, minus the checkpoint + count jobs)
+    val obs = org.apache.spark.sql.Observation()
+    applyExtend(docs.observe(obs, count(lit(1)).as("n_docs")),
+      table, batchId, nBuckets)
     import spark.implicits._
-    Seq((d.count(), batchId)).toDF("n_docs", "batch_id")
+    // empty-batch extends (a quiet stream epoch) run zero tasks and
+    // report an empty metrics map — i.e. a count of 0
+    Seq((obs.get.getOrElse("n_docs", 0L).asInstanceOf[Long], batchId))
+      .toDF("n_docs", "batch_id")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${table}_meta")
   }
@@ -245,15 +260,22 @@ object RetrievalIndex {
     val live = dropDeletedDocs(spark, table,
       collapseReplays(spark.table(s"${table}_postings"))
         .select("term", "doc_id"))
+    // every scalar rides the returned plan as a 1×1 crossJoined
+    // aggregate (no eager corpusN/tombstone jobs inside the verb —
+    // the caller's one action computes all four; values identical)
+    val liveDocs = spark.table(s"${table}_meta")
+      .dropDuplicates("n_docs", "batch_id")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("live_docs"))
     val tombstoned =
       if (spark.catalog.tableExists(s"${table}_deleted"))
-        spark.table(s"${table}_deleted").select("doc_id").distinct().count()
-      else 0L
-    Seq(corpusN(spark, table)).toDF("live_docs")
+        spark.table(s"${table}_deleted")
+          .agg(count_distinct(col("doc_id")).as("tombstoned"))
+      else Seq(0L).toDF("tombstoned")
+    liveDocs
       .crossJoin(live.agg(
         count_distinct(col("term")).as("distinct_terms"),
         count(lit(1)).as("live_postings")))
-      .crossJoin(Seq(tombstoned).toDF("tombstoned"))
+      .crossJoin(tombstoned)
   }
 
   /** DESCRIBE INDEX on the POSITIONAL tier — [[describe]]'s sibling
@@ -272,16 +294,19 @@ object RetrievalIndex {
       spark.table(s"${table}_positions")
         .dropDuplicates("term", "doc_id", "batch_id")
         .select(col("term"), col("doc_id"), col("positions")))
+    // tombstone debt rides the returned plan (no eager count job —
+    // the [[describe]] move; values identical)
     val tombstoned =
       if (spark.catalog.tableExists(s"${table}_deleted"))
-        spark.table(s"${table}_deleted").select("doc_id").distinct().count()
-      else 0L
+        spark.table(s"${table}_deleted")
+          .agg(count_distinct(col("doc_id")).as("tombstoned"))
+      else Seq(0L).toDF("tombstoned")
     live.agg(
         count_distinct(col("doc_id")).as("live_docs"),
         count_distinct(col("term")).as("distinct_terms"),
         count(lit(1)).as("posting_rows"),
         sum(size(col("positions"))).cast("long").as("total_positions"))
-      .crossJoin(Seq(tombstoned).toDF("tombstoned"))
+      .crossJoin(tombstoned)
   }
 
   /** Replayed-append collapse over a (possibly term-filtered) postings
@@ -297,8 +322,12 @@ object RetrievalIndex {
   /** Corpus cardinality N from `_meta`, replay-safe: at most one row
     * per committed batch by the marker ordering; identical duplicates
     * from a torn write fold through the distinct before the sum.
+    * Readers inline this sum into their own plans (a lazy 1×1 — see
+    * [[topK]]/[[describe]]/[[compact]]) rather than paying it as a
+    * separate eager job; this scalar form remains for callers that
+    * need the number itself.
     */
-  private def corpusN(spark: SparkSession, table: String,
+  private[graft] def corpusN(spark: SparkSession, table: String,
       asOf: Long = Long.MaxValue): Long =
     spark.table(s"${table}_meta").filter(col("batch_id") <= asOf)
       .dropDuplicates("n_docs", "batch_id")
@@ -342,9 +371,15 @@ object RetrievalIndex {
     */
   def compact(spark: SparkSession, table: String, path: String,
       nBuckets: Int = 16, preserveNamespace: Boolean = false): Unit = {
-    val n = corpusN(spark, table) // exact survivors, BEFORE meta rewrites
+    // ONE bounded collect of the `_meta` ledger answers both the exact
+    // surviving N (corpusN's sum over distinct (n_docs, batch_id)) and
+    // the committed stamp set — fused from two jobs (guide §2.4),
+    // values bit-identical to the two-read original
+    val metaRows = spark.table(s"${table}_meta")
+      .dropDuplicates("n_docs", "batch_id").collect()
+    val n = metaRows.map(_.getAs[Long]("n_docs")).sum
     val keepStamp = graft.core.WriterFence.compactKeepStamps(
-      committedBatches(spark, table), preserveNamespace)
+      metaRows.map(_.getAs[Long]("batch_id")).toSet, preserveNamespace)
     val hasDeletes = spark.catalog.tableExists(s"${table}_deleted")
     val collapsed = dropDeletedDocs(spark, table,
         spark.table(s"${table}_postings")
@@ -354,7 +389,10 @@ object RetrievalIndex {
     graft.sources.TableWriter.writeBucketed(
       collapsed, s"${table}_postings", s"$path/postings", "term", nBuckets)
     if (hasDeletes)
-      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+      // an EMPTY frontier needs no read of the table it truncates — an
+      // empty frame with the same schema skips the checkpoint job
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.table(s"${table}_deleted").schema)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")
@@ -375,8 +413,12 @@ object RetrievalIndex {
     // through the stamp (the signed ledger makes this exact — later
     // deletes' negative rows drop out with their tombstones), postings
     // and tombstones cut at the same stamp. Valid back to the last
-    // compact, which folds the ledger to one batch-0 row.
-    val n = corpusN(spark, table, asOf)
+    // compact, which folds the ledger to one batch-0 row. N rides the
+    // scoring plan as a lazy broadcast 1×1 (no eager corpusN job —
+    // [[graft.queries.CurationOps.scoreMatchedLazyN]]; values exact).
+    val nDf = spark.table(s"${table}_meta").filter(col("batch_id") <= asOf)
+      .dropDuplicates("n_docs", "batch_id")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_total"))
     val terms = queries.flatMap(_._2).distinct
     // plan + materialize the probe on the bucket-pruning clone; once
     // pinned, downstream stages run on the caller's session as usual
@@ -386,7 +428,7 @@ object RetrievalIndex {
       .filter(col("batch_id") <= asOf)), asOf)
     val q = broadcast(queryTermsDf(ps, queries))
     val matched = p.join(q, "term").localCheckpoint()
-    val scored = graft.queries.CurationOps.scoreMatched(matched, n)
+    val scored = graft.queries.CurationOps.scoreMatchedLazyN(matched, nDf)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -515,7 +557,9 @@ object RetrievalIndex {
     graft.sources.TableWriter.writeBucketed(
       collapsed, s"${table}_positions", s"$path/positions", "term", nBuckets)
     if (spark.catalog.tableExists(s"${table}_deleted"))
-      spark.table(s"${table}_deleted").limit(0).localCheckpoint()
+      // empty frontier: schema-only frame, no checkpoint job (as in compact)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.table(s"${table}_deleted").schema)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("path", s"$path/deleted")
         .format("parquet").saveAsTable(s"${table}_deleted")

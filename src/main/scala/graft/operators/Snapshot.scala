@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, collect_set}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Portable snapshots of a maintained-state family — the backup/restore
@@ -287,7 +287,7 @@ object Snapshot {
             s"collide on snapshot directory '$s' — rename the sibling; " +
             "'base' is reserved for the family's base table")
       }
-    val entries = names.map { name =>
+    def exportOne(name: String): Map[String, Any] = {
       val meta = catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(name))
       val bucket = meta.bucketSpec
@@ -308,48 +308,54 @@ object Snapshot {
         case Some(c) if stamped => df.filter(col("batch_id") <= c)
         case _ => df
       }
-      val stamps: Seq[Long] =
-        if (stamped) cutDf.select("batch_id").distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq
-        else Nil
-      val (slice, parentTotals) = parent match {
-        case Some((pd, pe)) if stamped =>
-          pe.get(name) match {
-            case Some(p) =>
-              require(p.stamps.subsetOf(stamps.toSet),
-                s"Snapshot.export: $name no longer holds the parent " +
-                  s"snapshot's stamps (a compact rewrote history since " +
-                  s"$pd) — incremental chains break at compacts; take a " +
-                  "full snapshot")
-              val since = if (p.stamps.nonEmpty) p.stamps.max else -1L
-              // the round-10 advice fix: stamps can SURVIVE a rewrite
-              // (a default compact folds history back to {0}, exactly a
-              // fresh build's stamp set) — so audit the CONTENT beneath
-              // the parent's max stamp, not just the stamp names. A
-              // pre-digest (legacy) parent degrades to the count fence.
-              val history = df.filter(col("batch_id") <= since)
-              if (auditParent && p.totalChecksum.isDefined) {
-                val (hn, hsum) = Integrity.contentDigest(history)
-                require(hn == p.rowsTotal && hsum == p.totalChecksum.get,
-                  s"Snapshot.export: $name's history at batch_id <= " +
-                    s"$since no longer matches the parent snapshot under " +
-                    s"$pd ($hn rows / digest $hsum vs recorded " +
-                    s"${p.rowsTotal} / ${p.totalChecksum.get}) — a compact " +
-                    "or manual repair rewrote backed-up history; " +
-                    "incremental chains break there, take a full snapshot")
-              } else {
-                val hn = history.count()
-                require(hn == p.rowsTotal,
-                  s"Snapshot.export: $name holds $hn rows at batch_id " +
-                    s"<= $since, the parent snapshot under $pd recorded " +
-                    s"${p.rowsTotal} — a compact rewrote backed-up " +
-                    "history; incremental chains break there, take a " +
-                    "full snapshot")
-              }
-              (cutDf.filter(col("batch_id") > since), Some(p))
-            case None => (cutDf, None) // born after the parent: full copy
+      val parentEntry = parent.flatMap { case (pd, pe) =>
+        if (stamped) pe.get(name).map(p => (pd, p)) else None
+      }
+      // the delta path's slice-stamps collect and parent-history audit
+      // read the SAME cut slice — fused into one aggregate so the slice
+      // is scanned once, not twice (values bit-identical; guide §2.4)
+      val (stamps: Seq[Long], historyAudit) = parentEntry match {
+        case Some((_, p)) =>
+          val since = if (p.stamps.nonEmpty) p.stamps.max else -1L
+          val (st, hn, hsum) = Integrity.cutAuditAgg(cutDf, since)
+          (st, Some((hn, hsum)))
+        case None =>
+          (if (stamped) cutDf.select("batch_id").distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq
+          else Nil, None)
+      }
+      val (slice, parentTotals) = parentEntry match {
+        case Some((pd, p)) =>
+          require(p.stamps.subsetOf(stamps.toSet),
+            s"Snapshot.export: $name no longer holds the parent " +
+              s"snapshot's stamps (a compact rewrote history since " +
+              s"$pd) — incremental chains break at compacts; take a " +
+              "full snapshot")
+          val since = if (p.stamps.nonEmpty) p.stamps.max else -1L
+          // the round-10 advice fix: stamps can SURVIVE a rewrite
+          // (a default compact folds history back to {0}, exactly a
+          // fresh build's stamp set) — so audit the CONTENT beneath
+          // the parent's max stamp, not just the stamp names. A
+          // pre-digest (legacy) parent degrades to the count fence.
+          val (hn, hsum) = historyAudit.get
+          if (auditParent && p.totalChecksum.isDefined) {
+            require(hn == p.rowsTotal && hsum == p.totalChecksum.get,
+              s"Snapshot.export: $name's history at batch_id <= " +
+                s"$since no longer matches the parent snapshot under " +
+                s"$pd ($hn rows / digest $hsum vs recorded " +
+                s"${p.rowsTotal} / ${p.totalChecksum.get}) — a compact " +
+                "or manual repair rewrote backed-up history; " +
+                "incremental chains break there, take a full snapshot")
+          } else {
+            require(hn == p.rowsTotal,
+              s"Snapshot.export: $name holds $hn rows at batch_id " +
+                s"<= $since, the parent snapshot under $pd recorded " +
+                s"${p.rowsTotal} — a compact rewrote backed-up " +
+                "history; incremental chains break there, take a " +
+                "full snapshot")
           }
-        case _ => (cutDf, None) // full snapshot, or an unstamped table
+          (cutDf.filter(col("batch_id") > since), Some(p))
+        case None => (cutDf, None) // full/unstamped, or born after the parent
       }
       slice.write.mode(SaveMode.Overwrite).parquet(s"$dest/$suffix")
       onTableExported.foreach(_(name)) // race-staging seam (specs only)
@@ -418,6 +424,12 @@ object Snapshot {
         "rowsTotal" -> rowsTotal,
         "totalChecksum" -> totalChecksum.map(Long.box).orNull)
     }
+    // per-table copies are independent until the trailing manifest —
+    // overlap their fixed per-action driver latency (guide §2.6); the
+    // spec race-staging seam keeps the deterministic sequential order
+    val entries =
+      if (onTableExported.isEmpty) graft.core.Par.run(names)(exportOne)
+      else names.map(exportOne)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
     val payload = Map[String, Any](
@@ -578,7 +590,9 @@ object Snapshot {
           "restore never overwrites; drop it first if you mean to")
     }
     chain.foreach { case (d, m) =>
-      jsonSeq(m.get("tables")).foreach { e =>
+      // links replay in order (the chain contract), but the tables
+      // WITHIN one link land independently — overlap them (guide §2.6)
+      graft.core.Par.run(jsonSeq(m.get("tables"))) { e =>
         val suffix = e.get("suffix").asText()
         val newName = if (suffix == "base") newTable
         else s"${newTable}_$suffix"
@@ -640,8 +654,13 @@ object Snapshot {
     */
   def verify(spark: SparkSession, dest: String,
       deep: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val rows = chainOf(spark, dest).flatMap { case (d, m) =>
-      jsonSeq(m.get("tables")).map { e =>
+    val work = chainOf(spark, dest).flatMap { case (d, m) =>
+      jsonSeq(m.get("tables")).map(e => (d, e))
+    }
+    // every (link, table) audit is an independent read-only scan —
+    // overlap their fixed per-action latency (guide §2.6); row order
+    // is preserved, so the report is identical to the sequential one
+    val rows = graft.core.Par.run(work) { case (d, e) =>
         val suffix = e.get("suffix").asText()
         val schema = DataType.fromJson(e.get("schema").asText())
           .asInstanceOf[StructType]
@@ -668,7 +687,6 @@ object Snapshot {
             s"$landed of $expectedRows rows — snapshot dir was modified"
           else s"digest $sum != recorded ${expectedSumOpt.get} — content " +
             "changed under an unchanged row count (bit-rot or tamper)")
-      }
     }
     import spark.implicits._
     rows.toDF("link", "table", "ok", "detail")
@@ -807,7 +825,9 @@ object Snapshot {
         dirsOf(suffix) = dirsOf.getOrElse(suffix, Nil) :+ s"$d/$suffix"
       }
     }
-    val entries = jsonSeq(headM.get("tables")).map { e =>
+    // per-suffix squash/digest runs are independent until the trailing
+    // manifest — overlap them (guide §2.6)
+    val entries = graft.core.Par.run(jsonSeq(headM.get("tables"))) { e =>
       val name = e.get("name").asText()
       val suffix = e.get("suffix").asText()
       val schema = DataType.fromJson(e.get("schema").asText())
@@ -819,7 +839,13 @@ object Snapshot {
         else spark.read.schema(schema).parquet(dirs.last) // newest frontier
       src.write.mode(SaveMode.Overwrite).parquet(s"$dest/$suffix")
       val landedDf = spark.read.schema(schema).parquet(s"$dest/$suffix")
-      val (written, sum) = Integrity.contentDigest(landedDf)
+      // digest + landed-stamp collect fused into ONE read-back scan
+      // (bit-identical values; guide §2.4)
+      val (written, sum, landedStamps) =
+        if (stamped) Integrity.contentDigestWithStamps(landedDf)
+        else {
+          val (w, s) = Integrity.contentDigest(landedDf); (w, s, Nil)
+        }
       // the chain's digest arithmetic, checked against the squashed
       // bytes: cumulative totals were computed additively link by link,
       // so they must equal one honest digest of the union
@@ -832,13 +858,10 @@ object Snapshot {
           s"under ${chain.head._1} does not reassemble; take a fresh " +
           "full export from the primary")
       val recordedStamps = jsonSeq(e.get("stamps")).map(_.asLong()).sorted
-      if (stamped) {
-        val landedStamps = landedDf.select("batch_id").distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq
+      if (stamped)
         require(landedStamps == recordedStamps,
           s"Snapshot.rebase: $name's squashed stamps $landedStamps != " +
             s"head's recorded cumulative stamps $recordedStamps")
-      }
       Map[String, Any](
         "name" -> name, "suffix" -> suffix,
         "schema" -> e.get("schema").asText(),
@@ -918,12 +941,12 @@ object Snapshot {
         "seeded with restore; applyLink ships the delta links after it")
     val srcTable = m.get("table").asText()
     val marker = Maintenance.familyTables(srcTable, kind)._1
-    val entries = jsonSeq(m.get("tables"))
-      // marker LAST: a crash mid-link must leave data-without-marker,
-      // the crash window every family's protocol already absorbs
-      .sortBy(e => marker.contains(e.get("name").asText()))
-    var appended = 0L
-    entries.foreach { e =>
+    // marker LAST: a crash mid-link must leave data-without-marker,
+    // the crash window every family's protocol already absorbs
+    val (markerEntries, dataEntries) = jsonSeq(m.get("tables"))
+      .partition(e => marker.contains(e.get("name").asText()))
+    def applyOne(e: com.fasterxml.jackson.databind.JsonNode): Long = {
+      var appended = 0L
       val suffix = e.get("suffix").asText()
       val newName = if (suffix == "base") table else s"${table}_$suffix"
       val schema = DataType.fromJson(e.get("schema").asText())
@@ -965,7 +988,18 @@ object Snapshot {
             "torn; re-seed with restore")
       } else {
         val recorded = jsonSeq(e.get("stamps")).map(_.asLong()).toSet
-        val sliceStamps = distinctStamps(slice)
+        // the slice's and the standby's pre-append stamp sets are two
+        // independent bounded reads — fused into ONE action via a 1×1
+        // crossJoin when both are needed (guide §2.4); values identical
+        lazy val (sliceStamps, standbyStamps) =
+          if (!exists) (distinctStamps(slice), Set.empty[Long])
+          else {
+            val r = slice.agg(collect_set(col("batch_id")).as("ss"))
+              .crossJoin(spark.table(newName)
+                .agg(collect_set(col("batch_id")).as("ts")))
+              .head()
+            (r.getSeq[Long](0).toSet, r.getSeq[Long](1).toSet)
+          }
         if (!exists) {
           // a table born in THIS link (e.g. the first delete's frontier
           // ledger): its whole recorded state is the slice
@@ -983,7 +1017,7 @@ object Snapshot {
               .format("parquet").saveAsTable(newName)
           appended += e.get("rows").asLong()
         } else {
-          val standby = distinctStamps(spark.table(newName))
+          val standby = standbyStamps
           if (standby == recorded) {
             // already applied (a re-shipped link, or the re-run after a
             // crash mid-link): skip — restartability, not an error
@@ -1005,8 +1039,13 @@ object Snapshot {
             s"$linkDir, the manifest says $expectedTotal — replica is " +
             "torn; re-seed with restore")
       }
+      appended
     }
-    appended
+    // data tables land concurrently (each table's append is one atomic
+    // Spark write — the per-table crash contract is unchanged; guide
+    // §2.6), then the family's commit marker strictly LAST
+    val appended = graft.core.Par.run(dataEntries)(applyOne).sum
+    appended + markerEntries.map(applyOne).sum
   }
 
   /** COMMITTED-CUT READ VIEWS (round-11 verdict #5) — serve a family at
@@ -1348,10 +1387,31 @@ object Snapshot {
       return "seed"
     }
     val replicaCut = committedCut(spark, t, kind)
-    val pending = chainOf(spark, head).filter { case (_, m) =>
+    val chain = chainOf(spark, head)
+    val pending = chain.filter { case (_, m) =>
       optLong(m, "cut").getOrElse(-1L) > replicaCut
     }
-    if (pending.isEmpty) return "current"
+    if (pending.isEmpty) {
+      // CUT REGRESSION (round-12 advice): an epoch roll can renumber
+      // the primary's stamps BELOW the replica's (a compact folds to 0,
+      // new epochs stamp 1, 2, …) — `pending` is then empty while the
+      // primary accrues data, and "current" would be a silent lie
+      // forever. A head cut below the replica's is the roll's
+      // signature; route it into the reseed path, not "current".
+      val headCut = optLong(chain.last._2, "cut").getOrElse(-1L)
+      if (headCut >= replicaCut) return "current"
+      if (!reseed)
+        throw new IllegalArgumentException(
+          s"Snapshot.followLineage: replica $t sits at cut $replicaCut " +
+            s"but the lineage head under $famRoot is at cut $headCut — " +
+            "the primary rolled its full-backup epoch (a compact " +
+            "renumbered stamps below the replica's); per-link shipping " +
+            "cannot continue. Pass reseed = true to drop the replica " +
+            "and restore the head")
+      dropReplica()
+      restore(spark, head, t, path)
+      return "reseed"
+    }
     try {
       pending.foreach { case (d, _) => applyLink(spark, d, t, path, kind) }
       s"applied=${pending.size}"
@@ -1433,18 +1493,23 @@ object Snapshot {
           "fleets chain with a fixed membership; start a new fleet")
       pd
     }
-    val cut = families.map { case (t, k) => committedCut(spark, t, k) }.min
+    // the members' marker collects, and then their exports, are
+    // independent until the trailing fleet manifest — overlap their
+    // fixed per-action latencies (guide §2.6); each member dir is an
+    // ordinary snapshot with its own manifest-last commit, unchanged
+    val cut = graft.core.Par.run(families) {
+      case (t, k) => committedCut(spark, t, k)
+    }.min
     val fleetPath = new org.apache.hadoop.fs.Path(
       s"$destRoot/$FleetManifestName")
     val fs = fsFor(spark, fleetPath)
     fs.delete(fleetPath, false) // stale fleet manifest must not vouch
-    var rows = 0L
-    families.foreach { case (t, k) =>
+    val rows = graft.core.Par.run(families) { case (t, k) =>
       val tl = t.toLowerCase
-      rows += export(spark, tl, s"$destRoot/$tl",
+      export(spark, tl, s"$destRoot/$tl",
         incrementalFrom = parent.map(pd => s"$pd/$tl"),
         cut = Some(cut), auditParent = auditParent, kind = Some(k))
-    }
+    }.sum
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
     val payload = Map[String, Any](
@@ -1494,7 +1559,27 @@ object Snapshot {
         s"Snapshot.restoreFleet: rename($t) = '$nt' — restores never " +
           "overwrite the source family; pick a new name")
     }
+    // the occupied-target check runs across ALL members BEFORE any
+    // restores (round-12 advice: the per-member check inside restore
+    // fires only at that member's start, so member N's occupied target
+    // used to refuse after members 1..N-1 had already landed — exactly
+    // the half-landed fleet the doc rules out). Manifest reads only.
     members.foreach { t =>
+      val nt = rename(t)
+      chainOf(spark, s"$destRoot/$t").foreach { case (_, lm) =>
+        jsonSeq(lm.get("tables")).foreach { e =>
+          val suffix = e.get("suffix").asText()
+          val newName = if (suffix == "base") nt else s"${nt}_$suffix"
+          require(!spark.catalog.tableExists(newName),
+            s"Snapshot.restoreFleet: target table $newName already " +
+              s"exists (member $t) — refusing the WHOLE fleet before " +
+              "any member restores; drop it first if you mean to")
+        }
+      }
+    }
+    // member restores land under distinct names/paths — independent
+    // until the returned map; overlap them (guide §2.6)
+    graft.core.Par.run(members) { t =>
       restore(spark, s"$destRoot/$t", rename(t), s"$newPathRoot/${rename(t)}")
     }
     (m.get("cut").asLong(), members.map(t => t -> rename(t)).toMap)

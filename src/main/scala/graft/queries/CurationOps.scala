@@ -226,6 +226,27 @@ object CurationOps {
       .agg(sum(col("tf") * col("idf_scaled")).as("score"))
   }
 
+  /** [[scoreMatched]] with N arriving as a LAZY one-row frame
+    * (`n_total` BIGINT) instead of a pre-collected scalar — the
+    * persisted index's serve path rides its `_meta` sum as a broadcast
+    * 1×1 crossJoin, so the verb runs zero eager jobs. The idf expression
+    * is the same exact rational arithmetic over the same long values
+    * ([[idfScaledCol]] with `n_total` as a column), so scores are
+    * bit-identical to the scalar path.
+    */
+  private[graft] def scoreMatchedLazyN(
+      matched: org.apache.spark.sql.DataFrame,
+      nDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dfT = matched.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDf)) // one row: n_total
+      .withColumn("idf_scaled",
+        expr(s"((2 * (n_total - df) + 1) * ${idfScale}L) div (2 * df + 1)"))
+    matched.join(broadcast(dfT.select("term", "idf_scaled")), "term")
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+  }
+
   private def queryTermsSql(qs: Seq[(Int, Seq[String])]): String =
     qs.flatMap { case (qid, terms) => terms.map(t => s"($qid, '$t')") }
       .mkString("(VALUES ", ", ", ") AS q(qid, term)")

@@ -52,16 +52,20 @@ object RetrievalStream {
   def foldEpoch(batch: DataFrame, epochId: Long, table: String,
       path: String, nBuckets: Int = 16): Unit = {
     val sp = batch.sparkSession
-    val b = batch.localCheckpoint() // existence probe + postings share it
     if (sp.catalog.tableExists(s"${table}_meta"))
       // an EMPTY epoch still extends: zero postings plus a (0, stamp)
       // meta row, so N is unchanged and the stamp ledger stays
       // contiguous — the writer fence requires max(committed) + 1,
-      // and a skipped epoch would read as a racing second writer
-      RetrievalIndex.extend(b, table, batchId = epochId + 1)
-    else if (!b.isEmpty)
-      RetrievalIndex.build(b, table, path, nBuckets,
-        commitAlias = epochId + 1)
+      // and a skipped epoch would read as a racing second writer.
+      // No checkpoint here: extend scans the batch exactly once (its
+      // observed postings write), so pinning would only add a job
+      RetrievalIndex.extend(batch, table, batchId = epochId + 1)
+    else {
+      val b = batch.localCheckpoint() // existence probe + build share it
+      if (!b.isEmpty)
+        RetrievalIndex.build(b, table, path, nBuckets,
+          commitAlias = epochId + 1)
+    }
     ()
   }
 
@@ -88,12 +92,16 @@ object RetrievalStream {
   def foldEpochPositions(batch: DataFrame, epochId: Long, table: String,
       path: String, nBuckets: Int = 16): Unit = {
     val sp = batch.sparkSession
-    val b = batch.localCheckpoint() // existence probe + positions share it
     if (sp.catalog.tableExists(s"${table}_pbatches"))
-      RetrievalIndex.extendPositions(b, table, batchId = epochId + 1)
-    else if (!b.isEmpty)
-      RetrievalIndex.buildPositions(b, table, path, nBuckets,
-        commitAlias = epochId + 1)
+      // extendPositions scans the batch once (its positions append) —
+      // no checkpoint needed on the hot path (the foldEpoch move)
+      RetrievalIndex.extendPositions(batch, table, batchId = epochId + 1)
+    else {
+      val b = batch.localCheckpoint() // existence probe + build share it
+      if (!b.isEmpty)
+        RetrievalIndex.buildPositions(b, table, path, nBuckets,
+          commitAlias = epochId + 1)
+    }
     ()
   }
 }

@@ -985,4 +985,70 @@ class SnapshotSpec extends SparkSpec {
     assert(asSet(RetrievalIndex.topK(spark, rep, CurationOps.rankQueries))
       == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
   }
+
+  test("restoreFleet: an occupied target on ANY member refuses the whole " +
+      "fleet BEFORE any member restores (round-12 advice)") {
+    val rix = "snap_fleetpre_rix"; val roll = "snap_fleetpre_ivm"
+    drop(rix, Seq("postings", "meta", "deleted"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), rix,
+      graft.core.Scratch.path(rix))
+    spark.sql(s"DROP TABLE IF EXISTS $roll")
+    IvmRollup.build(
+      Tables(spark, sfDir).orders.filter(col("o_orderkey") % 37 === 0),
+      col("o_custkey"), col("o_totalprice"), roll,
+      graft.core.Scratch.path(roll))
+    val fleet = graft.core.Scratch.path("snap_fleetpre_1")
+    Snapshot.exportFleetAtCut(spark,
+      Seq(rix -> "retrieval", roll -> "rollup"), fleet)
+    // occupy the SECOND member's rename target only: the old per-member
+    // check (inside restore) would fire after member 1 already landed
+    drop(s"${rix}_x", Seq("postings", "meta", "deleted"))
+    spark.sql(s"DROP TABLE IF EXISTS ${roll}_x")
+    import spark.implicits._
+    Seq((1L, 1L, java.math.BigDecimal.valueOf(0)))
+      .toDF("key", "dn", "dr")
+      .write.option("path", graft.core.Scratch.path(s"${roll}_x"))
+      .format("parquet").mode("overwrite").saveAsTable(s"${roll}_x")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.restoreFleet(spark, fleet, _ + "_x",
+        graft.core.Scratch.path("snap_fleetpre_r"))
+    }
+    assert(e.getMessage.contains("WHOLE fleet"), e.getMessage)
+    // no member restored anything: the fleet never half-lands
+    assert(!spark.catalog.tableExists(s"${rix}_x_postings"))
+    assert(!spark.catalog.tableExists(s"${rix}_x_meta"))
+    spark.sql(s"DROP TABLE IF EXISTS ${roll}_x")
+  }
+
+  test("followLineage: a head cut BELOW the replica's routes to reseed " +
+      "advice, never a silent 'current' (round-12 advice)") {
+    val src = "snap_flreg_src"; val rep = "snap_flreg_rep"
+    drop(src, Seq("postings", "meta", "deleted"))
+    drop(rep, Seq("postings", "meta", "deleted"))
+    RetrievalIndex.build(docs.filter(col("doc_id") % 2 === 0), src,
+      graft.core.Scratch.path(src))
+    val root = graft.core.Scratch.path("snap_flreg_root")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    val bp = Snapshot.BackupPolicy(root, everyBatches = 1L,
+      rebaseAfterLinks = 8)
+    val famRoot = s"$root/$src"
+    assert(Snapshot.backupTick(spark, src, "retrieval", bp) == "full")
+    val rpath = graft.core.Scratch.path(rep)
+    assert(Snapshot.followLineage(spark, famRoot, rep, rpath,
+      "retrieval") == "seed")
+    // drive the REPLICA's committed cut past the lineage head — the
+    // stamp-space signature of an epoch roll that renumbered the
+    // primary below the replica (pending is empty either way)
+    RetrievalIndex.extend(docs.filter(col("doc_id") % 2 === 1), rep,
+      batchId = 1L)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.followLineage(spark, famRoot, rep, rpath, "retrieval"))
+    assert(e.getMessage.contains("reseed = true"), e.getMessage)
+    // reseed = true drops the drifted replica and restores the head
+    assert(Snapshot.followLineage(spark, famRoot, rep, rpath,
+      "retrieval", reseed = true) == "reseed")
+    assert(asSet(RetrievalIndex.topK(spark, rep, CurationOps.rankQueries))
+      == asSet(RetrievalIndex.topK(spark, src, CurationOps.rankQueries)))
+  }
 }
