@@ -10,7 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.read.parquet` for `spark.table` is a one-line change.
   */
 final class Tables(val spark: SparkSession, val dir: String) {
-  def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Fixture read with the SCHEMA resolved once per (path, flags) per
+    * JVM (guide §6: repeated `spark.read.parquet` calls re-run footer
+    * schema inference — a fixed driver-side job every query pays on
+    * every accessor call; a metastore-backed `spark.table` would carry
+    * the schema as catalog METADATA, and this cache is that metadata,
+    * never rows or results — the frame still scans the parquet files
+    * on every action). The explicit schema also skips per-call
+    * inference I/O at 100 TB scale, where footer sampling reads real
+    * bytes.
+    */
+  def t(name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val schema = Tables.schemaCache.computeIfAbsent(p,
+      _ => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(p)
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -39,15 +54,22 @@ final class Tables(val spark: SparkSession, val dir: String) {
     * (negative) nanos the wrong way.
     */
   def events: DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val raw =
-      try t("events")
+    // cached under its OWN key: events' schema must be resolved with
+    // the nanos flag set (a TIMESTAMP(NANOS) fixture throws without
+    // it), and the plain-`t` cache entry for the same path must never
+    // alias a flag-scoped resolution
+    val p = s"$dir/events.parquet"
+    val schema = Tables.schemaCache.computeIfAbsent(s"$p#nanosAsLong", { _ =>
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(p).schema
       finally prior match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }
+    })
+    val raw = spark.read.schema(schema).parquet(p)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn(
@@ -68,6 +90,14 @@ final class Tables(val spark: SparkSession, val dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Fixture SCHEMAS by path (+ resolution-flag suffix) — catalog
+    * metadata, resolved once per JVM from the parquet footers
+    * themselves. Deliberately NOT data or results: every action on a
+    * frame built from a cached schema still reads the parquet files.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
 
   /** Loud fixture-drift preflight for the driver mains (Verify/Bench):
     * compare each load-bearing fixture column against the dtypes the

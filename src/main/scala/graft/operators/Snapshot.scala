@@ -1321,22 +1321,30 @@ object Snapshot {
         }
     }
     // 3. bound restore cost: long lineages rebase to a synthetic full
+    var rebasedThisTick = false
     head.foreach { hd =>
       val links = chainDirs(spark, hd)
       if (links.size > bp.rebaseAfterLinks) {
         val dest = nextDir("rebase")
         rebase(spark, hd, dest, bp.deep)
         head = Some(dest)
+        rebasedThisTick = true
         action = if (action == "none") "rebase" else s"$action+rebase"
       }
     }
     // 4. retention: anything outside the kept chain is a superseded
-    // lineage (or epoch-roll residue) — prune after the keep verifies
+    // lineage (or epoch-roll residue) — prune after the keep verifies.
+    // When the kept head is the rebase THIS tick just wrote, its bytes
+    // were already read back and digest-audited by rebase itself (the
+    // squash refuses on any mismatch), and the lease excludes any
+    // concurrent writer — a second deep digest scan of the same bytes
+    // in the same tick proves nothing new, so the prune gate degrades
+    // to the count audit there (one digest pass per tick, not two)
     head.foreach { hd =>
       val keep = chainDirs(spark, hd).map(qualified).toSet
       val garbage = liveDirs().filterNot(d => keep.contains(qualified(d)))
       if (garbage.nonEmpty) {
-        prune(spark, hd, garbage, bp.deep)
+        prune(spark, hd, garbage, bp.deep && !rebasedThisTick)
         action = s"$action+prune"
       }
     }

@@ -1602,25 +1602,35 @@ object CurationOps {
         Seq("postings", "meta", "sets", "batches", "deleted").foreach(s =>
           Seq(rix, lsh).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
         spark.sql(s"DROP TABLE IF EXISTS $ivm")
-        // two batches of debt on each family, three different kinds
-        RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), rix,
-          graft.core.Scratch.path(rix))
-        (1 to 2).foreach(b => RetrievalIndex.extend(
-          docs.filter(col("doc_id") % 3 === b), rix, batchId = b.toLong))
+        // two batches of debt on each family, three different kinds —
+        // the three ladders touch disjoint tables/paths and overlap
+        // (guide §2.6); each family's build→extend order is preserved
+        // inside its own closure
         val half = docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id").as("id"), col("text"))
-        Dedup.buildNearDupIndex(half.filter(col("id") % 3 === 0), lsh,
-          graft.core.Scratch.path(lsh))
-        (1 to 2).foreach(b => Dedup.extendNearDupIndex(spark,
-          half.filter(col("id") % 3 === b), lsh, batchId = b.toLong))
         val o = Tables(spark, dir).orders
-        graft.operators.IvmRollup.build(o, col("o_custkey"),
-          col("o_totalprice"), ivm, graft.core.Scratch.path(ivm))
-        (1 to 2).foreach(b => graft.operators.IvmRollup.applyDelta(spark, ivm,
-          o.filter(col("o_orderkey") % 97 === b)
-            .select(col("o_custkey").as("key"), lit(1L).as("dn"),
-              col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
-          batchId = b.toLong))
+        graft.core.Par.run(Seq[() => Unit](
+          () => {
+            RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), rix,
+              graft.core.Scratch.path(rix))
+            (1 to 2).foreach(b => RetrievalIndex.extend(
+              docs.filter(col("doc_id") % 3 === b), rix, batchId = b.toLong))
+          },
+          () => {
+            Dedup.buildNearDupIndex(half.filter(col("id") % 3 === 0), lsh,
+              graft.core.Scratch.path(lsh))
+            (1 to 2).foreach(b => Dedup.extendNearDupIndex(spark,
+              half.filter(col("id") % 3 === b), lsh, batchId = b.toLong))
+          },
+          () => {
+            graft.operators.IvmRollup.build(o, col("o_custkey"),
+              col("o_totalprice"), ivm, graft.core.Scratch.path(ivm))
+            (1 to 2).foreach(b => graft.operators.IvmRollup.applyDelta(spark, ivm,
+              o.filter(col("o_orderkey") % 97 === b)
+                .select(col("o_custkey").as("key"), lit(1L).as("dn"),
+                  col("o_totalprice").cast(DecimalType(38, 2)).as("dr")),
+              batchId = b.toLong))
+          }))(_())
         val fleet = Seq(
           Family(rix, "retrieval", graft.core.Scratch.path(rix)),
           Family(lsh, "lsh", graft.core.Scratch.path(lsh)),
@@ -1723,16 +1733,23 @@ object CurationOps {
         val hot = "graft_q230_rix"; val cold = "graft_q230_lsh"
         Seq("postings", "meta", "sets", "batches", "deleted").foreach(s =>
           Seq(hot, cold).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")))
-        RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), hot,
-          graft.core.Scratch.path(hot))
-        (1 to 2).foreach(b => RetrievalIndex.extend(
-          docs.filter(col("doc_id") % 3 === b), hot, batchId = b.toLong))
+        // the two family ladders touch disjoint tables/paths — overlap
+        // them (guide §2.6), order preserved inside each closure
         val half = docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id").as("id"), col("text"))
-        Dedup.buildNearDupIndex(half.filter(col("id") % 3 === 0), cold,
-          graft.core.Scratch.path(cold))
-        (1 to 2).foreach(b => Dedup.extendNearDupIndex(spark,
-          half.filter(col("id") % 3 === b), cold, batchId = b.toLong))
+        graft.core.Par.run(Seq[() => Unit](
+          () => {
+            RetrievalIndex.build(docs.filter(col("doc_id") % 3 === 0), hot,
+              graft.core.Scratch.path(hot))
+            (1 to 2).foreach(b => RetrievalIndex.extend(
+              docs.filter(col("doc_id") % 3 === b), hot, batchId = b.toLong))
+          },
+          () => {
+            Dedup.buildNearDupIndex(half.filter(col("id") % 3 === 0), cold,
+              graft.core.Scratch.path(cold))
+            (1 to 2).foreach(b => Dedup.extendNearDupIndex(spark,
+              half.filter(col("id") % 3 === b), cold, batchId = b.toLong))
+          }))(_())
         val fleet = Seq(
           Family(hot, "retrieval", graft.core.Scratch.path(hot),
             policy = Some(CompactPolicy(maxBatches = 1L))),
@@ -2070,10 +2087,13 @@ object CurationOps {
         def change(e: Long) = dslice(e).select(
           (col("doc_id") % 10).as("key"), lit(1L).as("dn"),
           length(col("text")).cast(DecimalType(38, 2)).as("dr"))
-        // the same upstream epochs fan out to both families
+        // the same upstream epochs fan out to both families — the two
+        // members' folds are independent per epoch; overlap the pair
+        // (guide §2.6; epoch order preserved per member)
         Seq(0L, 1L).foreach { e =>
-          RetrievalStream.foldEpoch(dslice(e), e, rix, rixPath)
-          IvmStream.foldEpoch(change(e), e, roll, rollPath)
+          graft.core.Par.run(Seq[() => Unit](
+            () => RetrievalStream.foldEpoch(dslice(e), e, rix, rixPath),
+            () => IvmStream.foldEpoch(change(e), e, roll, rollPath)))(_())
         }
         // the skew moment: retrieval commits epoch 2, the rollup lags
         RetrievalStream.foldEpoch(dslice(2), 2L, rix, rixPath)
@@ -2104,10 +2124,11 @@ object CurationOps {
         // the shared stream re-delivers epochs 2..3 to BOTH members in
         // lockstep (stamp cut + 1 first — each writer fence accepts)
         Seq(2L, 3L).foreach { e =>
-          RetrievalStream.foldEpoch(dslice(e), e, renamed(rix),
-            graft.core.Scratch.path(renamed(rix) + "_live"))
-          IvmStream.foldEpoch(change(e), e, renamed(roll),
-            graft.core.Scratch.path(renamed(roll) + "_live"))
+          graft.core.Par.run(Seq[() => Unit](
+            () => RetrievalStream.foldEpoch(dslice(e), e, renamed(rix),
+              graft.core.Scratch.path(renamed(rix) + "_live")),
+            () => IvmStream.foldEpoch(change(e), e, renamed(roll),
+              graft.core.Scratch.path(renamed(roll) + "_live"))))(_())
         }
         IvmRollup.serve(spark, renamed(roll)).select(
           col("key").as("bucket"), col("n").as("n_docs"),
